@@ -1,0 +1,771 @@
+package graft.operators
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator surface (SURVEY.md §2.4): scans, projection/filter,
+  * every join type, partial+final aggregation, distinct / rollup / cube /
+  * grouping sets, window functions, sorts/limits/top-k, set ops, scalar
+  * function families, subqueries.
+  *
+  * The reference delegated all of this to stock Spark 1.3 executed on shipped
+  * RDD DAGs (reference: SimpleAppClient/src/main/scala/SimpleAppClient.scala:54-72,
+  * sparksql-server/examples/.../sql/RDDRelation.scala:37-66); here each
+  * capability is a declarative DataFrame/SQL plan so Catalyst plans
+  * pushdown/pruning/broadcast natively.
+  *
+  * Conventions shared with the DuckDB oracles (driver hash-compare):
+  *  - every aggregated double is round(_, 2) (or 4/6 where noted) in BOTH
+  *    engines — double reductions are order-sensitive in the last ulps;
+  *  - every output is deterministically ordered with a unique tie-break;
+  *  - derived integers are cast to long (DuckDB arithmetic yields BIGINT).
+  */
+object Relational {
+
+  private def ts(s: String) = lit(s).cast("timestamp")
+
+  /** TPC-H Q1 shape: scan → filter → partial+final hash agg → sort. */
+  def q01PricingSummary(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .filter($"l_shipdate" <= ts("1998-09-02"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2).as("sum_charge"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q01Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  /** Projection + conjunctive predicate; both should reach the parquet scan
+    * (PushedFilters in the formatted plan). */
+  def q02FilterProject(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .filter($"l_shipdate" >= ts("1997-01-01") && $"l_shipdate" < ts("1997-03-01") && $"l_quantity" < 10)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q02Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00'
+         AND l_quantity < 10
+       ORDER BY l_orderkey, l_linenumber"""
+
+  /** TPC-H Q3 shape: 3-way join, filter on both sides, agg, top-k. */
+  def q03SegmentRevenue(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.customer.filter($"c_mktsegment" === "BUILDING")
+      .join(t.orders, $"c_custkey" === $"o_custkey")
+      .filter($"o_orderdate" < ts("1998-01-01"))
+      .join(t.lineitem, $"o_orderkey" === $"l_orderkey")
+      .filter($"l_shipdate" > ts("1998-01-01"))
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(20)
+  }
+
+  val q03Oracle: String =
+    """SELECT l_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, l_orderkey LIMIT 20"""
+
+  /** TPC-H Q4 shape: left-semi join with a non-equi conjunct (EXISTS). */
+  def q04OrderPriority(t: T): DataFrame = {
+    import t.spark.implicits._
+    val o  = t.orders.filter($"o_orderdate" >= ts("1997-01-01") && $"o_orderdate" < ts("1997-07-01"))
+    val li = t.lineitem
+    o.join(li, o("o_orderkey") === li("l_orderkey") &&
+               li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q04Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** TPC-H Q5 shape: 6-way star join; dims are broadcast by Catalyst (verified
+    * in the formatted plan), fact side shuffles once on the join key. */
+  def q05RegionRevenue(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.customer
+      .join(t.orders, $"c_custkey" === $"o_custkey")
+      .join(t.lineitem, $"o_orderkey" === $"l_orderkey")
+      .join(t.supplier, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA" &&
+              $"o_orderdate" >= ts("1996-01-01") && $"o_orderdate" < ts("1998-01-01"))
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q05Oracle: String =
+    """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+  /** TPC-H Q6 shape: tight scan-side filter, scalar aggregate. */
+  def q06ForecastRevenue(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .filter($"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1997-01-01") &&
+              $"l_discount" >= 0.02 && $"l_discount" <= 0.06 && $"l_quantity" < 24)
+      .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"))
+  }
+
+  val q06Oracle: String =
+    """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+         AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24"""
+
+  /** Left outer join preserving customers with zero orders. */
+  def q07LeftOuter(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.customer
+      .join(t.orders, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"),
+           round(coalesce(sum($"o_totalprice"), lit(0.0)), 2).as("spend"))
+      .orderBy($"c_custkey")
+  }
+
+  val q07Oracle: String =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+       ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS spend
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey ORDER BY c_custkey"""
+
+  /** Left-semi join: customers having at least one finished order. */
+  def q08SemiJoin(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.customer
+      .join(t.orders.filter($"o_orderstatus" === "F"), $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val q08Oracle: String =
+    """SELECT c_custkey, c_name FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+       ORDER BY c_custkey"""
+
+  /** Left-anti join: customers with no urgent open order. */
+  def q09AntiJoin(t: T): DataFrame = {
+    import t.spark.implicits._
+    val urgent = t.orders.filter($"o_orderstatus" === "O" && $"o_orderpriority" === "1-URGENT")
+    t.customer
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val q09Oracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                         AND o_orderstatus = 'O' AND o_orderpriority = '1-URGENT')
+       ORDER BY c_custkey"""
+
+  /** ROLLUP with subtotal rows (grouping-set plane the reference never had —
+    * only a ghost `groupingsets` import, reference:
+    * sparksql-server/.../SparkSQLServer.scala:21). */
+  def q10Rollup(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val q10Oracle: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+
+  /** CUBE over a join of fact + dim. */
+  def q11Cube(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.customer
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .cube($"c_mktsegment", $"n_name")
+      .agg(count(lit(1)).as("n"), round(avg($"c_acctbal"), 4).as("avg_bal"))
+      .orderBy($"c_mktsegment".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  val q11Oracle: String =
+    """SELECT c_mktsegment, n_name, COUNT(*) AS n, ROUND(AVG(c_acctbal), 4) AS avg_bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY CUBE (c_mktsegment, n_name)
+       ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST"""
+
+  /** Window rank: top-3 orders by price within each priority class. */
+  def q12WindowRank(t: T): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc, $"o_orderkey")
+    t.orders
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_orderpriority", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderpriority", $"rn")
+  }
+
+  val q12Oracle: String =
+    """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+         SELECT o_orderpriority, o_orderkey, o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) WHERE rn <= 3
+       ORDER BY o_orderpriority, rn"""
+
+  /** Running (cumulative) sum per customer — frame-bounded window agg. */
+  def q13WindowRunning(t: T): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.orders
+      .withColumn("running_spend", round(sum($"o_totalprice").over(w), 2))
+      .select($"o_custkey", $"o_orderkey", $"running_spend")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q13Oracle: String =
+    """SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+       FROM orders ORDER BY o_custkey, o_orderkey"""
+
+  /** lag/lead deltas over the events stream table. */
+  def q14WindowLagLead(t: T): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t.events
+      .withColumn("prev_value", lag($"value", 1).over(w))
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .select($"user_id", $"event_id",
+              round($"value" - coalesce($"prev_value", lit(0.0)), 2).as("delta"),
+              coalesce($"next_type", lit("none")).as("next_type"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q14Oracle: String =
+    """SELECT user_id, event_id,
+       ROUND(value - COALESCE(LAG(value, 1) OVER w, 0), 2) AS delta,
+       COALESCE(LEAD(event_type, 1) OVER w, 'none') AS next_type
+       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ORDER BY user_id, event_id"""
+
+  /** Global top-k (TakeOrderedAndProject — no full sort of the table). */
+  def q15TopK(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(15)
+  }
+
+  val q15Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 15"""
+
+  /** Set operators: UNION (distinct) then EXCEPT. */
+  def q16SetOps(t: T): DataFrame = {
+    import t.spark.implicits._
+    val building = t.customer.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val rich     = t.customer.filter($"c_acctbal" > 8000).select($"c_custkey")
+    val pending  = t.orders.filter($"o_orderstatus" === "P").select($"o_custkey".as("c_custkey"))
+    building.union(rich).distinct().except(pending).orderBy($"c_custkey")
+  }
+
+  val q16Oracle: String =
+    """SELECT c_custkey FROM (
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION
+         SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+       ) EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+       ORDER BY c_custkey"""
+
+  /** INTERSECT: customers active in both 1996 and 2000. */
+  def q17Intersect(t: T): DataFrame = {
+    import t.spark.implicits._
+    def active(y0: String, y1: String) =
+      t.orders.filter($"o_orderdate" >= ts(y0) && $"o_orderdate" < ts(y1)).select($"o_custkey")
+    active("1996-01-01", "1997-01-01").intersect(active("2000-01-01", "2001-01-01"))
+      .orderBy($"o_custkey")
+  }
+
+  val q17Oracle: String =
+    """SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       INTERSECT
+       SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00' AND o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
+       ORDER BY o_custkey"""
+
+  /** distinct / dropDuplicates. */
+  def q18Distinct(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders.select($"o_orderstatus", $"o_orderpriority").distinct()
+      .orderBy($"o_orderstatus", $"o_orderpriority")
+  }
+
+  val q18Oracle: String =
+    """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+       ORDER BY o_orderstatus, o_orderpriority"""
+
+  /** String function family (reference surface was bare split/contains
+    * lambdas — reference: SimpleAppClient.scala:55, PROJECT-INTERNALS.md:14). */
+  def q19StringFns(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.part
+      .select(
+        $"p_partkey",
+        upper($"p_name").as("uname"),
+        length($"p_name").cast("long").as("name_len"),
+        substring($"p_type", 1, 3).as("type3"),
+        concat_ws("-", $"p_brand", $"p_type").as("brand_type"),
+        regexp_replace($"p_name", "[aeiou]", "").as("novowels"),
+        lpad($"p_brand", 12, "_").as("padded"),
+        reverse($"p_name").as("rname"))
+      .orderBy($"p_partkey")
+  }
+
+  val q19Oracle: String =
+    """SELECT p_partkey, UPPER(p_name) AS uname,
+       CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+       SUBSTRING(p_type, 1, 3) AS type3,
+       CONCAT_WS('-', p_brand, p_type) AS brand_type,
+       REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS novowels,
+       LPAD(p_brand, 12, '_') AS padded,
+       REVERSE(p_name) AS rname
+       FROM part ORDER BY p_partkey"""
+
+  /** Date/time function family over timestamps. */
+  def q20DateFns(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").cast("long").as("y"),
+        month($"o_orderdate").cast("long").as("m"),
+        dayofmonth($"o_orderdate").cast("long").as("d"),
+        date_trunc("month", $"o_orderdate").as("month_start"),
+        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q20Oracle: String =
+    """SELECT o_orderkey,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+       CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS d,
+       CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+       FROM orders ORDER BY o_orderkey"""
+
+  /** Math function family; transcendentals rounded to 6 places. */
+  def q21MathFns(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem.filter($"l_orderkey" % 10 === 0)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        round(sqrt($"l_quantity"), 6).as("sqrt_qty"),
+        round(log($"l_extendedprice"), 6).as("ln_price"),
+        round(pow($"l_discount" + 1, 2), 6).as("disc_sq"),
+        round(abs($"l_tax" - 0.05), 6).as("tax_dev"),
+        ($"l_linenumber" % 3).cast("long").as("ln_mod"),
+        floor($"l_extendedprice").cast("long").as("price_floor"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q21Oracle: String =
+    """SELECT l_orderkey, l_linenumber,
+       ROUND(SQRT(l_quantity), 6) AS sqrt_qty,
+       ROUND(LN(l_extendedprice), 6) AS ln_price,
+       ROUND(POW(l_discount + 1, 2), 6) AS disc_sq,
+       ROUND(ABS(l_tax - 0.05), 6) AS tax_dev,
+       CAST(l_linenumber % 3 AS BIGINT) AS ln_mod,
+       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor
+       FROM lineitem WHERE l_orderkey % 10 = 0
+       ORDER BY l_orderkey, l_linenumber"""
+
+  /** CASE WHEN bucketing + aggregation. */
+  def q22CaseWhen(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders
+      .withColumn("band",
+        when($"o_totalprice" < 1000, "small")
+          .when($"o_totalprice" < 10000, "medium")
+          .when($"o_totalprice" < 50000, "large")
+          .otherwise("jumbo"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n"), round(avg($"o_totalprice"), 2).as("avg_price"))
+      .orderBy($"band")
+  }
+
+  val q22Oracle: String =
+    """SELECT CASE WHEN o_totalprice < 1000 THEN 'small'
+                   WHEN o_totalprice < 10000 THEN 'medium'
+                   WHEN o_totalprice < 50000 THEN 'large'
+                   ELSE 'jumbo' END AS band,
+       COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
+       FROM orders GROUP BY 1 ORDER BY band"""
+
+  /** JSON extraction from the events.props string column. */
+  def q23JsonFns(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.events
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy(($"k" % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"k_bucket")
+  }
+
+  val q23Oracle: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+       FROM events GROUP BY 1 ORDER BY k_bucket"""
+
+  /** IN-subquery (rewritten by Catalyst to a semi join). */
+  def q24InSubquery(t: T): DataFrame = {
+    import t.spark.implicits._
+    val heavy = t.lineitem.filter($"l_quantity" > 45).select($"l_partkey")
+    t.part
+      .join(heavy, $"p_partkey" === $"l_partkey", "left_semi")
+      .select($"p_partkey", $"p_brand", $"p_type")
+      .orderBy($"p_partkey")
+  }
+
+  val q24Oracle: String =
+    """SELECT p_partkey, p_brand, p_type FROM part
+       WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+       ORDER BY p_partkey"""
+
+  /** Scalar subquery threshold (SQL surface via spark.sql). */
+  def q25ScalarSubquery(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n
+         FROM orders
+         WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 1.5
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
+  val q25Oracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n
+       FROM orders
+       WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 1.5
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** Correlated scalar subquery (decorrelated by Catalyst into a join). */
+  def q26CorrelatedSubquery(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS bal
+         FROM supplier s
+         WHERE s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2
+                            WHERE s2.s_nationkey = s.s_nationkey)
+         ORDER BY s_suppkey""")
+  }
+
+  val q26Oracle: String =
+    """SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS bal
+       FROM supplier s
+       WHERE s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2
+                          WHERE s2.s_nationkey = s.s_nationkey)
+       ORDER BY s_suppkey"""
+
+  /** GROUP BY ... HAVING. */
+  def q27Having(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .groupBy($"l_suppkey")
+      .agg(round(sum($"l_quantity"), 2).as("total_qty"), count(lit(1)).as("n_items"))
+      .filter($"total_qty" > 15000)
+      .orderBy($"l_suppkey")
+  }
+
+  val q27Oracle: String =
+    """SELECT l_suppkey, ROUND(SUM(l_quantity), 2) AS total_qty, COUNT(*) AS n_items
+       FROM lineitem GROUP BY l_suppkey
+       HAVING ROUND(SUM(l_quantity), 2) > 15000 ORDER BY l_suppkey"""
+
+  /** Pivot (conditional aggregation over event types). */
+  def q28Pivot(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.events
+      .withColumn("user_bucket", ($"user_id" % 10).cast("long"))
+      .groupBy($"user_bucket")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+      .orderBy($"user_bucket")
+  }
+
+  val q28Oracle: String =
+    """SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+       FROM events GROUP BY 1 ORDER BY user_bucket"""
+
+  /** Range (interval) join: purchases within 5 minutes of a click by the same
+    * user — equi key on user plus a band predicate on time. */
+  def q29RangeJoin(t: T): DataFrame = {
+    import t.spark.implicits._
+    val clicks    = t.events.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"ts".as("cts"), $"event_id".as("click_id"))
+    val purchases = t.events.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pts"), $"event_id".as("purchase_id"))
+    clicks.join(purchases,
+        $"cu" === $"pu" && $"pts" >= $"cts" && $"pts" <= $"cts" + expr("INTERVAL 5 MINUTES"))
+      .groupBy($"cu".as("user_id"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy($"user_id")
+  }
+
+  val q29Oracle: String =
+    """SELECT c.user_id AS user_id, COUNT(*) AS n_conversions
+       FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+       JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+         ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
+       GROUP BY c.user_id ORDER BY user_id"""
+
+  /** As-of join: each purchase matched to the latest prior event of type
+    * 'click' for the same user, expressed as an IGNORE NULLS window last()
+    * so the plan is one shuffle + sort (no self-join). */
+  def q30AsOfJoin(t: T): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.events
+      .withColumn("prior_click",
+        last(when($"event_type" === "click", $"event_id"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"),
+              coalesce($"prior_click", lit(-1L)).as("prior_click_id"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  val q30Oracle: String =
+    """SELECT user_id, event_id AS purchase_id,
+              COALESCE(prior_click, -1) AS prior_click_id
+       FROM (SELECT user_id, event_id, event_type,
+                    LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click
+             FROM events)
+       WHERE event_type = 'purchase'
+       ORDER BY user_id, purchase_id"""
+
+  /** Top revenue supplier per nation (top-k per group via window). */
+  def q31TopPerGroup(t: T): DataFrame = {
+    import t.spark.implicits._
+    val rev = t.lineitem
+      .groupBy($"l_suppkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+    val w = Window.partitionBy($"n_name").orderBy($"revenue".desc, $"s_suppkey")
+    t.supplier
+      .join(rev, $"s_suppkey" === $"l_suppkey")
+      .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"n_name", $"s_suppkey", $"revenue")
+      .orderBy($"n_name")
+  }
+
+  val q31Oracle: String =
+    """SELECT n_name, s_suppkey, revenue FROM (
+         SELECT n_name, s_suppkey, revenue,
+                ROW_NUMBER() OVER (PARTITION BY n_name
+                                   ORDER BY revenue DESC, s_suppkey) AS rk
+         FROM supplier
+         JOIN (SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               FROM lineitem GROUP BY l_suppkey) r ON s_suppkey = l_suppkey
+         JOIN nation ON s_nationkey = n_nationkey)
+       WHERE rk = 1 ORDER BY n_name"""
+
+  /** Full outer join over per-year customer/supplier nation activity. */
+  def q32FullOuter(t: T): DataFrame = {
+    import t.spark.implicits._
+    val custN = t.customer.groupBy($"c_nationkey".as("nk")).agg(count(lit(1)).as("n_cust"))
+    val suppN = t.supplier.groupBy($"s_nationkey".as("nk2")).agg(count(lit(1)).as("n_supp"))
+    custN.join(suppN, $"nk" === $"nk2", "full_outer")
+      .select(coalesce($"nk", $"nk2").as("nationkey"),
+              coalesce($"n_cust", lit(0L)).as("n_cust"),
+              coalesce($"n_supp", lit(0L)).as("n_supp"))
+      .orderBy($"nationkey")
+  }
+
+  val q32Oracle: String =
+    """SELECT COALESCE(c.nk, s.nk2) AS nationkey,
+              COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+       FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+       FULL OUTER JOIN
+            (SELECT s_nationkey AS nk2, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+         ON c.nk = s.nk2
+       ORDER BY nationkey"""
+
+  /** Grouping sets (explicit, mixed granularities) via SQL surface. */
+  def q33GroupingSets(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                ROUND(SUM(l_quantity), 2) AS qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  }
+
+  val q33Oracle: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              ROUND(SUM(l_quantity), 2) AS qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  /** count(DISTINCT) + multi-distinct aggregation. */
+  def q34CountDistinct(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_parts"),
+           countDistinct($"l_suppkey").as("n_supps"),
+           count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q34Oracle: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** All queries in this module, keyed for SparkEntry. */
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"  -> ((s, d) => q01PricingSummary(T(s, d))),
+    "q02_filter_project"   -> ((s, d) => q02FilterProject(T(s, d))),
+    "q03_segment_revenue"  -> ((s, d) => q03SegmentRevenue(T(s, d))),
+    "q04_order_priority"   -> ((s, d) => q04OrderPriority(T(s, d))),
+    "q05_region_revenue"   -> ((s, d) => q05RegionRevenue(T(s, d))),
+    "q06_forecast_revenue" -> ((s, d) => q06ForecastRevenue(T(s, d))),
+    "q07_left_outer"       -> ((s, d) => q07LeftOuter(T(s, d))),
+    "q08_semi_join"        -> ((s, d) => q08SemiJoin(T(s, d))),
+    "q09_anti_join"        -> ((s, d) => q09AntiJoin(T(s, d))),
+    "q10_rollup"           -> ((s, d) => q10Rollup(T(s, d))),
+    "q11_cube"             -> ((s, d) => q11Cube(T(s, d))),
+    "q12_window_rank"      -> ((s, d) => q12WindowRank(T(s, d))),
+    "q13_window_running"   -> ((s, d) => q13WindowRunning(T(s, d))),
+    "q14_window_lag_lead"  -> ((s, d) => q14WindowLagLead(T(s, d))),
+    "q15_top_k"            -> ((s, d) => q15TopK(T(s, d))),
+    "q16_set_ops"          -> ((s, d) => q16SetOps(T(s, d))),
+    "q17_intersect"        -> ((s, d) => q17Intersect(T(s, d))),
+    "q18_distinct"         -> ((s, d) => q18Distinct(T(s, d))),
+    "q19_string_fns"       -> ((s, d) => q19StringFns(T(s, d))),
+    "q20_date_fns"         -> ((s, d) => q20DateFns(T(s, d))),
+    "q21_math_fns"         -> ((s, d) => q21MathFns(T(s, d))),
+    "q22_case_when"        -> ((s, d) => q22CaseWhen(T(s, d))),
+    "q23_json_fns"         -> ((s, d) => q23JsonFns(T(s, d))),
+    "q24_in_subquery"      -> ((s, d) => q24InSubquery(T(s, d))),
+    "q25_scalar_subquery"  -> ((s, d) => q25ScalarSubquery(T(s, d))),
+    "q26_correlated_subq"  -> ((s, d) => q26CorrelatedSubquery(T(s, d))),
+    "q27_having"           -> ((s, d) => q27Having(T(s, d))),
+    "q28_pivot"            -> ((s, d) => q28Pivot(T(s, d))),
+    "q29_range_join"       -> ((s, d) => q29RangeJoin(T(s, d))),
+    "q30_asof_join"        -> ((s, d) => q30AsOfJoin(T(s, d))),
+    "q31_top_per_group"    -> ((s, d) => q31TopPerGroup(T(s, d))),
+    "q32_full_outer"       -> ((s, d) => q32FullOuter(T(s, d))),
+    "q33_grouping_sets"    -> ((s, d) => q33GroupingSets(T(s, d))),
+    "q34_count_distinct"   -> ((s, d) => q34CountDistinct(T(s, d))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary"  -> q01Oracle,
+    "q02_filter_project"   -> q02Oracle,
+    "q03_segment_revenue"  -> q03Oracle,
+    "q04_order_priority"   -> q04Oracle,
+    "q05_region_revenue"   -> q05Oracle,
+    "q06_forecast_revenue" -> q06Oracle,
+    "q07_left_outer"       -> q07Oracle,
+    "q08_semi_join"        -> q08Oracle,
+    "q09_anti_join"        -> q09Oracle,
+    "q10_rollup"           -> q10Oracle,
+    "q11_cube"             -> q11Oracle,
+    "q12_window_rank"      -> q12Oracle,
+    "q13_window_running"   -> q13Oracle,
+    "q14_window_lag_lead"  -> q14Oracle,
+    "q15_top_k"            -> q15Oracle,
+    "q16_set_ops"          -> q16Oracle,
+    "q17_intersect"        -> q17Oracle,
+    "q18_distinct"         -> q18Oracle,
+    "q19_string_fns"       -> q19Oracle,
+    "q20_date_fns"         -> q20Oracle,
+    "q21_math_fns"         -> q21Oracle,
+    "q22_case_when"        -> q22Oracle,
+    "q23_json_fns"         -> q23Oracle,
+    "q24_in_subquery"      -> q24Oracle,
+    "q25_scalar_subquery"  -> q25Oracle,
+    "q26_correlated_subq"  -> q26Oracle,
+    "q27_having"           -> q27Oracle,
+    "q28_pivot"            -> q28Oracle,
+    "q29_range_join"       -> q29Oracle,
+    "q30_asof_join"        -> q30Oracle,
+    "q31_top_per_group"    -> q31Oracle,
+    "q32_full_outer"       -> q32Oracle,
+    "q33_grouping_sets"    -> q33Oracle,
+    "q34_count_distinct"   -> q34Oracle,
+  )
+}
