@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` corpus — the LLM-training-data
+  * plane the reference never had (its only text ops were WordCount-style
+  * `split`/`contains` lambdas — reference:
+  * testSharingScan/WordCount/src/main/scala/WordCount.scala:94-95).
+  *
+  * Everything here is pure Catalyst column arithmetic (no UDFs): higher-order
+  * array functions (`transform`/`filter`/`aggregate`) stay inside whole-stage
+  * codegen and run identically on one core or a thousand executors — per-row
+  * narrow ops, no shuffle except the final aggregates/sorts.
+  *
+  * Cross-engine determinism: all hashes are explicit integer polynomials over
+  * `ascii()` codes (no engine-native hash functions whose algorithms differ),
+  * so the DuckDB oracles replicate them with `list_transform` lambdas.
+  */
+object TextAnalysis {
+
+  /** Shared stopword lists for the language-ID heuristic (classic function
+    * words; deterministic, same literals in Spark + DuckDB SQL). */
+  val stop: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "los", "y", "que"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"))
+
+  private def inList(vs: Seq[String]) = vs.map(v => s"'$v'").mkString("(", ",", ")")
+
+  /** SQL fragment: # tokens of `split(text,' ')` found in `vs` (Spark syntax =
+    * DuckDB syntax modulo function names, kept in each oracle below). */
+  private def hits(vs: Seq[String]) =
+    expr(s"size(filter(split(text, ' '), t -> t IN ${inList(vs)}))").cast("long")
+
+  /** Token counting: whitespace tokens + a BPE-ish segmentation (maximal
+    * vowel-runs / consonant-runs as subword units) + distinct tokens. */
+  def t01TokenCount(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .select(
+        $"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        size(expr("array_distinct(split(text, ' '))")).cast("long").as("n_distinct_tokens"),
+        size(expr("regexp_extract_all(text, '[aeiou]+|[^aeiou ]+', 0)")).cast("long").as("n_subwords"),
+        length($"text").cast("long").as("len"))
+      .orderBy($"doc_id")
+  }
+
+  val t01Oracle: String =
+    """SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       CAST(len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+')) AS BIGINT) AS n_subwords,
+       CAST(length(text) AS BIGINT) AS len
+       FROM documents ORDER BY doc_id"""
+
+  /** Language-ID by stopword-hit argmax (n-gram-family heuristic). Ties break
+    * by language code ascending; all-zero → 'und' (BCP-47 undetermined). */
+  def t02LangId(t: T): DataFrame = {
+    import t.spark.implicits._
+    val scored = t.documents.select(
+      $"doc_id", $"lang",
+      hits(stop("en")).as("s_en"), hits(stop("es")).as("s_es"),
+      hits(stop("fr")).as("s_fr"), hits(stop("de")).as("s_de"))
+    scored
+      .withColumn("best", greatest($"s_en", $"s_es", $"s_fr", $"s_de"))
+      .withColumn("pred",
+        when($"best" === 0, "und")
+          .when($"s_de" === $"best", "de") // alphabetical tie-break: de<en<es<fr
+          .when($"s_en" === $"best", "en")
+          .when($"s_es" === $"best", "es")
+          .otherwise("fr"))
+      .groupBy($"lang", $"pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"pred")
+  }
+
+  val t02Oracle: String =
+    """WITH scored AS (
+         SELECT doc_id, lang,
+           len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is'))) AS s_en,
+           len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','los','y','que')))      AS s_es,
+           len(list_filter(string_split(text,' '), t -> t IN ('le','les','des','et','une','dans')))  AS s_fr,
+           len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist','von'))) AS s_de
+         FROM documents),
+       pred AS (
+         SELECT lang,
+           CASE WHEN greatest(s_en,s_es,s_fr,s_de) = 0 THEN 'und'
+                WHEN s_de = greatest(s_en,s_es,s_fr,s_de) THEN 'de'
+                WHEN s_en = greatest(s_en,s_es,s_fr,s_de) THEN 'en'
+                WHEN s_es = greatest(s_en,s_es,s_fr,s_de) THEN 'es'
+                ELSE 'fr' END AS pred
+         FROM scored)
+       SELECT lang, pred, COUNT(*) AS n FROM pred GROUP BY lang, pred
+       ORDER BY lang, pred"""
+
+  /** Quality scoring: lexical-diversity, length saturation and stopword-density
+    * features combined into one deterministic [0,10000] basis-point score.
+    * All-integer arithmetic (`DIV`) — double `round()` tie-breaking differs
+    * between engines on exact binary halves (e.g. 1/32), ints never do. */
+  def t03QualityScore(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .withColumn("n_tok", size(split($"text", " ")).cast("long"))
+      .withColumn("n_dis", size(expr("array_distinct(split(text, ' '))")).cast("long"))
+      .withColumn("n_stop", hits(stop("en")))
+      .select(
+        $"doc_id",
+        expr("(n_dis * 10000) DIV n_tok").as("diversity_bp"),
+        (least($"n_tok", lit(100L)) * 100L).as("len_sat_bp"),
+        expr("(n_stop * 10000) DIV n_tok").as("stop_ratio_bp"),
+        expr("((n_dis * 10000) DIV n_tok) * 5 DIV 10 + least(n_tok, 100L) * 30 " +
+             "+ ((n_stop * 10000) DIV n_tok) * 2 DIV 10").as("quality_bp"))
+      .orderBy($"doc_id")
+  }
+
+  val t03Oracle: String =
+    """SELECT doc_id,
+       (n_dis * 10000) // n_tok AS diversity_bp,
+       LEAST(n_tok, 100) * 100 AS len_sat_bp,
+       (n_stop * 10000) // n_tok AS stop_ratio_bp,
+       ((n_dis * 10000) // n_tok) * 5 // 10 + LEAST(n_tok, 100) * 30
+         + ((n_stop * 10000) // n_tok) * 2 // 10 AS quality_bp
+       FROM (SELECT doc_id,
+               CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_dis,
+               CAST(len(list_filter(string_split(text,' '),
+                        t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+             FROM documents)
+       ORDER BY doc_id"""
+
+  /** Document fingerprint: position-weighted rolling sum of 4-gram polynomial
+    * hashes, mod 2^31-1. Order-sensitive (swapping words changes it), pure
+    * int64 arithmetic (max partial sum ~6e10 ≪ 2^63), identical in DuckDB. */
+  def t04Fingerprint(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .select($"doc_id",
+        expr("""aggregate(
+                  transform(sequence(1, length(text) - 3),
+                    i -> ((ascii(substring(text, i, 1)) * 31 + ascii(substring(text, i + 1, 1))) * 31
+                          + ascii(substring(text, i + 2, 1))) * 31 + ascii(substring(text, i + 3, 1))),
+                  named_struct('s', 0L, 'i', 0L),
+                  (acc, h) -> named_struct('s', acc.s + h * (acc.i % 31 + 1), 'i', acc.i + 1),
+                  acc -> acc.s % 2147483647)""").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val t04Oracle: String =
+    """SELECT doc_id,
+       list_sum(list_transform(range(1, length(text) - 2),
+         i -> (((ascii(substr(text, i::INT, 1)) * 31 + ascii(substr(text, i::INT + 1, 1))) * 31
+                + ascii(substr(text, i::INT + 2, 1))) * 31 + ascii(substr(text, i::INT + 3, 1)))
+              * ((i - 1) % 31 + 1))) % 2147483647 AS fingerprint
+       FROM documents ORDER BY doc_id"""
+
+  /** Corpus n-gram profile: top-5 word bigrams per language by frequency —
+    * explode + two-level aggregation (the WordCount shape, per-lang). */
+  def t05NgramProfile(t: T): DataFrame = {
+    import t.spark.implicits._
+    val bigrams = t.documents
+      .select($"lang", expr(
+        """explode(transform(sequence(1, size(split(text,' ')) - 1),
+             i -> concat(element_at(split(text,' '), i), ' ', element_at(split(text,' '), i + 1))))""")
+        .as("bigram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n".desc, $"bigram")
+    bigrams.groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"lang", $"rk".cast("long").as("rk"), $"bigram", $"n")
+      .orderBy($"lang", $"rk")
+  }
+
+  val t05Oracle: String =
+    """WITH toks AS (SELECT lang, string_split(text, ' ') AS ts FROM documents),
+       bg AS (SELECT lang, unnest(list_transform(range(1, len(ts)),
+                       i -> ts[i::INT] || ' ' || ts[i::INT + 1])) AS bigram FROM toks),
+       counted AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram),
+       ranked AS (SELECT lang, bigram, n,
+                    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+                  FROM counted)
+       SELECT lang, CAST(rk AS BIGINT) AS rk, bigram, n FROM ranked WHERE rk <= 5
+       ORDER BY lang, rk"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
+    "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
+    "t03_quality_score" -> ((s, d) => t03QualityScore(T(s, d))),
+    "t04_fingerprint"   -> ((s, d) => t04Fingerprint(T(s, d))),
+    "t05_ngram_profile" -> ((s, d) => t05NgramProfile(T(s, d))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_count"   -> t01Oracle,
+    "t02_lang_id"       -> t02Oracle,
+    "t03_quality_score" -> t03Oracle,
+    "t04_fingerprint"   -> t04Oracle,
+    "t05_ngram_profile" -> t05Oracle,
+  )
+}
