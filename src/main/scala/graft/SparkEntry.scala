@@ -16,11 +16,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.defs ++
-      operators.TextAnalysis.defs
+      operators.TextAnalysis.defs ++
+      operators.Dedup.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
-      operators.TextAnalysis.oracles
+      operators.TextAnalysis.oracles ++
+      operators.Dedup.oracles
 }

@@ -1,0 +1,227 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup / similarity hot path.
+  *
+  * The same semantics are expressible with higher-order array functions
+  * (`transform` / `aggregate` lambdas), but Catalyst evaluates lambda bodies
+  * interpreted per element — a 48-bit SimHash over ~550 shingles costs ~26k
+  * boxed lambda invocations per row (measured ~150 ms/row). These expressions
+  * run the same integer arithmetic as tight JVM loops invoked from whole-stage
+  * codegen (`defineCodeGen` emits a single static call), ~1000x faster, which
+  * is the difference between "works on 60k rows" and "works on 100 TB".
+  *
+  * All arithmetic is deterministic int64 mod 2^31-1 and matches the DuckDB
+  * oracle SQL in graft.operators.Dedup line for line.
+  */
+object TextHashOps {
+  final val P = 2147483647L // 2^31 - 1
+
+  /** char-k-gram polynomial hashes (base 31 over code points), optionally
+    * distinct. Matches transform(sequence(...), i -> poly(ascii(...))). */
+  def shingleHashes(s: UTF8String, k: Int, distinct: Boolean): ArrayData = {
+    val str = s.toString
+    val n = str.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = h * 31 + str.charAt(i + j); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(if (distinct) dedupe(out) else out)
+  }
+
+  private def dedupe(a: Array[Long]): Array[Long] = {
+    // preserves first-occurrence order (= array_distinct / list_distinct)
+    val seen = new java.util.HashSet[Long](a.length * 2)
+    val out = new Array[Long](a.length)
+    var n = 0
+    var i = 0
+    while (i < a.length) {
+      if (seen.add(a(i))) { out(n) = a(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, n)
+  }
+
+  /** MinHash signature: perm j in 1..numPerms, (a_j*x + b_j) mod P with
+    * a_j = (1103515245 j + 12345) mod P, b_j = (1103515245 (j+101) + 54321) mod P. */
+  def minhashSig(h: ArrayData, numPerms: Int): ArrayData = {
+    val xs = h.toLongArray()
+    val sig = new Array[Long](numPerms)
+    var j = 1
+    while (j <= numPerms) {
+      val a = (1103515245L * j + 12345L) % P
+      val b = (1103515245L * (j + 101) + 54321L) % P
+      var m = Long.MaxValue
+      var i = 0
+      while (i < xs.length) {
+        val v = (a * xs(i) + b) % P
+        if (v < m) m = v
+        i += 1
+      }
+      sig(j - 1) = if (xs.isEmpty) 0L else m
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 48-bit SimHash over the feature multiset: bit j set iff
+    * sum over features of (((a_j x + b_j) mod P) mod 2)*2 - 1 is positive. */
+  def simhash48(h: ArrayData): Long = {
+    val xs = h.toLongArray()
+    var out = 0L
+    var j = 0
+    while (j < 48) {
+      val a = (1103515245L * (j + 1) + 12345L) % P
+      val b = (1103515245L * (j + 102) + 54321L) % P
+      var acc = 0L
+      var i = 0
+      while (i < xs.length) {
+        acc += ((a * xs(i) + b) % P) % 2 * 2 - 1
+        i += 1
+      }
+      if (acc > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  /** Exact Jaccard in integer basis points over the distinct elements:
+    * |A n B| * 10000 div |A u B| (floor). */
+  def jaccardBp(a: ArrayData, b: ArrayData): Long = {
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
+    val sa = new java.util.HashSet[Long](xs.length * 2)
+    var i = 0
+    while (i < xs.length) { sa.add(xs(i)); i += 1 }
+    val sb = new java.util.HashSet[Long](ys.length * 2)
+    var inter = 0L
+    i = 0
+    while (i < ys.length) {
+      if (sb.add(ys(i)) && sa.contains(ys(i))) inter += 1
+      i += 1
+    }
+    val union = sa.size.toLong + sb.size.toLong - inter
+    if (union == 0) 10000L else inter * 10000L / union
+  }
+
+  /** Cosine similarity of two float vectors, accumulated in double in index
+    * order (matches DuckDB list_cosine_similarity). 0.0 for zero vectors. */
+  def cosineSim(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+}
+
+/** text -> array<long> of char-k-gram polynomial hashes. */
+case class ShingleHashes(child: Expression, k: Int, distinct: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.shingleHashes(input.asInstanceOf[UTF8String], k, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.shingleHashes($c, $k, $distinct)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** array<long> -> array<long> MinHash signature. */
+case class MinHashSig(child: Expression, numPerms: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(LongType))
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.minhashSig(input.asInstanceOf[ArrayData], numPerms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.minhashSig($c, $numPerms)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** array<long> -> long 48-bit SimHash. */
+case class SimHash48(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(ArrayType(LongType))
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.simhash48(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.simhash48($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash48 = copy(child = c)
+  override def prettyName: String = "simhash48"
+}
+
+/** (array<long>, array<long>) -> long Jaccard similarity in basis points. */
+case class JaccardBp(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashOps.jaccardBp(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashOps.jaccardBp($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardBp =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_bp"
+}
+
+/** (array<float>, array<float>) -> double cosine similarity. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashOps.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashOps.cosineSim($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Session registration so the expressions are usable from SQL text and
+  * `expr(...)` strings: shingle_hashes(text, k, distinct), minhash_sig(h, n),
+  * simhash48(h), jaccard_bp(a, b), cosine_sim(a, b). */
+object Registry {
+  private def intLit(e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(s"expected int literal, got $other")
+  }
+  private def boolLit(e: Expression): Boolean = e match {
+    case Literal(v: Boolean, BooleanType) => v
+    case other => throw new IllegalArgumentException(s"expected bool literal, got $other")
+  }
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "shingle_hashes" -> (es => ShingleHashes(es.head, intLit(es(1)), boolLit(es(2)))),
+    "minhash_sig"    -> (es => MinHashSig(es.head, intLit(es(1)))),
+    "simhash48"      -> (es => SimHash48(es.head)),
+    "jaccard_bp"     -> (es => JaccardBp(es.head, es(1))),
+    "cosine_sim"     -> (es => CosineSim(es.head, es(1))),
+  )
+
+  /** Idempotent per-session registration. */
+  def ensure(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    fns.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}

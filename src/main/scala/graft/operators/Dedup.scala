@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — exact, MinHash+LSH, SimHash and
+  * n-gram-Jaccard near-dup detection (LLM-training-data pipeline surface; the
+  * reference's sharing server had no dedup plane at all).
+  *
+  * Design for 100 TB:
+  *  - every per-doc signature (shingle hashes, MinHash sig, SimHash) is a
+  *    narrow map-side projection in whole-stage codegen — no shuffle;
+  *  - candidate generation shuffles on *band key* (d04) or a blocking key
+  *    (d02/d06: `lang`), never all-pairs over the corpus;
+  *  - exact Jaccard verification touches only LSH candidates.
+  *
+  * Cross-engine determinism (DuckDB oracle): all hashes are explicit int64
+  * polynomials over `ascii()` codes mod 2^31-1; similarity thresholds are in
+  * integer basis points computed with `DIV` — no engine-native hash, no float.
+  *
+  * MinHash parameters: 32 permutations, 4 bands x 8 rows. Collision prob per
+  * band = j^8: corpus baseline j~0.28 -> 4e-5 (no candidate blowup at scale);
+  * planted near-dups j>=0.95 -> recall ~1.0; at j=0.9 recall ~89%.
+  */
+object Dedup {
+
+  val P = "2147483647" // 2^31 - 1
+
+  /** Spark-side shingle-hash array: distinct char-4-gram polynomial hashes —
+    * the native graft.functions.ShingleHashes expression (codegen'd tight
+    * loop; the equivalent transform/sequence lambda runs interpreted and is
+    * ~1000x slower per row). */
+  private val shingleHashes = "shingle_hashes(text, 4, true)"
+
+  /** DuckDB twin of [[shingleHashes]]. */
+  private val shingleHashesDuck =
+    """list_distinct(list_transform(range(1, length(text) - 2),
+         i -> ((ascii(substr(text, i::INT, 1))::BIGINT * 31 + ascii(substr(text, i::INT + 1, 1))) * 31
+               + ascii(substr(text, i::INT + 2, 1))) * 31 + ascii(substr(text, i::INT + 3, 1))))"""
+
+  /** 32-permutation MinHash signature over a shingle-hash array column `h`.
+    * Permutation j (1-based): (a_j * x + b_j) mod P with LCG-derived a_j, b_j. */
+  private val minhashSig = "minhash_sig(h, 32)"
+
+  private val minhashSigDuck =
+    s"""list_transform(range(1, 33), j ->
+          list_min(list_transform(h, x ->
+            (((1103515245 * j + 12345) % $P) * x + (1103515245 * (j + 101) + 54321) % $P) % $P)))"""
+
+  /** Exact dedup by normalized key (64-char prefix), the hash-groupBy plane:
+    * one shuffle on the md5 key; emits groups with >1 member + the keeper
+    * (min doc_id) a dedup pass would retain. */
+  def d01ExactDedup(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    t.documents
+      .select($"doc_id", md5(substring($"text", 1, 64)).as("key_hash"))
+      .groupBy($"key_hash")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keeper_id"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"key_hash")
+  }
+
+  val d01Oracle: String =
+    """SELECT md5(substr(text, 1, 64)) AS key_hash, COUNT(*) AS n_docs,
+              MIN(doc_id) AS keeper_id
+       FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY key_hash"""
+
+  /** Exact n-gram Jaccard: top-20 most similar same-language pairs. Blocking
+    * on `lang` keeps the pair space n^2/|langs| — the LSH variant (d04) is the
+    * real scale path; this is the exact baseline it is measured against. */
+  def d02NgramJaccardPairs(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val hs = t.documents.select($"doc_id", $"lang", expr(shingleHashes).as("h"))
+    val left  = hs.select($"lang".as("la"), $"doc_id".as("doc_a"), $"h".as("ha"))
+    val right = hs.select($"lang".as("lb"), $"doc_id".as("doc_b"), $"h".as("hb"))
+    left.join(right, $"la" === $"lb" && $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", expr("jaccard_bp(ha, hb)").as("jaccard_bp"))
+      .orderBy($"jaccard_bp".desc, $"doc_a", $"doc_b")
+      .limit(20)
+  }
+
+  val d02Oracle: String =
+    s"""WITH hs AS (SELECT doc_id, lang, $shingleHashesDuck AS h FROM documents)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) AS jaccard_bp
+       FROM hs a JOIN hs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       ORDER BY jaccard_bp DESC, doc_a, doc_b LIMIT 20"""
+
+  /** MinHash signatures (the map-side half of LSH dedup) — verified value-
+    * exactly against the oracle's identical permutation arithmetic. */
+  def d03MinhashSignature(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    t.documents
+      .withColumn("h", expr(shingleHashes))
+      .select($"doc_id", expr(minhashSig).as("sig"))
+      .orderBy($"doc_id")
+  }
+
+  val d03Oracle: String =
+    s"""WITH hs AS (SELECT doc_id, $shingleHashesDuck AS h FROM documents)
+       SELECT doc_id, $minhashSigDuck AS sig FROM hs ORDER BY doc_id"""
+
+  /** MinHash + LSH banding dedup: 4 bands x 8 rows; candidates = pairs
+    * sharing >=1 band bucket (shuffle on band key — scales to any corpus);
+    * then exact-Jaccard verify >= 0.8 on candidates only. */
+  def d04MinhashLshPairs(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val sigs = t.documents
+      .withColumn("h", expr(shingleHashes))
+      .withColumn("sig", expr(minhashSig))
+      .select($"doc_id", $"h", $"sig")
+    val bands = sigs.select($"doc_id", expr(
+      """explode(transform(sequence(0, 3), b -> struct(b AS band,
+           concat_ws(',', transform(slice(sig, b * 8 + 1, 8), x -> cast(x AS string))) AS bkey)))""").as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+    val ha = sigs.select($"doc_id".as("doc_a"), $"h".as("ha"))
+    val hb = sigs.select($"doc_id".as("doc_b"), $"h".as("hb"))
+    cand.join(ha, "doc_a").join(hb, "doc_b")
+      .select($"doc_a", $"doc_b", expr("jaccard_bp(ha, hb)").as("jaccard_bp"))
+      .filter($"jaccard_bp" >= 8000)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val d04Oracle: String =
+    s"""WITH hs AS (SELECT doc_id, $shingleHashesDuck AS h FROM documents),
+       sigs AS (SELECT doc_id, h, $minhashSigDuck AS sig FROM hs),
+       bands AS (
+         SELECT doc_id, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
+         FROM sigs, range(0, 4) t(b)),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+       SELECT doc_a, doc_b,
+         len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) AS jaccard_bp
+       FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
+       WHERE len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 8000
+       ORDER BY doc_a, doc_b"""
+
+  /** 48-bit SimHash over the char-4-gram *multiset* (frequency-weighted).
+    * Per bit j: sign of sum over features of +-1 drawn from the feature hash.
+    * Native SimHash48 expression — the equivalent nested aggregate() lambda
+    * runs interpreted at ~150 ms/row. */
+  private val simhashExpr = "simhash48(h)"
+
+  private val simhashDuck =
+    s"""list_sum(list_transform(range(0, 48), j ->
+          CASE WHEN list_sum(list_transform(h, x ->
+            ((((1103515245::BIGINT * (j + 1) + 12345) % $P) * x
+              + (1103515245::BIGINT * (j + 102) + 54321) % $P) % $P) % 2 * 2 - 1)) > 0
+          THEN 1::BIGINT << j::INT ELSE 0::BIGINT END))"""
+
+  /** Per-doc SimHash values (frequency-weighted multiset — no distinct). */
+  def d05Simhash(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    t.documents
+      .withColumn("h", expr("shingle_hashes(text, 4, false)"))
+      .select($"doc_id", expr(simhashExpr).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val d05Oracle: String =
+    s"""WITH th AS (SELECT doc_id,
+         list_transform(range(1, length(text) - 2),
+           i -> ((ascii(substr(text, i::INT, 1))::BIGINT * 31 + ascii(substr(text, i::INT + 1, 1))) * 31
+                 + ascii(substr(text, i::INT + 2, 1))) * 31 + ascii(substr(text, i::INT + 3, 1))) AS h
+       FROM documents)
+       SELECT doc_id, $simhashDuck AS simhash FROM th ORDER BY doc_id"""
+
+  /** SimHash near-dup pairs: hamming distance <= 3 within a `lang` block
+    * (at scale: block on simhash prefix bytes instead — same plan shape). */
+  def d06SimhashPairs(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val sh = t.documents
+      .withColumn("h", expr("shingle_hashes(text, 4, false)"))
+      .select($"doc_id", $"lang", expr(simhashExpr).as("simhash"))
+    val a = sh.select($"lang".as("la"), $"doc_id".as("doc_a"), $"simhash".as("sa"))
+    val b = sh.select($"lang".as("lb"), $"doc_id".as("doc_b"), $"simhash".as("sb"))
+    a.join(b, $"la" === $"lb" && $"doc_a" < $"doc_b")
+      .withColumn("hamming", expr("cast(bit_count(sa ^ sb) AS long)"))
+      .filter($"hamming" <= 3)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val d06Oracle: String =
+    s"""WITH th AS (SELECT doc_id, lang,
+         list_transform(range(1, length(text) - 2),
+           i -> ((ascii(substr(text, i::INT, 1))::BIGINT * 31 + ascii(substr(text, i::INT + 1, 1))) * 31
+                 + ascii(substr(text, i::INT + 2, 1))) * 31 + ascii(substr(text, i::INT + 3, 1))) AS h
+       FROM documents),
+       sh AS (SELECT doc_id, lang, $simhashDuck AS simhash FROM th)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ORDER BY doc_a, doc_b"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup"        -> ((s, d) => d01ExactDedup(T(s, d))),
+    "d02_ngram_jaccard"      -> ((s, d) => d02NgramJaccardPairs(T(s, d))),
+    "d03_minhash_signature"  -> ((s, d) => d03MinhashSignature(T(s, d))),
+    "d04_minhash_lsh_pairs"  -> ((s, d) => d04MinhashLshPairs(T(s, d))),
+    "d05_simhash"            -> ((s, d) => d05Simhash(T(s, d))),
+    "d06_simhash_pairs"      -> ((s, d) => d06SimhashPairs(T(s, d))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup"       -> d01Oracle,
+    "d02_ngram_jaccard"     -> d02Oracle,
+    "d03_minhash_signature" -> d03Oracle,
+    "d04_minhash_lsh_pairs" -> d04Oracle,
+    "d05_simhash"           -> d05Oracle,
+    "d06_simhash_pairs"     -> d06Oracle,
+  )
+}
