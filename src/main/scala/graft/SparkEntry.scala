@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.defs ++
       operators.TextAnalysis.defs ++
-      operators.Dedup.defs
+      operators.Dedup.defs ++
+      operators.Similarity.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
       operators.TextAnalysis.oracles ++
-      operators.Dedup.oracles
+      operators.Dedup.oracles ++
+      operators.Similarity.oracles
 }

@@ -117,8 +117,31 @@ object TextHashOps {
     if (union == 0) 10000L else inter * 10000L / union
   }
 
+  /** Random-hyperplane LSH signature: bit m (0-based, m < numBits) is set iff
+    * sum_i emb[i] * sgn(m, i) > 0, with deterministic +-1 hyperplanes
+    * sgn(m, i) = (((m + 1) * 37 + i * 101) mod 97 mod 2) * 2 - 1 (i 1-based).
+    * Double accumulation in index order — bit-identical to the oracle SQL. */
+  def hyperplaneSig(emb: ArrayData, numBits: Int): Long = {
+    val n = emb.numElements()
+    var out = 0L
+    var m = 0
+    while (m < numBits) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val sgn = (((m + 1) * 37 + (i + 1) * 101) % 97 % 2) * 2 - 1
+        s += emb.getFloat(i).toDouble * sgn
+        i += 1
+      }
+      if (s > 0) out |= 1L << m
+      m += 1
+    }
+    out
+  }
+
   /** Cosine similarity of two float vectors, accumulated in double in index
-    * order (matches DuckDB list_cosine_similarity). 0.0 for zero vectors. */
+    * order (bit-identical to the oracle's explicit list arithmetic — NOT to
+    * DuckDB's list_cosine_similarity, which accumulates in float32). */
   def cosineSim(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -183,6 +206,18 @@ case class JaccardBp(left: Expression, right: Expression) extends BinaryExpressi
   override def prettyName: String = "jaccard_bp"
 }
 
+/** array<float> -> long random-hyperplane LSH signature. */
+case class HyperplaneSig(child: Expression, numBits: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.hyperplaneSig(input.asInstanceOf[ArrayData], numBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.hyperplaneSig($c, $numBits)")
+  override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
+  override def prettyName: String = "hyperplane_sig"
+}
+
 /** (array<float>, array<float>) -> double cosine similarity. */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = DoubleType
@@ -214,6 +249,7 @@ object Registry {
     "minhash_sig"    -> (es => MinHashSig(es.head, intLit(es(1)))),
     "simhash48"      -> (es => SimHash48(es.head)),
     "jaccard_bp"     -> (es => JaccardBp(es.head, es(1))),
+    "hyperplane_sig" -> (es => HyperplaneSig(es.head, intLit(es(1)))),
     "cosine_sim"     -> (es => CosineSim(es.head, es(1))),
   )
 
