@@ -1,0 +1,98 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+class TextExprsSpec extends SparkSpec {
+
+  private def arr(xs: Long*) = new GenericArrayData(xs.toArray)
+
+  test("shingleHashes matches the polynomial definition") {
+    val h = TextHashOps.shingleHashes(UTF8String.fromString("abcde"), 4, false)
+    val a = 'a'.toLong; val b = 'b'.toLong; val c = 'c'.toLong; val d = 'd'.toLong; val e = 'e'.toLong
+    assert(h.toLongArray().toSeq == Seq(
+      ((a * 31 + b) * 31 + c) * 31 + d,
+      ((b * 31 + c) * 31 + d) * 31 + e))
+    // distinct preserves first occurrence
+    val dup = TextHashOps.shingleHashes(UTF8String.fromString("aaaaa"), 4, true)
+    assert(dup.toLongArray().length == 1)
+    // shorter than k -> empty
+    assert(TextHashOps.shingleHashes(UTF8String.fromString("ab"), 4, false).numElements() == 0)
+  }
+
+  test("minhashSig is permutation-min and order-insensitive") {
+    val s1 = TextHashOps.minhashSig(arr(1L, 2L, 3L), 32).toLongArray().toSeq
+    val s2 = TextHashOps.minhashSig(arr(3L, 1L, 2L), 32).toLongArray().toSeq
+    assert(s1 == s2)
+    assert(s1.length == 32)
+    val P = 2147483647L
+    val a1 = (1103515245L * 1 + 12345L) % P
+    val b1 = (1103515245L * 102 + 54321L) % P
+    assert(s1.head == Seq(1L, 2L, 3L).map(x => (a1 * x + b1) % P).min)
+  }
+
+  test("jaccardBp is exact set Jaccard in basis points") {
+    assert(TextHashOps.jaccardBp(arr(1, 2, 3, 4), arr(3, 4, 5, 6)) == 2L * 10000 / 6)
+    assert(TextHashOps.jaccardBp(arr(1, 2), arr(1, 2)) == 10000L)
+    assert(TextHashOps.jaccardBp(arr(), arr()) == 10000L)
+    assert(TextHashOps.jaccardBp(arr(1), arr(2)) == 0L)
+    // multiset input is deduped
+    assert(TextHashOps.jaccardBp(arr(1, 1, 2), arr(2, 2, 1)) == 10000L)
+  }
+
+  test("simhash48: identical multisets collide, disjoint ones differ") {
+    val base = (1L to 400L).toArray
+    val near = base.clone(); near(0) = 9999L // 1 of 400 features changed
+    val far = (10000L to 10400L).toArray
+    val h0 = TextHashOps.simhash48(new GenericArrayData(base))
+    val h1 = TextHashOps.simhash48(new GenericArrayData(near))
+    val h2 = TextHashOps.simhash48(new GenericArrayData(far))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h0, h0) == 0)
+    assert(ham(h0, h1) <= 8)   // near-identical input -> small hamming distance
+    assert(ham(h0, h2) >= 10)  // unrelated input -> large hamming distance
+  }
+
+  test("cosineSim: exact on known vectors, 0 on zero vector") {
+    def f(xs: Float*) = {
+      val a = new Array[Any](xs.length)
+      xs.zipWithIndex.foreach { case (x, i) => a(i) = x }
+      new GenericArrayData(a)
+    }
+    assert(TextHashOps.cosineSim(f(1f, 0f), f(1f, 0f)) == 1.0)
+    assert(TextHashOps.cosineSim(f(1f, 0f), f(0f, 1f)) == 0.0)
+    assert(math.abs(TextHashOps.cosineSim(f(1f, 1f), f(1f, 0f)) - 1.0 / math.sqrt(2)) < 1e-15)
+    assert(TextHashOps.cosineSim(f(0f, 0f), f(1f, 2f)) == 0.0)
+  }
+
+  test("SQL registration: expressions usable from expr() and spark.sql") {
+    Registry.ensure(spark)
+    import spark.implicits._
+    val df = Seq(("abcdefgh", Array(1.0f, 0.0f)), ("abcdefgh", Array(0.5f, 0.5f)))
+      .toDF("text", "vec")
+    val out = df.select(
+      expr("simhash48(shingle_hashes(text, 4, false))").as("sh"),
+      expr("size(minhash_sig(shingle_hashes(text, 4, true), 32))").as("np"),
+      expr("jaccard_bp(shingle_hashes(text, 4, true), shingle_hashes(text, 4, true))").as("j"),
+      expr("cosine_sim(vec, vec)").as("c")).collect()
+    assert(out.forall(_.getInt(1) == 32))
+    assert(out.forall(_.getLong(2) == 10000))
+    assert(out.forall(r => math.abs(r.getDouble(3) - 1.0) < 1e-12))
+    assert(out(0).getLong(0) == out(1).getLong(0)) // same text -> same simhash
+  }
+
+  test("codegen path == interpreted path (whole-stage codegen on/off)") {
+    Registry.ensure(spark)
+    import spark.implicits._
+    val df = Seq.tabulate(50)(i => s"doc $i the quick brown fox jumps over row $i").toDF("text")
+    def run() = df.select(
+      expr("minhash_sig(shingle_hashes(text, 4, true), 32)"),
+      expr("simhash48(shingle_hashes(text, 4, false))")).collect().map(_.toString).toSeq
+    val on = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try run() finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(on == off)
+  }
+}
