@@ -117,6 +117,46 @@ object TextHashOps {
     if (union == 0) 10000L else inter * 10000L / union
   }
 
+  /** Jaccard over two SORTED long arrays: single zero-allocation merge pass
+    * (duplicates skipped, so it is still set semantics). Same value as
+    * [[jaccardBp]]; ~100x cheaper per pair on all-pairs joins because the
+    * sort is paid once per row, not once per pair. */
+  def jaccardBpSorted(a: ArrayData, b: ArrayData): Long = {
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
+    var i = 0; var j = 0
+    var na = 0L; var nb = 0L; var inter = 0L
+    while (i < xs.length && j < ys.length) {
+      val x = xs(i); val y = ys(j)
+      if (x == y) {
+        inter += 1; na += 1; nb += 1
+        val v = x
+        while (i < xs.length && xs(i) == v) i += 1
+        while (j < ys.length && ys(j) == v) j += 1
+      } else if (x < y) {
+        na += 1
+        val v = x
+        while (i < xs.length && xs(i) == v) i += 1
+      } else {
+        nb += 1
+        val v = y
+        while (j < ys.length && ys(j) == v) j += 1
+      }
+    }
+    while (i < xs.length) {
+      na += 1
+      val v = xs(i)
+      while (i < xs.length && xs(i) == v) i += 1
+    }
+    while (j < ys.length) {
+      nb += 1
+      val v = ys(j)
+      while (j < ys.length && ys(j) == v) j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 10000L else inter * 10000L / union
+  }
+
   /** Random-hyperplane LSH signature: bit m (0-based, m < numBits) is set iff
     * sum_i emb[i] * sgn(m, i) > 0, with deterministic +-1 hyperplanes
     * sgn(m, i) = (((m + 1) * 37 + i * 101) mod 97 mod 2) * 2 - 1 (i 1-based).
@@ -206,6 +246,19 @@ case class JaccardBp(left: Expression, right: Expression) extends BinaryExpressi
   override def prettyName: String = "jaccard_bp"
 }
 
+/** (sorted array<long>, sorted array<long>) -> long Jaccard basis points. */
+case class JaccardBpSorted(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashOps.jaccardBpSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashOps.jaccardBpSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardBpSorted =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_bp_sorted"
+}
+
 /** array<float> -> long random-hyperplane LSH signature. */
 case class HyperplaneSig(child: Expression, numBits: Int) extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
@@ -249,6 +302,7 @@ object Registry {
     "minhash_sig"    -> (es => MinHashSig(es.head, intLit(es(1)))),
     "simhash48"      -> (es => SimHash48(es.head)),
     "jaccard_bp"     -> (es => JaccardBp(es.head, es(1))),
+    "jaccard_bp_sorted" -> (es => JaccardBpSorted(es.head, es(1))),
     "hyperplane_sig" -> (es => HyperplaneSig(es.head, intLit(es(1)))),
     "cosine_sim"     -> (es => CosineSim(es.head, es(1))),
   )

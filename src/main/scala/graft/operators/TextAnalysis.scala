@@ -162,10 +162,11 @@ object TextAnalysis {
   def t05NgramProfile(t: T): DataFrame = {
     import t.spark.implicits._
     val bigrams = t.documents
+      .select($"lang", split($"text", " ").as("toks")) // split once, not per lambda eval
       .select($"lang", expr(
-        """explode(transform(sequence(1, size(split(text,' ')) - 1),
-             i -> concat(element_at(split(text,' '), i), ' ', element_at(split(text,' '), i + 1))))""")
-        .as("bigram"))
+        """explode(zip_with(slice(toks, 1, size(toks) - 1),
+                            slice(toks, 2, size(toks) - 1),
+                            (a, b) -> concat(a, ' ', b)))""").as("bigram"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"lang").orderBy($"n".desc, $"bigram")
     bigrams.groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming transforms over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference shipped Spark 1.3 DStream examples as its intended client
+  * surface (reference: sparksql-server/examples/src/main/scala/.../streaming/
+  * StatefulNetworkWordCount.scala, SqlNetworkWordCount.scala); this module is
+  * the modern equivalent: declarative transforms that run identically on a
+  * batch DataFrame or a streaming one (readStream), with event-time
+  * watermarks bounding state — the property that lets the same pipeline run
+  * on an unbounded 100 TB/day feed without unbounded executor state.
+  *
+  * Every transform takes/returns DataFrames so specs can drive them with
+  * MemoryStream and assert equality against the batch execution of the same
+  * plan (streaming/batch parity = correctness oracle).
+  */
+object StreamOps {
+
+  /** Tumbling 1-minute windowed counts+sums per event type, 2-minute
+    * watermark: late data beyond the watermark is dropped, state is bounded. */
+  def windowedTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 5-minute window (1-minute slide) of distinct-ish user activity:
+    * approx_count_distinct keeps per-window state O(1) at any scale. */
+  def slidingActiveUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "5 minutes", "1 minute").as("w"))
+      .agg(approx_count_distinct("user_id").as("approx_users"))
+      .select(col("w.start").as("window_start"), col("approx_users"))
+
+  final case class Evt(event_id: Long, ts: Timestamp, user_id: Long,
+                       event_type: String, value: Double)
+  final case class SessionState(nEvents: Long, total: Double, lastTs: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Sessionization with explicit state: a user's session closes after
+    * `gapMs` of event-time inactivity. Event-time timeout + watermark makes
+    * session emission deterministic (a function of the data, not wall-clock)
+    * and bounds state on an unbounded feed. This is the
+    * KeyValueGroupedDataset.flatMapGroupsWithState plane the reference's
+    * StatefulNetworkWordCount (updateStateByKey) maps onto. */
+  def sessionize(events: Dataset[Evt],
+                 gapMs: Long = 30L * 60 * 1000,
+                 watermarkDelay: String = "2 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Evt], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.nEvents, s.total))
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val (n, tot, last) = rows.foldLeft((prev.nEvents, prev.total, prev.lastTs)) {
+              case ((n0, t0, l0), e) => (n0 + 1, t0 + e.value, math.max(l0, e.ts.getTime))
+            }
+            state.update(SessionState(n, tot, last))
+            state.setTimeoutTimestamp(last + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Batch-mode twin of [[sessionize]]'s final answer (all sessions closed):
+    * used by the spec as the oracle for the stateful path. */
+  def sessionizeBatch(events: Dataset[Evt]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).mapGroups { (userId, rows) =>
+      val (n, tot) = rows.foldLeft((0L, 0.0)) { case ((n0, t0), e) => (n0 + 1, t0 + e.value) }
+      SessionOut(userId, n, tot)
+    }
+  }
+
+  /** Stream-static enrichment: the streaming side joins a static dimension
+    * (broadcast at scale) — no state, no watermark needed. */
+  def enrichWithUsers(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left_outer")
+}

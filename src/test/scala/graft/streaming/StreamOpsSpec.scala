@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamOpsSpec extends SparkSpec {
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
+
+  private val sample = Seq(
+    StreamOps.Evt(1, ts(0, 10), 1, "click", 1.0),
+    StreamOps.Evt(2, ts(0, 40), 1, "view", 2.0),
+    StreamOps.Evt(3, ts(1, 5), 2, "click", 3.0),
+    StreamOps.Evt(4, ts(1, 30), 1, "purchase", 4.0),
+    StreamOps.Evt(5, ts(2, 15), 2, "click", 5.0),
+    StreamOps.Evt(6, ts(3, 0), 3, "view", 6.0))
+
+  test("windowed counts: streaming result == batch result on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = snap(StreamOps.windowedTypeCounts(sample.toDF()))
+
+    val stream = MemoryStream[StreamOps.Evt]
+    stream.addData(sample: _*)
+    val q = StreamOps.windowedTypeCounts(stream.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(snap(spark.table("win_counts")) == batch)
+    } finally q.stop()
+  }
+
+  test("watermark drops late rows in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.windowedTypeCounts(stream.toDF())
+      .writeStream.format("memory").queryName("late_counts")
+      .outputMode("append").start()
+    try {
+      stream.addData(sample: _*)
+      q.processAllAvailable()
+      // advance the watermark far past the sample windows
+      stream.addData(StreamOps.Evt(99, ts(30), 9, "click", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("late_counts").count()
+      assert(closed >= 4) // all four sample windows emitted after watermark passed
+      // a straggler behind the watermark must NOT create output
+      stream.addData(StreamOps.Evt(100, ts(0, 50), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("late_counts").count() == closed)
+    } finally q.stop()
+  }
+
+  test("sliding active-user windows produce one row per covering slide") {
+    import spark.implicits._
+    // an event at 10:03 belongs to 5 sliding windows (slide=1min, size=5min)
+    val one = Seq(StreamOps.Evt(1, ts(3, 0), 7, "click", 1.0))
+    val out = StreamOps.slidingActiveUsers(one.toDF()).collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getLong(1) == 1L))
+  }
+
+  test("stateful sessionization: stream (after timeout) == batch oracle") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = snap(StreamOps.sessionizeBatch(spark.createDataset(sample)).toDF())
+
+    val stream = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.sessionize(stream.toDS(), gapMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .start()
+    try {
+      stream.addData(sample: _*)
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // sessions still open
+      // advance the watermark past every session gap with far-future events
+      // (event-time timeout: emission is a function of the data, not clocks)
+      stream.addData(StreamOps.Evt(900, ts(59), 999, "click", 0.0))
+      q.processAllAvailable()
+      stream.addData(StreamOps.Evt(901, ts(59, 30), 999, "click", 0.0))
+      q.processAllAvailable()
+      assert(snap(spark.table("sessions")) == batch)
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment joins the dimension without state") {
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val out = StreamOps.enrichWithUsers(sample.toDF(), dim)
+      .select($"event_id", coalesce($"tier", lit("none")).as("tier"))
+    val tiers = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tiers(1L) == "gold" && tiers(3L) == "silver" && tiers(6L) == "none")
+  }
+}
