@@ -18,7 +18,8 @@ object SparkEntry {
     operators.Relational.defs ++
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
-      operators.Similarity.defs
+      operators.Similarity.defs ++
+      operators.Multimodal.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -26,5 +27,6 @@ object SparkEntry {
     operators.Relational.oracles ++
       operators.TextAnalysis.oracles ++
       operators.Dedup.oracles ++
-      operators.Similarity.oracles
+      operators.Similarity.oracles ++
+      operators.Multimodal.oracles
 }

@@ -117,6 +117,17 @@ object TextHashOps {
     if (union == 0) 10000L else inter * 10000L / union
   }
 
+  /** Position-weighted rolling fingerprint over a feature array:
+    * (sum_i h[i] * (i mod 31 + 1)) mod P, i 0-based. Matches the
+    * aggregate()-lambda definition in the t04 oracle. */
+  def weightedFingerprint(h: ArrayData): Long = {
+    val xs = h.toLongArray()
+    var s = 0L
+    var i = 0
+    while (i < xs.length) { s += xs(i) * (i % 31 + 1); i += 1 }
+    s % P
+  }
+
   /** Jaccard over two SORTED long arrays: single zero-allocation merge pass
     * (duplicates skipped, so it is still set semantics). Same value as
     * [[jaccardBp]]; ~100x cheaper per pair on all-pairs joins because the
@@ -246,6 +257,18 @@ case class JaccardBp(left: Expression, right: Expression) extends BinaryExpressi
   override def prettyName: String = "jaccard_bp"
 }
 
+/** array<long> -> long position-weighted fingerprint. */
+case class WeightedFingerprint(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(ArrayType(LongType))
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.weightedFingerprint(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.weightedFingerprint($c)")
+  override protected def withNewChildInternal(c: Expression): WeightedFingerprint = copy(child = c)
+  override def prettyName: String = "weighted_fingerprint"
+}
+
 /** (sorted array<long>, sorted array<long>) -> long Jaccard basis points. */
 case class JaccardBpSorted(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
@@ -303,6 +326,7 @@ object Registry {
     "simhash48"      -> (es => SimHash48(es.head)),
     "jaccard_bp"     -> (es => JaccardBp(es.head, es(1))),
     "jaccard_bp_sorted" -> (es => JaccardBpSorted(es.head, es(1))),
+    "weighted_fingerprint" -> (es => WeightedFingerprint(es.head)),
     "hyperplane_sig" -> (es => HyperplaneSig(es.head, intLit(es(1)))),
     "cosine_sim"     -> (es => CosineSim(es.head, es(1))),
   )

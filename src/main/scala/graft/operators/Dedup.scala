@@ -74,12 +74,17 @@ object Dedup {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
     // sort once per doc; the per-pair Jaccard is then a zero-alloc merge —
-    // at sf0.1 this is 2.5M pairs, and HashSet-per-pair cost 91 s vs ~3 s
+    // at sf0.1 this is 2.5M pairs, and HashSet-per-pair cost 91 s vs ~3 s.
+    // The blocking key (lang) has 5 values -> salt it 8 ways so the pair work
+    // spreads over 40 shuffle keys instead of 5 hot tasks (skew handling the
+    // same plan needs on a real cluster).
     val hs = t.documents.select($"doc_id", $"lang",
       array_sort(expr(shingleHashes)).as("h"))
-    val left  = hs.select($"lang".as("la"), $"doc_id".as("doc_a"), $"h".as("ha"))
+    val left = hs.select($"lang".as("la"), $"doc_id".as("doc_a"), $"h".as("ha"),
+      pmod($"doc_id", lit(8)).as("salt"))
     val right = hs.select($"lang".as("lb"), $"doc_id".as("doc_b"), $"h".as("hb"))
-    left.join(right, $"la" === $"lb" && $"doc_a" < $"doc_b")
+      .withColumn("rsalt", explode(expr("sequence(0, 7)")))
+    left.join(right, $"la" === $"lb" && $"salt" === $"rsalt" && $"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b", expr("jaccard_bp_sorted(ha, hb)").as("jaccard_bp"))
       .orderBy($"jaccard_bp".desc, $"doc_a", $"doc_b")
       .limit(20)

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed in partition-sized batches.
+  *
+  * The Spark-side mechanics here are real and tested — schema, partitioning,
+  * batch shape, codec dispatch; only the media codec itself is a STUB
+  * (`FakeCodec`): the container has no image/audio libraries, so decode is a
+  * deterministic function of the bytes. Swapping `FakeCodec` for a real one
+  * (JavaCPP/FFmpeg, TwelveMonkeys ImageIO) changes no plan shape.
+  *
+  * Scale design: media blobs ride the same rows as their metadata, so a
+  * 100 TB corpus partitions by file count/size exactly like any parquet
+  * table; the decode/feature stage is `mapPartitions` (one codec instance
+  * per partition, streamed batches, no per-row setup) — the Scala twin of a
+  * pandas `mapInPandas` UDF; feature outputs are narrow columns so downstream
+  * aggregation never carries the blobs through a shuffle (project-before-
+  * shuffle is the invariant the spec checks).
+  */
+object Multimodal {
+
+  /** Typed row: a media asset = blob + metadata. */
+  final case class Asset(asset_id: Long, kind: String, width: Int, height: Int,
+                         sample_rate: Int, payload: Array[Byte])
+
+  final case class Feature(asset_id: Long, kind: String, n_bytes: Long,
+                           checksum: Long, mean_byte: Double,
+                           thumb_w: Int, thumb_h: Int)
+
+  /** Deterministic stand-in for the real media codec (see class doc). */
+  object FakeCodec {
+    /** "Decode" = checksum + byte statistics; real impl would decode pixels. */
+    def decode(a: Asset): Feature = {
+      var sum = 0L; var i = 0
+      while (i < a.payload.length) { sum = (sum * 31 + (a.payload(i) & 0xff)) % 2147483647L; i += 1 }
+      val mean = if (a.payload.isEmpty) 0.0 else a.payload.map(_ & 0xff).map(_.toLong).sum.toDouble / a.payload.length
+      // "resize": fit into 64x64 preserving aspect ratio (pure arithmetic;
+      // ceiling division or a 255-wide image scales to 85 > 64)
+      val scale = math.max(1, (math.max(a.width, a.height) + 63) / 64)
+      Feature(a.asset_id, a.kind, a.payload.length.toLong, sum, mean,
+        math.max(1, a.width / scale), math.max(1, a.height / scale))
+    }
+  }
+
+  /** Synthesize an asset table from `documents` (deterministic: payload =
+    * UTF-8 text bytes, dimensions derived from doc_id). In production this is
+    * `spark.read.format("binaryFile")` or parquet with a binary column. */
+  def assets(t: T): Dataset[Asset] = {
+    import t.spark.implicits._
+    t.documents.select(
+      $"doc_id".as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        ($"doc_id" % 3 + 1).cast("int")).as("kind"),
+      (lit(16) + pmod($"doc_id", lit(240))).cast("int").as("width"),
+      (lit(16) + pmod($"doc_id" * 7, lit(240))).cast("int").as("height"),
+      when($"doc_id" % 3 === 1, 16000).otherwise(0).cast("int").as("sample_rate"),
+      encode($"text", "UTF-8").as("payload")).as[Asset]
+  }
+
+  /** The decode/feature-extract stage: mapPartitions so codec setup happens
+    * once per partition and rows stream through in one pass. */
+  def extractFeatures(ds: Dataset[Asset]): Dataset[Feature] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // real codec: initialize native decoder here, once per partition
+      it.map(FakeCodec.decode)
+    }
+  }
+
+  /** End-to-end query: features + per-kind aggregate, blobs dropped before
+    * the shuffle (only narrow feature columns cross stage boundaries). */
+  def m01MediaFeatures(t: T): DataFrame = {
+    import t.spark.implicits._
+    extractFeatures(assets(t)).toDF()
+      .select($"asset_id", $"kind", $"n_bytes", $"checksum",
+        round($"mean_byte", 4).as("mean_byte"),
+        $"thumb_w".cast("long").as("thumb_w"), $"thumb_h".cast("long").as("thumb_h"))
+      .orderBy($"asset_id")
+  }
+
+  /** Oracle replicates the byte-level arithmetic on the UTF-8 text (ASCII
+    * corpus: byte == char code). */
+  val m01Oracle: String =
+    """SELECT doc_id AS asset_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(length(text) AS BIGINT) AS n_bytes,
+         list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text) + 1),
+           i -> ascii(substr(text, i::INT, 1))::BIGINT)),
+           (acc, c) -> (acc * 31 + c) % 2147483647) AS checksum,
+         ROUND(list_sum(list_transform(range(1, length(text) + 1),
+           i -> ascii(substr(text, i::INT, 1))))::DOUBLE / length(text), 4) AS mean_byte,
+         CAST(GREATEST(1, (16 + doc_id % 240) // GREATEST(1, (GREATEST(16 + doc_id % 240, 16 + (doc_id * 7) % 240) + 63) // 64)) AS BIGINT) AS thumb_w,
+         CAST(GREATEST(1, (16 + (doc_id * 7) % 240) // GREATEST(1, (GREATEST(16 + doc_id % 240, 16 + (doc_id * 7) % 240) + 63) // 64)) AS BIGINT) AS thumb_h
+       FROM documents ORDER BY asset_id"""
+
+  /** Per-kind rollup over features (blob-free shuffle). */
+  def m02MediaRollup(t: T): DataFrame = {
+    import t.spark.implicits._
+    extractFeatures(assets(t)).toDF()
+      .groupBy($"kind")
+      .agg(count(lit(1)).as("n"),
+        sum($"n_bytes").as("total_bytes"),
+        // integer aggregate: a double avg here would depend on partial-agg
+        // order and can flip the 4th decimal between engines
+        sum($"checksum").as("checksum_total"))
+      .orderBy($"kind")
+  }
+
+  val m02Oracle: String =
+    """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         COUNT(*) AS n, SUM(CAST(length(text) AS BIGINT)) AS total_bytes,
+         SUM(list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text) + 1),
+           i -> ascii(substr(text, i::INT, 1))::BIGINT)),
+           (acc, c) -> (acc * 31 + c) % 2147483647)) AS checksum_total
+       FROM documents GROUP BY 1 ORDER BY kind"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_media_features" -> ((s, d) => m01MediaFeatures(T(s, d))),
+    "m02_media_rollup"   -> ((s, d) => m02MediaRollup(T(s, d))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m01_media_features" -> m01Oracle,
+    "m02_media_rollup"   -> m02Oracle,
+  )
+}

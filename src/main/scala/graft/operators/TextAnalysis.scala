@@ -44,7 +44,7 @@ object TextAnalysis {
         $"doc_id",
         size(split($"text", " ")).cast("long").as("n_tokens"),
         size(expr("array_distinct(split(text, ' '))")).cast("long").as("n_distinct_tokens"),
-        size(expr("regexp_extract_all(text, '[aeiou]+|[^aeiou ]+', 0)")).cast("long").as("n_subwords"),
+        expr("regexp_count(text, '[aeiou]+|[^aeiou ]+')").cast("long").as("n_subwords"),
         length($"text").cast("long").as("len"))
       .orderBy($"doc_id")
   }
@@ -137,15 +137,12 @@ object TextAnalysis {
     * int64 arithmetic (max partial sum ~6e10 ≪ 2^63), identical in DuckDB. */
   def t04Fingerprint(t: T): DataFrame = {
     import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    // native expressions: the aggregate()-lambda equivalent evaluates
+    // interpreted (~19 s at sf0.1 vs ~0.3 s for the codegen'd loop)
     t.documents
       .select($"doc_id",
-        expr("""aggregate(
-                  transform(sequence(1, length(text) - 3),
-                    i -> ((ascii(substring(text, i, 1)) * 31 + ascii(substring(text, i + 1, 1))) * 31
-                          + ascii(substring(text, i + 2, 1))) * 31 + ascii(substring(text, i + 3, 1))),
-                  named_struct('s', 0L, 'i', 0L),
-                  (acc, h) -> named_struct('s', acc.s + h * (acc.i % 31 + 1), 'i', acc.i + 1),
-                  acc -> acc.s % 2147483647)""").as("fingerprint"))
+        expr("weighted_fingerprint(shingle_hashes(text, 4, false))").as("fingerprint"))
       .orderBy($"doc_id")
   }
 
