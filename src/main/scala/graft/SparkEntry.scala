@@ -19,7 +19,8 @@ object SparkEntry {
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
-      operators.Multimodal.defs
+      operators.Multimodal.defs ++
+      operators.UserFns.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -28,5 +29,6 @@ object SparkEntry {
       operators.TextAnalysis.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
-      operators.Multimodal.oracles
+      operators.Multimodal.oracles ++
+      operators.UserFns.oracles
 }

@@ -133,36 +133,34 @@ object TextHashOps {
     * [[jaccardBp]]; ~100x cheaper per pair on all-pairs joins because the
     * sort is paid once per row, not once per pair. */
   def jaccardBpSorted(a: ArrayData, b: ArrayData): Long = {
-    val xs = a.toLongArray()
-    val ys = b.toLongArray()
+    // index directly into the (Unsafe)ArrayData — copying both arrays per
+    // pair costs more than the merge itself on all-pairs joins
+    val n = a.numElements(); val m = b.numElements()
     var i = 0; var j = 0
     var na = 0L; var nb = 0L; var inter = 0L
-    while (i < xs.length && j < ys.length) {
-      val x = xs(i); val y = ys(j)
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
       if (x == y) {
         inter += 1; na += 1; nb += 1
-        val v = x
-        while (i < xs.length && xs(i) == v) i += 1
-        while (j < ys.length && ys(j) == v) j += 1
+        while (i < n && a.getLong(i) == x) i += 1
+        while (j < m && b.getLong(j) == y) j += 1
       } else if (x < y) {
         na += 1
-        val v = x
-        while (i < xs.length && xs(i) == v) i += 1
+        while (i < n && a.getLong(i) == x) i += 1
       } else {
         nb += 1
-        val v = y
-        while (j < ys.length && ys(j) == v) j += 1
+        while (j < m && b.getLong(j) == y) j += 1
       }
     }
-    while (i < xs.length) {
+    while (i < n) {
       na += 1
-      val v = xs(i)
-      while (i < xs.length && xs(i) == v) i += 1
+      val v = a.getLong(i)
+      while (i < n && a.getLong(i) == v) i += 1
     }
-    while (j < ys.length) {
+    while (j < m) {
       nb += 1
-      val v = ys(j)
-      while (j < ys.length && ys(j) == v) j += 1
+      val v = b.getLong(j)
+      while (j < m && b.getLong(j) == v) j += 1
     }
     val union = na + nb - inter
     if (union == 0) 10000L else inter * 10000L / union

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** User-defined function surface (SURVEY.md §2.4 row "UDF/UDAF/UDTF").
+  *
+  * In the reference, "UDFs" were arbitrary client lambdas shipped inside
+  * serialized RDD DAGs plus the client jar (reference:
+  * SimpleAppClient/src/main/scala/SimpleAppClient.scala:137-205,
+  * sparksql-server/.../listener/JarListener.scala:31-88). Here the same
+  * extensibility is `spark.udf.register` (scalar) and typed `Aggregator`
+  * (UDAF) — no code shipping, no classloader surgery; generator functions
+  * (UDTF plane) are covered by explode over higher-order functions (t05).
+  *
+  * Scale note: a Scala UDF is an opaque black box to Catalyst — no pushdown
+  * through it, boxing at the boundary — so the engine prefers built-ins and
+  * native expressions (graft.functions) everywhere; this module exists for
+  * API parity, and its arithmetic is integer-exact so the oracle can verify
+  * the full UDF round-trip.
+  */
+object UserFns {
+
+  /** Typed UDAF: sum of squares over long inputs. */
+  val sumSquares: Aggregator[Long, Long, Long] = new Aggregator[Long, Long, Long] {
+    def zero: Long = 0L
+    def reduce(acc: Long, x: Long): Long = acc + x * x
+    def merge(a: Long, b: Long): Long = a + b
+    def finish(acc: Long): Long = acc
+    def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Idempotent registration of the user-function surface. */
+  def ensure(spark: SparkSession): Unit = {
+    spark.udf.register("price_band", (p: Double) =>
+      if (p < 1000) "small" else if (p < 10000) "medium"
+      else if (p < 50000) "large" else "jumbo")
+    spark.udf.register("sum_squares", udaf(sumSquares))
+  }
+
+  /** Scalar UDF + typed UDAF through the full SQL path. */
+  def u01UdfUdaf(t: T): DataFrame = {
+    ensure(t.spark)
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """SELECT price_band(o_totalprice) AS band,
+                sum_squares(CAST(FLOOR(o_totalprice) AS BIGINT) % 1000) AS ssq,
+                COUNT(*) AS n
+         FROM orders GROUP BY 1 ORDER BY band""")
+  }
+
+  /** FLOOR-then-cast on both sides: Spark's double->bigint cast truncates,
+    * DuckDB's rounds — floor first makes them agree. */
+  val u01Oracle: String =
+    """SELECT CASE WHEN o_totalprice < 1000 THEN 'small'
+                   WHEN o_totalprice < 10000 THEN 'medium'
+                   WHEN o_totalprice < 50000 THEN 'large'
+                   ELSE 'jumbo' END AS band,
+              SUM((CAST(FLOOR(o_totalprice) AS BIGINT) % 1000)
+                  * (CAST(FLOOR(o_totalprice) AS BIGINT) % 1000)) AS ssq,
+              COUNT(*) AS n
+       FROM orders GROUP BY 1 ORDER BY band"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u01_udf_udaf" -> ((s, d) => u01UdfUdaf(T(s, d))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "u01_udf_udaf" -> u01Oracle,
+  )
+}

@@ -1,0 +1,92 @@
+package graft.server
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.{ServerSocket, Socket}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.SparkSession
+
+/** Thin SQL-over-TCP gateway — the modern shape of the reference's socket
+  * front-end.
+  *
+  * The reference accepted Java-serialized RDD DAGs plus a client jar on two
+  * sockets and rebuilt the DAG server-side with a forked mutable-lineage API
+  * (reference: sparksql-server/.../listener/DAGListener.scala:94-180,
+  * JarListener.scala:31-88). Moving the boundary to SQL text makes all of
+  * that disappear: parse/analyze/optimize happen server-side in Catalyst and
+  * closures never travel.
+  *
+  * Protocol (line-oriented, one session per connection):
+  *   client: one SQL statement per line
+  *   server: "ok <n>" then n JSON rows, or "error <message>"; "quit" ends.
+  *
+  * Each connection gets `SparkSession.newSession()` — shared SparkContext and
+  * cache (so work-sharing still applies across clients) but isolated temp
+  * views and conf, and its own FAIR scheduler pool so one client's scan
+  * cannot starve another (reference intent: .../FIFOStrategy.scala:107-111).
+  */
+final class QueryGateway(
+    root: SparkSession,
+    sessionInit: SparkSession => Unit = _ => (),
+    port: Int = 0) {
+
+  private val server = new ServerSocket(port)
+  private val connIds = new AtomicLong()
+  @volatile private var running = true
+
+  /** Actual bound port (ephemeral when constructed with 0). */
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock, connIds.incrementAndGet()), s"graft-gw-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Throwable if !running => }
+    }
+  }, "graft-gw-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def handle(sock: Socket, id: Long): Unit = {
+    val session = root.newSession()
+    sessionInit(session)
+    session.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-client-$id")
+    val in = new BufferedReader(new InputStreamReader(sock.getInputStream))
+    val out = new PrintWriter(sock.getOutputStream, true)
+    try {
+      var line = in.readLine()
+      while (line != null && line.trim != "quit") {
+        if (line.trim.nonEmpty) {
+          try {
+            val rows = session.sql(line).toJSON.collect()
+            out.println(s"ok ${rows.length}")
+            rows.foreach(out.println)
+          } catch {
+            case e: Throwable =>
+              out.println("error " + Option(e.getMessage).getOrElse(e.toString)
+                .replaceAll("\\s+", " ").take(500))
+          }
+        }
+        line = in.readLine()
+      }
+    } finally sock.close()
+  }
+
+  def close(): Unit = { running = false; server.close() }
+}
+
+/** JDBC/ODBC front-end: Spark's own HiveThriftServer2 bound to the shared
+  * session — the industry-standard replacement for the reference's custom
+  * wire protocol (SURVEY.md §7 step 5). */
+object ThriftFrontend {
+  /** Start on `port`; callers stop it via the returned server's stop(). */
+  def start(spark: SparkSession, port: Int): org.apache.hive.service.server.HiveServer2 = {
+    spark.conf.set("hive.server2.thrift.port", port.toString)
+    spark.conf.set("hive.server2.thrift.bind.host", "localhost")
+    org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+      .startWithContext(spark.sqlContext)
+  }
+}
