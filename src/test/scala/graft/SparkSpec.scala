@@ -15,6 +15,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.sql.maxMetadataStringLength", "2000") // full PushedFilters in plan strings
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

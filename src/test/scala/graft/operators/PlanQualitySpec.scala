@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.{SparkSpec, T}
+
+/** Physical-plan quality gates: correctness tests prove the answers right;
+  * these prove the plans are the ones you'd want at 100 TB — filters reach
+  * the parquet scan, projection prunes columns, small dimensions broadcast,
+  * top-k avoids full sorts, LSH avoids cartesian products.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q02: predicates are pushed into the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_quantity"), p)
+  }
+
+  test("q02: scan reads only the referenced columns") {
+    val p = plan("q02_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("q05: dimension tables join via broadcast, no shuffle of nation/region") {
+    val p = plan("q05_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q15: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan("q15_top_k")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01: aggregation is partial then final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("d04: LSH candidate join is a real equi-join, not cartesian") {
+    val p = plan("d04_minhash_lsh_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("s01: brute-force top-k broadcasts the query side only") {
+    val p = plan("s01_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the big (candidate) side must NOT be the broadcast side
+    assert(p.contains("BuildRight") || p.contains("BuildLeft"), p)
+  }
+
+  test("m02: media rollup scans only text + doc_id (blobs never read wide)") {
+    val p = plan("m02_media_rollup")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
+  }
+
+  test("whole-stage codegen covers the dedup signature pipeline") {
+    // "*(n)" prefixes mark operators fused into whole-stage codegen; AQE
+    // only shows them after the stages actually run
+    val df = graft.SparkEntry.queries("d03_minhash_signature")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("*("), p)
+  }
+}
