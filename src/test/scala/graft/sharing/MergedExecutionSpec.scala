@@ -1,0 +1,48 @@
+package graft.sharing
+
+import graft.{SparkSpec, T}
+import org.apache.spark.sql.functions._
+
+class MergedExecutionSpec extends SparkSpec {
+
+  import MergedExecution._
+
+  private lazy val li = T(spark, sfDir).lineitem
+
+  private val jobs = Seq(
+    FilterAggJob("qty_returned", col("l_returnflag") === "R", sum, "l_quantity"),
+    FilterAggJob("qty_cheap", col("l_extendedprice") < 2000, sum, "l_quantity"),
+    FilterAggJob("qty_taxed", col("l_tax") > 0.05, sum, "l_quantity"))
+
+  private def separate(j: FilterAggJob) =
+    li.filter(j.filter).groupBy("l_linestatus")
+      .agg(sum(col(j.valueCol)).as(j.name))
+
+  test("metamorphic: merged meta-job results == separate per-job results") {
+    val merged = runMerged(li, Seq("l_linestatus"), jobs, snap)
+    jobs.foreach { j =>
+      assert(merged(j.name) == snap(separate(j)), s"job ${j.name}")
+    }
+  }
+
+  test("merged plan reads the scan once; separate plans read it N times") {
+    val mergedScans = "FileScan".r
+      .findAllIn(mergedPlan(li, Seq("l_linestatus"), jobs).queryExecution.executedPlan.toString)
+      .size
+    assert(mergedScans == 1)
+    val separateScans = jobs.map(j =>
+      "FileScan".r.findAllIn(separate(j).queryExecution.executedPlan.toString).size).sum
+    assert(separateScans == jobs.size)
+  }
+
+  test("no tuple tagging: merged shuffle carries no label column") {
+    val p = mergedPlan(li, Seq("l_linestatus"), jobs).queryExecution.sparkPlan.toString
+    assert(!p.contains("__tag") && !p.contains("job_tag"), p)
+  }
+
+  test("groups a job never touched are absent from its split") {
+    val none = FilterAggJob("impossible", col("l_quantity") < 0, sum, "l_quantity")
+    val out = runMerged(li, Seq("l_linestatus"), Seq(none), snap)
+    assert(out("impossible").isEmpty)
+  }
+}
