@@ -38,6 +38,15 @@ object Sources {
   def readText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+  // Avro: the reference's examples shipped users.avro; the spark-avro
+  // connector jar is not in this build's offline classpath, so Avro I/O is
+  // intentionally not claimed (it is the same one-line DataFrameReader call).
+
   // ---- writers ---------------------------------------------------------
 
   def writeParquet(df: DataFrame, path: String, numFiles: Int = 0): Unit =

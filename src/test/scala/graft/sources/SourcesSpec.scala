@@ -29,6 +29,11 @@ class SourcesSpec extends SparkSpec {
     assert(snap(back) == snap(orders))
   }
 
+  test("orc round-trip preserves rows") {
+    Sources.writeOrc(orders, s"$tmp/o_orc")
+    assert(snap(Sources.readOrc(spark, s"$tmp/o_orc")) == snap(orders))
+  }
+
   test("text read: line-oriented input (WordCount shape)") {
     import spark.implicits._
     Seq("the quick fox", "the slow fox").toDF("value")
