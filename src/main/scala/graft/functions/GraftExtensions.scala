@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: makes every graft expression available
+  * in any session built with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`), so plain SQL
+  * clients of the gateway/Thrift front-ends get `simhash48`, `minhash_sig`,
+  * `cosine_sim`, ... with no Scala call required. [[Registry.ensure]] remains
+  * the per-session programmatic twin.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    Registry.fnSpecs.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}

@@ -188,6 +188,20 @@ object TextHashOps {
     out
   }
 
+  /** Squared L2 distance of two float vectors, accumulated in double in
+    * index order (bit-identical to the oracle's explicit list arithmetic). */
+  def l2Sq(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** Cosine similarity of two float vectors, accumulated in double in index
     * order (bit-identical to the oracle's explicit list arithmetic — NOT to
     * DuckDB's list_cosine_similarity, which accumulates in float32). */
@@ -305,6 +319,19 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override def prettyName: String = "cosine_sim"
 }
 
+/** (array<float>, array<float>) -> double squared L2 distance. */
+case class L2Sq(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashOps.l2Sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashOps.l2Sq($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Sq =
+    copy(left = l, right = r)
+  override def prettyName: String = "l2_sq"
+}
+
 /** Session registration so the expressions are usable from SQL text and
   * `expr(...)` strings: shingle_hashes(text, k, distinct), minhash_sig(h, n),
   * simhash48(h), jaccard_bp(a, b), cosine_sim(a, b). */
@@ -318,7 +345,9 @@ object Registry {
     case other => throw new IllegalArgumentException(s"expected bool literal, got $other")
   }
 
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  /** Name -> builder for every graft expression (shared with [[GraftExtensions]]). */
+  private[functions] val fnSpecs: Seq[(String, Seq[Expression] => Expression)] = fns
+  private lazy val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "shingle_hashes" -> (es => ShingleHashes(es.head, intLit(es(1)), boolLit(es(2)))),
     "minhash_sig"    -> (es => MinHashSig(es.head, intLit(es(1)))),
     "simhash48"      -> (es => SimHash48(es.head)),
@@ -327,6 +356,7 @@ object Registry {
     "weighted_fingerprint" -> (es => WeightedFingerprint(es.head)),
     "hyperplane_sig" -> (es => HyperplaneSig(es.head, intLit(es(1)))),
     "cosine_sim"     -> (es => CosineSim(es.head, es(1))),
+    "l2_sq"          -> (es => L2Sq(es.head, es(1))),
   )
 
   /** Idempotent per-session registration. */

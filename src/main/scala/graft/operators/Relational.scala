@@ -694,6 +694,45 @@ object Relational {
        COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Ranking-window family: ntile / rank / dense_rank (all integer outputs —
+    * percent_rank/cume_dist are ratios whose doubles can tie-break
+    * differently across engines, so ranks carry the coverage). */
+  def q35WindowRanks(t: T): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice".desc, $"o_orderkey")
+    t.orders
+      .select($"o_orderkey",
+        ntile(4).over(w).cast("long").as("quartile"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q35Oracle: String =
+    """SELECT o_orderkey, CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+              CAST(RANK() OVER w AS BIGINT) AS rk,
+              CAST(DENSE_RANK() OVER w AS BIGINT) AS drk
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+       ORDER BY o_orderkey"""
+
+  /** Ordered string aggregation (listagg / string_agg). */
+  def q36ListAgg(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """SELECT o_orderstatus,
+                listagg(DISTINCT o_orderpriority, ',')
+                  WITHIN GROUP (ORDER BY o_orderpriority) AS prios,
+                COUNT(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
+  val q36Oracle: String =
+    """SELECT o_orderstatus,
+              string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
+              COUNT(*) AS n
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> ((s, d) => q01PricingSummary(T(s, d))),
@@ -730,6 +769,8 @@ object Relational {
     "q32_full_outer"       -> ((s, d) => q32FullOuter(T(s, d))),
     "q33_grouping_sets"    -> ((s, d) => q33GroupingSets(T(s, d))),
     "q34_count_distinct"   -> ((s, d) => q34CountDistinct(T(s, d))),
+    "q35_window_ranks"     -> ((s, d) => q35WindowRanks(T(s, d))),
+    "q36_listagg"          -> ((s, d) => q36ListAgg(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -767,5 +808,7 @@ object Relational {
     "q32_full_outer"       -> q32Oracle,
     "q33_grouping_sets"    -> q33Oracle,
     "q34_count_distinct"   -> q34Oracle,
+    "q35_window_ranks"     -> q35Oracle,
+    "q36_listagg"          -> q36Oracle,
   )
 }

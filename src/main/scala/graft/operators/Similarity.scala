@@ -119,15 +119,73 @@ object Similarity {
        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        ORDER BY cosine DESC, vec_a, vec_b LIMIT 20"""
 
+  /** IVF-style ANN: assign every vector to its nearest of 8 fixed centroids
+    * (the embeddings with vec_id 0..7 — a real deployment would k-means
+    * train these; fixed centroids keep the oracle deterministic), then
+    * search only the query's own cluster. Shuffle key = cluster id: the
+    * 10^11-vector layout is "partition by cluster, broadcast the probe set".
+    * Top-3 per query by rounded cosine. */
+  def s04IvfAnn(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val cents = t.embeddings.filter($"vec_id" < 8)
+      .select($"vec_id".as("k"), $"embedding".as("c_emb"))
+    // nearest centroid per vector: min over (dist, k) — k breaks dist ties
+    val assigned = t.embeddings
+      .crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding",
+        struct(expr("l2_sq(embedding, c_emb)").as("dist"), $"k").as("dk"))
+      .groupBy($"vec_id", $"embedding")
+      .agg(min($"dk").as("dk"))
+      .select($"vec_id", $"embedding", $"dk.k".as("cluster"))
+    val q = assigned.filter($"vec_id" % 25 === 0)
+      .select($"cluster".as("qc"), $"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    assigned.join(broadcast(q), $"cluster" === $"qc" && $"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (round(expr("cosine_sim(q_emb, embedding)"), 4) + lit(0.0)).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"query_id", $"rk".cast("long").as("rk"), $"neighbor_id", $"cosine")
+      .orderBy($"query_id", $"rk")
+  }
+
+  val s04Oracle: String =
+    s"""WITH cents AS (SELECT vec_id AS k, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+       assigned AS (
+         SELECT vec_id, embedding, k AS cluster FROM (
+           SELECT e.vec_id, e.embedding, c.k,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                    list_sum(list_transform(range(1, 65), i ->
+                      (e.embedding[i]::DOUBLE - c.c_emb[i]::DOUBLE)
+                      * (e.embedding[i]::DOUBLE - c.c_emb[i]::DOUBLE))) ASC, c.k ASC) AS rn
+           FROM embeddings e CROSS JOIN cents c)
+         WHERE rn = 1),
+       pairs AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                ROUND(${duckCos("a", "b")}, 4) + 0.0 AS cosine
+         FROM assigned q JOIN assigned c
+           ON q.cluster = c.cluster AND q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+         JOIN embeddings a ON a.vec_id = q.vec_id
+         JOIN embeddings b ON b.vec_id = c.vec_id),
+       ranked AS (
+         SELECT query_id, neighbor_id, cosine,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         FROM pairs)
+       SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, cosine
+       FROM ranked WHERE rk <= 3 ORDER BY query_id, rk"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
     "s03_embedding_neardup" -> ((s, d) => s03EmbeddingNeardup(T(s, d))),
+    "s04_ivf_ann"           -> ((s, d) => s04IvfAnn(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
     "s01_cosine_topk"       -> s01Oracle,
     "s02_hyperplane_lsh"    -> s02Oracle,
     "s03_embedding_neardup" -> s03Oracle,
+    "s04_ivf_ann"           -> s04Oracle,
   )
 }

@@ -83,6 +83,39 @@ class TextExprsSpec extends SparkSpec {
     assert(out(0).getLong(0) == out(1).getLong(0)) // same text -> same simhash
   }
 
+  test("GraftExtensions injects functions into an extension-built session") {
+    import org.apache.spark.sql.SparkSession
+    val prior = spark // ensure the shared context exists
+    // getOrCreate returns any active session and silently ignores extensions
+    // — clear both handles so a genuinely extension-built session is created
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne prior)
+      val out = s2.sql("SELECT simhash48(shingle_hashes('the quick brown fox', 4, false)) AS h")
+        .collect()
+      assert(out.length == 1)
+      assert(out(0).getLong(0) != 0L)
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
+  test("l2_sq: exact squared distance, index order") {
+    def f(xs: Float*) = {
+      val a = new Array[Any](xs.length)
+      xs.zipWithIndex.foreach { case (x, i) => a(i) = x }
+      new GenericArrayData(a)
+    }
+    assert(TextHashOps.l2Sq(f(1f, 2f), f(1f, 2f)) == 0.0)
+    assert(TextHashOps.l2Sq(f(0f, 0f), f(3f, 4f)) == 25.0)
+  }
+
   test("codegen path == interpreted path (whole-stage codegen on/off)") {
     Registry.ensure(spark)
     import spark.implicits._

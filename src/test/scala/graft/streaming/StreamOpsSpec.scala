@@ -90,6 +90,24 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark suppresses replays") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamOps.Evt]
+    val q = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(sample: _*)
+      q.processAllAvailable()
+      stream.addData(sample.take(3): _*) // replayed duplicates within watermark
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == sample.size)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the dimension without state") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
