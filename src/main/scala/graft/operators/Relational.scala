@@ -733,6 +733,25 @@ object Relational {
               COUNT(*) AS n
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Typed JSON parsing: from_json with an explicit schema (q23 covers the
+    * per-path get_json_object surface; this is the full-struct path — one
+    * parse per row, then ordinary column pruning on the struct). */
+  def q37FromJson(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.events
+      .withColumn("p", from_json($"props",
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+      .groupBy(expr("p.k DIV 20").as("k_band"))
+      .agg(count(lit(1)).as("n"), sum($"p.k").as("k_sum"))
+      .orderBy($"k_band".asc_nulls_first)
+  }
+
+  val q37Oracle: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 20 AS k_band,
+              COUNT(*) AS n,
+              SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+       FROM events GROUP BY 1 ORDER BY k_band ASC NULLS FIRST"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> ((s, d) => q01PricingSummary(T(s, d))),
@@ -771,6 +790,7 @@ object Relational {
     "q34_count_distinct"   -> ((s, d) => q34CountDistinct(T(s, d))),
     "q35_window_ranks"     -> ((s, d) => q35WindowRanks(T(s, d))),
     "q36_listagg"          -> ((s, d) => q36ListAgg(T(s, d))),
+    "q37_from_json"        -> ((s, d) => q37FromJson(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -810,5 +830,6 @@ object Relational {
     "q34_count_distinct"   -> q34Oracle,
     "q35_window_ranks"     -> q35Oracle,
     "q36_listagg"          -> q36Oracle,
+    "q37_from_json"        -> q37Oracle,
   )
 }
