@@ -132,9 +132,20 @@ object TextHashOps {
     * (duplicates skipped, so it is still set semantics). Same value as
     * [[jaccardBp]]; ~100x cheaper per pair on all-pairs joins because the
     * sort is paid once per row, not once per pair. */
-  def jaccardBpSorted(a: ArrayData, b: ArrayData): Long = {
-    // index directly into the (Unsafe)ArrayData — copying both arrays per
-    // pair costs more than the merge itself on all-pairs joins
+  def jaccardBpSorted(a: ArrayData, b: ArrayData): Long = (a, b) match {
+    // Specialize on concrete UnsafeArrayData: an interface-typed getLong call
+    // site is megamorphic (Unsafe/Generic/Columnar all loaded) and the JIT
+    // won't inline it, and toLongArray() allocates+copies per PAIR in an
+    // all-pairs join. Concrete-typed direct access is allocation-free and
+    // inlines to Platform.getLong.
+    case (x: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData,
+          y: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData) =>
+      mergeUnsafe(x, y)
+    case _ => mergeSorted(a.toLongArray(), b.toLongArray())
+  }
+
+  private def mergeUnsafe(a: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData,
+                          b: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData): Long = {
     val n = a.numElements(); val m = b.numElements()
     var i = 0; var j = 0
     var na = 0L; var nb = 0L; var inter = 0L
@@ -161,6 +172,38 @@ object TextHashOps {
       nb += 1
       val v = b.getLong(j)
       while (j < m && b.getLong(j) == v) j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 10000L else inter * 10000L / union
+  }
+
+  private def mergeSorted(xs: Array[Long], ys: Array[Long]): Long = {
+    val n = xs.length; val m = ys.length
+    var i = 0; var j = 0
+    var na = 0L; var nb = 0L; var inter = 0L
+    while (i < n && j < m) {
+      val x = xs(i); val y = ys(j)
+      if (x == y) {
+        inter += 1; na += 1; nb += 1
+        while (i < n && xs(i) == x) i += 1
+        while (j < m && ys(j) == y) j += 1
+      } else if (x < y) {
+        na += 1
+        while (i < n && xs(i) == x) i += 1
+      } else {
+        nb += 1
+        while (j < m && ys(j) == y) j += 1
+      }
+    }
+    while (i < n) {
+      na += 1
+      val v = xs(i)
+      while (i < n && xs(i) == v) i += 1
+    }
+    while (j < m) {
+      nb += 1
+      val v = ys(j)
+      while (j < m && ys(j) == v) j += 1
     }
     val union = na + nb - inter
     if (union == 0) 10000L else inter * 10000L / union

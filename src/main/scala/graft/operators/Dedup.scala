@@ -80,10 +80,15 @@ object Dedup {
     // same plan needs on a real cluster).
     val hs = t.documents.select($"doc_id", $"lang",
       array_sort(expr(shingleHashes)).as("h"))
+    // repartition both sides: the exchange converts the freshly-computed
+    // (boxed) sort output into UnsafeArrayData rows once per DOC, so the
+    // per-PAIR merge hits the allocation-free concrete fast path
     val left = hs.select($"lang".as("la"), $"doc_id".as("doc_a"), $"h".as("ha"),
       pmod($"doc_id", lit(8)).as("salt"))
+      .repartition($"la", $"salt")
     val right = hs.select($"lang".as("lb"), $"doc_id".as("doc_b"), $"h".as("hb"))
       .withColumn("rsalt", explode(expr("sequence(0, 7)")))
+      .repartition($"lb", $"rsalt")
     left.join(right, $"la" === $"lb" && $"salt" === $"rsalt" && $"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b", expr("jaccard_bp_sorted(ha, hb)").as("jaccard_bp"))
       .orderBy($"jaccard_bp".desc, $"doc_a", $"doc_b")
