@@ -15,6 +15,9 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup so session startup cost is not charged to whichever
+    // query happens to run first
+    spark.range(2000000).selectExpr("sum(id * 2)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let

@@ -248,17 +248,32 @@ object TextHashOps {
   /** Cosine similarity of two float vectors, accumulated in double in index
     * order (bit-identical to the oracle's explicit list arithmetic — NOT to
     * DuckDB's list_cosine_similarity, which accumulates in float32). */
-  def cosineSim(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  def cosineSim(a: ArrayData, b: ArrayData): Double = (a, b) match {
+    case (x: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData,
+          y: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData) =>
+      // concrete-typed loop: interface getFloat is megamorphic (see
+      // jaccardBpSorted); the arithmetic sequence is IDENTICAL in all paths
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val u = x.getFloat(i).toDouble
+        val v = y.getFloat(i).toDouble
+        dot += u * v; na += u * u; nb += v * v
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    case _ =>
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble
+        val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 }
 
