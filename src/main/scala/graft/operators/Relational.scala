@@ -752,6 +752,43 @@ object Relational {
               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
        FROM events GROUP BY 1 ORDER BY k_band ASC NULLS FIRST"""
 
+  /** Time-series gap-fill: dense per-user daily activity over the full
+    * calendar — generate the day spine (sequence + explode), cross join the
+    * (small, broadcast) user dimension, left-join sparse per-day aggregates,
+    * zero-fill. Integer aggregates only: per-day double sums would depend on
+    * partial-agg order across engines. */
+  def q38GapFill(t: T): DataFrame = {
+    import t.spark.implicits._
+    val users = t.events.filter($"user_id" < 20).select($"user_id").distinct()
+    val days = t.spark.sql(
+      "SELECT explode(sequence(DATE'2024-01-01', DATE'2024-01-30', INTERVAL 1 DAY)) AS day")
+    val daily = t.events.filter($"user_id" < 20)
+      .groupBy($"user_id".as("u"), to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor($"value").cast("long")).as("value_floor_sum"))
+    users.crossJoin(broadcast(days))
+      .join(daily, $"user_id" === $"u" && $"day" === $"d", "left_outer")
+      .select($"user_id", $"day",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"value_floor_sum", lit(0L)).as("value_floor_sum"))
+      .orderBy($"user_id", $"day")
+  }
+
+  val q38Oracle: String =
+    """WITH users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+       days AS (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                              INTERVAL 1 DAY))::DATE AS day),
+       daily AS (
+         SELECT user_id AS u, CAST(ts AS DATE) AS d, COUNT(*) AS n_events,
+                SUM(CAST(FLOOR(value) AS BIGINT)) AS value_floor_sum
+         FROM events WHERE user_id < 20 GROUP BY 1, 2)
+       SELECT user_id, day,
+              COALESCE(n_events, 0) AS n_events,
+              COALESCE(value_floor_sum, 0) AS value_floor_sum
+       FROM users CROSS JOIN days
+       LEFT JOIN daily ON user_id = u AND day = d
+       ORDER BY user_id, day"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> ((s, d) => q01PricingSummary(T(s, d))),
@@ -791,6 +828,7 @@ object Relational {
     "q35_window_ranks"     -> ((s, d) => q35WindowRanks(T(s, d))),
     "q36_listagg"          -> ((s, d) => q36ListAgg(T(s, d))),
     "q37_from_json"        -> ((s, d) => q37FromJson(T(s, d))),
+    "q38_gap_fill"         -> ((s, d) => q38GapFill(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -831,5 +869,6 @@ object Relational {
     "q35_window_ranks"     -> q35Oracle,
     "q36_listagg"          -> q36Oracle,
     "q37_from_json"        -> q37Oracle,
+    "q38_gap_fill"         -> q38Oracle,
   )
 }
