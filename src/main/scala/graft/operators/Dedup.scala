@@ -219,6 +219,66 @@ object Dedup {
        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        ORDER BY doc_a, doc_b"""
 
+  /** Dedup clustering: connected components over the LSH near-dup pairs
+    * (d04), labeling every duplicate doc with the min doc_id of its
+    * component — the step that turns pair detection into a keep/drop
+    * decision. Iterative min-label propagation (each round: one shuffle to
+    * take the min over neighbors), the same plan GraphFrames/Pregel runs at
+    * cluster scale; near-dup components are tiny so it converges in
+    * O(log(diameter)) ~ 2-3 rounds. */
+  def d07DedupClusters(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val pairs = d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select($"doc_a".as("doc"))
+        .distinct()
+        .select($"doc", $"doc".as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var converged = false
+      while (!converged) {
+        val nbMin = edges.join(labels, $"doc_a" === $"doc")
+          .groupBy($"doc_b").agg(min($"label").as("nb_label"))
+          .select($"doc_b".as("ndoc"), $"nb_label")
+        val updated = labels.join(nbMin, $"doc" === $"ndoc", "left_outer")
+          .select($"doc", least($"label", coalesce($"nb_label", $"label")).as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        converged = updated
+          .join(labels.withColumnRenamed("label", "old"), "doc")
+          .filter($"label" =!= $"old").limit(1).count() == 0
+        labels.unpersist(blocking = false)
+        labels = updated
+      }
+      labels.select($"doc".as("doc_id"), $"label".as("cluster_id")).orderBy($"doc_id")
+    } finally edges.unpersist(blocking = false)
+  }
+
+  val d07Oracle: String =
+    s"""WITH hs AS (SELECT doc_id, $shingleHashesDuck AS h FROM documents),
+       sigs AS (SELECT doc_id, h, $minhashSigDuck AS sig FROM hs),
+       bands AS (
+         SELECT doc_id, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
+         FROM sigs, range(0, 4) t(b)),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       pairs AS (
+         SELECT doc_a, doc_b
+         FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
+         WHERE len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 8000),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+       reach AS (
+         WITH RECURSIVE r(doc, label) AS (
+           SELECT s, s FROM edges
+           UNION
+           SELECT e.d, r.label FROM r JOIN edges e ON e.s = r.doc
+         ) SELECT doc, MIN(label) AS cluster_id FROM r GROUP BY doc)
+       SELECT doc AS doc_id, cluster_id FROM reach ORDER BY doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"        -> ((s, d) => d01ExactDedup(T(s, d))),
     "d02_ngram_jaccard"      -> ((s, d) => d02NgramJaccardPairs(T(s, d))),
@@ -226,6 +286,7 @@ object Dedup {
     "d04_minhash_lsh_pairs"  -> ((s, d) => d04MinhashLshPairs(T(s, d))),
     "d05_simhash"            -> ((s, d) => d05Simhash(T(s, d))),
     "d06_simhash_pairs"      -> ((s, d) => d06SimhashPairs(T(s, d))),
+    "d07_dedup_clusters"     -> ((s, d) => d07DedupClusters(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -235,5 +296,6 @@ object Dedup {
     "d04_minhash_lsh_pairs" -> d04Oracle,
     "d05_simhash"           -> d05Oracle,
     "d06_simhash_pairs"     -> d06Oracle,
+    "d07_dedup_clusters"    -> d07Oracle,
   )
 }
