@@ -60,9 +60,23 @@ def main(sf_dir, out_dir):
             print(f"FAIL  {name}: oracle error: {e}")
             n_fail += 1
             continue
+        # dtype check mimicking the driver's pandas hash: int64 vs float64
+        # renders "54" vs "54.0" there even when values match
+        try:
+            got_dt = {c: str(t) for c, t in tbl.to_pandas().dtypes.items()}
+            exp_df = con.execute(oracles[name]).df()
+            exp_dt = {c: str(t) for c, t in exp_df.dtypes.items()}
+            dt_bad = [(c, got_dt.get(c), exp_dt.get(c)) for c in got_dt
+                      if c in exp_dt and got_dt[c] != exp_dt[c]
+                      and {got_dt[c], exp_dt[c]} & {"float64"}]
+        except Exception as e:
+            dt_bad = [("<dtype-check-error>", str(e), "")]
         gc, gr = normalize(got_cols, got_rows)
         ec, er = normalize(exp_cols, exp_rows)
-        if gc != ec:
+        if dt_bad:
+            print(f"FAIL  {name}: dtype mismatch (driver hash would differ): {dt_bad}")
+            n_fail += 1
+        elif gc != ec:
             print(f"FAIL  {name}: columns {gc} != {ec}")
             n_fail += 1
         elif len(gr) != len(er):

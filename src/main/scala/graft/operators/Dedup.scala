@@ -102,20 +102,31 @@ object Dedup {
        FROM hs a JOIN hs b ON a.lang = b.lang AND a.doc_id < b.doc_id
        ORDER BY jaccard_bp DESC, doc_a, doc_b LIMIT 20"""
 
-  /** MinHash signatures (the map-side half of LSH dedup) — verified value-
-    * exactly against the oracle's identical permutation arithmetic. */
+  /** MinHash signatures (the map-side half of LSH dedup), exploded to one row
+    * per (doc, permutation) so every value is a scalar the harness can hash —
+    * the array-valued form stays available via [[minhashSignatures]]. */
   def d03MinhashSignature(t: T): DataFrame = {
+    import t.spark.implicits._
+    minhashSignatures(t)
+      .select($"doc_id", posexplode($"sig").as(Seq("perm_idx", "sig_value")))
+      .select($"doc_id", $"perm_idx".cast("long").as("perm_idx"), $"sig_value")
+      .orderBy($"doc_id", $"perm_idx")
+  }
+
+  /** Array-valued MinHash signature API for library users (LSH banding, d04). */
+  def minhashSignatures(t: T): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
     t.documents
       .withColumn("h", expr(shingleHashes))
       .select($"doc_id", expr(minhashSig).as("sig"))
-      .orderBy($"doc_id")
   }
 
   val d03Oracle: String =
-    s"""WITH hs AS (SELECT doc_id, $shingleHashesDuck AS h FROM documents)
-       SELECT doc_id, $minhashSigDuck AS sig FROM hs ORDER BY doc_id"""
+    s"""WITH hs AS (SELECT doc_id, $shingleHashesDuck AS h FROM documents),
+       sigs AS (SELECT doc_id, $minhashSigDuck AS sig FROM hs)
+       SELECT doc_id, j AS perm_idx, sig[j::INT + 1]::BIGINT AS sig_value
+       FROM sigs, range(0, 32) t(j) ORDER BY doc_id, perm_idx"""
 
   /** MinHash + LSH banding dedup: 4 bands x 8 rows; candidates = pairs
     * sharing >=1 band bucket (shuffle on band key — scales to any corpus);
@@ -187,7 +198,7 @@ object Dedup {
            i -> ((ascii(substr(text, i::INT, 1))::BIGINT * 31 + ascii(substr(text, i::INT + 1, 1))) * 31
                  + ascii(substr(text, i::INT + 2, 1))) * 31 + ascii(substr(text, i::INT + 3, 1))) AS h
        FROM documents)
-       SELECT doc_id, $simhashDuck AS simhash FROM th ORDER BY doc_id"""
+       SELECT doc_id, ($simhashDuck)::BIGINT AS simhash FROM th ORDER BY doc_id"""
 
   /** SimHash near-dup pairs: hamming distance <= 3 within a `lang` block
     * (at scale: block on simhash prefix bytes instead — same plan shape). */

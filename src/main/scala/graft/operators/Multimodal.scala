@@ -112,10 +112,10 @@ object Multimodal {
 
   val m02Oracle: String =
     """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         COUNT(*) AS n, SUM(CAST(length(text) AS BIGINT)) AS total_bytes,
+         COUNT(*) AS n, SUM(CAST(length(text) AS BIGINT))::BIGINT AS total_bytes,
          SUM(list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text) + 1),
            i -> ascii(substr(text, i::INT, 1))::BIGINT)),
-           (acc, c) -> (acc * 31 + c) % 2147483647)) AS checksum_total
+           (acc, c) -> (acc * 31 + c) % 2147483647))::BIGINT AS checksum_total
        FROM documents GROUP BY 1 ORDER BY kind"""
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -749,7 +749,7 @@ object Relational {
   val q37Oracle: String =
     """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 20 AS k_band,
               COUNT(*) AS n,
-              SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+              SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS k_sum
        FROM events GROUP BY 1 ORDER BY k_band ASC NULLS FIRST"""
 
   /** Time-series gap-fill: dense per-user daily activity over the full
@@ -782,9 +782,9 @@ object Relational {
          SELECT user_id AS u, CAST(ts AS DATE) AS d, COUNT(*) AS n_events,
                 SUM(CAST(FLOOR(value) AS BIGINT)) AS value_floor_sum
          FROM events WHERE user_id < 20 GROUP BY 1, 2)
-       SELECT user_id, day,
-              COALESCE(n_events, 0) AS n_events,
-              COALESCE(value_floor_sum, 0) AS value_floor_sum
+       SELECT user_id, day::DATE AS day,
+              COALESCE(n_events, 0)::BIGINT AS n_events,
+              COALESCE(value_floor_sum, 0)::BIGINT AS value_floor_sum
        FROM users CROSS JOIN days
        LEFT JOIN daily ON user_id = u AND day = d
        ORDER BY user_id, day"""

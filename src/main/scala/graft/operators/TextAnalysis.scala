@@ -148,10 +148,10 @@ object TextAnalysis {
 
   val t04Oracle: String =
     """SELECT doc_id,
-       list_sum(list_transform(range(1, length(text) - 2),
+       (list_sum(list_transform(range(1, length(text) - 2),
          i -> (((ascii(substr(text, i::INT, 1)) * 31 + ascii(substr(text, i::INT + 1, 1))) * 31
                 + ascii(substr(text, i::INT + 2, 1))) * 31 + ascii(substr(text, i::INT + 3, 1)))
-              * ((i - 1) % 31 + 1))) % 2147483647 AS fingerprint
+              * ((i - 1) % 31 + 1))) % 2147483647)::BIGINT AS fingerprint
        FROM documents ORDER BY doc_id"""
 
   /** Corpus n-gram profile: top-5 word bigrams per language by frequency —

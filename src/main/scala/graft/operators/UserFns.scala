@@ -60,7 +60,7 @@ object UserFns {
                    WHEN o_totalprice < 50000 THEN 'large'
                    ELSE 'jumbo' END AS band,
               SUM((CAST(FLOOR(o_totalprice) AS BIGINT) % 1000)
-                  * (CAST(FLOOR(o_totalprice) AS BIGINT) % 1000)) AS ssq,
+                  * (CAST(FLOOR(o_totalprice) AS BIGINT) % 1000))::BIGINT AS ssq,
               COUNT(*) AS n
        FROM orders GROUP BY 1 ORDER BY band"""
 
