@@ -18,7 +18,11 @@ object Bench {
     // JVM/codegen warmup so session startup cost is not charged to whichever
     // query happens to run first
     spark.range(2000000).selectExpr("sum(id * 2)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg (local dev only): comma-separated name-prefix filter
+    val only: String => Boolean =
+      if (args.nonEmpty) { val ps = args(0).split(","); n => ps.exists(n.startsWith) }
+      else _ => true
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => only(kv._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let
       // Catalyst prune the query down to the rows that survive)

@@ -230,41 +230,70 @@ object Dedup {
        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        ORDER BY doc_a, doc_b"""
 
+  /** Connected components over an undirected pair list via alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014): O(log^2 n) rounds on
+    * any topology, including the long-chain giant components web-scale dedup
+    * produces, where plain min-label propagation needs O(diameter) rounds.
+    * Each round `localCheckpoint`s the contracted edge set, so the plan stays
+    * constant-size (no lineage growth) and the convergence probe — a count
+    * plus an anti-join of consecutive edge sets — runs on the checkpointed
+    * blocks, not a recomputation. Returns (doc_id, cluster_id = component
+    * min) for every endpoint. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // large-star: connect every neighbor v > u to m = min(N(u) ∪ {u});
+    // symmetrize with one explode (a union of the two orientations would
+    // scan — and recompute — the upstream pair plan twice)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(explode(array(
+          struct($"u", $"v"),
+          struct($"v".as("u"), $"u".as("v")))).as("p"))
+        .select($"p.u".as("u"), $"p.v".as("v"))
+      val mins = sym.groupBy($"u").agg(min($"v").as("mv"))
+        .select($"u", least($"mv", $"u").as("m"))
+      sym.join(mins, "u").where($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v")).distinct()
+    }
+    // small-star: orient every edge to its smaller endpoint, then connect
+    // each neighbor (and u itself) to m = min(N(u) ∪ {u})
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      val mins = or.groupBy($"u").agg(min($"v").as("m"))
+      or.join(mins, "u").where($"v" =!= $"m")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(mins.select($"u", $"m".as("v")))
+        .distinct()
+    }
+    // pairs come in as (doc_a < doc_b); orient big→small to match smallStar's
+    // output form so the fixpoint test compares like with like
+    var cur = pairs
+      .select($"doc_b".as("u"), $"doc_a".as("v")).distinct()
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      // equal-size distinct sets with empty difference are equal — one tiny
+      // job on checkpointed blocks, not a second labels join
+      converged = next.count() == cur.count() && next.exceptAll(cur).isEmpty
+      cur.unpersist(blocking = false)
+      cur = next
+    }
+    cur.select($"u".as("doc_id"), $"v".as("cluster_id"))
+      .union(cur.select($"v".as("doc_id"), $"v".as("cluster_id")))
+      .distinct()
+  }
+
   /** Dedup clustering: connected components over the LSH near-dup pairs
     * (d04), labeling every duplicate doc with the min doc_id of its
     * component — the step that turns pair detection into a keep/drop
-    * decision. Iterative min-label propagation (each round: one shuffle to
-    * take the min over neighbors), the same plan GraphFrames/Pregel runs at
-    * cluster scale; near-dup components are tiny so it converges in
-    * O(log(diameter)) ~ 2-3 rounds. */
+    * decision. */
   def d07DedupClusters(t: T): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val pairs = d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
-    val edges = pairs
-      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var labels = edges.select($"doc_a".as("doc"))
-        .distinct()
-        .select($"doc", $"doc".as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var converged = false
-      while (!converged) {
-        val nbMin = edges.join(labels, $"doc_a" === $"doc")
-          .groupBy($"doc_b").agg(min($"label").as("nb_label"))
-          .select($"doc_b".as("ndoc"), $"nb_label")
-        val updated = labels.join(nbMin, $"doc" === $"ndoc", "left_outer")
-          .select($"doc", least($"label", coalesce($"nb_label", $"label")).as("label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        converged = updated
-          .join(labels.withColumnRenamed("label", "old"), "doc")
-          .filter($"label" =!= $"old").limit(1).count() == 0
-        labels.unpersist(blocking = false)
-        labels = updated
-      }
-      labels.select($"doc".as("doc_id"), $"label".as("cluster_id")).orderBy($"doc_id")
-    } finally edges.unpersist(blocking = false)
+    connectedComponents(d04MinhashLshPairs(t).select($"doc_a", $"doc_b"))
+      .orderBy($"doc_id")
   }
 
   val d07Oracle: String =
