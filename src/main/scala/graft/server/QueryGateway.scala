@@ -18,7 +18,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Protocol (line-oriented, one session per connection):
   *   client: one SQL statement per line
-  *   server: "ok <n>" then n JSON rows, or "error <message>"; "quit" ends.
+  *   server: "ok", one JSON row per line, then "done <n>" (or
+  *           "done <n> truncated" when the row cap cut the stream), or
+  *           "error <message>" — also mid-stream, where it doubles as the
+  *           trailer; "quit" ends the session.
+  *
+  * Results stream through `toLocalIterator` — one partition on the driver at
+  * a time, so a result bigger than driver memory still flows; the trailer
+  * carries the count that a pre-counted header would have forced us to
+  * materialize for. `maxRows` bounds what one statement may send.
   *
   * Each connection gets `SparkSession.newSession()` — shared SparkContext and
   * cache (so work-sharing still applies across clients) but isolated temp
@@ -28,7 +36,8 @@ import org.apache.spark.sql.SparkSession
 final class QueryGateway(
     root: SparkSession,
     sessionInit: SparkSession => Unit = _ => (),
-    port: Int = 0) {
+    port: Int = 0,
+    maxRows: Long = Long.MaxValue) {
 
   private val server = new ServerSocket(port)
   private val connIds = new AtomicLong()
@@ -55,20 +64,26 @@ final class QueryGateway(
     sessionInit(session)
     session.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-client-$id")
     val in = new BufferedReader(new InputStreamReader(sock.getInputStream))
-    val out = new PrintWriter(sock.getOutputStream, true)
+    // no autoflush: one flush per response, not one syscall per row
+    val out = new PrintWriter(new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(sock.getOutputStream,
+        java.nio.charset.StandardCharsets.UTF_8), 1 << 16), false)
     try {
       var line = in.readLine()
       while (line != null && line.trim != "quit") {
         if (line.trim.nonEmpty) {
           try {
-            val rows = session.sql(line).toJSON.collect()
-            out.println(s"ok ${rows.length}")
-            rows.foreach(out.println)
+            val it = session.sql(line).toJSON.toLocalIterator()
+            out.println("ok")
+            var n = 0L
+            while (n < maxRows && it.hasNext) { out.println(it.next()); n += 1 }
+            out.println(if (it.hasNext) s"done $n truncated" else s"done $n")
           } catch {
             case e: Throwable =>
               out.println("error " + Option(e.getMessage).getOrElse(e.toString)
                 .replaceAll("\\s+", " ").take(500))
           }
+          out.flush()
         }
         line = in.readLine()
       }

@@ -13,23 +13,68 @@ class QueryGatewaySpec extends SparkSpec {
       new BufferedReader(new InputStreamReader(s.getInputStream)))
   }
 
+  /** Reads one response: "ok" + rows until the "done <n>[ truncated]" trailer,
+    * or an "error ..." line (header or mid-stream). */
+  private def readResponse(in: BufferedReader): (String, List[String], String) = {
+    val head = in.readLine()
+    if (head != "ok") return (head, Nil, head)
+    val rows = List.newBuilder[String]
+    var line = in.readLine()
+    while (!line.startsWith("done") && !line.startsWith("error")) {
+      rows += line
+      line = in.readLine()
+    }
+    (head, rows.result(), line)
+  }
+
   test("gateway executes SQL and streams JSON rows per connection") {
     val gw = new QueryGateway(spark, s => Tables.register(s, sfDir))
     try {
       val (sock, out, in) = connect(gw.boundPort)
       out.println("SELECT count(*) AS n FROM lineitem")
-      val head = in.readLine()
-      assert(head == "ok 1", head)
-      assert(in.readLine().contains("\"n\":"))
+      val (head, rows, trailer) = readResponse(in)
+      assert(head == "ok", head)
+      assert(rows.size == 1 && rows.head.contains("\"n\":"), rows)
+      assert(trailer == "done 1", trailer)
       // errors are reported inline, connection survives
       out.println("SELECT * FROM nonexistent_table")
-      assert(in.readLine().startsWith("error "))
+      assert(readResponse(in)._1.startsWith("error "))
       out.println("SELECT r_name FROM region ORDER BY r_name LIMIT 1")
-      assert(in.readLine() == "ok 1")
-      assert(in.readLine().contains("r_name"))
+      val (h2, r2, t2) = readResponse(in)
+      assert(h2 == "ok" && r2.head.contains("r_name") && t2 == "done 1")
       out.println("quit")
       sock.close()
     } finally gw.close()
+  }
+
+  test("large results stream partition-by-partition, row cap truncates") {
+    // 200k rows over 8 partitions: far more than a sane header-count
+    // materialization; toLocalIterator holds one partition at a time
+    val gw = new QueryGateway(spark, _ => ())
+    try {
+      val (sock, out, in) = connect(gw.boundPort)
+      out.println(
+        "SELECT id, id * 2 AS dbl FROM range(0, 200000, 1, 8)")
+      val (h, rows, trailer) = readResponse(in)
+      assert(h == "ok")
+      assert(rows.size == 200000)
+      assert(trailer == "done 200000", trailer)
+      sock.close()
+    } finally gw.close()
+    val capped = new QueryGateway(spark, _ => (), maxRows = 100)
+    try {
+      val (sock, out, in) = connect(capped.boundPort)
+      out.println("SELECT id FROM range(0, 200000, 1, 8)")
+      val (h, rows, trailer) = readResponse(in)
+      assert(h == "ok")
+      assert(rows.size == 100)
+      assert(trailer == "done 100 truncated", trailer)
+      // connection still usable after a truncated response
+      out.println("SELECT 1 AS one")
+      val (h2, r2, _) = readResponse(in)
+      assert(h2 == "ok" && r2.size == 1)
+      sock.close()
+    } finally capped.close()
   }
 
   test("connections are catalog-isolated but share the SparkContext") {
@@ -38,12 +83,13 @@ class QueryGatewaySpec extends SparkSpec {
       val (s1, o1, i1) = connect(gw.boundPort)
       val (s2, o2, i2) = connect(gw.boundPort)
       o1.println("CREATE TEMPORARY VIEW mine AS SELECT 42 AS x")
-      assert(i1.readLine().startsWith("ok"))
+      assert(readResponse(i1)._1 == "ok")
       o1.println("SELECT x FROM mine")
-      assert(i1.readLine() == "ok 1"); i1.readLine()
+      val (h1, r1, _) = readResponse(i1)
+      assert(h1 == "ok" && r1.size == 1)
       // the other connection must NOT see the temp view
       o2.println("SELECT x FROM mine")
-      assert(i2.readLine().startsWith("error "))
+      assert(readResponse(i2)._1.startsWith("error "))
       s1.close(); s2.close()
     } finally gw.close()
   }
@@ -58,13 +104,12 @@ class QueryGatewaySpec extends SparkSpec {
         Future {
           val (sock, out, in) = connect(gw.boundPort)
           out.println("SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1")
-          val head = in.readLine()
-          val rows = (1 to head.split(" ")(1).toInt).map(_ => in.readLine()).toList
+          val (head, rows, _) = readResponse(in)
           sock.close()
           (head, rows.size)
         }
       }), 5.minutes).toList
-      assert(results.forall { case (h, n) => h.startsWith("ok") && n > 0 })
+      assert(results.forall { case (h, n) => h == "ok" && n > 0 })
       assert(results.map(_._2).distinct.size == 1)
     } finally gw.close()
   }
