@@ -200,20 +200,33 @@ object Dedup {
        FROM documents)
        SELECT doc_id, ($simhashDuck)::BIGINT AS simhash FROM th ORDER BY doc_id"""
 
-  /** SimHash near-dup pairs: hamming distance <= 3 within a `lang` block
-    * (at scale: block on simhash prefix bytes instead — same plan shape). */
+  /** SimHash near-dup pairs: hamming distance <= 3 between same-lang docs.
+    * Candidate generation blocks on signature chunks (Manku et al., WWW 2007):
+    * hamming <= 3 over 48 bits means at least one of four 12-bit chunks is
+    * identical (pigeonhole), so the join key is (chunk_idx, chunk_value) —
+    * recall stays exactly 1.0 while the pair space drops from quadratic-per-
+    * lang to quadratic-per-bucket (bucket = docs sharing 12 hash bits,
+    * n/4096 of a lang at uniform spread; widen chunks for bigger corpora).
+    * Exact hamming verification then touches candidates only. */
   def d06SimhashPairs(t: T): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
     val sh = t.documents
       .withColumn("h", expr("shingle_hashes(text, 4, false)"))
       .select($"doc_id", $"lang", expr(simhashExpr).as("simhash"))
-    val a = sh.select($"lang".as("la"), $"doc_id".as("doc_a"), $"simhash".as("sa"))
-    val b = sh.select($"lang".as("lb"), $"doc_id".as("doc_b"), $"simhash".as("sb"))
-    a.join(b, $"la" === $"lb" && $"doc_a" < $"doc_b")
+    val chunks = sh.select($"doc_id", $"lang", $"simhash",
+      posexplode(expr("transform(sequence(0, 3), c -> (simhash >> (c * 12)) & 4095)"))
+        .as(Seq("chunk", "ckey")))
+    val a = chunks.select($"lang".as("la"), $"doc_id".as("doc_a"),
+      $"simhash".as("sa"), $"chunk".as("ca"), $"ckey".as("ka"))
+    val b = chunks.select($"lang".as("lb"), $"doc_id".as("doc_b"),
+      $"simhash".as("sb"), $"chunk".as("cb"), $"ckey".as("kb"))
+    a.join(b, $"ca" === $"cb" && $"ka" === $"kb" && $"la" === $"lb" &&
+        $"doc_a" < $"doc_b")
       .withColumn("hamming", expr("cast(bit_count(sa ^ sb) AS long)"))
       .filter($"hamming" <= 3)
       .select($"doc_a", $"doc_b", $"hamming")
+      .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
 
