@@ -119,25 +119,67 @@ object Similarity {
        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        ORDER BY cosine DESC, vec_a, vec_b LIMIT 20"""
 
-  /** IVF-style ANN: assign every vector to its nearest of 8 fixed centroids
-    * (the embeddings with vec_id 0..7 — a real deployment would k-means
-    * train these; fixed centroids keep the oracle deterministic), then
-    * search only the query's own cluster. Shuffle key = cluster id: the
-    * 10^11-vector layout is "partition by cluster, broadcast the probe set".
-    * Top-3 per query by rounded cosine. */
+  /** IVF-style ANN with TRAINED centroids: deterministic k-means-lite (k=8,
+    * 2 Lloyd iterations, seeds = vectors 0..7) run in integer basis-point
+    * space — quantize each dimension to floor(x*10^4), so distances are
+    * exact integers and centroid means are exact truncating divisions in
+    * BOTH engines (Spark DIV == DuckDB // on negatives too); float-mean
+    * k-means would hit partial-agg-order nondeterminism. Assignment inlines
+    * the 8x64 centroid matrix as literals: a least() chain over codegen'd
+    * l2_sq calls, no join. Search touches only the query's own cluster;
+    * shuffle key = cluster id — at 10^11 vectors the layout is "partition by
+    * cluster, broadcast the probe set". Top-3 per query by rounded cosine. */
+  val IvfK = 8
+  val IvfIters = 2
+
+  /** Basis-point quantized copy: bp values are small exact integers in
+    * float32, and l2_sq's double accumulation over them is exact. */
+  private def quantized(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.embeddings.select($"vec_id", $"embedding",
+      expr("transform(embedding, x -> cast(floor(cast(x AS double) * 10000) AS float))").as("qe"))
+  }
+
+  /** Adds `cluster` = argmin_k l2_sq(qe, centroid_k), ties broken by k. */
+  private def assignCluster(df: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    val dks = cents.zipWithIndex.map { case (c, k) =>
+      struct(
+        call_function("l2_sq", col("qe"), array(c.map(v => lit(v.toFloat)): _*)).as("dist"),
+        lit(k).as("k"))
+    }
+    df.withColumn("cluster", least(dks: _*).getField("k"))
+  }
+
+  /** Lloyd iterations; centroids are driver-side model state (8x64 longs),
+    * like any trained-model broadcast — each round is one distributed
+    * assign+sum job, and empty clusters keep their previous centroid. */
+  def trainIvfCentroids(t: T, k: Int = IvfK, iters: Int = IvfIters): Array[Array[Long]] = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val ebp = quantized(t)
+    var cents = ebp.filter($"vec_id" < k).orderBy($"vec_id")
+      .select($"qe").as[Array[Float]].collect().map(_.map(_.toLong))
+    for (_ <- 1 to iters) {
+      val stats = assignCluster(ebp, cents)
+        .select($"cluster", posexplode($"qe").as(Seq("pos", "v")))
+        .groupBy($"cluster", $"pos")
+        .agg(sum($"v".cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      stats.foreach { r =>
+        // Long./ truncates toward zero — matches Spark DIV and DuckDB //
+        next(r.getInt(0))(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+      }
+      cents = next
+    }
+    cents
+  }
+
   def s04IvfAnn(t: T): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val cents = t.embeddings.filter($"vec_id" < 8)
-      .select($"vec_id".as("k"), $"embedding".as("c_emb"))
-    // nearest centroid per vector: min over (dist, k) — k breaks dist ties
-    val assigned = t.embeddings
-      .crossJoin(broadcast(cents))
-      .select($"vec_id", $"embedding",
-        struct(expr("l2_sq(embedding, c_emb)").as("dist"), $"k").as("dk"))
-      .groupBy($"vec_id", $"embedding")
-      .agg(min($"dk").as("dk"))
-      .select($"vec_id", $"embedding", $"dk.k".as("cluster"))
+    val assigned = assignCluster(quantized(t), trainIvfCentroids(t))
+      .select($"vec_id", $"embedding", $"cluster")
     val q = assigned.filter($"vec_id" % 25 === 0)
       .select($"cluster".as("qc"), $"vec_id".as("query_id"), $"embedding".as("q_emb"))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
@@ -150,21 +192,41 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** One assignment pass against centroid CTE `cents`. */
+  private def duckAssign(cents: String): String =
+    s"""(SELECT vec_id, qe, k AS cluster FROM (
+          SELECT e.vec_id, e.qe, c.k,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(range(1, 65), i ->
+                     (e.qe[i] - c.c[i]) * (e.qe[i] - c.c[i]))) ASC, c.k ASC) AS rn
+          FROM ebp e CROSS JOIN $cents c)
+        WHERE rn = 1)"""
+
+  /** Centroid update: per-dim integer sums, truncating division; empty
+    * clusters inherit the previous centroid. */
+  private def duckUpdate(assigned: String, prev: String): String =
+    s"""(SELECT p.k, COALESCE(m.c, p.c) AS c
+        FROM $prev p LEFT JOIN (
+          SELECT cluster AS k, list(v ORDER BY i) AS c FROM (
+            SELECT cluster, i, SUM(qe[i::INT])::BIGINT // COUNT(*)::BIGINT AS v
+            FROM $assigned, range(1, 65) r(i) GROUP BY cluster, i)
+          GROUP BY cluster) m ON p.k = m.k)"""
+
   val s04Oracle: String =
-    s"""WITH cents AS (SELECT vec_id AS k, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
-       assigned AS (
-         SELECT vec_id, embedding, k AS cluster FROM (
-           SELECT e.vec_id, e.embedding, c.k,
-                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                    list_sum(list_transform(range(1, 65), i ->
-                      (e.embedding[i]::DOUBLE - c.c_emb[i]::DOUBLE)
-                      * (e.embedding[i]::DOUBLE - c.c_emb[i]::DOUBLE))) ASC, c.k ASC) AS rn
-           FROM embeddings e CROSS JOIN cents c)
-         WHERE rn = 1),
+    s"""WITH ebp AS (
+         SELECT vec_id, embedding,
+                list_transform(range(1, 65), i -> floor(embedding[i]::DOUBLE * 10000)::BIGINT) AS qe
+         FROM embeddings),
+       c0 AS (SELECT vec_id AS k, qe AS c FROM ebp WHERE vec_id < $IvfK),
+       a0 AS ${duckAssign("c0")},
+       c1 AS ${duckUpdate("a0", "c0")},
+       a1 AS ${duckAssign("c1")},
+       c2 AS ${duckUpdate("a1", "c1")},
+       af AS ${duckAssign("c2")},
        pairs AS (
          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                 ROUND(${duckCos("a", "b")}, 4) + 0.0 AS cosine
-         FROM assigned q JOIN assigned c
+         FROM af q JOIN af c
            ON q.cluster = c.cluster AND q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
          JOIN embeddings a ON a.vec_id = q.vec_id
          JOIN embeddings b ON b.vec_id = c.vec_id),
