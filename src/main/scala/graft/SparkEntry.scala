@@ -20,7 +20,8 @@ object SparkEntry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
-      operators.UserFns.defs
+      operators.UserFns.defs ++
+      streaming.StreamOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -30,5 +31,6 @@ object SparkEntry {
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
-      operators.UserFns.oracles
+      operators.UserFns.oracles ++
+      streaming.StreamOps.oracles
 }

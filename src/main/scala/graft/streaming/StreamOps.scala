@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -92,4 +92,32 @@ object StreamOps {
     * (broadcast at scale) — no state, no watermark needed. */
   def enrichWithUsers(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left_outer")
+
+  /** Batch twin of [[windowedTypeCounts]], declared for oracle coverage: the
+    * SAME plan runs over the events table as a bounded frame (Catalyst's
+    * EliminateEventTimeWatermark drops the watermark in batch), so the
+    * window-bucketing and aggregate arithmetic get a DuckDB hash-check the
+    * MemoryStream parity specs can't give. `value` is floored before the sum
+    * so the grouped double aggregate is order-independent (exact integers in
+    * doubles), per the cross-engine determinism rules. */
+  def w01WindowedTypeCounts(t: graft.T): DataFrame = {
+    import t.spark.implicits._
+    windowedTypeCounts(t.events.withColumn("value", floor($"value")))
+      .select($"window_start", $"event_type", $"n",
+        $"sum_value".cast("long").as("sum_value"))
+      .orderBy($"window_start", $"event_type")
+  }
+
+  val w01Oracle: String =
+    """SELECT date_trunc('minute', ts) AS window_start, event_type,
+              COUNT(*) AS n, SUM(FLOOR(value))::BIGINT AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w01_windowed_type_counts" -> ((s, d) => w01WindowedTypeCounts(graft.T(s, d))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "w01_windowed_type_counts" -> w01Oracle,
+  )
 }
