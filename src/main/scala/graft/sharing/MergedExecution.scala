@@ -61,4 +61,29 @@ object MergedExecution {
     try jobs.map(j => j.name -> action(split(merged, keyCols, j))).toMap
     finally merged.unpersist(blocking = false)
   }
+
+  /** One job executed in isolation (no meta-plan) — same output shape as
+    * [[split]] of a merged run. */
+  def runIsolated(scan: DataFrame, keyCols: Seq[String], job: FilterAggJob): DataFrame =
+    scan.filter(job.filter)
+      .groupBy(keyCols.map(col): _*)
+      .agg(job.agg(col(job.valueCol)).as(job.name))
+
+  /** Cost-gated dispatch: [[MRSharePolicy]]'s DP decides which jobs merge
+    * (by their map-output ratio `d` — output bytes / scan bytes, estimable
+    * from stats as |groups| x row width / input size); groups it prices as a
+    * win run through [[runMerged]], the rest run isolated. Results are
+    * identical either way (the metamorphic property the spec asserts) — the
+    * policy only moves the cost. */
+  def runCostGated[A](scan: DataFrame, keyCols: Seq[String], jobs: Seq[FilterAggJob],
+                      mapOutputRatio: FilterAggJob => Double,
+                      action: DataFrame => A): Map[String, A] = {
+    val byName = jobs.map(j => j.name -> j).toMap
+    MRSharePolicy.plan(jobs.map(j => MRSharePolicy.jobOf(j.name, mapOutputRatio(j))))
+      .flatMap { group =>
+        val members = group.map(g => byName(g.name))
+        if (members.size > 1) runMerged(scan, keyCols, members, action)
+        else members.map(j => j.name -> action(runIsolated(scan, keyCols, j)))
+      }.toMap
+  }
 }

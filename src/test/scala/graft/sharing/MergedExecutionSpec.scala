@@ -45,4 +45,29 @@ class MergedExecutionSpec extends SparkSpec {
     val out = runMerged(li, Seq("l_linestatus"), Seq(none), snap)
     assert(out("impossible").isEmpty)
   }
+
+  // per-job map-output ratios that make the DP split the window: 0.005 -> p=1,
+  // 10.0 -> p=3. The cheap shallow member joins the deep leader (it pays only
+  // 2*0.005*dp), while the anchored first group's delta=1 surcharge leaves
+  // qty_returned isolated — both branches of the dispatch get exercised.
+  private val mixedRatios = Map(
+    "qty_returned" -> 0.005, "qty_cheap" -> 10.0, "qty_taxed" -> 0.005)
+
+  test("cost-gated dispatch returns identical results whether it merges or not") {
+    val expected = jobs.map(j => j.name -> snap(separate(j))).toMap
+    // tiny equal ratios: the DP merges everything
+    assert(runCostGated(li, Seq("l_linestatus"), jobs, _ => 0.01, snap) == expected)
+    // mixed ratios: partial merge + isolated job — same answers
+    assert(runCostGated(li, Seq("l_linestatus"), jobs, j => mixedRatios(j.name), snap)
+      == expected)
+  }
+
+  test("cost gate actually consults the policy (merge vs isolate split)") {
+    val groups = MRSharePolicy.plan(
+      jobs.map(j => MRSharePolicy.jobOf(j.name, mixedRatios(j.name))))
+    val (merged, singles) = groups.partition(_.size > 1)
+    assert(merged.size == 1 &&
+      merged.head.map(_.name).toSet == Set("qty_taxed", "qty_cheap"), groups)
+    assert(singles.flatten.map(_.name) == Seq("qty_returned"), groups)
+  }
 }
