@@ -27,6 +27,9 @@ object Engine {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.scheduler.mode", "FAIR")
+      // priority-class pool weights (urgent 8 : default 2 : bulk 1) for the
+      // pre-scheduler's job classes — Spark reads weights only from a file
+      .config("spark.scheduler.allocation.file", sharing.FairPools.allocationFile())
     val spark = master.fold(b)(b.master).getOrCreate()
     functions.Registry.ensure(spark) // covers the getOrCreate-reuse path too
     operators.UserFns.ensure(spark)

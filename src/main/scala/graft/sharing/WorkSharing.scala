@@ -40,8 +40,61 @@ import org.apache.spark.storage.StorageLevel
   * reference's own thesis (report.pdf ch.5: GC from per-tuple tagging), so the
   * merge rewrite is intentionally not the default policy here.
   */
+/** Scheduling metadata a client attaches to a job — the reference's
+  * DAGMetadata descriptor keys (its README's --metadata flags); `priority`
+  * > 0 marks urgent, < 0 bulk; `deadlineMs` is an epoch-millis EDF key. */
+final case class JobMeta(priority: Int = 0, deadlineMs: Option[Long] = None) {
+  /** FAIR pool class: weights come from [[FairPools.allocationFile]]. */
+  def pool: String =
+    if (priority > 0) "graft-urgent" else if (priority < 0) "graft-bulk" else "graft-default"
+}
+
 final case class QueryJob[A](name: String, build: SparkSession => DataFrame,
-                             action: DataFrame => A)
+                             action: DataFrame => A, meta: JobMeta = JobMeta())
+
+/** Admission-ordering strategies for a batch window — the PreScheduler slot.
+  * The reference only ever shipped the FIFO DummyStrategy and left
+  * "deadline, priority..." as a comment (reference:
+  * .../scheduler/prescheduler/PreScheduler.scala:39-46,
+  * .../WorksharingExecutor.scala:50); these are those strategies. Ordering
+  * matters because the executor's thread pool starts jobs in admission order:
+  * with more jobs than slots, front of the window = first on a core. */
+sealed trait PreStrategy {
+  def order[A](jobs: Seq[QueryJob[A]]): Seq[QueryJob[A]]
+}
+
+/** Arrival order (the reference's DummyStrategy). */
+case object FifoStrategy extends PreStrategy {
+  def order[A](jobs: Seq[QueryJob[A]]): Seq[QueryJob[A]] = jobs
+}
+
+/** Earliest deadline first; no-deadline jobs follow, by descending priority;
+  * stable (arrival) within a tie. */
+case object DeadlinePriorityStrategy extends PreStrategy {
+  def order[A](jobs: Seq[QueryJob[A]]): Seq[QueryJob[A]] =
+    jobs.sortBy(j => (j.meta.deadlineMs.getOrElse(Long.MaxValue), -j.meta.priority))
+}
+
+/** FAIR pool weights for the job classes. Spark only reads pool weights from
+  * an allocation file, so generate one (urgent outweighs default 8:1; bulk
+  * runs at weight 1 with no minShare) and point
+  * `spark.scheduler.allocation.file` at it when building the session. */
+object FairPools {
+  def allocationFile(): String = {
+    val xml =
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <pool name="graft-urgent"><schedulingMode>FAIR</schedulingMode><weight>8</weight><minShare>1</minShare></pool>
+        |  <pool name="graft-default"><schedulingMode>FAIR</schedulingMode><weight>2</weight><minShare>0</minShare></pool>
+        |  <pool name="graft-bulk"><schedulingMode>FAIR</schedulingMode><weight>1</weight><minShare>0</minShare></pool>
+        |</allocations>
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft-fair-pools", ".xml")
+    java.nio.file.Files.write(f, xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+}
 
 /** A scan relation shared by >= 2 jobs in a window. `relation` is the exact
   * LogicalRelation node from the first job's analyzed plan — caching wraps it
@@ -148,10 +201,11 @@ final class WorkSharingExecutor(
     }
     evictOverBudget()
 
-    // Concurrent submission on FAIR pools (reference: JobConcurrent threads).
+    // Concurrent submission on FAIR pools (reference: JobConcurrent threads);
+    // the pool is the job's priority class — weights via FairPools.
     val futures = jobs.map { j =>
       j.name -> Future {
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-${j.name}")
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", j.meta.pool)
         try j.action(j.build(spark))
         finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
       }
@@ -188,7 +242,8 @@ final class WorkSharingExecutor(
 final class BatchWindow[A](
     executor: WorkSharingExecutor,
     windowSize: Int = 4,
-    maxWaitMs: Long = 500) {
+    maxWaitMs: Long = 500,
+    strategy: PreStrategy = FifoStrategy) {
 
   private case class Pending(job: QueryJob[A], promise: scala.concurrent.Promise[A])
   private val queue = new java.util.concurrent.LinkedBlockingQueue[Pending]()
@@ -213,7 +268,8 @@ final class BatchWindow[A](
       if (batch.nonEmpty) {
         val jobs = batch.toSeq
         try {
-          val results = executor.runBatch(jobs.map(_.job))
+          // pre-scheduling: admission order within the window
+          val results = executor.runBatch(strategy.order(jobs.map(_.job)))
           jobs.foreach(p => p.promise.success(results(p.job.name)))
         } catch {
           case e: Throwable => jobs.foreach(_.promise.tryFailure(e))

@@ -75,4 +75,44 @@ class WorkSharingSpec extends SparkSpec {
       }
     } finally { win.close(); ex.shutdown() }
   }
+
+  test("pre-scheduler: an urgent job overtakes a window of bulk jobs") {
+    // one executor slot makes admission order the start order; the urgent
+    // job arrives LAST but the DeadlinePriority strategy fronts it
+    val ex = new WorkSharingExecutor(spark, maxConcurrency = 1)
+    val win = new BatchWindow[Long](ex, windowSize = 5, maxWaitMs = 2000,
+      strategy = DeadlinePriorityStrategy)
+    val started = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def job(name: String, meta: JobMeta) = QueryJob[Long](name,
+      s => { s.range(0, 500000).toDF("id") },
+      df => { started.add(name); df.count() }, meta)
+    try {
+      val bulk = (1 to 4).map(i => win.submit(job(s"bulk$i", JobMeta(priority = -1))))
+      val urgent = win.submit(job("urgent",
+        JobMeta(priority = 3, deadlineMs = Some(1L))))
+      (bulk :+ urgent).foreach(f => Await.result(f, 5.minutes))
+      assert(started.peek() == "urgent", started.toString)
+    } finally { win.close(); ex.shutdown() }
+  }
+
+  test("pre-scheduler strategies order and pool-class jobs as declared") {
+    val a = QueryJob[Long]("a", _.range(1).toDF, _.count(), JobMeta(priority = -2))
+    val b = QueryJob[Long]("b", _.range(1).toDF, _.count(),
+      JobMeta(deadlineMs = Some(50L)))
+    val c = QueryJob[Long]("c", _.range(1).toDF, _.count(), JobMeta(priority = 9))
+    val d = QueryJob[Long]("d", _.range(1).toDF, _.count())
+    assert(FifoStrategy.order(Seq(a, b, c, d)).map(_.name) == Seq("a", "b", "c", "d"))
+    assert(DeadlinePriorityStrategy.order(Seq(a, b, c, d)).map(_.name) ==
+      Seq("b", "c", "d", "a"))
+    assert(a.meta.pool == "graft-bulk" && c.meta.pool == "graft-urgent"
+      && d.meta.pool == "graft-default")
+    // the generated allocation file parses and carries the three pools
+    val path = FairPools.allocationFile()
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder().parse(new java.io.File(path))
+    val pools = doc.getElementsByTagName("pool")
+    val names = (0 until pools.getLength)
+      .map(i => pools.item(i).getAttributes.getNamedItem("name").getNodeValue).toSet
+    assert(names == Set("graft-urgent", "graft-default", "graft-bulk"))
+  }
 }
