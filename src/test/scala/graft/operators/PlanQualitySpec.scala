@@ -60,6 +60,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
   }
 
+  test("d06: simhash pair candidates join on chunk keys, not per-lang all-pairs") {
+    val p = plan("d06_simhash_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the equi-join keys must include the chunk blocking key, so the only
+    // non-equi predicate left is doc_a < doc_b
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("s04: IVF search joins on cluster id with a broadcast probe set") {
+    val p = plan("s04_ivf_ann")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline") {
     // "*(n)" prefixes mark operators fused into whole-stage codegen; AQE
     // only shows them after the stages actually run
