@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
       operators.UserFns.defs ++
+      operators.Pipeline.defs ++
       streaming.StreamOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +33,6 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
       operators.UserFns.oracles ++
+      operators.Pipeline.oracles ++
       streaming.StreamOps.oracles
 }

@@ -789,8 +789,30 @@ object Relational {
        LEFT JOIN daily ON user_id = u AND day = d
        ORDER BY user_id, day"""
 
+  /** Exact multi-percentile aggregation (quartiles of quantity per return
+    * flag). Spark's `percentile` and DuckDB's `quantile_cont` use the same
+    * type-7 interpolation, and quartiles of integer-valued quantities
+    * interpolate to exact binary fractions — the doubles hash-match without
+    * rounding. */
+  def q39Percentiles(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q39Oracle: String =
+    """SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25,
+              quantile_cont(l_quantity, 0.5) AS p50,
+              quantile_cont(l_quantity, 0.75) AS p75, COUNT(*) AS n
+       FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_percentiles"      -> ((s, d) => q39Percentiles(T(s, d))),
     "q01_pricing_summary"  -> ((s, d) => q01PricingSummary(T(s, d))),
     "q02_filter_project"   -> ((s, d) => q02FilterProject(T(s, d))),
     "q03_segment_revenue"  -> ((s, d) => q03SegmentRevenue(T(s, d))),
@@ -870,5 +892,6 @@ object Relational {
     "q36_listagg"          -> q36Oracle,
     "q37_from_json"        -> q37Oracle,
     "q38_gap_fill"         -> q38Oracle,
+    "q39_percentiles"      -> q39Oracle,
   )
 }
