@@ -159,11 +159,18 @@ final class SharePolicy(budgetBytes: Long) {
   }
 }
 
-/** Batched work-sharing executor over one shared SparkSession. */
+/** Batched work-sharing executor over one shared SparkSession.
+  *
+  * With `autoMerge` on, the window first runs [[AutoMerge]]: compatible
+  * aggregate jobs collapse into one FILTER-aggregate meta-plan (one scan,
+  * one shuffle); everything else executes unmerged but still shares cached
+  * scans — the two rewrites composing is the reference's hybrid slot
+  * (§2.1 #19, a stub there). */
 final class WorkSharingExecutor(
     spark: SparkSession,
     budgetBytes: Long = 2L * 1024 * 1024 * 1024,
-    maxConcurrency: Int = 8) {
+    maxConcurrency: Int = 8,
+    autoMerge: Boolean = false) {
 
   private val policy = new SharePolicy(budgetBytes)
   /** fingerprint -> (cached scan DF, size, last-used batch). */
@@ -181,6 +188,10 @@ final class WorkSharingExecutor(
   def runBatch[A](jobs: Seq[QueryJob[A]]): Map[String, A] = synchronized {
     batchNo += 1
     val built = jobs.map(j => (j.name, j.build(spark)))
+    val byName = jobs.map(j => j.name -> j).toMap
+    val (mergeGroups, unmergedNames) =
+      if (autoMerge) AutoMerge.detect(built)
+      else (Seq.empty[Seq[(String, AutoMerge.Shape)]], built.map(_._1))
     val groups = ShareDetector.detect(spark, built)
     val toShare = policy.choose(groups)
 
@@ -203,14 +214,31 @@ final class WorkSharingExecutor(
 
     // Concurrent submission on FAIR pools (reference: JobConcurrent threads);
     // the pool is the job's priority class — weights via FairPools.
-    val futures = jobs.map { j =>
+    val singleFutures = unmergedNames.map(byName).map { j =>
       j.name -> Future {
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", j.meta.pool)
         try j.action(j.build(spark))
         finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
       }
     }
-    futures.map { case (n, f) => n -> Await.result(f, 30.minutes) }.toMap
+    // each merge group = one meta-job: materialize once, split per member
+    val groupFutures = mergeGroups.map { group =>
+      Future {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+          group.map(g => byName(g._1).meta).maxBy(_.priority).pool)
+        val merged = AutoMerge.mergedPlan(spark, group)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try group.map { case (n, sh) =>
+          n -> byName(n).action(AutoMerge.split(merged, n, sh))
+        }.toMap
+        finally {
+          merged.unpersist(blocking = false)
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+        }
+      }
+    }
+    singleFutures.map { case (n, f) => n -> Await.result(f, 30.minutes) }.toMap ++
+      groupFutures.flatMap(f => Await.result(f, 30.minutes))
   }
 
   /** LRU eviction — the reference unpersisted *everything* between windows
