@@ -1,0 +1,50 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SynthSourceSpec extends SparkSpec {
+
+  private def synth(rows: Long, parts: Int = 4) =
+    spark.read.format("graft.sources.SynthSource")
+      .option("rows", rows.toString).option("partitions", parts.toString).load()
+
+  test("generates the requested rows across the requested partitions") {
+    val df = synth(10000, parts = 8)
+    assert(df.count() == 10000)
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.columns.toSeq == Seq("doc_id", "lang", "text"))
+  }
+
+  test("reads are deterministic regardless of partitioning") {
+    val a = snap(synth(500, parts = 2))
+    val b = snap(synth(500, parts = 7))
+    assert(a == b)
+  }
+
+  test("doc_id range filters push into the generator (partition pruning)") {
+    val df = synth(1000000).filter(col("doc_id") >= 100 && col("doc_id") < 300)
+    assert(df.count() == 200)
+    // the pruned range must reach the scan BEFORE partition planning
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SynthScan[100,300)"), plan)
+  }
+
+  test("unrequested columns are never generated (column pruning)") {
+    val df = synth(1000).select("lang")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=lang") && !plan.contains("text"), plan)
+    assert(df.distinct().count() == 5)
+  }
+
+  test("the synthetic corpus drives real operators end-to-end") {
+    // same shape as documents: the engine's text ops run on it unchanged
+    graft.functions.Registry.ensure(spark)
+    val agg = synth(20000, parts = 8)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+    assert(agg.count() == 5)
+    assert(agg.agg(sum("n")).head.getLong(0) == 20000)
+  }
+}
