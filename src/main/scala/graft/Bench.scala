@@ -16,8 +16,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so session startup cost is not charged to whichever
-    // query happens to run first
+    // query happens to run first; the tiny parquet read initializes the
+    // Hadoop FS + parquet reader stack (otherwise billed to the first query)
     spark.range(2000000).selectExpr("sum(id * 2)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     // optional arg (local dev only): comma-separated name-prefix filter
     val only: String => Boolean =
       if (args.nonEmpty) { val ps = args(0).split(","); n => ps.exists(n.startsWith) }
