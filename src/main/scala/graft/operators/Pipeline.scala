@@ -115,15 +115,187 @@ object Pipeline {
               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        FROM cum GROUP BY 1, 2 ORDER BY lang, bin"""
 
+  /** Benchmark-contamination check: does a training doc share word-5-grams
+    * with the holdout set (source 'src0' plays the benchmark)? The scale
+    * shape is the important part: explode distinct n-grams, hash-join the
+    * (much smaller) holdout gram set, aggregate per doc — one shuffle on the
+    * gram key, never doc×doc all-pairs, so it survives a 100 TB corpus
+    * against a fixed benchmark suite. */
+  def p04Contamination(t: T): DataFrame = {
+    import t.spark.implicits._
+    val grams = t.documents
+      .select($"doc_id", $"source", split($"text", " ").as("toks"))
+      .select($"doc_id", $"source", explode(expr(
+        // sequence(1, n) DESCENDS when n < 1 — guard short docs explicitly
+        """CASE WHEN size(toks) >= 5
+             THEN transform(sequence(1, size(toks) - 4),
+                            i -> concat_ws(' ', slice(toks, i, 5)))
+             ELSE array() END""")).as("gram"))
+      .distinct()
+    val holdout = grams.filter($"source" === "src0")
+      .select($"gram").distinct().withColumn("hit", lit(1L))
+    grams.filter($"source" =!= "src0")
+      .join(holdout, Seq("gram"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
+      .withColumn("contamination_bp", expr("(n_contaminated * 10000) DIV n_grams"))
+      .orderBy($"doc_id")
+  }
+
+  val p04Oracle: String =
+    """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+       g AS (SELECT DISTINCT doc_id, source,
+               unnest(list_transform(range(1, len(ts) - 3),
+                        i -> array_to_string(list_slice(ts, i, i + 4), ' '))) AS gram
+             FROM tok),
+       hold AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+       ev AS (SELECT doc_id, gram FROM g WHERE source <> 'src0')
+       SELECT ev.doc_id, COUNT(*) AS n_grams,
+              SUM(CASE WHEN h.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+              (SUM(CASE WHEN h.gram IS NOT NULL THEN 1 ELSE 0 END) * 10000
+                 // COUNT(*))::BIGINT AS contamination_bp
+       FROM ev LEFT JOIN hold h USING (gram)
+       GROUP BY ev.doc_id ORDER BY doc_id"""
+
+  /** PII/blocklist scrub: one regex union of an email shape, a phone shape
+    * and corpus blocklist terms, replaced with a mask token; the audit output
+    * (match count + post-scrub length) is what a compliance pipeline logs.
+    * Narrow per-row projection — codegen'd, no shuffle. */
+  def p05PiiScrub(t: T): DataFrame = {
+    import t.spark.implicits._
+    // DSL (not expr): SQL string-literal unescaping would eat the \b / \d
+    val pat = "[a-z]+@[a-z]+\\.[a-z]+|\\b\\d{3}-\\d{4}\\b|\\b(customer|user)\\b"
+    t.documents
+      .select($"doc_id",
+        regexp_count($"text", lit(pat)).cast("long").as("n_masked"),
+        length(regexp_replace($"text", pat, "[PII]")).cast("long").as("len_after"))
+      .orderBy($"doc_id")
+  }
+
+  val p05Oracle: String =
+    """SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+@[a-z]+\.[a-z]+|\b\d{3}-\d{4}\b|\b(customer|user)\b'))::BIGINT AS n_masked,
+       length(regexp_replace(text, '[a-z]+@[a-z]+\.[a-z]+|\b\d{3}-\d{4}\b|\b(customer|user)\b', '[PII]', 'g'))::BIGINT AS len_after
+       FROM documents ORDER BY doc_id"""
+
+  /** Repetition / boilerplate detection: type-token ratio and the share of
+    * the doc taken by its single most frequent token, in integer basis
+    * points. Explode + two aggregations (the distributed shape) rather than
+    * per-row lambdas (interpreted, see [[graft.functions.TextExprs]]). */
+  def p06Repetition(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("n"))
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max($"n").as("max_tok_freq"))
+      .select($"doc_id", $"n_tokens", $"n_distinct",
+        expr("(n_distinct * 10000) DIV n_tokens").as("type_token_bp"),
+        expr("(max_tok_freq * 10000) DIV n_tokens").as("repetition_bp"),
+        expr("(max_tok_freq * 10000) DIV n_tokens > 1500").as("boilerplate"))
+      .orderBy($"doc_id")
+  }
+
+  val p06Oracle: String =
+    """WITH tf AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       counted AS (
+         SELECT doc_id, tok, COUNT(*) AS n FROM tf GROUP BY doc_id, tok),
+       per_doc AS (
+         SELECT doc_id, SUM(n)::BIGINT AS n_tokens, COUNT(*) AS n_distinct,
+                MAX(n)::BIGINT AS max_tok_freq
+         FROM counted GROUP BY doc_id)
+       SELECT doc_id, n_tokens, n_distinct,
+              (n_distinct * 10000 // n_tokens)::BIGINT AS type_token_bp,
+              (max_tok_freq * 10000 // n_tokens)::BIGINT AS repetition_bp,
+              (max_tok_freq * 10000 // n_tokens) > 1500 AS boilerplate
+       FROM per_doc ORDER BY doc_id"""
+
+  /** Stratified sampling: per-language rates from a broadcast dim table,
+    * admission by content-fingerprint bucket (deterministic under
+    * re-ingestion and re-partitioning, unlike rand()). Broadcast join +
+    * narrow filter — the corpus itself never shuffles, which is the only
+    * acceptable shape for a 100 TB downsample. Unlisted languages fall back
+    * to a 50% default via coalesce. */
+  def p07StratifiedSample(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val rates = Seq(("en", 30L), ("es", 60L), ("fr", 60L), ("de", 60L))
+      .toDF("lang", "rate")
+    t.documents
+      .join(broadcast(rates), Seq("lang"), "left")
+      .withColumn("bucket",
+        pmod(expr("weighted_fingerprint(shingle_hashes(text, 4, false))"), lit(100)))
+      .filter($"bucket" < coalesce($"rate", lit(50L)))
+      .select($"doc_id", $"lang", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  val p07Oracle: String =
+    s"""WITH rates(lang, rate) AS (VALUES ('en', 30), ('es', 60), ('fr', 60), ('de', 60)),
+       fp AS (SELECT doc_id, d.lang, $fpDuck % 100 AS bucket, r.rate
+              FROM documents d LEFT JOIN rates r USING (lang))
+       SELECT doc_id, lang, bucket FROM fp
+       WHERE bucket < COALESCE(rate, 50) ORDER BY doc_id"""
+
+  /** Per-source quota capping: keep the top-10 docs per source by the t03
+    * quality score (doc_id tiebreak) — the over-representation guard a
+    * crawl-scale pipeline applies per domain. One window shuffle on
+    * `source`; rank computation is partition-local. */
+  def p08SourceQuota(t: T): DataFrame = {
+    import t.spark.implicits._
+    val scored = t.documents
+      .withColumn("n_tok", size(split($"text", " ")).cast("long"))
+      .withColumn("n_dis", size(expr("array_distinct(split(text, ' '))")).cast("long"))
+      .withColumn("quality_bp",
+        expr("((n_dis * 10000) DIV n_tok) * 5 DIV 10 + least(n_tok, 100L) * 30"))
+    val w = Window.partitionBy($"source").orderBy($"quality_bp".desc, $"doc_id")
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 10)
+      .select($"source", $"rk", $"doc_id", $"quality_bp")
+      .orderBy($"source", $"rk")
+  }
+
+  val p08Oracle: String =
+    """WITH scored AS (
+         SELECT doc_id, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis
+         FROM documents),
+       q AS (
+         SELECT doc_id, source,
+                ((n_dis * 10000) // n_tok) * 5 // 10 + LEAST(n_tok, 100) * 30 AS quality_bp
+         FROM scored),
+       ranked AS (
+         SELECT source, doc_id, quality_bp,
+                ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY quality_bp DESC, doc_id) AS rk
+         FROM q)
+       SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, quality_bp::BIGINT AS quality_bp
+       FROM ranked WHERE rk <= 10 ORDER BY source, rk"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
     "p03_sequence_packing" -> ((s, d) => p03SequencePacking(T(s, d))),
+    "p04_contamination"    -> ((s, d) => p04Contamination(T(s, d))),
+    "p05_pii_scrub"        -> ((s, d) => p05PiiScrub(T(s, d))),
+    "p06_repetition"       -> ((s, d) => p06Repetition(T(s, d))),
+    "p07_stratified_sample" -> ((s, d) => p07StratifiedSample(T(s, d))),
+    "p08_source_quota"     -> ((s, d) => p08SourceQuota(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
     "p01_train_test_split" -> p01Oracle,
     "p02_text_normalize"   -> p02Oracle,
     "p03_sequence_packing" -> p03Oracle,
+    "p04_contamination"    -> p04Oracle,
+    "p05_pii_scrub"        -> p05Oracle,
+    "p06_repetition"       -> p06Oracle,
+    "p07_stratified_sample" -> p07Oracle,
+    "p08_source_quota"     -> p08Oracle,
   )
 }

@@ -76,6 +76,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("p04: contamination check hash-joins the holdout gram set, no all-pairs") {
+    val p = plan("p04_contamination")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("p07: stratified sample broadcasts the rates dim; corpus is not shuffled") {
+    val p = plan("p07_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only exchange allowed is the broadcast + the final global orderBy's
+    // range partitioning — no hash repartitioning of the documents scan
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline") {
     // "*(n)" prefixes mark operators fused into whole-stage codegen; AQE
     // only shows them after the stages actually run
