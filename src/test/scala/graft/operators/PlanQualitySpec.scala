@@ -90,6 +90,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p)
   }
 
+  test("d08: prefix-filtered Jaccard join is an equi-join with full recall over d04") {
+    val p = plan("d08_prefix_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // prefix filtering is exact (pigeonhole): it must find every pair the
+    // probabilistic LSH path (same 0.8 threshold) found
+    val t = T(spark, sfDir)
+    val d08 = Dedup.d08PrefixJaccardJoin(t).select("doc_a", "doc_b")
+      .collect().map(_.toString).toSet
+    val d04 = Dedup.d04MinhashLshPairs(t).select("doc_a", "doc_b")
+      .collect().map(_.toString).toSet
+    assert(d04.subsetOf(d08), s"LSH found pairs prefix filter missed: ${d04 -- d08}")
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline") {
     // "*(n)" prefixes mark operators fused into whole-stage codegen; AQE
     // only shows them after the stages actually run
