@@ -810,6 +810,265 @@ object Relational {
               quantile_cont(l_quantity, 0.75) AS p75, COUNT(*) AS n
        FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
 
+  /** Statistical aggregates as exact integer moments: sample variance of
+    * quantity and quantity~discount covariance per linestatus, in milli-units
+    * via n*S2 - S1^2 over n(n-1). Spark's stddev_samp/covar_samp exist but
+    * reduce doubles in partial-agg order — not hash-stable cross-engine; the
+    * moment form is bit-exact (int64 safe through sf~1; beyond that the
+    * *1000 belongs after the DIV). Discount is fixed to basis points with
+    * FLOOR on both engines (same input double -> same product -> same floor). */
+  def q40StatsAggs(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .select($"l_linestatus",
+        $"l_quantity".cast("long").as("q"),
+        floor($"l_discount" * 10000).cast("long").as("d_bp"))
+      .groupBy($"l_linestatus")
+      .agg(count(lit(1)).as("n"), sum($"q").as("s1"), sum($"q" * $"q").as("s2"),
+        sum($"d_bp").as("t1"), sum($"q" * $"d_bp").as("sxy"))
+      .select($"l_linestatus", $"n",
+        expr("(n * s2 - s1 * s1) * 1000 DIV (n * (n - 1))").as("var_q_milli"),
+        expr("(n * sxy - s1 * t1) * 1000 DIV (n * (n - 1))").as("cov_qd_milli"))
+      .orderBy($"l_linestatus")
+  }
+
+  val q40Oracle: String =
+    """WITH b AS (SELECT l_linestatus, CAST(l_quantity AS BIGINT) AS q,
+                  CAST(FLOOR(l_discount * 10000) AS BIGINT) AS d_bp FROM lineitem),
+       m AS (SELECT l_linestatus, COUNT(*) AS n, SUM(q) AS s1, SUM(q * q) AS s2,
+                    SUM(d_bp) AS t1, SUM(q * d_bp) AS sxy
+             FROM b GROUP BY l_linestatus)
+       SELECT l_linestatus, n,
+              ((n * s2 - s1 * s1) * 1000 // (n * (n - 1)))::BIGINT AS var_q_milli,
+              ((n * sxy - s1 * t1) * 1000 // (n * (n - 1)))::BIGINT AS cov_qd_milli
+       FROM m ORDER BY l_linestatus"""
+
+  /** LATERAL correlated subquery — per-order aggregate computed inline (the
+    * decorrelation shape Catalyst rewrites into a join under the hood). */
+  def q41LateralJoin(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """SELECT o.o_orderkey, l.n_items, l.max_qty
+         FROM orders o, LATERAL (
+           SELECT COUNT(*) AS n_items,
+                  COALESCE(CAST(MAX(l_quantity) AS BIGINT), 0) AS max_qty
+           FROM lineitem WHERE l_orderkey = o.o_orderkey) l
+         WHERE o.o_orderkey <= 2000
+         ORDER BY o.o_orderkey""")
+  }
+
+  val q41Oracle: String =
+    """SELECT o.o_orderkey, l.n_items, l.max_qty
+       FROM orders o, LATERAL (
+         SELECT COUNT(*) AS n_items,
+                COALESCE(CAST(MAX(l_quantity) AS BIGINT), 0) AS max_qty
+         FROM lineitem WHERE l_orderkey = o.o_orderkey) l
+       WHERE o.o_orderkey <= 2000
+       ORDER BY o.o_orderkey"""
+
+  /** Array function family over per-order quantity arrays: sort, negative
+    * indexing, reverse+slice, fold (higher-order aggregate), membership.
+    * collect_list is order-nondeterministic — array_sort immediately after is
+    * what makes the column usable in a deterministic pipeline. */
+  def q42ArrayFns(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_list($"l_quantity".cast("long"))).as("qs"))
+      .select($"l_orderkey",
+        size($"qs").cast("long").as("n_items"),
+        expr("aggregate(qs, 0L, (a, x) -> a + x)").as("arr_sum"),
+        element_at($"qs", -1).as("arr_max"),
+        expr("aggregate(slice(reverse(qs), 1, 3), 0L, (a, x) -> a + x)").as("top3_sum"),
+        array_contains($"qs", 50L).as("has_50"))
+      .orderBy($"l_orderkey")
+  }
+
+  val q42Oracle: String =
+    """WITH arr AS (SELECT l_orderkey,
+         list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+       FROM lineitem GROUP BY l_orderkey)
+       SELECT l_orderkey, len(qs)::BIGINT AS n_items,
+              list_sum(qs)::BIGINT AS arr_sum,
+              qs[-1] AS arr_max,
+              list_sum(list_slice(list_reverse(qs), 1, 3))::BIGINT AS top3_sum,
+              list_contains(qs, 50) AS has_50
+       FROM arr ORDER BY l_orderkey"""
+
+  /** Map function family: build a per-bucket event_type->count map
+    * (map_from_entries over collected structs), then key lookup, cardinality
+    * and a fold over map_values. The oracle produces the same scalars with
+    * conditional aggregation — map lookups are order-independent, so the
+    * nondeterministic collect_list order never shows. */
+  def q43MapFns(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.events
+      .groupBy(($"user_id" % 10).as("user_bucket"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"user_bucket")
+      .agg(map_from_entries(collect_list(struct($"event_type", $"n"))).as("m"))
+      .select($"user_bucket",
+        element_at($"m", "click").as("clicks"),
+        element_at($"m", "error").as("errors"),
+        size($"m").cast("long").as("n_types"),
+        expr("aggregate(map_values(m), 0L, (a, x) -> a + x)").as("total"))
+      .orderBy($"user_bucket")
+  }
+
+  val q43Oracle: String =
+    """SELECT user_id % 10 AS user_bucket,
+              SUM(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT AS clicks,
+              SUM(CASE WHEN event_type = 'error' THEN 1 END)::BIGINT AS errors,
+              COUNT(DISTINCT event_type) AS n_types,
+              COUNT(*) AS total
+       FROM events GROUP BY 1 ORDER BY user_bucket"""
+
+  /** Unpivot/melt: wide per-flag metrics to (flag, metric, value) rows —
+    * Dataset.unpivot (SQL UNPIVOT); all melted metrics share one long type. */
+  def q44Unpivot(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_quantity".cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_items"),
+        floor(max($"l_extendedprice") * 100).cast("long").as("max_price_c"))
+      .unpivot(
+        Array($"l_returnflag"),
+        Array($"sum_qty", $"n_items", $"max_price_c"),
+        "metric", "value")
+      .orderBy($"l_returnflag", $"metric")
+  }
+
+  val q44Oracle: String =
+    """WITH w AS (SELECT l_returnflag, SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+                  COUNT(*) AS n_items,
+                  CAST(FLOOR(MAX(l_extendedprice) * 100) AS BIGINT) AS max_price_c
+           FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag, metric, value FROM (
+         SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+         UNION ALL SELECT l_returnflag, 'n_items', n_items FROM w
+         UNION ALL SELECT l_returnflag, 'max_price_c', max_price_c FROM w)
+       ORDER BY l_returnflag, metric"""
+
+  /** Distribution window family: ntile, percent_rank, cume_dist over a
+    * unique (totalprice, orderkey) ordering. The ratios are single IEEE
+    * divisions of identical integers on both engines — bit-stable without
+    * rounding. */
+  def q45NtileFamily(t: T): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    t.orders
+      .select($"o_orderkey", $"o_orderpriority",
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q45Oracle: String =
+    """SELECT o_orderkey, o_orderpriority,
+              CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+              PERCENT_RANK() OVER w AS pr,
+              CUME_DIST() OVER w AS cd
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+       ORDER BY o_orderkey"""
+
+  /** regexp_extract_all + array scalars: every >=6-letter word of the part
+    * name, counted and probed from both ends (negative indexing). */
+  def q46RegexpExtractAll(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.part
+      .select($"p_partkey",
+        expr("regexp_extract_all(p_name, '[a-z]{6,}', 0)").as("ws"))
+      .select($"p_partkey",
+        size($"ws").cast("long").as("n_words"),
+        // try_element_at: ANSI element_at throws on the empty-array probe
+        try_element_at($"ws", lit(1)).as("first_word"),
+        try_element_at($"ws", lit(-1)).as("last_word"),
+        // DuckDB's array_to_string on an empty list is NULL, Spark's
+        // concat_ws is '' — nullif aligns the engines
+        nullif(concat_ws("|", $"ws"), lit("")).as("joined"))
+      .orderBy($"p_partkey")
+  }
+
+  val q46Oracle: String =
+    """WITH e AS (SELECT p_partkey, regexp_extract_all(p_name, '[a-z]{6,}') AS ws FROM part)
+       SELECT p_partkey, len(ws)::BIGINT AS n_words,
+              ws[1] AS first_word, ws[-1] AS last_word,
+              array_to_string(ws, '|') AS joined
+       FROM e ORDER BY p_partkey"""
+
+  /** max_by/min_by (argmax aggregates): best/worst customer per nation by
+    * account balance. The ordering key packs (balance cents, custkey) into
+    * one int64 so ties on balance break deterministically — max_by with a
+    * non-unique key is free to return either row on either engine. */
+  def q47ArgMax(t: T): DataFrame = {
+    import t.spark.implicits._
+    val keyed = t.customer.withColumn("bal_key",
+      floor($"c_acctbal" * 100).cast("long") * 1000000L + $"c_custkey")
+    keyed.groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        expr("max_by(c_name, bal_key)").as("richest"),
+        expr("min_by(c_name, bal_key)").as("poorest"),
+        expr("max(bal_key) DIV 1000000").as("top_bal_cents"))
+      .orderBy($"c_nationkey")
+  }
+
+  val q47Oracle: String =
+    """WITH k AS (SELECT c_nationkey, c_name,
+                  CAST(FLOOR(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey AS bal_key
+           FROM customer)
+       SELECT c_nationkey, COUNT(*) AS n_customers,
+              arg_max(c_name, bal_key) AS richest,
+              arg_min(c_name, bal_key) AS poorest,
+              (MAX(bal_key) // 1000000)::BIGINT AS top_bal_cents
+       FROM k GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+  /** Boolean + bitwise aggregate family: bool_and/bool_or and
+    * bit_and/bit_or/bit_xor per order priority. */
+  def q48BoolBitAggs(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders.groupBy($"o_orderpriority")
+      .agg(expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+        expr("bool_or(o_totalprice > 400000)").as("any_over_400k"),
+        sum(when($"o_totalprice" > 150000, 1L).otherwise(0L)).as("n_over_150k"),
+        expr("bit_and(o_orderkey)").as("keys_and"),
+        expr("bit_or(o_orderkey)").as("keys_or"),
+        expr("bit_xor(o_orderkey)").as("keys_xor"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q48Oracle: String =
+    """SELECT o_orderpriority,
+              bool_and(o_totalprice > 1000) AS all_over_1k,
+              bool_or(o_totalprice > 400000) AS any_over_400k,
+              SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)::BIGINT AS n_over_150k,
+              bit_and(o_orderkey)::BIGINT AS keys_and,
+              bit_or(o_orderkey)::BIGINT AS keys_or,
+              bit_xor(o_orderkey)::BIGINT AS keys_xor
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** Exact median per group. Quantity is integer-valued and price is floored
+    * to integer cents first, so the even-count midpoint interpolates to an
+    * exact .0/.5 double on both engines regardless of how each writes
+    * lower + (upper-lower)*0.5. */
+  def q49Median(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem.groupBy($"l_returnflag")
+      .agg(expr("median(l_quantity)").as("median_qty"),
+        expr("median(cast(floor(l_extendedprice * 100) AS bigint))").as("median_price_c"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q49Oracle: String =
+    """SELECT l_returnflag, median(l_quantity) AS median_qty,
+              median(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS median_price_c,
+              COUNT(*) AS n
+       FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"      -> ((s, d) => q39Percentiles(T(s, d))),
@@ -851,6 +1110,16 @@ object Relational {
     "q36_listagg"          -> ((s, d) => q36ListAgg(T(s, d))),
     "q37_from_json"        -> ((s, d) => q37FromJson(T(s, d))),
     "q38_gap_fill"         -> ((s, d) => q38GapFill(T(s, d))),
+    "q40_stats_aggs"       -> ((s, d) => q40StatsAggs(T(s, d))),
+    "q41_lateral_join"     -> ((s, d) => q41LateralJoin(T(s, d))),
+    "q42_array_fns"        -> ((s, d) => q42ArrayFns(T(s, d))),
+    "q43_map_fns"          -> ((s, d) => q43MapFns(T(s, d))),
+    "q44_unpivot"          -> ((s, d) => q44Unpivot(T(s, d))),
+    "q45_ntile_family"     -> ((s, d) => q45NtileFamily(T(s, d))),
+    "q46_regexp_extract"   -> ((s, d) => q46RegexpExtractAll(T(s, d))),
+    "q47_arg_max"          -> ((s, d) => q47ArgMax(T(s, d))),
+    "q48_bool_bit_aggs"    -> ((s, d) => q48BoolBitAggs(T(s, d))),
+    "q49_median"           -> ((s, d) => q49Median(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -893,5 +1162,15 @@ object Relational {
     "q37_from_json"        -> q37Oracle,
     "q38_gap_fill"         -> q38Oracle,
     "q39_percentiles"      -> q39Oracle,
+    "q40_stats_aggs"       -> q40Oracle,
+    "q41_lateral_join"     -> q41Oracle,
+    "q42_array_fns"        -> q42Oracle,
+    "q43_map_fns"          -> q43Oracle,
+    "q44_unpivot"          -> q44Oracle,
+    "q45_ntile_family"     -> q45Oracle,
+    "q46_regexp_extract"   -> q46Oracle,
+    "q47_arg_max"          -> q47Oracle,
+    "q48_bool_bit_aggs"    -> q48Oracle,
+    "q49_median"           -> q49Oracle,
   )
 }
