@@ -93,6 +93,33 @@ object StreamOps {
   def enrichWithUsers(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left_outer")
 
+  /** Stream-stream interval join: purchases within 10 minutes after a click
+    * by the same user. Both sides carry watermarks and the join condition
+    * bounds event-time distance, so each side's buffered state is evictable —
+    * the only join shape that runs unbounded on two 100 TB/day feeds. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("ts", "10 minutes").alias("c")
+      .join(
+        purchases.withWatermark("ts", "10 minutes").alias("p"),
+        expr("""c.user_id = p.user_id
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTES"""))
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"),
+        col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"))
+
+  /** Native session windows: per-user sessions closed by a 5-minute
+    * event-time gap. The merge boundary is CLOSED: an event exactly gap
+    * after the previous one still extends the session (verified in
+    * StreamOpsSpec); only a strictly larger gap opens a new one, which the
+    * w02 oracle mirrors with `diff > gap`. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value")).cast("long")).as("value_floor_sum"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("value_floor_sum"))
+
   /** Batch twin of [[windowedTypeCounts]], declared for oracle coverage: the
     * SAME plan runs over the events table as a bounded frame (Catalyst's
     * EliminateEventTimeWatermark drops the watermark in batch), so the
@@ -113,11 +140,39 @@ object StreamOps {
               COUNT(*) AS n, SUM(FLOOR(value))::BIGINT AS sum_value
        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
 
+  /** Batch twin of [[sessionWindowCounts]] for oracle coverage. The DuckDB
+    * twin computes the same sessions with gaps-and-islands SQL (lag + running
+    * sum of session starts) — a cross-engine check that Spark's native
+    * session_window merge logic equals the standard relational formulation. */
+  def w02SessionWindows(t: graft.T): DataFrame = {
+    import t.spark.implicits._
+    sessionWindowCounts(t.events)
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val w02Oracle: String =
+    """WITH e AS (SELECT user_id, ts, CAST(FLOOR(value) AS BIGINT) AS v FROM events),
+       d AS (SELECT user_id, ts, v,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 5 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+             FROM e),
+       s AS (SELECT user_id, ts, v,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+             FROM d)
+       SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+              SUM(v)::BIGINT AS value_floor_sum
+       FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_windowed_type_counts" -> ((s, d) => w01WindowedTypeCounts(graft.T(s, d))),
+    "w02_session_windows"      -> ((s, d) => w02SessionWindows(graft.T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
     "w01_windowed_type_counts" -> w01Oracle,
+    "w02_session_windows"      -> w02Oracle,
   )
 }

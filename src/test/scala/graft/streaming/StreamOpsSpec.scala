@@ -108,6 +108,63 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: streaming result == batch join on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      StreamOps.Evt(1, ts(0, 0), 1, "click", 1.0),
+      StreamOps.Evt(2, ts(5, 0), 2, "click", 1.0),
+      StreamOps.Evt(3, ts(20, 0), 1, "click", 1.0))
+    val purchases = Seq(
+      StreamOps.Evt(11, ts(4, 0), 1, "purchase", 9.0),  // within 10m of click 1
+      StreamOps.Evt(12, ts(16, 0), 2, "purchase", 9.0), // 11m after click 2 — out
+      StreamOps.Evt(13, ts(25, 0), 1, "purchase", 9.0)) // within 10m of click 3
+    val batch = snap(StreamOps.clickPurchaseJoin(clicks.toDF(), purchases.toDF()))
+    assert(batch.size == 2)
+
+    val cs = MemoryStream[StreamOps.Evt]
+    val ps = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.clickPurchaseJoin(cs.toDF(), ps.toDF())
+      .writeStream.format("memory").queryName("cp_join")
+      .outputMode("append").start()
+    try {
+      cs.addData(clicks: _*)
+      ps.addData(purchases: _*)
+      q.processAllAvailable()
+      // advance both watermarks so every joinable pair is emitted; distinct
+      // sentinel users so the sentinels can't join each other
+      cs.addData(StreamOps.Evt(98, ts(59), 998, "click", 0.0))
+      ps.addData(StreamOps.Evt(99, ts(59), 999, "purchase", 0.0))
+      q.processAllAvailable()
+      assert(snap(spark.table("cp_join")) == batch)
+    } finally q.stop()
+  }
+
+  test("session windows: gap merge/split boundary and streaming parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evts = Seq(
+      StreamOps.Evt(1, ts(0, 0), 1, "click", 1.0),
+      StreamOps.Evt(2, ts(5, 0), 1, "view", 2.0),   // exactly 5m: still merges
+      StreamOps.Evt(3, ts(10, 1), 1, "view", 3.0),  // 5m01s gap: NEW session
+      StreamOps.Evt(4, ts(30, 0), 2, "click", 4.0))
+    val batch = StreamOps.sessionWindowCounts(evts.toDF())
+    val rows = batch.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    // user 1: sessions of 2 events and 1 event; user 2: 1 event
+    assert(rows == Seq((1L, 1L), (1L, 2L), (2L, 1L)), rows)
+
+    val stream = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.sessionWindowCounts(
+        stream.toDF().withWatermark("ts", "2 minutes"))
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode("complete").start()
+    try {
+      stream.addData(evts: _*)
+      q.processAllAvailable()
+      assert(snap(spark.table("sess_win")) == snap(batch))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the dimension without state") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
