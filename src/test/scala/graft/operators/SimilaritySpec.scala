@@ -33,9 +33,10 @@ class SimilaritySpec extends SparkSpec {
     }
     val mean = recalls.sum / recalls.size
     info(f"IVF top-3 recall vs brute force: $mean%.3f over ${recalls.size} queries")
-    // single-probe IVF with k=8 on synthetic embeddings: recall is bounded by
-    // how often true neighbors share the query's cluster — well above chance
-    // (3/n ~ 0.6%), and asserted with slack under the measured value
-    assert(mean >= 0.15, f"mean recall $mean%.3f below floor 0.15")
+    // 2-probe IVF with k=8 on synthetic embeddings: recall is bounded by how
+    // often true neighbors land in the query's two nearest clusters — well
+    // above chance (3/n ~ 0.6%), and asserted with slack under the measured
+    // value (nprobe=1 measured 0.283, nprobe=2 raises it)
+    assert(mean >= 0.3, f"mean recall $mean%.3f below floor 0.3")
   }
 }
