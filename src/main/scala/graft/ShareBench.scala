@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sharing.{QueryJob, WorkSharingExecutor}
+
+/** Local replica of the reference's ch.5 evaluation (BASELINE.md): batches of
+  * grep-WordCount jobs over one shared corpus scan, window sizes 2/5/10,
+  * comparing separate execution vs scan-sharing-by-caching vs the hybrid
+  * auto-merge — on the same `WorkSharingExecutor` code path (budget 0 turns
+  * caching off; `autoMerge` turns the merge rewrite on), so the deltas
+  * isolate the policy, not the plumbing.
+  *
+  * Two workloads:
+  *  - `wordcount`: grep-filter + explode + groupBy token (the reference's
+  *    Fig 5.1 shape) — shares the scan, does not auto-merge (the Generate
+  *    node is outside AutoMerge's Aggregate[-Filter]-Relation pattern);
+  *  - `grepcount`: grep-filter + scalar aggregate (Fig 5.2's MRShare shape) —
+  *    both shares and merges, so the merge column shows what the reference's
+  *    regressing MRShare rewrite looks like without per-tuple tagging.
+  *
+  * Prints one JSON line per (workload, window): separate/cached/merged secs.
+  * Not part of the driver bench contract — evidence for the BASELINE
+  * comparison, run manually.
+  */
+object ShareBench {
+
+  private val words = Seq("spark", "table", "query", "value", "stream",
+    "window", "batch", "merge", "sort", "filter")
+
+  /** The shared relation: the DSv2 synthetic corpus — generating the text IS
+    * the scan cost (the local analog of the reference's 10 GB disk read; the
+    * on-disk sf0.1 corpus is ~12 MB, far too cheap a scan to share). Sharing
+    * detects the v2 relation, costs it via SynthScan's reported statistics,
+    * and caches one generation for the whole window. */
+  private def corpus(rows: Long, parts: Int)(s: SparkSession): DataFrame =
+    s.read.format("graft.sources.SynthSource")
+      .option("rows", rows.toString).option("partitions", parts.toString).load()
+
+  private def wordCount(word: String, rows: Long, parts: Int)(s: SparkSession): DataFrame =
+    corpus(rows, parts)(s)
+      .filter(col("text").contains(word))
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+
+  private def grepCount(word: String, rows: Long, parts: Int)(s: SparkSession): DataFrame =
+    corpus(rows, parts)(s)
+      .filter(col("text").contains(word))
+      .agg(count(lit(1)).as("n"))
+
+  private def jobs(build: String => SparkSession => DataFrame, win: Int): Seq[QueryJob[Unit]] =
+    words.take(win).map(w => QueryJob[Unit](s"j_$w", build(w),
+      df => df.write.format("noop").mode("overwrite").save()))
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val rows = sys.env.getOrElse("SPARK_GRAFT_SYNTH_ROWS", "3000000").toLong
+    val spark = Engine.session(master = Some(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(2000000).selectExpr("sum(id * 2)").collect()
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val workloads: Seq[(String, String => SparkSession => DataFrame)] =
+      Seq("wordcount" -> (w => wordCount(w, rows, cpus.toInt)),
+        "grepcount" -> (w => grepCount(w, rows, cpus.toInt)))
+
+    // warm-up: one batch of each workload through the executor path (JIT for
+    // the generator, the noop sink, and the cache write path)
+    new WorkSharingExecutor(spark, budgetBytes = 0L).runBatch(jobs(workloads.head._2, 2))
+    new WorkSharingExecutor(spark).runBatch(jobs(workloads.last._2, 2))
+    spark.catalog.clearCache()
+
+    // min of 3 reps per cell: single-shot timings are dominated by GC from
+    // the cache-materialization of the previous cell
+    def best(f: => Unit): Double =
+      (1 to 3).map { _ => spark.catalog.clearCache(); time(f) }.min
+
+    val lines = for {
+      (wname, build) <- workloads
+      win <- Seq(2, 5, 10)
+    } yield {
+      val sep = best(new WorkSharingExecutor(spark, budgetBytes = 0L).runBatch(jobs(build, win)))
+      val cachedT = best(new WorkSharingExecutor(spark).runBatch(jobs(build, win)))
+      val mergedT = best(new WorkSharingExecutor(spark, autoMerge = true).runBatch(jobs(build, win)))
+      spark.catalog.clearCache()
+      s"""{"workload":"$wname","window":$win,"separate":$sep,"cached":$cachedT,"merged":$mergedT}"""
+    }
+    lines.foreach(println)
+    spark.stop()
+  }
+}

@@ -3,10 +3,12 @@ package graft.sharing
 import scala.collection.mutable
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.storage.StorageLevel
 
 /** Multi-query work sharing — the reference system's identity, rebuilt on
@@ -102,25 +104,46 @@ object FairPools {
 final case class ScanGroup(fingerprint: String, format: String,
                            paths: Seq[String], schemaDDL: String,
                            sizeBytes: BigInt, jobNames: Seq[String],
-                           relation: LogicalRelation)
+                           relation: LogicalPlan)
 
 object ShareDetector {
 
-  /** Canonical identity of every file-scan leaf in an analyzed plan.
-    * (The reference keyed on `rdd.toString` prefixes; canonicalized plan
-    * fragments are the modern, alias-proof equivalent.) */
-  def scanLeaves(plan: LogicalPlan): Seq[(String, LogicalRelation)] =
+  /** v2 relations report sizes on the Scan, not the logical plan (whose
+    * stats are the defaultSizeInBytes sentinel) — build a throwaway scan and
+    * ask it, so the cache policy can cost DSv2 sources like file sources. */
+  private def v2Size(r: DataSourceV2Relation): BigInt = {
+    try r.table match {
+      case t: org.apache.spark.sql.connector.catalog.SupportsRead =>
+        t.newScanBuilder(r.options).build() match {
+          case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+            val sz = s.estimateStatistics().sizeInBytes()
+            if (sz.isPresent) BigInt(sz.getAsLong) else r.stats.sizeInBytes
+          case _ => r.stats.sizeInBytes
+        }
+      case _ => r.stats.sizeInBytes
+    } catch { case scala.util.control.NonFatal(_) => r.stats.sizeInBytes }
+  }
+
+  /** Canonical identity of every scan leaf in an analyzed plan — file scans
+    * (HadoopFsRelation) and DataSource V2 tables. (The reference keyed on
+    * `rdd.toString` prefixes; canonicalized plan fragments are the modern,
+    * alias-proof equivalent.) */
+  def scanLeaves(plan: LogicalPlan): Seq[(String, LogicalPlan)] =
     plan.collectLeaves().collect {
       case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         val paths = fs.location.rootPaths.map(_.toString).sorted
-        (s"${fs.fileFormat.toString}:${paths.mkString(",")}", lr)
+        (s"${fs.fileFormat.toString}:${paths.mkString(",")}", lr: LogicalPlan)
+      case r: DataSourceV2Relation =>
+        val opts = r.options.entrySet().iterator().asScala
+          .map(e => s"${e.getKey}=${e.getValue}").toSeq.sorted
+        (s"v2:${r.table.name()}:${opts.mkString(",")}", r: LogicalPlan)
     }
 
   /** Group a window of jobs by shared scan; only groups with >= 2 jobs are
     * sharing opportunities (singleton = execute as-is, like the reference's
     * NOOP bags). */
   def detect(spark: SparkSession, jobs: Seq[(String, DataFrame)]): Seq[ScanGroup] = {
-    val byScan = mutable.LinkedHashMap.empty[String, (LogicalRelation, mutable.ListBuffer[String])]
+    val byScan = mutable.LinkedHashMap.empty[String, (LogicalPlan, mutable.ListBuffer[String])]
     jobs.foreach { case (name, df) =>
       // one job may hit the same relation twice (self-join): count it once
       scanLeaves(df.queryExecution.analyzed).distinctBy(_._1).foreach { case (fp, lr) =>
@@ -129,7 +152,7 @@ object ShareDetector {
       }
     }
     byScan.iterator.collect {
-      case (fp, (lr, names)) if names.size >= 2 =>
+      case (fp, (lr: LogicalRelation, names)) if names.size >= 2 =>
         val fs = lr.relation.asInstanceOf[HadoopFsRelation]
         ScanGroup(fp,
           format = fs.fileFormat.toString.toLowerCase.stripSuffix("format"),
@@ -138,6 +161,14 @@ object ShareDetector {
           sizeBytes = lr.stats.sizeInBytes,
           jobNames = names.toSeq,
           relation = lr)
+      case (fp, (r: DataSourceV2Relation, names)) if names.size >= 2 =>
+        ScanGroup(fp,
+          format = "v2",
+          paths = Seq(r.table.name()),
+          schemaDDL = r.schema.toDDL,
+          sizeBytes = v2Size(r),
+          jobNames = names.toSeq,
+          relation = r)
     }.toSeq
   }
 }

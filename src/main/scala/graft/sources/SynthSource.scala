@@ -62,7 +62,11 @@ object SynthSource {
   }
 }
 
-private class SynthTable(rows: Long, parts: Int) extends Table with SupportsRead {
+/** Value equality matters: two separate `spark.read...load()` calls build two
+  * Table instances, and CacheManager substitution (plan `sameResult`) only
+  * recognizes them as the same relation if the tables compare equal — the
+  * hook the work-sharing layer's v2 scan sharing rests on. */
+private case class SynthTable(rows: Long, parts: Int) extends Table with SupportsRead {
   override def name: String = s"graft_synth($rows rows)"
   override def schema: StructType = SynthSource.schema
   override def capabilities: util.Set[TableCapability] =
@@ -114,9 +118,16 @@ private class SynthScanBuilder(rows: Long, parts: Int) extends ScanBuilder
 }
 
 private class SynthScan(lo: Long, hi: Long, parts: Int, required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** Honest size estimate (~190 B/row of generated text) — consumed by the
+    * work-sharing cost model (ShareDetector builds a throwaway scan to ask)
+    * and by anything else that plans off v2 statistics. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of((hi - lo) * 190L)
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(hi - lo)
+  }
   /** Shows the pruned range + columns in explain output (asserted in spec). */
   override def description(): String =
     s"SynthScan[$lo,$hi) cols=${required.fieldNames.mkString(",")}"

@@ -54,6 +54,32 @@ class WorkSharingSpec extends SparkSpec {
     } finally ex.shutdown()
   }
 
+  test("DSv2 scans are detected, costed via the scan's statistics, and shared") {
+    def synth(s: SparkSession): DataFrame =
+      s.read.format("graft.sources.SynthSource")
+        .option("rows", "5000").option("partitions", "2").load()
+    val v2jobs: Seq[QueryJob[Seq[String]]] = Seq(
+      QueryJob("v2_by_lang", s => synth(s).groupBy("lang").count(), snap),
+      QueryJob("v2_long_docs",
+        s => synth(s).filter(length(col("text")) > 150).agg(count(lit(1)).as("n")), snap))
+    val built = v2jobs.map(j => (j.name, j.build(spark)))
+    val groups = ShareDetector.detect(spark, built)
+    assert(groups.size == 1 && groups.head.format == "v2", groups)
+    // size comes from SynthScan.estimateStatistics, not the logical-plan
+    // defaultSizeInBytes sentinel (Long.MaxValue)
+    assert(groups.head.sizeBytes == BigInt(5000L * 190), groups.head.sizeBytes)
+
+    val isolated = v2jobs.map(j => j.name -> j.action(j.build(spark))).toMap
+    val ex = new WorkSharingExecutor(spark)
+    try {
+      val batched = ex.runBatch(v2jobs)
+      batched.foreach { case (name, rows) => assert(rows == isolated(name), s"job $name") }
+      // separately-built plans hit the cached relation (value-equal tables)
+      val probe = synth(spark).groupBy("lang").count()
+      assert(probe.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    } finally { ex.shutdown(); spark.catalog.clearCache() }
+  }
+
   test("zero budget -> no caching, results still correct") {
     val isolated = jobs.map(j => j.name -> j.action(j.build(spark))).toMap
     val ex = new WorkSharingExecutor(spark, budgetBytes = 0L)
