@@ -1069,6 +1069,50 @@ object Relational {
               COUNT(*) AS n
        FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
 
+  /** MERGE INTO / SCD upsert semantics expressed relationally: a full-outer
+    * join of target and source on the key, matched rows take the source
+    * values ('update'), source-only rows insert, target-only rows keep —
+    * the lakehouse merge pattern without a table format, auditable via the
+    * `action` column. One shuffle on the merge key; at scale the source side
+    * is typically small enough to broadcast. All prices in integer cents. */
+  def q50MergeUpsert(t: T): DataFrame = {
+    import t.spark.implicits._
+    val target = t.orders.select($"o_orderkey",
+      floor($"o_totalprice" * 100).cast("long").as("t_price"),
+      $"o_orderstatus".as("t_status"))
+    val updates = t.orders.filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey",
+        (floor($"o_totalprice" * 100).cast("long") + 100L).as("s_price"),
+        lit("U").as("s_status"))
+    val inserts = t.orders.filter($"o_orderkey" % 1000 === 1)
+      .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+        lit(1L).as("s_price"), lit("I").as("s_status"))
+    target.join(updates.unionByName(inserts), Seq("o_orderkey"), "full_outer")
+      .select($"o_orderkey",
+        coalesce($"s_price", $"t_price").as("price_c"),
+        coalesce($"s_status", $"t_status").as("status"),
+        when($"s_price".isNotNull && $"t_price".isNotNull, "update")
+          .when($"s_price".isNotNull, "insert").otherwise("keep").as("action"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q50Oracle: String =
+    """WITH target AS (
+         SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS t_price,
+                o_orderstatus AS t_status FROM orders),
+       source AS (
+         SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 100 AS s_price,
+                'U' AS s_status FROM orders WHERE o_orderkey % 3 = 0
+         UNION ALL
+         SELECT o_orderkey + 10000000, 1, 'I' FROM orders WHERE o_orderkey % 1000 = 1)
+       SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+              COALESCE(s_price, t_price)::BIGINT AS price_c,
+              COALESCE(s_status, t_status) AS status,
+              CASE WHEN s_price IS NOT NULL AND t_price IS NOT NULL THEN 'update'
+                   WHEN s_price IS NOT NULL THEN 'insert' ELSE 'keep' END AS action
+       FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+       ORDER BY o_orderkey"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"      -> ((s, d) => q39Percentiles(T(s, d))),
@@ -1120,6 +1164,7 @@ object Relational {
     "q47_arg_max"          -> ((s, d) => q47ArgMax(T(s, d))),
     "q48_bool_bit_aggs"    -> ((s, d) => q48BoolBitAggs(T(s, d))),
     "q49_median"           -> ((s, d) => q49Median(T(s, d))),
+    "q50_merge_upsert"     -> ((s, d) => q50MergeUpsert(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1172,5 +1217,6 @@ object Relational {
     "q47_arg_max"          -> q47Oracle,
     "q48_bool_bit_aggs"    -> q48Oracle,
     "q49_median"           -> q49Oracle,
+    "q50_merge_upsert"     -> q50Oracle,
   )
 }
