@@ -118,13 +118,61 @@ object Multimodal {
            (acc, c) -> (acc * 31 + c) % 2147483647))::BIGINT AS checksum_total
        FROM documents GROUP BY 1 ORDER BY kind"""
 
+  final case class Frame(asset_id: Long, frame_idx: Long, n_bytes: Long,
+                         checksum: Long)
+
+  /** Frame sampling: video payloads chunk into fixed-size "frames", every
+    * `stride`-th one is decoded — the 1-row-in, N-rows-out flatMap shape of
+    * real video feature extraction (codec per partition, blobs chunked
+    * inside the partition, only narrow per-frame features emitted). A real
+    * codec swaps the byte-slice for an FFmpeg frame grab; the plumbing —
+    * partition-local iteration, sampling arithmetic, output schema — is what
+    * the plan shape exercises. */
+  def sampleFrames(ds: Dataset[Asset], frameBytes: Int = 16, stride: Int = 4): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // real codec: initialize the demuxer once per partition here
+      it.filter(_.kind == "video").flatMap { a =>
+        val nFrames = (a.payload.length + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames).filter(_ % stride == 0).map { i =>
+          val start = i * frameBytes
+          val end = math.min(start + frameBytes, a.payload.length)
+          var sum = 0L; var j = start
+          while (j < end) { sum = (sum * 31 + (a.payload(j) & 0xff)) % 2147483647L; j += 1 }
+          Frame(a.asset_id, i.toLong, (end - start).toLong, sum)
+        }
+      }
+    }
+  }
+
+  def m03FrameSample(t: T): DataFrame = {
+    import t.spark.implicits._
+    sampleFrames(assets(t)).toDF()
+      .orderBy($"asset_id", $"frame_idx")
+  }
+
+  /** Oracle: frames are 16-char substrings of the UTF-8 text (ASCII corpus),
+    * sampled every 4th, checksummed with m01's polynomial. */
+  val m03Oracle: String =
+    """SELECT doc_id AS asset_id, i AS frame_idx,
+         CAST(length(sub) AS BIGINT) AS n_bytes,
+         list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(sub) + 1),
+           j -> ascii(substr(sub, j::INT, 1))::BIGINT)),
+           (acc, c) -> (acc * 31 + c) % 2147483647) AS checksum
+       FROM (SELECT doc_id, i, substr(text, (i * 16 + 1)::INT, 16) AS sub
+             FROM documents, range(0, 64) r(i)
+             WHERE doc_id % 3 = 2 AND i * 16 < length(text) AND i % 4 = 0)
+       ORDER BY asset_id, frame_idx"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> ((s, d) => m01MediaFeatures(T(s, d))),
     "m02_media_rollup"   -> ((s, d) => m02MediaRollup(T(s, d))),
+    "m03_frame_sample"   -> ((s, d) => m03FrameSample(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
     "m01_media_features" -> m01Oracle,
     "m02_media_rollup"   -> m02Oracle,
+    "m03_frame_sample"   -> m03Oracle,
   )
 }
