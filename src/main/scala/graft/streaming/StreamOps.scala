@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming transforms over the `events` stream shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -139,6 +140,33 @@ object StreamOps {
     """SELECT date_trunc('minute', ts) AS window_start, event_type,
               COUNT(*) AS n, SUM(FLOOR(value))::BIGINT AS sum_value
        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+
+  final case class Tot(n: Long, v: Double)
+  final case class RunningTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user running totals on the `transformWithState` arbitrary-state API
+    * (Spark 4's successor to map/flatMapGroupsWithState: typed state
+    * primitives with TTL, timers, RocksDB-backed). Update mode: every batch
+    * emits each touched user's new running total. */
+  class RunningTotalProcessor extends StatefulProcessor[Long, Evt, RunningTotal] {
+    @transient private var st: ValueState[Tot] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Tot]("totals", Encoders.product[Tot], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Evt],
+                                 timerValues: TimerValues): Iterator[RunningTotal] = {
+      val prev = if (st.exists()) st.get() else Tot(0L, 0.0)
+      val cur = rows.foldLeft(prev) { (acc, e) => Tot(acc.n + 1, acc.v + e.value) }
+      st.update(cur)
+      Iterator.single(RunningTotal(user, cur.n, cur.v))
+    }
+  }
+
+  /** Requires the RocksDB state store provider (see StreamOpsSpec). */
+  def runningTotals(events: Dataset[Evt]): Dataset[RunningTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
+  }
 
   /** Batch twin of [[sessionWindowCounts]] for oracle coverage. The DuckDB
     * twin computes the same sessions with gaps-and-islands SQL (lag + running

@@ -165,6 +165,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running totals accumulate across batches (RocksDB store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.runningTotals(stream.toDS())
+      .writeStream.format("memory").queryName("run_tot")
+      .outputMode("update").start()
+    try {
+      stream.addData(sample: _*)
+      q.processAllAvailable()
+      stream.addData(StreamOps.Evt(7, ts(4, 0), 1, "click", 10.0)) // user 1 again
+      q.processAllAvailable()
+      // last update per user == the batch aggregate over everything seen
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"n_events".desc)
+      val finalRows = spark.table("run_tot")
+        .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .select($"user_id", $"n_events", $"total_value")
+      val batch = (sample :+ StreamOps.Evt(7, ts(4, 0), 1, "click", 10.0)).toDF()
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), sum($"value").as("total_value"))
+      assert(snap(finalRows) == snap(batch))
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("stream-static enrichment joins the dimension without state") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
