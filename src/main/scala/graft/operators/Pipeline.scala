@@ -277,6 +277,62 @@ object Pipeline {
        SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, quality_bp::BIGINT AS quality_bp
        FROM ranked WHERE rk <= 10 ORDER BY source, rk"""
 
+  /** Token-mixture rebalancing: pick per-language sampling rates so the kept
+    * corpus approaches a target mixture (en 40%, the rest split evenly over
+    * the other 4 languages), then admit docs deterministically by content-
+    * fingerprint bucket. The two-phase shape is the scalable one: a token
+    * census (one aggregate), a driver-size rates table broadcast back, and a
+    * narrow filter — the corpus itself is read once and never shuffled.
+    * Rates are integer basis points; target = 50% of the corpus's tokens. */
+  def p09TokenMixture(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val toks = t.documents.select($"lang", $"doc_id", $"text",
+      size(split($"text", " ")).cast("long").as("n_tok"))
+    val census = toks.groupBy($"lang").agg(sum($"n_tok").as("lang_toks"))
+      .withColumn("total_toks", sum($"lang_toks").over(Window.partitionBy()))
+      // target tokens for this lang: 40% en, 15% each other lang, of half the corpus
+      .withColumn("target_toks", expr(
+        "CASE WHEN lang = 'en' THEN total_toks * 4000 DIV 10000 " +
+        "ELSE total_toks * 1500 DIV 10000 END DIV 2"))
+      .withColumn("rate_bp", least(lit(10000L),
+        expr("target_toks * 10000 DIV lang_toks")))
+      .select($"lang", $"lang_toks", $"rate_bp")
+    toks.join(broadcast(census), "lang")
+      .withColumn("bucket",
+        pmod(expr("weighted_fingerprint(shingle_hashes(text, 4, false))"), lit(10000)))
+      .filter($"bucket" < $"rate_bp")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs_kept"), sum($"n_tok").as("tokens_kept"))
+      .join(census.select($"lang", $"lang_toks", $"rate_bp"), "lang")
+      .select($"lang", $"rate_bp", $"n_docs_kept", $"tokens_kept", $"lang_toks")
+      .orderBy($"lang")
+  }
+
+  val p09Oracle: String =
+    s"""WITH toks AS (
+         SELECT lang, doc_id, text,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         FROM documents),
+       census AS (
+         SELECT lang, SUM(n_tok)::BIGINT AS lang_toks,
+                (SUM(SUM(n_tok)) OVER ())::BIGINT AS total_toks
+         FROM toks GROUP BY lang),
+       rates AS (
+         SELECT lang, lang_toks,
+                LEAST(10000,
+                  ((CASE WHEN lang = 'en' THEN total_toks * 4000 // 10000
+                         ELSE total_toks * 1500 // 10000 END // 2)
+                   * 10000 // lang_toks))::BIGINT AS rate_bp
+         FROM census),
+       kept AS (
+         SELECT t.lang, COUNT(*) AS n_docs_kept, SUM(t.n_tok)::BIGINT AS tokens_kept
+         FROM toks t JOIN rates r USING (lang)
+         WHERE ($fpDuck) % 10000 < r.rate_bp
+         GROUP BY t.lang)
+       SELECT lang, rate_bp, n_docs_kept, tokens_kept, lang_toks
+       FROM kept JOIN rates USING (lang) ORDER BY lang"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -286,6 +342,7 @@ object Pipeline {
     "p06_repetition"       -> ((s, d) => p06Repetition(T(s, d))),
     "p07_stratified_sample" -> ((s, d) => p07StratifiedSample(T(s, d))),
     "p08_source_quota"     -> ((s, d) => p08SourceQuota(T(s, d))),
+    "p09_token_mixture"    -> ((s, d) => p09TokenMixture(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -297,5 +354,6 @@ object Pipeline {
     "p06_repetition"       -> p06Oracle,
     "p07_stratified_sample" -> p07Oracle,
     "p08_source_quota"     -> p08Oracle,
+    "p09_token_mixture"    -> p09Oracle,
   )
 }

@@ -1113,6 +1113,39 @@ object Relational {
        FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
        ORDER BY o_orderkey"""
 
+  /** Time-based RANGE window frame: per-user rolling 10-minute event-time
+    * sums — RANGE frames bound by *value* distance (here an interval), not
+    * row count, and include all ORDER BY peers, so ties in ts resolve
+    * identically on both engines. Integer floor-sums for determinism. */
+  def q51RangeFrame(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """SELECT event_id, user_id, ts,
+                SUM(CAST(FLOOR(value) AS BIGINT)) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+                  AS rolling_10m,
+                COUNT(*) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+                  AS n_10m
+         FROM events WHERE user_id < 20
+         ORDER BY user_id, ts, event_id""")
+  }
+
+  val q51Oracle: String =
+    """SELECT event_id, user_id, ts,
+              SUM(CAST(FLOOR(value) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL '10 minutes' PRECEDING AND CURRENT ROW)
+                ::BIGINT AS rolling_10m,
+              COUNT(*) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL '10 minutes' PRECEDING AND CURRENT ROW)
+                AS n_10m
+       FROM events WHERE user_id < 20
+       ORDER BY user_id, ts, event_id"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"      -> ((s, d) => q39Percentiles(T(s, d))),
@@ -1165,6 +1198,7 @@ object Relational {
     "q48_bool_bit_aggs"    -> ((s, d) => q48BoolBitAggs(T(s, d))),
     "q49_median"           -> ((s, d) => q49Median(T(s, d))),
     "q50_merge_upsert"     -> ((s, d) => q50MergeUpsert(T(s, d))),
+    "q51_range_frame"      -> ((s, d) => q51RangeFrame(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1218,5 +1252,6 @@ object Relational {
     "q48_bool_bit_aggs"    -> q48Oracle,
     "q49_median"           -> q49Oracle,
     "q50_merge_upsert"     -> q50Oracle,
+    "q51_range_frame"      -> q51Oracle,
   )
 }
