@@ -281,9 +281,9 @@ object Pipeline {
     * corpus approaches a target mixture (en 40%, the rest split evenly over
     * the other 4 languages), then admit docs deterministically by content-
     * fingerprint bucket. The two-phase shape is the scalable one: a token
-    * census (one aggregate), a driver-size rates table broadcast back, and a
-    * narrow filter — the corpus itself is read once and never shuffled.
-    * Rates are integer basis points; target = 50% of the corpus's tokens. */
+    * census (one aggregate pass), a driver-size rates table broadcast back,
+    * and a narrow filter on a second pass — two corpus reads, zero corpus
+    * shuffles. Rates are integer basis points; target = 50% of tokens. */
   def p09TokenMixture(t: T): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)

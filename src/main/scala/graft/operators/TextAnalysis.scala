@@ -184,12 +184,49 @@ object TextAnalysis {
        SELECT lang, CAST(rk AS BIGINT) AS rk, bigram, n FROM ranked WHERE rk <= 5
        ORDER BY lang, rk"""
 
+  /** Unigram-surprisal quality score — the integer-exact proxy for LM-based
+    * filtering: token surprisal ~ floor(log2(N / count(tok))) computed as
+    * `length(bin(x)) - 1` (binary-digit count, exact on both engines where
+    * float log2 can differ in the last ulp), summed per doc and normalized
+    * to milli-bits/token. High surprisal = rare-token-heavy docs; the shape
+    * is census (one aggregate) + hash-join of token stats + per-doc sum. */
+  def t06Surprisal(t: T): DataFrame = {
+    import t.spark.implicits._
+    val toks = t.documents
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val census = toks.groupBy($"tok").agg(count(lit(1)).as("tok_n"))
+      .withColumn("total_n", sum($"tok_n").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("surprisal", expr("length(bin(total_n DIV tok_n)) - 1").cast("long"))
+      .select($"tok", $"surprisal")
+    toks.join(census, "tok")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum($"surprisal").as("surprisal_total"))
+      .withColumn("milli_bits_per_tok", expr("surprisal_total * 1000 DIV n_tok"))
+      .orderBy($"doc_id")
+  }
+
+  val t06Oracle: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       census AS (
+         SELECT tok, COUNT(*) AS tok_n, SUM(COUNT(*)) OVER () AS total_n
+         FROM toks GROUP BY tok),
+       scored AS (
+         SELECT tok, (length(format('{:b}', (total_n // tok_n)::BIGINT)) - 1)::BIGINT AS surprisal
+         FROM census)
+       SELECT doc_id, COUNT(*) AS n_tok,
+              SUM(surprisal)::BIGINT AS surprisal_total,
+              (SUM(surprisal) * 1000 // COUNT(*))::BIGINT AS milli_bits_per_tok
+       FROM toks JOIN scored USING (tok)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
     "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
     "t03_quality_score" -> ((s, d) => t03QualityScore(T(s, d))),
     "t04_fingerprint"   -> ((s, d) => t04Fingerprint(T(s, d))),
     "t05_ngram_profile" -> ((s, d) => t05NgramProfile(T(s, d))),
+    "t06_surprisal"     -> ((s, d) => t06Surprisal(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -198,5 +235,6 @@ object TextAnalysis {
     "t03_quality_score" -> t03Oracle,
     "t04_fingerprint"   -> t04Oracle,
     "t05_ngram_profile" -> t05Oracle,
+    "t06_surprisal"     -> t06Oracle,
   )
 }
