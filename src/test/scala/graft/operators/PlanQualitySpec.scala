@@ -104,6 +104,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(d04.subsetOf(d08), s"LSH found pairs prefix filter missed: ${d04 -- d08}")
   }
 
+  test("q50: merge upsert is an equi full-outer join, not nested-loop") {
+    val p = plan("q50_merge_upsert")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("p09/t06: census joins stay equi-joins with no corpus cartesian") {
+    Seq("p09_token_mixture", "t06_surprisal").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline") {
     // "*(n)" prefixes mark operators fused into whole-stage codegen; AQE
     // only shows them after the stages actually run
