@@ -1146,6 +1146,41 @@ object Relational {
        FROM events WHERE user_id < 20
        ORDER BY user_id, ts, event_id"""
 
+  /** Multiset (ALL) set operations — exceptAll/intersectAll keep duplicate
+    * cardinalities (q16 covers the distinct variants), summarized per key so
+    * the multiset arithmetic itself is what the oracle hashes. */
+  def q52SetOpsAll(t: T): DataFrame = {
+    import t.spark.implicits._
+    val a = t.lineitem.filter($"l_quantity" > 45).select($"l_suppkey")
+    val b = t.lineitem.filter($"l_discount" > 0.08).select($"l_suppkey")
+    val ex = a.exceptAll(b).groupBy($"l_suppkey").agg(count(lit(1)).as("n_except_all"))
+    val in = a.intersectAll(b).groupBy($"l_suppkey").agg(count(lit(1)).as("n_intersect_all"))
+    ex.join(in, Seq("l_suppkey"), "full_outer")
+      .select($"l_suppkey",
+        coalesce($"n_except_all", lit(0L)).as("n_except_all"),
+        coalesce($"n_intersect_all", lit(0L)).as("n_intersect_all"))
+      .orderBy($"l_suppkey")
+  }
+
+  val q52Oracle: String =
+    """WITH ex AS (
+         SELECT l_suppkey, COUNT(*) AS n_except_all FROM (
+           SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+           EXCEPT ALL
+           SELECT l_suppkey FROM lineitem WHERE l_discount > 0.08)
+         GROUP BY l_suppkey),
+       i AS (
+         SELECT l_suppkey, COUNT(*) AS n_intersect_all FROM (
+           SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+           INTERSECT ALL
+           SELECT l_suppkey FROM lineitem WHERE l_discount > 0.08)
+         GROUP BY l_suppkey)
+       SELECT COALESCE(ex.l_suppkey, i.l_suppkey) AS l_suppkey,
+              COALESCE(n_except_all, 0)::BIGINT AS n_except_all,
+              COALESCE(n_intersect_all, 0)::BIGINT AS n_intersect_all
+       FROM ex FULL OUTER JOIN i ON ex.l_suppkey = i.l_suppkey
+       ORDER BY l_suppkey"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"      -> ((s, d) => q39Percentiles(T(s, d))),
@@ -1199,6 +1234,7 @@ object Relational {
     "q49_median"           -> ((s, d) => q49Median(T(s, d))),
     "q50_merge_upsert"     -> ((s, d) => q50MergeUpsert(T(s, d))),
     "q51_range_frame"      -> ((s, d) => q51RangeFrame(T(s, d))),
+    "q52_set_ops_all"      -> ((s, d) => q52SetOpsAll(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1253,5 +1289,6 @@ object Relational {
     "q49_median"           -> q49Oracle,
     "q50_merge_upsert"     -> q50Oracle,
     "q51_range_frame"      -> q51Oracle,
+    "q52_set_ops_all"      -> q52Oracle,
   )
 }

@@ -10,6 +10,19 @@ class SourcesSpec extends SparkSpec {
   private lazy val tmp = Files.createTempDirectory("graft-sources").toString
   private lazy val orders = T(spark, sfDir).orders
 
+  test("binaryFile source reads raw blobs with path metadata (media ingest lane)") {
+    import org.apache.spark.sql.functions._
+    // the ingest path Multimodal.assets documents: opaque bytes + metadata
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet").load(sfDir)
+    assert(files.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val rows = files.select(col("path"), col("length"),
+      length(col("content")).cast("long").as("n")).collect()
+    assert(rows.length == graft.Tables.names.length) // one blob per corpus table
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), r.getString(0)))
+  }
+
   test("parquet round-trip preserves rows and schema") {
     Sources.writeParquet(orders, s"$tmp/o_parquet", numFiles = 2)
     val back = Sources.readParquet(spark, s"$tmp/o_parquet")
