@@ -22,6 +22,7 @@ object SparkEntry {
       operators.Multimodal.defs ++
       operators.UserFns.defs ++
       operators.Pipeline.defs ++
+      operators.Graph.defs ++
       streaming.StreamOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,5 +35,6 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.UserFns.oracles ++
       operators.Pipeline.oracles ++
+      operators.Graph.oracles ++
       streaming.StreamOps.oracles
 }

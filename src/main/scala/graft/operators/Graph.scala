@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the dedup similarity graph (nodes = docs, edges =
+  * LSH near-dup pairs, symmetrized). The reference shipped GraphX examples
+  * as client surface; here the iterative-graph capability is declarative
+  * joins + aggregations per superstep — d07 covers connected components,
+  * this module ranks within the graph.
+  *
+  * Scale design: each PageRank superstep is one join + one aggregation
+  * shuffled on node id — the standard distributed formulation; edges are
+  * localCheckpoint'ed once so the 5 supersteps reuse materialized blocks
+  * instead of recomputing the LSH pipeline per round.
+  *
+  * Cross-engine determinism: fixed-point integer arithmetic — ranks in
+  * parts-per-million, per-edge contribution = rank DIV outdeg (truncating),
+  * damping 0.85 applied as (850 * sum) DIV 1000. Every superstep is a sum
+  * of exact integers, so a fixed iteration count yields identical ranks in
+  * DuckDB's chained-CTE replica.
+  */
+object Graph {
+
+  /** 5 supersteps of PageRank (d=0.85) on the symmetrized d04 pair graph.
+    * Undirected edges mean every node has outdeg >= 1 and in-edges, so
+    * there are no dangling-mass corrections to model. */
+  def g01PageRank(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val pairs = Dedup.d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .distinct()
+      .localCheckpoint() // 5 supersteps reuse blocks, not the LSH lineage
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    var ranks = outdeg.select($"src".as("node"), lit(1000000L).as("rank"))
+    for (_ <- 1 to 5) {
+      ranks = edges.join(outdeg, "src")
+        .join(ranks, $"src" === $"node")
+        .select($"dst", expr("rank DIV outdeg").as("contrib"))
+        .groupBy($"dst")
+        .agg(expr("150000 + (850 * sum(contrib)) DIV 1000").as("rank"))
+        .select($"dst".as("node"), $"rank")
+    }
+    ranks.select($"node".as("doc_id"), $"rank".as("rank_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  /** One superstep against rank CTE `prev`. */
+  private def duckStep(prev: String): String =
+    s"""(SELECT e.d AS node,
+           (150000 + (850 * SUM(r.rank // g.outdeg)) // 1000)::BIGINT AS rank
+        FROM edges e JOIN deg g ON g.s = e.s JOIN $prev r ON r.node = e.s
+        GROUP BY e.d)"""
+
+  val g01Oracle: String = {
+    val P = Dedup.P
+    s"""WITH hs AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, length(text) - 2),
+           i -> ((ascii(substr(text, i::INT, 1))::BIGINT * 31 + ascii(substr(text, i::INT + 1, 1))) * 31
+                 + ascii(substr(text, i::INT + 2, 1))) * 31 + ascii(substr(text, i::INT + 3, 1)))) AS h
+       FROM documents),
+       sigs AS (SELECT doc_id, h,
+         list_transform(range(1, 33), j ->
+           list_min(list_transform(h, x ->
+             (((1103515245 * j + 12345) % $P) * x + (1103515245 * (j + 101) + 54321) % $P) % $P))) AS sig
+       FROM hs),
+       bands AS (
+         SELECT doc_id, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
+         FROM sigs, range(0, 4) t(b)),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       pairs AS (
+         SELECT doc_a, doc_b
+         FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
+         WHERE len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 8000),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       deg AS (SELECT s, COUNT(*) AS outdeg FROM edges GROUP BY s),
+       r0 AS (SELECT s AS node, 1000000::BIGINT AS rank FROM deg),
+       r1 AS ${duckStep("r0")},
+       r2 AS ${duckStep("r1")},
+       r3 AS ${duckStep("r2")},
+       r4 AS ${duckStep("r3")},
+       r5 AS ${duckStep("r4")}
+       SELECT node AS doc_id, rank AS rank_ppm FROM r5 ORDER BY doc_id"""
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_pagerank" -> ((s, d) => g01PageRank(T(s, d))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g01_pagerank" -> g01Oracle,
+  )
+}
