@@ -768,7 +768,10 @@ object Relational {
         sum(floor($"value").cast("long")).as("value_floor_sum"))
     users.crossJoin(broadcast(days))
       .join(daily, $"user_id" === $"u" && $"day" === $"d", "left_outer")
-      .select($"user_id", $"day",
+      // TIMESTAMP (not DATE) on both engines: pandas renders a DuckDB DATE
+      // as datetime64 but a parquet DATE as datetime.date, so a date-typed
+      // spine hash-mismatches depending on the harness's fetch path
+      .select($"user_id", $"day".cast("timestamp").as("day"),
         coalesce($"n_events", lit(0L)).as("n_events"),
         coalesce($"value_floor_sum", lit(0L)).as("value_floor_sum"))
       .orderBy($"user_id", $"day")
@@ -782,7 +785,7 @@ object Relational {
          SELECT user_id AS u, CAST(ts AS DATE) AS d, COUNT(*) AS n_events,
                 SUM(CAST(FLOOR(value) AS BIGINT)) AS value_floor_sum
          FROM events WHERE user_id < 20 GROUP BY 1, 2)
-       SELECT user_id, day::DATE AS day,
+       SELECT user_id, day::DATE::TIMESTAMP AS day,
               COALESCE(n_events, 0)::BIGINT AS n_events,
               COALESCE(value_floor_sum, 0)::BIGINT AS value_floor_sum
        FROM users CROSS JOIN days
