@@ -20,6 +20,15 @@ object Bench {
     // Hadoop FS + parquet reader stack (otherwise billed to the first query)
     spark.range(2000000).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // string-expression JIT warmup: UTF8String intrinsics (upper/regexp/
+    // reverse/pad) cost ~2 s of C2 compilation on their first heavy run,
+    // which otherwise lands on whichever string query executes first
+    spark.range(200000)
+      .selectExpr("upper(concat('ab', cast(id AS string))) AS u",
+        "regexp_replace(cast(id AS string), '[02468]', 'x') AS r",
+        "reverse(cast(id AS string)) AS v",
+        "lpad(cast(id AS string), 12, '_') AS p")
+      .write.format("noop").mode("overwrite").save()
     // optional arg (local dev only): comma-separated name-prefix filter
     val only: String => Boolean =
       if (args.nonEmpty) { val ps = args(0).split(","); n => ps.exists(n.startsWith) }
