@@ -817,9 +817,11 @@ object Relational {
     * quantity and quantity~discount covariance per linestatus, in milli-units
     * via n*S2 - S1^2 over n(n-1). Spark's stddev_samp/covar_samp exist but
     * reduce doubles in partial-agg order — not hash-stable cross-engine; the
-    * moment form is bit-exact (int64 safe through sf~1; beyond that the
-    * *1000 belongs after the DIV). Discount is fixed to basis points with
-    * FLOOR on both engines (same input double -> same product -> same floor). */
+    * moment form is bit-exact, with the *1000 split across the division
+    * (quot*1000 + rem*1000/d — exact, and int64-safe at any sf; DuckDB //
+    * truncates like Spark DIV, including on the negative covariance).
+    * Discount is fixed to basis points with FLOOR on both engines (same
+    * input double -> same product -> same floor). */
   def q40StatsAggs(t: T): DataFrame = {
     import t.spark.implicits._
     t.lineitem
@@ -829,22 +831,31 @@ object Relational {
       .groupBy($"l_linestatus")
       .agg(count(lit(1)).as("n"), sum($"q").as("s1"), sum($"q" * $"q").as("s2"),
         sum($"d_bp").as("t1"), sum($"q" * $"d_bp").as("sxy"))
+      .withColumn("dv", expr("n * s2 - s1 * s1"))
+      .withColumn("dc", expr("n * sxy - s1 * t1"))
+      .withColumn("dd", expr("n * (n - 1)"))
       .select($"l_linestatus", $"n",
-        expr("(n * s2 - s1 * s1) * 1000 DIV (n * (n - 1))").as("var_q_milli"),
-        expr("(n * sxy - s1 * t1) * 1000 DIV (n * (n - 1))").as("cov_qd_milli"))
+        expr("(dv DIV dd) * 1000 + (dv % dd) * 1000 DIV dd").as("var_q_milli"),
+        expr("(dc DIV dd) * 1000 + (dc % dd) * 1000 DIV dd").as("cov_qd_milli"))
       .orderBy($"l_linestatus")
   }
 
   val q40Oracle: String =
     """WITH b AS (SELECT l_linestatus, CAST(l_quantity AS BIGINT) AS q,
                   CAST(FLOOR(l_discount * 10000) AS BIGINT) AS d_bp FROM lineitem),
-       m AS (SELECT l_linestatus, COUNT(*) AS n, SUM(q) AS s1, SUM(q * q) AS s2,
-                    SUM(d_bp) AS t1, SUM(q * d_bp) AS sxy
-             FROM b GROUP BY l_linestatus)
+       m AS (SELECT l_linestatus, COUNT(*) AS n, SUM(q)::BIGINT AS s1,
+                    SUM(q * q)::BIGINT AS s2, SUM(d_bp)::BIGINT AS t1,
+                    SUM(q * d_bp)::BIGINT AS sxy
+             FROM b GROUP BY l_linestatus),
+       d AS (SELECT l_linestatus, n,
+                    (n * s2 - s1 * s1)::BIGINT AS dv,
+                    (n * sxy - s1 * t1)::BIGINT AS dc,
+                    (n * (n - 1))::BIGINT AS dd
+             FROM m)
        SELECT l_linestatus, n,
-              ((n * s2 - s1 * s1) * 1000 // (n * (n - 1)))::BIGINT AS var_q_milli,
-              ((n * sxy - s1 * t1) * 1000 // (n * (n - 1)))::BIGINT AS cov_qd_milli
-       FROM m ORDER BY l_linestatus"""
+              ((dv // dd) * 1000 + (dv % dd) * 1000 // dd)::BIGINT AS var_q_milli,
+              ((dc // dd) * 1000 + (dc % dd) * 1000 // dd)::BIGINT AS cov_qd_milli
+       FROM d ORDER BY l_linestatus"""
 
   /** LATERAL correlated subquery — per-order aggregate computed inline (the
     * decorrelation shape Catalyst rewrites into a join under the hood). */
@@ -1184,6 +1195,51 @@ object Relational {
        FROM ex FULL OUTER JOIN i ON ex.l_suppkey = i.l_suppkey
        ORDER BY l_suppkey"""
 
+  /** Grouped least-squares fit (price ~ quantity) as exact integer moments:
+    * slope = (nSxy - SxSy)/(nSxx - Sx^2) in milli-units — the deterministic
+    * twin of regr_slope/regr_intercept, whose double reductions are
+    * partial-agg-order dependent (same rationale as q40). Price in whole
+    * dollars, and the x1000 is SPLIT across the division
+    * (quot*1000 + rem*1000/d, exact) so every intermediate stays under
+    * int64 through sf~1 — a naive (nSxy-SxSy)*1000 overflows at sf0.1.
+    * All numerators here are positive (price rises with quantity), so
+    * truncating DIV and // agree. */
+  def q53LinReg(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .select($"l_returnflag",
+        $"l_quantity".cast("long").as("x"),
+        floor($"l_extendedprice").cast("long").as("y"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+      .withColumn("dnum", expr("n * sxy - sx * sy"))
+      .withColumn("dden", expr("n * sxx - sx * sx"))
+      .withColumn("slope_milli",
+        expr("(dnum DIV dden) * 1000 + (dnum % dden) * 1000 DIV dden"))
+      .select($"l_returnflag", $"n", $"slope_milli",
+        expr("(sy - slope_milli * sx DIV 1000) DIV n").as("intercept_d"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q53Oracle: String =
+    """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                  CAST(FLOOR(l_extendedprice) AS BIGINT) AS y FROM lineitem),
+       m AS (SELECT l_returnflag, COUNT(*) AS n, SUM(x)::BIGINT AS sx,
+                    SUM(y)::BIGINT AS sy, SUM(x * x)::BIGINT AS sxx,
+                    SUM(x * y)::BIGINT AS sxy
+             FROM b GROUP BY l_returnflag),
+       d AS (SELECT l_returnflag, n, sx, sy,
+                    (n * sxy - sx * sy)::BIGINT AS dnum,
+                    (n * sxx - sx * sx)::BIGINT AS dden
+             FROM m),
+       s AS (SELECT l_returnflag, n, sx, sy,
+                    ((dnum // dden) * 1000 + (dnum % dden) * 1000 // dden)::BIGINT AS slope_milli
+             FROM d)
+       SELECT l_returnflag, n, slope_milli,
+              ((sy - slope_milli * sx // 1000) // n)::BIGINT AS intercept_d
+       FROM s ORDER BY l_returnflag"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"      -> ((s, d) => q39Percentiles(T(s, d))),
@@ -1238,6 +1294,7 @@ object Relational {
     "q50_merge_upsert"     -> ((s, d) => q50MergeUpsert(T(s, d))),
     "q51_range_frame"      -> ((s, d) => q51RangeFrame(T(s, d))),
     "q52_set_ops_all"      -> ((s, d) => q52SetOpsAll(T(s, d))),
+    "q53_linreg"           -> ((s, d) => q53LinReg(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1293,5 +1350,6 @@ object Relational {
     "q50_merge_upsert"     -> q50Oracle,
     "q51_range_frame"      -> q51Oracle,
     "q52_set_ops_all"      -> q52Oracle,
+    "q53_linreg"           -> q53Oracle,
   )
 }
