@@ -1020,24 +1020,26 @@ object Relational {
     * non-unique key is free to return either row on either engine. */
   def q47ArgMax(t: T): DataFrame = {
     import t.spark.implicits._
+    // 1e8 multiplier: cents <= 1e6, so the packing stays collision-free for
+    // custkey < 1e8 (sf ~600) and the key under int64 (1e14 + 1e8)
     val keyed = t.customer.withColumn("bal_key",
-      floor($"c_acctbal" * 100).cast("long") * 1000000L + $"c_custkey")
+      floor($"c_acctbal" * 100).cast("long") * 100000000L + $"c_custkey")
     keyed.groupBy($"c_nationkey")
       .agg(count(lit(1)).as("n_customers"),
         expr("max_by(c_name, bal_key)").as("richest"),
         expr("min_by(c_name, bal_key)").as("poorest"),
-        expr("max(bal_key) DIV 1000000").as("top_bal_cents"))
+        expr("max(bal_key) DIV 100000000").as("top_bal_cents"))
       .orderBy($"c_nationkey")
   }
 
   val q47Oracle: String =
     """WITH k AS (SELECT c_nationkey, c_name,
-                  CAST(FLOOR(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey AS bal_key
+                  CAST(FLOOR(c_acctbal * 100) AS BIGINT) * 100000000 + c_custkey AS bal_key
            FROM customer)
        SELECT c_nationkey, COUNT(*) AS n_customers,
               arg_max(c_name, bal_key) AS richest,
               arg_min(c_name, bal_key) AS poorest,
-              (MAX(bal_key) // 1000000)::BIGINT AS top_bal_cents
+              (MAX(bal_key) // 100000000)::BIGINT AS top_bal_cents
        FROM k GROUP BY c_nationkey ORDER BY c_nationkey"""
 
   /** Boolean + bitwise aggregate family: bool_and/bool_or and
