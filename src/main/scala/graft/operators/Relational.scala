@@ -1242,6 +1242,39 @@ object Relational {
               ((sy - slope_milli * sx // 1000) // n)::BIGINT AS intercept_d
        FROM s ORDER BY l_returnflag"""
 
+  /** Value-position window family: first_value/last_value with IGNORE NULLS
+    * and nth_value over a full-partition frame, on a deliberately nullable
+    * measure (pending orders' prices are NULLed) — q14 covers lag/lead;
+    * these are the frame-edge accessors. Unique (date, orderkey) ordering. */
+  def q54ValueWindows(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """SELECT o_orderkey, o_orderpriority,
+                FIRST_VALUE(v) IGNORE NULLS OVER w AS first_v,
+                LAST_VALUE(v) IGNORE NULLS OVER w AS last_v,
+                NTH_VALUE(v, 3) OVER w AS third_v
+         FROM (SELECT o_orderkey, o_orderpriority, o_orderdate,
+                      CASE WHEN o_orderstatus = 'P' THEN NULL
+                           ELSE CAST(FLOOR(o_totalprice) AS BIGINT) END AS v
+               FROM orders)
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_orderkey""")
+  }
+
+  val q54Oracle: String =
+    """SELECT o_orderkey, o_orderpriority,
+              FIRST_VALUE(v IGNORE NULLS) OVER w AS first_v,
+              LAST_VALUE(v IGNORE NULLS) OVER w AS last_v,
+              NTH_VALUE(v, 3) OVER w AS third_v
+       FROM (SELECT o_orderkey, o_orderpriority, o_orderdate,
+                    CASE WHEN o_orderstatus = 'P' THEN NULL
+                         ELSE CAST(FLOOR(o_totalprice) AS BIGINT) END AS v
+             FROM orders)
+       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ORDER BY o_orderkey"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"      -> ((s, d) => q39Percentiles(T(s, d))),
@@ -1297,6 +1330,7 @@ object Relational {
     "q51_range_frame"      -> ((s, d) => q51RangeFrame(T(s, d))),
     "q52_set_ops_all"      -> ((s, d) => q52SetOpsAll(T(s, d))),
     "q53_linreg"           -> ((s, d) => q53LinReg(T(s, d))),
+    "q54_value_windows"    -> ((s, d) => q54ValueWindows(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1353,5 +1387,6 @@ object Relational {
     "q51_range_frame"      -> q51Oracle,
     "q52_set_ops_all"      -> q52Oracle,
     "q53_linreg"           -> q53Oracle,
+    "q54_value_windows"    -> q54Oracle,
   )
 }
