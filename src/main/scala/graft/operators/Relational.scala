@@ -1275,6 +1275,54 @@ object Relational {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
        ORDER BY o_orderkey"""
 
+  /** GROUPING() flags on a rollup — the only way to distinguish subtotal
+    * NULLs from data NULLs (q10/q11/q33 cover the shapes; this covers the
+    * disambiguator). Two single-arg GROUPING() calls, portable to DuckDB. */
+  def q55GroupingFlags(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                COALESCE(o_orderpriority, 'ALL') AS priority,
+                CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+                CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+                COUNT(*) AS n
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY g_status, g_priority, status, priority""")
+  }
+
+  val q55Oracle: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+              COALESCE(o_orderpriority, 'ALL') AS priority,
+              CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+              CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+              COUNT(*) AS n
+       FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+       ORDER BY g_status, g_priority, status, priority"""
+
+  /** Error-safe (try_) function family: division by zero and bad casts
+    * yield NULL instead of failing the job — the posture a 100 TB pipeline
+    * needs for dirty data. The oracle emulates with CASE/TRY_CAST. */
+  def q56TryFns(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """SELECT o_orderkey,
+                TRY_DIVIDE(CAST(FLOOR(o_totalprice) AS BIGINT), o_orderkey % 5) AS safe_div,
+                TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+                TRY_CAST(o_orderstatus AS BIGINT) AS status_num
+         FROM orders WHERE o_orderkey <= 3000
+         ORDER BY o_orderkey""")
+  }
+
+  val q56Oracle: String =
+    """SELECT o_orderkey,
+              CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                   ELSE CAST(FLOOR(o_totalprice) AS BIGINT) / (o_orderkey % 5)
+              END AS safe_div,
+              TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+              TRY_CAST(o_orderstatus AS BIGINT) AS status_num
+       FROM orders WHERE o_orderkey <= 3000
+       ORDER BY o_orderkey"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"      -> ((s, d) => q39Percentiles(T(s, d))),
@@ -1331,6 +1379,8 @@ object Relational {
     "q52_set_ops_all"      -> ((s, d) => q52SetOpsAll(T(s, d))),
     "q53_linreg"           -> ((s, d) => q53LinReg(T(s, d))),
     "q54_value_windows"    -> ((s, d) => q54ValueWindows(T(s, d))),
+    "q55_grouping_flags"   -> ((s, d) => q55GroupingFlags(T(s, d))),
+    "q56_try_fns"          -> ((s, d) => q56TryFns(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1388,5 +1438,7 @@ object Relational {
     "q52_set_ops_all"      -> q52Oracle,
     "q53_linreg"           -> q53Oracle,
     "q54_value_windows"    -> q54Oracle,
+    "q55_grouping_flags"   -> q55Oracle,
+    "q56_try_fns"          -> q56Oracle,
   )
 }
