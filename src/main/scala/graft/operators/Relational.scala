@@ -1323,6 +1323,30 @@ object Relational {
        FROM orders WHERE o_orderkey <= 3000
        ORDER BY o_orderkey"""
 
+  /** Generator NULL semantics: explode_outer keeps rows whose array is
+    * empty (a plain explode silently drops them — a classic data-loss bug in
+    * pipelines); parts with no >=6-letter word survive with a NULL word.
+    * The oracle's twin is LEFT JOIN LATERAL unnest. */
+  def q57ExplodeOuter(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.part
+      .select($"p_partkey",
+        expr("regexp_extract_all(p_name, '[a-z]{6,}', 0)").as("ws"))
+      .select($"p_partkey", explode_outer($"ws").as("word"))
+      .groupBy($"p_partkey")
+      .agg(count(lit(1)).as("n_rows"), count($"word").as("n_words"),
+        min($"word").as("first_word"))
+      .orderBy($"p_partkey")
+  }
+
+  val q57Oracle: String =
+    """WITH e AS (SELECT p_partkey, regexp_extract_all(p_name, '[a-z]{6,}') AS ws FROM part),
+       x AS (SELECT p_partkey, u.word
+             FROM e LEFT JOIN LATERAL (SELECT unnest(ws) AS word) u ON TRUE)
+       SELECT p_partkey, COUNT(*) AS n_rows, COUNT(word) AS n_words,
+              MIN(word) AS first_word
+       FROM x GROUP BY p_partkey ORDER BY p_partkey"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"      -> ((s, d) => q39Percentiles(T(s, d))),
@@ -1381,6 +1405,7 @@ object Relational {
     "q54_value_windows"    -> ((s, d) => q54ValueWindows(T(s, d))),
     "q55_grouping_flags"   -> ((s, d) => q55GroupingFlags(T(s, d))),
     "q56_try_fns"          -> ((s, d) => q56TryFns(T(s, d))),
+    "q57_explode_outer"    -> ((s, d) => q57ExplodeOuter(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1440,5 +1465,6 @@ object Relational {
     "q54_value_windows"    -> q54Oracle,
     "q55_grouping_flags"   -> q55Oracle,
     "q56_try_fns"          -> q56Oracle,
+    "q57_explode_outer"    -> q57Oracle,
   )
 }
