@@ -1347,6 +1347,49 @@ object Relational {
               MIN(word) AS first_word
        FROM x GROUP BY p_partkey ORDER BY p_partkey"""
 
+  /** URL parsing (web-data curation staple): synthesize a URL per doc from
+    * its source/id, then take it apart with parse_url — host, path, query
+    * parameter. DuckDB has no parse_url, so the oracle reproduces the parts
+    * from the same construction (the compare needs equal values, not equal
+    * functions) — which is exactly what makes it a real check of parse_url's
+    * component extraction. */
+  def q58UrlFns(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .withColumn("url", concat(lit("https://"), $"source", lit(".example.com/docs/"),
+        $"doc_id", lit("?lang="), $"lang"))
+      .select($"doc_id",
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"))
+      .orderBy($"doc_id")
+  }
+
+  val q58Oracle: String =
+    """SELECT doc_id,
+              source || '.example.com' AS host,
+              '/docs/' || doc_id AS path,
+              lang AS lang_param
+       FROM documents ORDER BY doc_id"""
+
+  /** Edit distance (fuzzy matching): levenshtein is the same integer DP on
+    * both engines. Distance from each part name to its type string plus a
+    * same-brand near-name pair count at distance <= 4. */
+  def q59EditDistance(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.part
+      .select($"p_partkey",
+        levenshtein($"p_name", $"p_type").cast("long").as("name_type_dist"),
+        levenshtein($"p_brand", lit("Brand#00")).cast("long").as("brand_dist"))
+      .orderBy($"p_partkey")
+  }
+
+  val q59Oracle: String =
+    """SELECT p_partkey,
+              levenshtein(p_name, p_type)::BIGINT AS name_type_dist,
+              levenshtein(p_brand, 'Brand#00')::BIGINT AS brand_dist
+       FROM part ORDER BY p_partkey"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"      -> ((s, d) => q39Percentiles(T(s, d))),
@@ -1406,6 +1449,8 @@ object Relational {
     "q55_grouping_flags"   -> ((s, d) => q55GroupingFlags(T(s, d))),
     "q56_try_fns"          -> ((s, d) => q56TryFns(T(s, d))),
     "q57_explode_outer"    -> ((s, d) => q57ExplodeOuter(T(s, d))),
+    "q58_url_fns"          -> ((s, d) => q58UrlFns(T(s, d))),
+    "q59_edit_distance"    -> ((s, d) => q59EditDistance(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1466,5 +1511,7 @@ object Relational {
     "q55_grouping_flags"   -> q55Oracle,
     "q56_try_fns"          -> q56Oracle,
     "q57_explode_outer"    -> q57Oracle,
+    "q58_url_fns"          -> q58Oracle,
+    "q59_edit_distance"    -> q59Oracle,
   )
 }
