@@ -220,6 +220,75 @@ object TextAnalysis {
        FROM toks JOIN scored USING (tok)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** BPE merge training — the real tokenizer-training loop: start from
+    * characters (symbols separated by '·' markers, spaces never merge),
+    * repeatedly count adjacent symbol pairs corpus-wide and merge the most
+    * frequent (ties by pair string ascending). Each round is one distributed
+    * explode+count plus a driver-side argmax (model state, like s04's
+    * centroids) and a literal `replace` rewrite of the corpus —
+    * localCheckpoint'ed so round k doesn't replay rounds 1..k-1. `replace`
+    * is leftmost non-overlapping in both engines (verified), and
+    * element_at keeps 1-based indexing parity with DuckDB. */
+  def t07BpeMerges(t: T, k: Int = 6): DataFrame = {
+    import t.spark.implicits._
+    val spark = t.spark
+    var corpus = t.documents
+      .select($"doc_id",
+        concat(lit("·"), regexp_replace($"text", "(.)", "$1·")).as("mk"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    // overlapping pairs via zero-width lookahead capture: each marker
+    // position yields its '·sym·sym·' window. regexp + explode + per-row
+    // concat all stay in codegen — the transform/filter lambda formulation
+    // of the same extraction runs interpreted per element and was 5x slower.
+    for (i <- 1 to k) {
+      val best = corpus
+        .select(expr("explode(regexp_extract_all(mk, '(?=(·[^· ]+·[^· ]+·))', 1))").as("raw"))
+        .select(expr(
+          "concat(element_at(split(raw, '·'), 2), '|', element_at(split(raw, '·'), 3))").as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"pair")
+        .limit(1).collect()(0)
+      val (pair, freq) = (best.getString(0), best.getLong(1))
+      merges += ((i.toLong, pair, freq))
+      val Array(a, b) = pair.split('|')
+      // plain lineage: each round appends one cheap `replace`, so replaying
+      // 6 of them beats materializing the corpus per round; checkpoint every
+      // ~10 rounds instead when training hundreds of merges at corpus scale
+      corpus = corpus
+        .withColumn("mk", expr(s"replace(mk, '·${a}·${b}·', '·${a}${b}·')"))
+    }
+    spark.createDataFrame(merges.result()).toDF("it", "pair", "freq")
+      .orderBy($"it")
+  }
+
+  val t07Oracle: String = {
+    def step(prev: String, i: Int): String =
+      s"""p$i AS (
+           SELECT pair, COUNT(*) AS freq FROM (
+             SELECT unnest(list_filter(list_transform(range(1, len(ss)),
+                      j -> CASE WHEN ss[j] NOT IN ('', ' ') AND ss[j+1] NOT IN ('', ' ')
+                                THEN ss[j] || '|' || ss[j+1] END), x -> x IS NOT NULL)) AS pair
+             FROM (SELECT string_split(mk, chr(183)) AS ss FROM $prev))
+           GROUP BY pair),
+         b$i AS (SELECT pair, freq FROM p$i ORDER BY freq DESC, pair LIMIT 1),
+         c$i AS (
+           SELECT doc_id, replace(mk,
+               chr(183) || string_split(pair, '|')[1] || chr(183) || string_split(pair, '|')[2] || chr(183),
+               chr(183) || string_split(pair, '|')[1] || string_split(pair, '|')[2] || chr(183)) AS mk
+           FROM $prev, b$i)"""
+    val k = 6
+    val chain = (1 to k).map(i => step(s"c${i - 1}", i)).mkString(",\n")
+    val union = (1 to k)
+      .map(i => s"SELECT $i::BIGINT AS it, pair, freq::BIGINT AS freq FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""WITH c0 AS (SELECT doc_id,
+          chr(183) || regexp_replace(text, '(.)', '\\1' || chr(183), 'g') AS mk
+        FROM documents),
+       $chain
+       SELECT * FROM ($union) ORDER BY it"""
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
     "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
@@ -227,6 +296,7 @@ object TextAnalysis {
     "t04_fingerprint"   -> ((s, d) => t04Fingerprint(T(s, d))),
     "t05_ngram_profile" -> ((s, d) => t05NgramProfile(T(s, d))),
     "t06_surprisal"     -> ((s, d) => t06Surprisal(T(s, d))),
+    "t07_bpe_merges"    -> ((s, d) => t07BpeMerges(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -236,5 +306,6 @@ object TextAnalysis {
     "t04_fingerprint"   -> t04Oracle,
     "t05_ngram_profile" -> t05Oracle,
     "t06_surprisal"     -> t06Oracle,
+    "t07_bpe_merges"    -> t07Oracle,
   )
 }
