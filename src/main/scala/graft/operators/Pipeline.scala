@@ -333,6 +333,51 @@ object Pipeline {
        SELECT lang, rate_bp, n_docs_kept, tokens_kept, lang_toks
        FROM kept JOIN rates USING (lang) ORDER BY lang"""
 
+  /** Curriculum ordering: sort the corpus by ascending quality (t03's
+    * integer score, doc_id tiebreak) and cut into 10 curriculum stages of
+    * equal token budget — easy-to-hard data ordering for training. NOTE the
+    * global window is a single-partition sort — fine to ~10^8 docs; at full
+    * corpus scale the cumsum becomes the standard two-pass prefix sum
+    * (range-partition by quality, per-partition totals broadcast as
+    * offsets). */
+  def p10Curriculum(t: T): DataFrame = {
+    import t.spark.implicits._
+    val scored = t.documents
+      .withColumn("n_tok", size(split($"text", " ")).cast("long"))
+      .withColumn("n_dis", size(expr("array_distinct(split(text, ' '))")).cast("long"))
+      .withColumn("quality_bp",
+        expr("((n_dis * 10000) DIV n_tok) * 5 DIV 10 + least(n_tok, 100L) * 30"))
+    val w = Window.orderBy($"quality_bp", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.partitionBy()
+    scored
+      .withColumn("cum_tok", sum($"n_tok").over(w))
+      .withColumn("total_tok", sum($"n_tok").over(total))
+      .withColumn("stage", expr("least((cum_tok - 1) * 10 DIV total_tok, 9L)"))
+      .groupBy($"stage")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("stage_tokens"),
+        min($"quality_bp").as("min_q"), max($"quality_bp").as("max_q"))
+      .orderBy($"stage")
+  }
+
+  val p10Oracle: String =
+    """WITH scored AS (
+         SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                ((CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 10000)
+                   // CAST(len(string_split(text, ' ')) AS BIGINT)) * 5 // 10
+                  + LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 100) * 30 AS quality_bp
+         FROM documents),
+       c AS (SELECT doc_id, n_tok, quality_bp,
+               SUM(n_tok) OVER (ORDER BY quality_bp, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok,
+               SUM(n_tok) OVER () AS total_tok
+             FROM scored)
+       SELECT LEAST((cum_tok - 1) * 10 // total_tok, 9)::BIGINT AS stage,
+              COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS stage_tokens,
+              MIN(quality_bp)::BIGINT AS min_q, MAX(quality_bp)::BIGINT AS max_q
+       FROM c GROUP BY 1 ORDER BY stage"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -343,6 +388,7 @@ object Pipeline {
     "p07_stratified_sample" -> ((s, d) => p07StratifiedSample(T(s, d))),
     "p08_source_quota"     -> ((s, d) => p08SourceQuota(T(s, d))),
     "p09_token_mixture"    -> ((s, d) => p09TokenMixture(T(s, d))),
+    "p10_curriculum"       -> ((s, d) => p10Curriculum(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -355,5 +401,6 @@ object Pipeline {
     "p07_stratified_sample" -> p07Oracle,
     "p08_source_quota"     -> p08Oracle,
     "p09_token_mixture"    -> p09Oracle,
+    "p10_curriculum"       -> p10Oracle,
   )
 }

@@ -1390,6 +1390,37 @@ object Relational {
               levenshtein(p_brand, 'Brand#00')::BIGINT AS brand_dist
        FROM part ORDER BY p_partkey"""
 
+  /** Higher-order map functions: transform_values, map_filter and
+    * map_concat over the per-bucket event-type count map (q43 builds and
+    * probes maps; this rewrites them). Output scalars only — the harness
+    * can't hash map columns — so each map op is followed by a fold/probe. */
+  def q60MapHigherOrder(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.events
+      .groupBy(($"user_id" % 10).as("user_bucket"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"user_bucket")
+      .agg(map_from_entries(collect_list(struct($"event_type", $"n"))).as("m"))
+      .select($"user_bucket",
+        // transform_values: double every count, then fold to a sum
+        expr("aggregate(map_values(transform_values(m, (k, v) -> v * 2)), 0L, (a, x) -> a + x)")
+          .as("doubled_total"),
+        // map_filter: keep only heavy types, count survivors
+        size(expr("map_filter(m, (k, v) -> v >= 190)")).cast("long").as("n_heavy"),
+        // map_concat with a sentinel entry, probed back out
+        element_at(expr("map_concat(m, map('sentinel', -1L))"), "sentinel").as("sentinel"))
+      .orderBy($"user_bucket")
+  }
+
+  val q60Oracle: String =
+    """SELECT user_id % 10 AS user_bucket,
+              (SUM(cnt) * 2)::BIGINT AS doubled_total,
+              SUM(CASE WHEN cnt >= 190 THEN 1 ELSE 0 END)::BIGINT AS n_heavy,
+              -1::BIGINT AS sentinel
+       FROM (SELECT user_id % 10 AS user_id, event_type, COUNT(*) AS cnt
+             FROM events GROUP BY 1, 2)
+       GROUP BY 1 ORDER BY user_bucket"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"      -> ((s, d) => q39Percentiles(T(s, d))),
@@ -1451,6 +1482,7 @@ object Relational {
     "q57_explode_outer"    -> ((s, d) => q57ExplodeOuter(T(s, d))),
     "q58_url_fns"          -> ((s, d) => q58UrlFns(T(s, d))),
     "q59_edit_distance"    -> ((s, d) => q59EditDistance(T(s, d))),
+    "q60_map_higher_order" -> ((s, d) => q60MapHigherOrder(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1513,5 +1545,6 @@ object Relational {
     "q57_explode_outer"    -> q57Oracle,
     "q58_url_fns"          -> q58Oracle,
     "q59_edit_distance"    -> q59Oracle,
+    "q60_map_higher_order" -> q60Oracle,
   )
 }
