@@ -399,6 +399,54 @@ object Dedup {
        WHERE len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 8000
        ORDER BY doc_a, doc_b"""
 
+  /** Exact substring-level duplication coverage (the signal behind
+    * suffix-array dedup, Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022): slide a 40-char window over every
+    * document, count how many of a doc's grams also occur in at least one
+    * OTHER document, and report the duplicated-coverage ratio in basis
+    * points. Unlike d02/d04/d08 (set-similarity at document granularity)
+    * this catches long verbatim passages pasted into otherwise-different
+    * documents — the dominant contamination mode in web crawls.
+    *
+    * Scale design: explode is linear in corpus characters; the only shuffle
+    * is the groupBy on the gram key. At 100 TB the gram would be hashed
+    * (`shingle_hashes`-style int64, 5x narrower shuffle rows) and strided —
+    * here the raw 40-char string is the key so the DuckDB twin is trivially
+    * byte-identical. */
+  def d09SubstringDupCoverage(t: T): DataFrame = {
+    import t.spark.implicits._
+    val grams = t.documents.select(
+      $"doc_id",
+      explode(expr(
+        "transform(sequence(1, greatest(length(text) - 39, 1)), i -> substring(text, i, 40))"
+      )).as("gram"))
+    val byGram = grams.groupBy($"gram")
+      .agg(countDistinct($"doc_id").as("nd"))
+    grams.join(byGram, "gram")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select($"doc_id", $"n_grams", $"n_dup_grams",
+        expr("n_dup_grams * 10000 DIV n_grams").as("dup_bp"))
+      .orderBy($"doc_id")
+  }
+
+  val d09Oracle: String =
+    """WITH grams AS (
+         SELECT doc_id,
+           unnest(list_transform(range(1, greatest(length(text) - 39, 1) + 1),
+             i -> substr(text, i::INT, 40))) AS gram
+         FROM documents),
+       by_gram AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gram),
+       per_doc AS (
+         SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+           SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams
+         FROM grams JOIN by_gram USING (gram) GROUP BY doc_id)
+       SELECT doc_id, n_grams, n_dup_grams,
+              (n_dup_grams * 10000 // n_grams)::BIGINT AS dup_bp
+       FROM per_doc ORDER BY doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"        -> ((s, d) => d01ExactDedup(T(s, d))),
     "d02_ngram_jaccard"      -> ((s, d) => d02NgramJaccardPairs(T(s, d))),
@@ -408,6 +456,7 @@ object Dedup {
     "d06_simhash_pairs"      -> ((s, d) => d06SimhashPairs(T(s, d))),
     "d07_dedup_clusters"     -> ((s, d) => d07DedupClusters(T(s, d))),
     "d08_prefix_jaccard"     -> ((s, d) => d08PrefixJaccardJoin(T(s, d))),
+    "d09_substring_dup"      -> ((s, d) => d09SubstringDupCoverage(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -419,5 +468,6 @@ object Dedup {
     "d06_simhash_pairs"     -> d06Oracle,
     "d07_dedup_clusters"    -> d07Oracle,
     "d08_prefix_jaccard"    -> d08Oracle,
+    "d09_substring_dup"     -> d09Oracle,
   )
 }

@@ -55,9 +55,11 @@ object Graph {
         FROM edges e JOIN deg g ON g.s = e.s JOIN $prev r ON r.node = e.s
         GROUP BY e.d)"""
 
-  val g01Oracle: String = {
+  /** Shared DuckDB CTE chain reproducing the d04 LSH pair graph (the edge
+    * set both graph queries run on). */
+  private val pairsCte: String = {
     val P = Dedup.P
-    s"""WITH hs AS (SELECT doc_id,
+    s"""hs AS (SELECT doc_id,
          list_distinct(list_transform(range(1, length(text) - 2),
            i -> ((ascii(substr(text, i::INT, 1))::BIGINT * 31 + ascii(substr(text, i::INT + 1, 1))) * 31
                  + ascii(substr(text, i::INT + 2, 1))) * 31 + ascii(substr(text, i::INT + 3, 1)))) AS h
@@ -76,7 +78,11 @@ object Graph {
        pairs AS (
          SELECT doc_a, doc_b
          FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
-         WHERE len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 8000),
+         WHERE len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 8000)"""
+  }
+
+  val g01Oracle: String =
+    s"""WITH $pairsCte,
        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
                  UNION SELECT doc_b, doc_a FROM pairs),
        deg AS (SELECT s, COUNT(*) AS outdeg FROM edges GROUP BY s),
@@ -87,13 +93,51 @@ object Graph {
        r4 AS ${duckStep("r3")},
        r5 AS ${duckStep("r4")}
        SELECT node AS doc_id, rank AS rank_ppm FROM r5 ORDER BY doc_id"""
+
+  /** Triangle counting on the same (undirected) pair graph: community
+    * density of the near-dup neighborhoods. With edges stored once as
+    * doc_a < doc_b, each triangle a<b<c is enumerated exactly once by the
+    * two-join wedge-closure pattern — the standard distributed formulation
+    * (each join shuffles on one endpoint; no per-node adjacency material-
+    * ization, so a 100 TB edge list stays partitioned). Output: per-node
+    * triangle participation counts. */
+  def g02Triangles(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val pairs = Dedup.d04MinhashLshPairs(t)
+      .select($"doc_a", $"doc_b").localCheckpoint() // 3 self-joins reuse blocks
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"), $"e1.doc_b" === $"e2.doc_a")
+      .join(pairs.as("e3"),
+        $"e3.doc_a" === $"e1.doc_a" && $"e3.doc_b" === $"e2.doc_b")
+      .select($"e1.doc_a".as("a"), $"e1.doc_b".as("b"), $"e2.doc_b".as("c"))
+    tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"doc_id")
   }
 
+  val g02Oracle: String =
+    s"""WITH $pairsCte,
+       tri AS (
+         SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         FROM pairs e1
+         JOIN pairs e2 ON e2.doc_a = e1.doc_b
+         JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       nodes AS (
+         SELECT a AS doc_id FROM tri
+         UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri)
+       SELECT doc_id, COUNT(*) AS n_triangles
+       FROM nodes GROUP BY doc_id ORDER BY doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "g01_pagerank" -> ((s, d) => g01PageRank(T(s, d))),
+    "g01_pagerank"  -> ((s, d) => g01PageRank(T(s, d))),
+    "g02_triangles" -> ((s, d) => g02Triangles(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
-    "g01_pagerank" -> g01Oracle,
+    "g01_pagerank"  -> g01Oracle,
+    "g02_triangles" -> g02Oracle,
   )
 }

@@ -378,6 +378,66 @@ object Pipeline {
               MIN(quality_bp)::BIGINT AS min_q, MAX(quality_bp)::BIGINT AS max_q
        FROM c GROUP BY 1 ORDER BY stage"""
 
+  /** Gopher-style quality-filter cascade (Rae et al. 2021 §A1.1 rule
+    * family): per-doc boolean gates — token-count range, mean-word-length
+    * range, stopword evidence, most-frequent-token share — each emitted as
+    * its own flag so a pipeline can audit WHICH rule rejected a doc, plus
+    * the conjunction. Reuses the p06 explode+agg shape for the per-token
+    * census (distributed, no per-row quadratic lambda); everything else is a
+    * narrow projection. Integer thresholds only. */
+  def p11QualityCascade(t: T): DataFrame = {
+    import t.spark.implicits._
+    val census = t.documents
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("n"))
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_tok"), max($"n").as("max_freq"))
+    val allStops = stopAll.map(v => s"'$v'").mkString("(", ",", ")")
+    t.documents
+      .select($"doc_id", $"text", length($"text").cast("long").as("len"),
+        expr(s"size(filter(split(text, ' '), x -> x IN $allStops))")
+          .cast("long").as("n_stop"))
+      .join(census, "doc_id")
+      // mean word length in centi-chars: single-space-joined corpus =>
+      // non-space chars = len - (n_tok - 1)
+      .withColumn("mwl_centi", expr("(len - n_tok + 1) * 100 DIV n_tok"))
+      .select($"doc_id", $"n_tok", $"mwl_centi",
+        ($"n_tok" >= 10 && $"n_tok" <= 200).as("f_len"),
+        ($"mwl_centi" >= 250 && $"mwl_centi" <= 900).as("f_wordlen"),
+        ($"n_stop" >= 2).as("f_stop"),
+        expr("max_freq * 10000 DIV n_tok <= 2000").as("f_rep"))
+      .withColumn("keep", $"f_len" && $"f_wordlen" && $"f_stop" && $"f_rep")
+      .orderBy($"doc_id")
+  }
+
+  private def stopAll: Seq[String] =
+    TextAnalysis.stop.toSeq.sortBy(_._1).flatMap(_._2)
+
+  val p11Oracle: String = {
+    val allStops = stopAll.map(v => s"'$v'").mkString("(", ",", ")")
+    s"""WITH census AS (
+         SELECT doc_id, SUM(n)::BIGINT AS n_tok, MAX(n)::BIGINT AS max_freq
+         FROM (SELECT doc_id, tok, COUNT(*) AS n
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM documents)
+               GROUP BY doc_id, tok) t
+         GROUP BY doc_id),
+       feats AS (
+         SELECT d.doc_id, length(text)::BIGINT AS len,
+           len(list_filter(string_split(text, ' '), x -> x IN $allStops))::BIGINT AS n_stop,
+           c.n_tok, c.max_freq,
+           ((length(text) - c.n_tok + 1) * 100 // c.n_tok)::BIGINT AS mwl_centi
+         FROM documents d JOIN census c ON c.doc_id = d.doc_id)
+       SELECT doc_id, n_tok, mwl_centi,
+         (n_tok >= 10 AND n_tok <= 200) AS f_len,
+         (mwl_centi >= 250 AND mwl_centi <= 900) AS f_wordlen,
+         (n_stop >= 2) AS f_stop,
+         (max_freq * 10000 // n_tok <= 2000) AS f_rep,
+         ((n_tok >= 10 AND n_tok <= 200) AND (mwl_centi >= 250 AND mwl_centi <= 900)
+          AND (n_stop >= 2) AND (max_freq * 10000 // n_tok <= 2000)) AS keep
+       FROM feats ORDER BY doc_id"""
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -389,6 +449,7 @@ object Pipeline {
     "p08_source_quota"     -> ((s, d) => p08SourceQuota(T(s, d))),
     "p09_token_mixture"    -> ((s, d) => p09TokenMixture(T(s, d))),
     "p10_curriculum"       -> ((s, d) => p10Curriculum(T(s, d))),
+    "p11_quality_cascade"  -> ((s, d) => p11QualityCascade(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -402,5 +463,6 @@ object Pipeline {
     "p08_source_quota"     -> p08Oracle,
     "p09_token_mixture"    -> p09Oracle,
     "p10_curriculum"       -> p10Oracle,
+    "p11_quality_cascade"  -> p11Oracle,
   )
 }

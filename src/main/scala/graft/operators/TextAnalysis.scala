@@ -289,6 +289,39 @@ object TextAnalysis {
        SELECT * FROM ($union) ORDER BY it"""
   }
 
+  /** Zipf vocabulary profile — the corpus-level token census tokenizer and
+    * mixture design start from: top-50 tokens by frequency with rank and
+    * corpus-coverage in basis points. One explode + one aggregation + a
+    * window over the (tiny) top-k — the census shuffles on token, the
+    * global total is a scalar broadcast, so the shape is flat at any
+    * corpus size. */
+  def t08ZipfProfile(t: T): DataFrame = {
+    import t.spark.implicits._
+    val freq = t.documents
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum($"n").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    freq
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"tok")).cast("long"))
+      .filter($"rank" <= 50)
+      .select($"rank", $"tok", $"n", expr("n * 10000 DIV total").as("coverage_bp"))
+      .orderBy($"rank")
+  }
+
+  val t08Oracle: String =
+    """WITH freq AS (
+         SELECT tok, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS total
+         FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY tok),
+       ranked AS (
+         SELECT tok, n, total,
+           ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank
+         FROM freq)
+       SELECT CAST(rank AS BIGINT) AS rank, tok, n,
+              (n * 10000 // total)::BIGINT AS coverage_bp
+       FROM ranked WHERE rank <= 50 ORDER BY rank"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
     "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
@@ -297,6 +330,7 @@ object TextAnalysis {
     "t05_ngram_profile" -> ((s, d) => t05NgramProfile(T(s, d))),
     "t06_surprisal"     -> ((s, d) => t06Surprisal(T(s, d))),
     "t07_bpe_merges"    -> ((s, d) => t07BpeMerges(T(s, d))),
+    "t08_zipf_profile"  -> ((s, d) => t08ZipfProfile(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -307,5 +341,6 @@ object TextAnalysis {
     "t05_ngram_profile" -> t05Oracle,
     "t06_surprisal"     -> t06Oracle,
     "t07_bpe_merges"    -> t07Oracle,
+    "t08_zipf_profile"  -> t08Oracle,
   )
 }

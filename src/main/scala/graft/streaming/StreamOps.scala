@@ -33,6 +33,18 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Exact sliding-window counts+sums per event type: 10-minute windows
+    * every 5 minutes, so each event lands in exactly two windows. Same
+    * bounded-state properties as [[windowedTypeCounts]]; Spark expands the
+    * slide into per-window rows before the aggregate (state is
+    * windows x types, not events). */
+  def slidingTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
   /** Sliding 5-minute window (1-minute slide) of distinct-ish user activity:
     * approx_count_distinct keeps per-window state O(1) at any scale. */
   def slidingActiveUsers(events: DataFrame): DataFrame =
@@ -194,13 +206,36 @@ object StreamOps {
               SUM(v)::BIGINT AS value_floor_sum
        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
 
+  /** Batch twin of [[slidingTypeCounts]] for oracle coverage: checks
+    * Spark's slide expansion (epoch-aligned window starts, 2 windows per
+    * event at length/slide = 2) against an explicit two-starts-per-event
+    * relational formulation in DuckDB. Value floored pre-sum as in w01. */
+  def w03SlidingTypeCounts(t: graft.T): DataFrame = {
+    import t.spark.implicits._
+    slidingTypeCounts(t.events.withColumn("value", floor($"value")))
+      .select($"window_start", $"event_type", $"n",
+        $"sum_value".cast("long").as("sum_value"))
+      .orderBy($"window_start", $"event_type")
+  }
+
+  val w03Oracle: String =
+    """WITH e AS (SELECT (epoch_us(ts) // 1000000) AS es, event_type,
+              CAST(FLOOR(value) AS BIGINT) AS v FROM events),
+       w AS (SELECT unnest([es - es % 300, es - es % 300 - 300]) AS ws,
+                    event_type, v FROM e)
+       SELECT make_timestamp(ws * 1000000) AS window_start, event_type,
+              COUNT(*) AS n, SUM(v)::BIGINT AS sum_value
+       FROM w GROUP BY 1, 2 ORDER BY window_start, event_type"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_windowed_type_counts" -> ((s, d) => w01WindowedTypeCounts(graft.T(s, d))),
     "w02_session_windows"      -> ((s, d) => w02SessionWindows(graft.T(s, d))),
+    "w03_sliding_type_counts"  -> ((s, d) => w03SlidingTypeCounts(graft.T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
     "w01_windowed_type_counts" -> w01Oracle,
     "w02_session_windows"      -> w02Oracle,
+    "w03_sliding_type_counts"  -> w03Oracle,
   )
 }
