@@ -1421,6 +1421,248 @@ object Relational {
              FROM events GROUP BY 1, 2)
        GROUP BY 1 ORDER BY user_bucket"""
 
+  /** EXISTS / NOT EXISTS correlated subqueries (SQL surface): customers
+    * with at least one large order and no urgent ones. Catalyst rewrites
+    * both to semi/anti hash joins on o_custkey — one shuffle each, the same
+    * plan the q08/q09 DataFrame formulations produce. */
+  def q61ExistsSubquery(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """SELECT c_custkey, c_mktsegment FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""")
+  }
+
+  val q61Oracle: String =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')
+       ORDER BY c_custkey"""
+
+  /** Equi-width histogram by integer bucketing — floor BEFORE the integer
+    * divide (Spark CAST truncates where DuckDB rounds; floor agrees). One
+    * partial+final aggregate on a 10-value key. */
+  def q62Histogram(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders
+      .select(expr("floor(o_totalprice) DIV 50000").as("bucket"),
+        expr("floor(o_totalprice)").as("fp"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_orders"), sum($"fp").as("floor_price_sum"))
+      .orderBy($"bucket")
+  }
+
+  val q62Oracle: String =
+    """SELECT floor(o_totalprice)::BIGINT // 50000 AS bucket,
+              COUNT(*) AS n_orders,
+              SUM(floor(o_totalprice)::BIGINT)::BIGINT AS floor_price_sum
+       FROM orders GROUP BY 1 ORDER BY bucket"""
+
+  /** Bitwise scalar functions: shifts, and/or/xor, population count.
+    * (`^` is xor in Spark SQL but power in DuckDB — the oracle uses
+    * xor().) */
+  def q63Bitwise(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders
+      .select($"o_orderkey",
+        expr("shiftleft(o_orderkey & 255, 3)").as("shl"),
+        expr("shiftright(o_orderkey, 4)").as("shr"),
+        expr("o_orderkey ^ 12345").as("xored"),
+        expr("o_orderkey | 1024").as("ored"),
+        bit_count($"o_orderkey").cast("long").as("popcount"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q63Oracle: String =
+    """SELECT o_orderkey,
+              (o_orderkey & 255) << 3 AS shl,
+              o_orderkey >> 4 AS shr,
+              xor(o_orderkey, 12345) AS xored,
+              o_orderkey | 1024 AS ored,
+              bit_count(o_orderkey)::BIGINT AS popcount
+       FROM orders ORDER BY o_orderkey"""
+
+  /** Radix / encoding scalar functions: hex, binary, base64, ascii/chr.
+    * Spark's hex() and DuckDB's agree (uppercase, no leading zeros). */
+  def q64Encode(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.customer
+      .select($"c_custkey",
+        hex($"c_custkey").as("k_hex"),
+        bin($"c_custkey").as("k_bin"),
+        expr("base64(cast(c_name AS binary))").as("name_b64"),
+        ascii($"c_mktsegment").cast("long").as("seg_ascii"),
+        expr("char(65 + c_custkey % 26)").as("bucket_chr"))
+      .orderBy($"c_custkey")
+  }
+
+  val q64Oracle: String =
+    """SELECT c_custkey,
+              hex(c_custkey) AS k_hex,
+              bin(c_custkey) AS k_bin,
+              to_base64(encode(c_name)) AS name_b64,
+              ascii(c_mktsegment)::BIGINT AS seg_ascii,
+              chr((65 + c_custkey % 26)::INT) AS bucket_chr
+       FROM customer ORDER BY c_custkey"""
+
+  /** Field extraction + trim family: split_part, TRIM(LEADING ...),
+    * left/right, repeat. */
+  def q65SplitTrim(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.customer
+      .select($"c_custkey",
+        expr("split_part(c_name, '#', 2)").as("id_digits"),
+        expr("trim(LEADING '0' FROM split_part(c_name, '#', 2))").as("id_stripped"),
+        expr("left(c_mktsegment, 4)").as("seg_l"),
+        expr("right(c_mktsegment, 4)").as("seg_r"),
+        expr("repeat(left(c_mktsegment, 1), 3)").as("seg_rep"))
+      .orderBy($"c_custkey")
+  }
+
+  val q65Oracle: String =
+    """SELECT c_custkey,
+              split_part(c_name, '#', 2) AS id_digits,
+              ltrim(split_part(c_name, '#', 2), '0') AS id_stripped,
+              left(c_mktsegment, 4) AS seg_l,
+              right(c_mktsegment, 4) AS seg_r,
+              repeat(left(c_mktsegment, 1), 3) AS seg_rep
+       FROM customer ORDER BY c_custkey"""
+
+  /** Array set algebra: union/intersect/except/position/overlap on
+    * per-row generated ranges (scalar outputs only — the harness can't
+    * hash array columns). Spark sequence(a,b) is inclusive = DuckDB
+    * range(a,b+1). */
+  def q66ArraySetOps(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.part
+      .withColumn("a", expr("sequence(cast(p_size AS bigint), cast(p_size AS bigint) + 4)"))
+      .withColumn("b", expr("sequence(cast(p_size AS bigint) + 3, cast(p_size AS bigint) + 9)"))
+      .select($"p_partkey",
+        size(expr("array_union(a, b)")).cast("long").as("n_union"),
+        size(expr("array_intersect(a, b)")).cast("long").as("n_intersect"),
+        size(expr("array_except(a, b)")).cast("long").as("n_except"),
+        expr("element_at(array_except(a, b), 1)").as("first_except"),
+        expr("array_position(b, cast(p_size AS bigint) + 4)").as("pos_in_b"),
+        expr("arrays_overlap(a, b)").as("overlaps"),
+        expr("aggregate(slice(sequence(1, p_size % 7 + 5), 2, 3), 0L, (acc, x) -> acc + x)")
+          .as("slice_sum"))
+      .orderBy($"p_partkey")
+  }
+
+  val q66Oracle: String =
+    """SELECT p_partkey,
+              len(list_distinct(a || b))::BIGINT AS n_union,
+              len(list_intersect(a, b))::BIGINT AS n_intersect,
+              len(list_filter(a, x -> NOT list_contains(b, x)))::BIGINT AS n_except,
+              list_filter(a, x -> NOT list_contains(b, x))[1]::BIGINT AS first_except,
+              list_position(b, p_size + 4)::BIGINT AS pos_in_b,
+              list_has_any(a, b) AS overlaps,
+              list_sum(list_slice(range(1, p_size % 7 + 6), 2, 4))::BIGINT AS slice_sum
+       FROM (SELECT p_partkey, p_size,
+               range(p_size::BIGINT, p_size::BIGINT + 5) AS a,
+               range(p_size::BIGINT + 3, p_size::BIGINT + 10) AS b
+             FROM part)
+       ORDER BY p_partkey"""
+
+  /** Date arithmetic: day/month offsets (add_months clamps to month end,
+    * as does DuckDB's +INTERVAL MONTH), last_day, weekday, datediff. Date
+    * outputs cast to TIMESTAMP on both sides — pandas renders DuckDB DATE
+    * as datetime64 but parquet DATE as date objects, which breaks the
+    * fetch-path hash (q38 lesson). */
+  def q67DateArith(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders
+      .withColumn("od", $"o_orderdate".cast("date"))
+      .select($"o_orderkey",
+        expr("cast(date_add(od, 30) AS timestamp)").as("plus_30d"),
+        expr("cast(add_months(od, 3) AS timestamp)").as("plus_3m"),
+        expr("cast(last_day(od) AS timestamp)").as("month_end"),
+        expr("cast(weekday(od) AS bigint)").as("dow"),
+        expr("cast(datediff(od, date'1995-01-01') AS bigint)").as("days_since_epoch"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q67Oracle: String =
+    """SELECT o_orderkey,
+              (od + INTERVAL 30 DAY)::TIMESTAMP AS plus_30d,
+              (od + INTERVAL 3 MONTH)::TIMESTAMP AS plus_3m,
+              last_day(od)::TIMESTAMP AS month_end,
+              (isodow(od) - 1)::BIGINT AS dow,
+              datediff('day', DATE '1995-01-01', od)::BIGINT AS days_since_epoch
+       FROM (SELECT o_orderkey, o_orderdate::DATE AS od FROM orders)
+       ORDER BY o_orderkey"""
+
+  /** NULL semantics: nullif-injected nulls, a null-safe (`<=>` /
+    * IS NOT DISTINCT FROM) dimension join where the NULL dim row really
+    * matches, null-skipping COUNT(col), coalesce bucketing. */
+  def q68NullSafe(t: T): DataFrame = {
+    import t.spark.implicits._
+    val dim = Seq(Some("F"), Some("P"), Option.empty[String]).toDF("v")
+    t.orders
+      .withColumn("nstat", expr("nullif(o_orderstatus, 'O')"))
+      .join(dim, $"nstat" <=> $"v")
+      .groupBy(coalesce($"v", lit("<null>")).as("status_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        count($"nstat").as("n_nonnull"),
+        max(expr("nvl(nstat, 'zz')")).as("probe"))
+      .orderBy($"status_bucket")
+  }
+
+  val q68Oracle: String =
+    """WITH o AS (SELECT nullif(o_orderstatus, 'O') AS nstat FROM orders),
+       dim(v) AS (VALUES ('F'), ('P'), (NULL))
+       SELECT COALESCE(v, '<null>') AS status_bucket, COUNT(*) AS n_orders,
+              COUNT(nstat) AS n_nonnull,
+              MAX(COALESCE(nstat, 'zz')) AS probe
+       FROM o JOIN dim ON o.nstat IS NOT DISTINCT FROM dim.v
+       GROUP BY 1 ORDER BY status_bucket"""
+
+  /** greatest/least across columns + the least(greatest(...)) clamp idiom
+    * (both engines ignore NULLs in greatest/least — verified). */
+  def q69GreatestLeast(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+        greatest(expr("floor(l_quantity)"), $"l_linenumber".cast("long"), lit(10L)).as("g"),
+        least(expr("floor(l_quantity)"), $"l_linenumber".cast("long")).as("l"),
+        least(greatest(expr("floor(l_extendedprice)"), lit(1000L)), lit(50000L)).as("price_clamped"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q69Oracle: String =
+    """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+              greatest(floor(l_quantity)::BIGINT, l_linenumber::BIGINT, 10) AS g,
+              least(floor(l_quantity)::BIGINT, l_linenumber::BIGINT) AS l,
+              least(greatest(floor(l_extendedprice)::BIGINT, 1000), 50000) AS price_clamped
+       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+
+  /** Character-substitution family: translate, replace, repeat, md5. */
+  def q70Translate(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.part
+      .select($"p_partkey",
+        translate($"p_name", "aeiou", "AEIOU").as("tname"),
+        regexp_replace($"p_type", "E", "3").as("ltype"),
+        expr("repeat(p_brand, 2)").as("b2"),
+        md5($"p_name").as("name_md5"))
+      .orderBy($"p_partkey")
+  }
+
+  val q70Oracle: String =
+    """SELECT p_partkey,
+              translate(p_name, 'aeiou', 'AEIOU') AS tname,
+              replace(p_type, 'E', '3') AS ltype,
+              repeat(p_brand, 2) AS b2,
+              md5(p_name) AS name_md5
+       FROM part ORDER BY p_partkey"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"      -> ((s, d) => q39Percentiles(T(s, d))),
@@ -1483,6 +1725,16 @@ object Relational {
     "q58_url_fns"          -> ((s, d) => q58UrlFns(T(s, d))),
     "q59_edit_distance"    -> ((s, d) => q59EditDistance(T(s, d))),
     "q60_map_higher_order" -> ((s, d) => q60MapHigherOrder(T(s, d))),
+    "q61_exists_subquery"  -> ((s, d) => q61ExistsSubquery(T(s, d))),
+    "q62_histogram"        -> ((s, d) => q62Histogram(T(s, d))),
+    "q63_bitwise"          -> ((s, d) => q63Bitwise(T(s, d))),
+    "q64_encode"           -> ((s, d) => q64Encode(T(s, d))),
+    "q65_split_trim"       -> ((s, d) => q65SplitTrim(T(s, d))),
+    "q66_array_set_ops"    -> ((s, d) => q66ArraySetOps(T(s, d))),
+    "q67_date_arith"       -> ((s, d) => q67DateArith(T(s, d))),
+    "q68_null_safe"        -> ((s, d) => q68NullSafe(T(s, d))),
+    "q69_greatest_least"   -> ((s, d) => q69GreatestLeast(T(s, d))),
+    "q70_translate"        -> ((s, d) => q70Translate(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1546,5 +1798,15 @@ object Relational {
     "q58_url_fns"          -> q58Oracle,
     "q59_edit_distance"    -> q59Oracle,
     "q60_map_higher_order" -> q60Oracle,
+    "q61_exists_subquery"  -> q61Oracle,
+    "q62_histogram"        -> q62Oracle,
+    "q63_bitwise"          -> q63Oracle,
+    "q64_encode"           -> q64Oracle,
+    "q65_split_trim"       -> q65Oracle,
+    "q66_array_set_ops"    -> q66Oracle,
+    "q67_date_arith"       -> q67Oracle,
+    "q68_null_safe"        -> q68Oracle,
+    "q69_greatest_least"   -> q69Oracle,
+    "q70_translate"        -> q70Oracle,
   )
 }
