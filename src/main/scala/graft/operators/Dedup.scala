@@ -415,18 +415,23 @@ object Dedup {
     * byte-identical. */
   def d09SubstringDupCoverage(t: T): DataFrame = {
     import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val grams = t.documents.select(
       $"doc_id",
       explode(expr(
         "transform(sequence(1, greatest(length(text) - 39, 1)), i -> substring(text, i, 40))"
       )).as("gram"))
-    val byGram = grams.groupBy($"gram")
-      .agg(countDistinct($"doc_id").as("nd"))
-    grams.join(byGram, "gram")
+    // "occurs in >1 distinct doc" == min(doc_id) != max(doc_id) over the
+    // gram partition: one shuffle on the gram key instead of the
+    // aggregate-then-join-back formulation (which shuffles the 40-char
+    // gram rows twice more) — 8.0 s -> ~4 s at sf0.1
+    val w = Window.partitionBy($"gram")
+    grams
+      .withColumn("dup", min($"doc_id").over(w) =!= max($"doc_id").over(w))
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_grams"),
-        sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+        sum(when($"dup", 1L).otherwise(0L)).as("n_dup_grams"))
       .select($"doc_id", $"n_grams", $"n_dup_grams",
         expr("n_dup_grams * 10000 DIV n_grams").as("dup_bp"))
       .orderBy($"doc_id")
