@@ -118,6 +118,39 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q61: EXISTS/NOT EXISTS lower to semi and anti hash joins") {
+    val p = plan("q61_exists_subquery")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d09: substring-dup coverage is one gram-key exchange, no self-join") {
+    val p = plan("d09_substring_dup")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+    // window-based dup detection: exactly one exchange on gram, one on doc_id
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("g02: triangle closure is equi-joins only, one triangle per wedge") {
+    val p = plan("g02_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // sf0.001 graph is tiny but must still produce valid per-node counts
+    val rows = graft.SparkEntry.queries("g02_triangles")(spark, sfDir).collect()
+    assert(rows.forall(_.getLong(1) >= 1), rows.mkString(","))
+  }
+
+  test("p11: cascade flags agree with p06's repetition verdict") {
+    val t = T(spark, sfDir)
+    val p11 = Pipeline.p11QualityCascade(t)
+      .select("doc_id", "f_rep").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val p06 = Pipeline.p06Repetition(t)
+      .select("doc_id", "repetition_bp").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    p06.foreach { case (id, bp) =>
+      assert(p11(id) == (bp <= 2000), s"doc $id: repetition_bp=$bp vs f_rep=${p11(id)}")
+    }
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline") {
     // "*(n)" prefixes mark operators fused into whole-stage codegen; AQE
     // only shows them after the stages actually run

@@ -57,6 +57,26 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exact sliding counts: streaming == batch, two windows per event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = snap(StreamOps.slidingTypeCounts(sample.toDF()))
+    // length/slide = 2 => every event is counted exactly twice across windows
+    val total = StreamOps.slidingTypeCounts(sample.toDF())
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(total == 2L * sample.length, s"total=$total")
+
+    val stream = MemoryStream[StreamOps.Evt]
+    stream.addData(sample: _*)
+    val q = StreamOps.slidingTypeCounts(stream.toDF())
+      .writeStream.format("memory").queryName("slide_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(snap(spark.table("slide_counts")) == batch)
+    } finally q.stop()
+  }
+
   test("sliding active-user windows produce one row per covering slide") {
     import spark.implicits._
     // an event at 10:03 belongs to 5 sliding windows (slide=1min, size=5min)
