@@ -117,6 +117,18 @@ object TextHashOps {
     if (union == 0) 10000L else inter * 10000L / union
   }
 
+  /** Whole-string polynomial hash: Horner base 31 over code points,
+    * mod P at every step (matches a list_reduce over ascii() in DuckDB
+    * exactly — a single trailing mod would differ once the unreduced
+    * polynomial exceeds int64). */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) { h = (h * 31 + str.charAt(i)) % P; i += 1 }
+    h
+  }
+
   /** Position-weighted rolling fingerprint over a feature array:
     * (sum_i h[i] * (i mod 31 + 1)) mod P, i 0-based. Matches the
     * aggregate()-lambda definition in the t04 oracle. */
@@ -390,6 +402,18 @@ case class L2Sq(left: Expression, right: Expression) extends BinaryExpression wi
   override def prettyName: String = "l2_sq"
 }
 
+/** text -> int64 whole-string polynomial hash (Horner base 31 mod P). */
+case class PolyHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(StringType)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.polyHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.polyHash($c)")
+  override protected def withNewChildInternal(c: Expression): PolyHash = copy(child = c)
+  override def prettyName: String = "poly_hash"
+}
+
 /** Session registration so the expressions are usable from SQL text and
   * `expr(...)` strings: shingle_hashes(text, k, distinct), minhash_sig(h, n),
   * simhash48(h), jaccard_bp(a, b), cosine_sim(a, b). */
@@ -415,6 +439,7 @@ object Registry {
     "hyperplane_sig" -> (es => HyperplaneSig(es.head, intLit(es(1)))),
     "cosine_sim"     -> (es => CosineSim(es.head, es(1))),
     "l2_sq"          -> (es => L2Sq(es.head, es(1))),
+    "poly_hash"      -> (es => PolyHash(es.head)),
   )
 
   /** Idempotent per-session registration. */

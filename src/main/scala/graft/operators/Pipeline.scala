@@ -438,6 +438,84 @@ object Pipeline {
        FROM feats ORDER BY doc_id"""
   }
 
+  /** Bloom-filter contamination screen — the constant-memory scale path
+    * beside p04's exact gram join: the holdout's gram set is folded into a
+    * 4096-bit Bloom filter (k=3 explicit hash positions per gram), and every
+    * training gram probes it with three broadcast joins. At 100 TB the
+    * filter stays a few MB broadcast to every executor while p04's holdout
+    * join side grows with the benchmark suite; the price is false
+    * positives, so `bloom_bp >= contamination_bp` always (no false
+    * negatives — asserted in spec). All hashes are the explicit LCG
+    * permutation family over `poly_hash` (Horner base 31 mod P), so the
+    * DuckDB twin reproduces the exact bit positions. */
+  def p12BloomContamination(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    def posExpr(j: Int) = expr(s"((${bloomA(j)} * gh + ${bloomB(j)}) % $bloomP) % 4096")
+    val grams = t.documents
+      .select($"doc_id", $"source", split($"text", " ").as("toks"))
+      .select($"doc_id", $"source", explode(expr(
+        """CASE WHEN size(toks) >= 5
+             THEN transform(sequence(1, size(toks) - 4),
+                            i -> concat_ws(' ', slice(toks, i, 5)))
+             ELSE array() END""")).as("gram"))
+      .distinct()
+      .withColumn("gh", expr("poly_hash(gram)"))
+    val bits = grams.filter($"source" === "src0")
+      .select(explode(array(posExpr(1), posExpr(2), posExpr(3))).as("pos"))
+      .distinct()
+    def mark(j: Int) =
+      broadcast(bits.select($"pos".as(s"p$j"), lit(1L).as(s"m$j")))
+    grams.filter($"source" =!= "src0")
+      .withColumn("p1", posExpr(1)).withColumn("p2", posExpr(2)).withColumn("p3", posExpr(3))
+      .join(mark(1), Seq("p1"), "left")
+      .join(mark(2), Seq("p2"), "left")
+      .join(mark(3), Seq("p3"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"m1".isNotNull && $"m2".isNotNull && $"m3".isNotNull, 1L)
+          .otherwise(0L)).as("n_bloom_hits"))
+      .select($"doc_id", $"n_grams", $"n_bloom_hits",
+        expr("n_bloom_hits * 10000 DIV n_grams").as("bloom_bp"))
+      .orderBy($"doc_id")
+  }
+
+  private val bloomP = 2147483647L
+  private def bloomA(j: Int): Long = (1103515245L * j + 12345L) % bloomP
+  private def bloomB(j: Int): Long = (1103515245L * (j + 101) + 54321L) % bloomP
+
+  val p12Oracle: String = {
+    val pos = (1 to 3).map(j =>
+      s"((${bloomA(j)} * gh + ${bloomB(j)}) % $bloomP) % 4096 AS p$j").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+       g AS (SELECT DISTINCT doc_id, source,
+               unnest(list_transform(range(1, len(ts) - 3),
+                        i -> array_to_string(list_slice(ts, i, i + 4), ' '))) AS gram
+             FROM tok),
+       h AS (SELECT doc_id, source,
+               list_reduce([0] || list_transform(range(1, length(gram) + 1),
+                   i -> ascii(substr(gram, i::INT, 1))::BIGINT),
+                 (acc, x) -> (acc * 31 + x) % $bloomP) AS gh
+             FROM g),
+       pos AS (SELECT doc_id, source, $pos FROM h),
+       bits AS (SELECT DISTINCT pos FROM (
+                  SELECT p1 AS pos FROM pos WHERE source = 'src0'
+                  UNION ALL SELECT p2 FROM pos WHERE source = 'src0'
+                  UNION ALL SELECT p3 FROM pos WHERE source = 'src0')),
+       probe AS (SELECT doc_id, p1, p2, p3 FROM pos WHERE source <> 'src0')
+       SELECT doc_id, COUNT(*) AS n_grams,
+              SUM(CASE WHEN b1.pos IS NOT NULL AND b2.pos IS NOT NULL
+                            AND b3.pos IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_bloom_hits,
+              (SUM(CASE WHEN b1.pos IS NOT NULL AND b2.pos IS NOT NULL
+                             AND b3.pos IS NOT NULL THEN 1 ELSE 0 END) * 10000
+                 // COUNT(*))::BIGINT AS bloom_bp
+       FROM probe
+       LEFT JOIN bits b1 ON b1.pos = probe.p1
+       LEFT JOIN bits b2 ON b2.pos = probe.p2
+       LEFT JOIN bits b3 ON b3.pos = probe.p3
+       GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -450,6 +528,7 @@ object Pipeline {
     "p09_token_mixture"    -> ((s, d) => p09TokenMixture(T(s, d))),
     "p10_curriculum"       -> ((s, d) => p10Curriculum(T(s, d))),
     "p11_quality_cascade"  -> ((s, d) => p11QualityCascade(T(s, d))),
+    "p12_bloom_contamination" -> ((s, d) => p12BloomContamination(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -464,5 +543,6 @@ object Pipeline {
     "p09_token_mixture"    -> p09Oracle,
     "p10_curriculum"       -> p10Oracle,
     "p11_quality_cascade"  -> p11Oracle,
+    "p12_bloom_contamination" -> p12Oracle,
   )
 }

@@ -151,6 +151,20 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("p12: bloom screen broadcasts the bit set and never misses an exact hit") {
+    val p = plan("p12_bloom_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val t = T(spark, sfDir)
+    val bloom = Pipeline.p12BloomContamination(t)
+      .select("doc_id", "n_bloom_hits").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Pipeline.p04Contamination(t)
+      .select("doc_id", "n_contaminated").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (id, n) =>
+      assert(bloom(id) >= n, s"doc $id: bloom=${bloom(id)} < exact=$n (false negative)")
+    }
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline") {
     // "*(n)" prefixes mark operators fused into whole-stage codegen; AQE
     // only shows them after the stages actually run
