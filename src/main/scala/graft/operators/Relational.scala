@@ -1663,6 +1663,146 @@ object Relational {
               md5(p_name) AS name_md5
        FROM part ORDER BY p_partkey"""
 
+  /** stack() row-generator (pivot-longer over aggregate columns) joined to
+    * an inline VALUES dimension — the two table-constructor surfaces. */
+  def q71StackValues(t: T): DataFrame = {
+    import t.spark.implicits._
+    val dim = Seq(("rev", "revenue"), ("qty", "quantity"), ("n", "line_count"))
+      .toDF("metric", "label")
+    t.lineitem
+      .groupBy($"l_returnflag")
+      .agg(sum(expr("floor(l_extendedprice)")).as("rev"),
+        sum(expr("floor(l_quantity)")).as("qty"),
+        count(lit(1)).as("n"))
+      .selectExpr("l_returnflag",
+        "stack(3, 'rev', rev, 'qty', qty, 'n', n) AS (metric, val)")
+      .join(broadcast(dim), "metric")
+      .select($"l_returnflag", $"metric", $"label", $"val")
+      .orderBy($"l_returnflag", $"metric")
+  }
+
+  val q71Oracle: String =
+    """WITH agg AS (
+         SELECT l_returnflag,
+                SUM(floor(l_extendedprice)::BIGINT)::BIGINT AS rev,
+                SUM(floor(l_quantity)::BIGINT)::BIGINT AS qty,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag),
+       longf AS (
+         SELECT l_returnflag, 'rev' AS metric, rev AS val FROM agg
+         UNION ALL SELECT l_returnflag, 'qty', qty FROM agg
+         UNION ALL SELECT l_returnflag, 'n', n FROM agg),
+       dim(metric, label) AS (VALUES ('rev', 'revenue'), ('qty', 'quantity'),
+                                     ('n', 'line_count'))
+       SELECT l_returnflag, metric, label, val
+       FROM longf JOIN dim USING (metric)
+       ORDER BY l_returnflag, metric"""
+
+  /** posexplode: generator with element ordinals (0-based in Spark; the
+    * DuckDB twin indexes the list explicitly). */
+  def q72Posexplode(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.part
+      .select($"p_partkey", posexplode(split($"p_name", " ")).as(Seq("pos", "word")))
+      .select($"p_partkey", $"pos".cast("long").as("pos"), $"word",
+        length($"word").cast("long").as("word_len"))
+      .orderBy($"p_partkey", $"pos")
+  }
+
+  val q72Oracle: String =
+    """SELECT p_partkey, i - 1 AS pos, ts[i::INT] AS word,
+              length(ts[i::INT])::BIGINT AS word_len
+       FROM (SELECT p_partkey, string_split(p_name, ' ') AS ts FROM part),
+            range(1, 100) t(i)
+       WHERE i <= len(ts)
+       ORDER BY p_partkey, pos"""
+
+  /** str_to_map: delimited key=value text -> map, probed back to scalars. */
+  def q73StrToMap(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .withColumn("m",
+        expr("str_to_map(concat('lang=', lang, '&src=', source, '&len=', n_chars), '&', '=')"))
+      .select($"doc_id",
+        element_at($"m", "lang").as("m_lang"),
+        element_at($"m", "src").as("m_src"),
+        element_at($"m", "len").cast("long").as("m_len"),
+        size($"m").cast("long").as("n_keys"))
+      .orderBy($"doc_id")
+  }
+
+  val q73Oracle: String =
+    """SELECT doc_id,
+              split_part(kv[1], '=', 2) AS m_lang,
+              split_part(kv[2], '=', 2) AS m_src,
+              split_part(kv[3], '=', 2)::BIGINT AS m_len,
+              len(kv)::BIGINT AS n_keys
+       FROM (SELECT doc_id,
+               string_split('lang=' || lang || '&src=' || source || '&len=' || n_chars,
+                            '&') AS kv
+             FROM documents)
+       ORDER BY doc_id"""
+
+  /** printf-style formatting: %s, zero-padded %05d, lowercase hex %x
+    * (Spark's format_string is Java String.format; DuckDB printf agrees
+    * on these verbs). */
+  def q74FormatString(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.customer
+      .select($"c_custkey",
+        format_string("%s-%05d-%x", $"c_mktsegment", $"c_custkey", $"c_custkey")
+          .as("formatted"))
+      .orderBy($"c_custkey")
+  }
+
+  val q74Oracle: String =
+    """SELECT c_custkey, printf('%s-%05d-%x', c_mktsegment, c_custkey, c_custkey) AS formatted
+       FROM customer ORDER BY c_custkey"""
+
+  /** Date-series generation: sequence(start, end, interval) exploded to a
+    * per-month activity spine (the gap-free calendar q38 fills against,
+    * here generated per row and re-aggregated). */
+  def q75DateSeries(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders
+      .withColumn("m0", expr("date_trunc('month', cast(o_orderdate AS date))"))
+      .select(explode(expr(
+        "sequence(cast(m0 AS date), cast(add_months(m0, 2) AS date), interval 1 month)"))
+        .as("month"))
+      .groupBy($"month".cast("timestamp").as("month"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy($"month")
+  }
+
+  val q75Oracle: String =
+    """SELECT m::TIMESTAMP AS month, COUNT(*) AS n_active
+       FROM (SELECT unnest(generate_series(date_trunc('month', o_orderdate::DATE),
+                      date_trunc('month', o_orderdate::DATE) + INTERVAL 2 MONTH,
+                      INTERVAL 1 MONTH)) AS m
+             FROM orders)
+       GROUP BY 1 ORDER BY month"""
+
+  /** overlay + substring-position functions (DuckDB lacks overlay; the
+    * twin splices with substr concatenation). */
+  def q76Overlay(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.part
+      .select($"p_partkey",
+        expr("overlay(p_name PLACING 'XX' FROM 3)").as("spliced"),
+        expr("cast(locate('e', p_name) AS bigint)").as("first_e"),
+        expr("cast(instr(p_name, 'id') AS bigint)").as("id_at"),
+        expr("cast(position('t' IN p_type) AS bigint)").as("t_in_type"))
+      .orderBy($"p_partkey")
+  }
+
+  val q76Oracle: String =
+    """SELECT p_partkey,
+              substr(p_name, 1, 2) || 'XX' || substr(p_name, 5) AS spliced,
+              strpos(p_name, 'e')::BIGINT AS first_e,
+              instr(p_name, 'id')::BIGINT AS id_at,
+              position('t' IN p_type)::BIGINT AS t_in_type
+       FROM part ORDER BY p_partkey"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"      -> ((s, d) => q39Percentiles(T(s, d))),
@@ -1735,6 +1875,12 @@ object Relational {
     "q68_null_safe"        -> ((s, d) => q68NullSafe(T(s, d))),
     "q69_greatest_least"   -> ((s, d) => q69GreatestLeast(T(s, d))),
     "q70_translate"        -> ((s, d) => q70Translate(T(s, d))),
+    "q71_stack_values"     -> ((s, d) => q71StackValues(T(s, d))),
+    "q72_posexplode"       -> ((s, d) => q72Posexplode(T(s, d))),
+    "q73_str_to_map"       -> ((s, d) => q73StrToMap(T(s, d))),
+    "q74_format_string"    -> ((s, d) => q74FormatString(T(s, d))),
+    "q75_date_series"      -> ((s, d) => q75DateSeries(T(s, d))),
+    "q76_overlay"          -> ((s, d) => q76Overlay(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1808,5 +1954,11 @@ object Relational {
     "q68_null_safe"        -> q68Oracle,
     "q69_greatest_least"   -> q69Oracle,
     "q70_translate"        -> q70Oracle,
+    "q71_stack_values"     -> q71Oracle,
+    "q72_posexplode"       -> q72Oracle,
+    "q73_str_to_map"       -> q73Oracle,
+    "q74_format_string"    -> q74Oracle,
+    "q75_date_series"      -> q75Oracle,
+    "q76_overlay"          -> q76Oracle,
   )
 }
