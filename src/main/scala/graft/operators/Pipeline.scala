@@ -516,6 +516,87 @@ object Pipeline {
        GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** End-to-end curation manifest — the gates composed the way a real
+    * pipeline runs them: exact-dup keeper selection (d01's key), the p11
+    * quality cascade, and the p04 contamination screen, folded into ONE
+    * priority-ordered verdict per doc (dup -> quality -> contaminated ->
+    * keep) and rolled up to per-language doc/token counts. This is the
+    * "what actually ships to training" report; every gate reuses the
+    * operator it audits, so the manifest stays consistent with the
+    * per-gate queries by construction. */
+  def p13CurationManifest(t: T): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"key_hash")
+    val base = t.documents
+      .withColumn("key_hash", md5(substring($"text", 1, 64)))
+      .withColumn("keeper", $"doc_id" === min($"doc_id").over(w))
+    val quality = p11QualityCascade(t).select($"doc_id", $"keep".as("q_keep"))
+    val contam = p04Contamination(t).select($"doc_id", $"contamination_bp")
+    base.filter($"source" =!= "src0")
+      .join(quality, "doc_id")
+      // left join: a doc too short to produce 5-grams has no contamination row
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(!$"keeper", "dup")
+          .when(!$"q_keep", "quality")
+          .when(coalesce($"contamination_bp", lit(0L)) >= 500, "contaminated")
+          .otherwise("keep"))
+      .groupBy($"lang", $"verdict")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
+      .orderBy($"lang", $"verdict")
+  }
+
+  val p13Oracle: String = {
+    val allStops = stopAll.map(v => s"'$v'").mkString("(", ",", ")")
+    s"""WITH census AS (
+         SELECT doc_id, SUM(n)::BIGINT AS n_tok, MAX(n)::BIGINT AS max_freq
+         FROM (SELECT doc_id, tok, COUNT(*) AS n
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM documents)
+               GROUP BY doc_id, tok) t
+         GROUP BY doc_id),
+       keepq AS (
+         SELECT d.doc_id,
+           ((c.n_tok >= 10 AND c.n_tok <= 200)
+            AND (((length(text) - c.n_tok + 1) * 100 // c.n_tok) >= 250
+                 AND ((length(text) - c.n_tok + 1) * 100 // c.n_tok) <= 900)
+            AND (len(list_filter(string_split(text, ' '), x -> x IN $allStops)) >= 2)
+            AND (c.max_freq * 10000 // c.n_tok <= 2000)) AS q_keep
+         FROM documents d JOIN census c ON c.doc_id = d.doc_id),
+       dup AS (
+         SELECT doc_id,
+           doc_id = MIN(doc_id) OVER (PARTITION BY md5(substr(text, 1, 64))) AS keeper
+         FROM documents),
+       tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+       g AS (SELECT DISTINCT doc_id, source,
+               unnest(list_transform(range(1, len(ts) - 3),
+                        i -> array_to_string(list_slice(ts, i, i + 4), ' '))) AS gram
+             FROM tok),
+       hold AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+       contam AS (
+         SELECT ev.doc_id,
+                (SUM(CASE WHEN h.gram IS NOT NULL THEN 1 ELSE 0 END) * 10000
+                   // COUNT(*))::BIGINT AS bp
+         FROM (SELECT doc_id, gram FROM g WHERE source <> 'src0') ev
+         LEFT JOIN hold h USING (gram)
+         GROUP BY ev.doc_id),
+       verdicts AS (
+         SELECT d.lang,
+           CASE WHEN NOT u.keeper THEN 'dup'
+                WHEN NOT k.q_keep THEN 'quality'
+                WHEN COALESCE(c.bp, 0) >= 500 THEN 'contaminated'
+                ELSE 'keep' END AS verdict,
+           len(string_split(d.text, ' '))::BIGINT AS n_tok
+         FROM documents d
+         JOIN dup u ON u.doc_id = d.doc_id
+         JOIN keepq k ON k.doc_id = d.doc_id
+         LEFT JOIN contam c ON c.doc_id = d.doc_id
+         WHERE d.source <> 'src0')
+       SELECT lang, verdict, COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tokens
+       FROM verdicts GROUP BY lang, verdict ORDER BY lang, verdict"""
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -529,6 +610,7 @@ object Pipeline {
     "p10_curriculum"       -> ((s, d) => p10Curriculum(T(s, d))),
     "p11_quality_cascade"  -> ((s, d) => p11QualityCascade(T(s, d))),
     "p12_bloom_contamination" -> ((s, d) => p12BloomContamination(T(s, d))),
+    "p13_curation_manifest" -> ((s, d) => p13CurationManifest(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -544,5 +626,6 @@ object Pipeline {
     "p10_curriculum"       -> p10Oracle,
     "p11_quality_cascade"  -> p11Oracle,
     "p12_bloom_contamination" -> p12Oracle,
+    "p13_curation_manifest" -> p13Oracle,
   )
 }

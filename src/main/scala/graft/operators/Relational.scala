@@ -1803,6 +1803,28 @@ object Relational {
               position('t' IN p_type)::BIGINT AS t_in_type
        FROM part ORDER BY p_partkey"""
 
+  /** Cryptographic digest functions (content addressing / cache keys):
+    * md5 + sha2-256, full and truncated forms. Both engines emit lowercase
+    * hex of the standard algorithms. */
+  def q77HashFns(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .select($"doc_id",
+        md5($"text").as("h_md5"),
+        sha2($"text".cast("binary"), 256).as("h_sha256"),
+        substring(sha2($"text".cast("binary"), 256), 1, 16).as("h_short"),
+        length(md5($"text")).cast("long").as("md5_len"))
+      .orderBy($"doc_id")
+  }
+
+  val q77Oracle: String =
+    """SELECT doc_id,
+              md5(text) AS h_md5,
+              sha256(text) AS h_sha256,
+              substr(sha256(text), 1, 16) AS h_short,
+              length(md5(text))::BIGINT AS md5_len
+       FROM documents ORDER BY doc_id"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"      -> ((s, d) => q39Percentiles(T(s, d))),
@@ -1881,6 +1903,7 @@ object Relational {
     "q74_format_string"    -> ((s, d) => q74FormatString(T(s, d))),
     "q75_date_series"      -> ((s, d) => q75DateSeries(T(s, d))),
     "q76_overlay"          -> ((s, d) => q76Overlay(T(s, d))),
+    "q77_hash_fns"         -> ((s, d) => q77HashFns(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1960,5 +1983,6 @@ object Relational {
     "q74_format_string"    -> q74Oracle,
     "q75_date_series"      -> q75Oracle,
     "q76_overlay"          -> q76Oracle,
+    "q77_hash_fns"         -> q77Oracle,
   )
 }

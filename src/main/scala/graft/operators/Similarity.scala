@@ -266,11 +266,64 @@ object Similarity {
        SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, cosine
        FROM ranked WHERE rk <= 3 ORDER BY query_id, rk"""
 
+  /** k-NN label classification (k=5): each probe vector takes the majority
+    * label of its 5 nearest neighbors by cosine — the standard
+    * embedding-space label-propagation / eval harness. Same broadcast-probe
+    * shape as s01 plus two cheap window passes over the (tiny) top-k set;
+    * majority ties break toward the smaller label, vote ranking on the
+    * rounded cosine with id tie-break (deterministic end to end). */
+  def s05KnnClassify(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val q = t.embeddings.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("query_id"), $"label".cast("long").as("true_label"),
+        $"embedding".as("q_emb"))
+    val c = t.embeddings
+      .select($"vec_id".as("neighbor_id"), $"label".cast("long").as("n_label"),
+        $"embedding".as("c_emb"))
+    val wTop = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    val top5 = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"true_label", $"neighbor_id", $"n_label",
+        (round(expr("cosine_sim(q_emb, c_emb)"), 4) + lit(0.0)).as("cosine"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= 5)
+    val wVote = Window.partitionBy($"query_id").orderBy($"votes".desc, $"n_label")
+    top5
+      .groupBy($"query_id", $"true_label", $"n_label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter($"vr" === 1)
+      .select($"query_id", $"true_label", $"n_label".as("pred_label"), $"votes")
+      .orderBy($"query_id")
+  }
+
+  val s05Oracle: String =
+    s"""WITH sims AS (
+         SELECT a.vec_id AS query_id, a.label::BIGINT AS true_label,
+                b.vec_id AS neighbor_id, b.label::BIGINT AS n_label,
+                ROUND(${duckCos("a", "b")}, 4) + 0.0 AS cosine
+         FROM embeddings a JOIN embeddings b
+           ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+       top5 AS (
+         SELECT * FROM (
+           SELECT query_id, true_label, n_label,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+           FROM sims) WHERE rk <= 5),
+       votes AS (
+         SELECT query_id, true_label, n_label, COUNT(*) AS votes
+         FROM top5 GROUP BY 1, 2, 3)
+       SELECT query_id, true_label, n_label AS pred_label, votes
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY votes DESC, n_label) AS vr FROM votes)
+       WHERE vr = 1 ORDER BY query_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
     "s03_embedding_neardup" -> ((s, d) => s03EmbeddingNeardup(T(s, d))),
     "s04_ivf_ann"           -> ((s, d) => s04IvfAnn(T(s, d))),
+    "s05_knn_classify"      -> ((s, d) => s05KnnClassify(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -278,5 +331,6 @@ object Similarity {
     "s02_hyperplane_lsh"    -> s02Oracle,
     "s03_embedding_neardup" -> s03Oracle,
     "s04_ivf_ann"           -> s04Oracle,
+    "s05_knn_classify"      -> s05Oracle,
   )
 }

@@ -322,6 +322,46 @@ object TextAnalysis {
               (n * 10000 // total)::BIGINT AS coverage_bp
        FROM ranked WHERE rank <= 50 ORDER BY rank"""
 
+  /** Per-language character-bigram entropy — the compressibility signal
+    * used to spot machine-generated / low-diversity text, in t06's
+    * integer-exact arithmetic: surprisal(bigram) = floor(log2(total/n)) via
+    * binary-digit count, entropy = sum(n * surprisal) * 1000 / total
+    * milli-bits. Explode is linear in chars; two aggregations shuffled on
+    * (lang, bigram) then lang. */
+  def t09BigramEntropy(t: T): DataFrame = {
+    import t.spark.implicits._
+    val bigrams = t.documents
+      .select($"lang", explode(expr(
+        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
+    val counted = bigrams.groupBy($"lang", $"bg").agg(count(lit(1)).as("n"))
+      .withColumn("total",
+        sum($"n").over(org.apache.spark.sql.expressions.Window.partitionBy($"lang")))
+      .withColumn("surprisal", expr("length(bin(total DIV n)) - 1").cast("long"))
+    counted.groupBy($"lang")
+      .agg(count(lit(1)).as("n_distinct_bigrams"),
+        max($"total").as("n_bigrams"),
+        expr("sum(n * surprisal) * 1000 DIV max(total)").as("entropy_mbits"))
+      .orderBy($"lang")
+  }
+
+  val t09Oracle: String =
+    """WITH bg AS (
+         SELECT lang, unnest(list_transform(range(1, length(text)),
+                  i -> substr(text, i::INT, 2))) AS bg
+         FROM documents),
+       counted AS (
+         SELECT lang, bg, COUNT(*) AS n,
+                SUM(COUNT(*)) OVER (PARTITION BY lang) AS total
+         FROM bg GROUP BY lang, bg),
+       scored AS (
+         SELECT lang, n, total,
+                (length(format('{:b}', (total // n)::BIGINT)) - 1)::BIGINT AS surprisal
+         FROM counted)
+       SELECT lang, COUNT(*) AS n_distinct_bigrams,
+              MAX(total)::BIGINT AS n_bigrams,
+              (SUM(n * surprisal) * 1000 // MAX(total))::BIGINT AS entropy_mbits
+       FROM scored GROUP BY lang ORDER BY lang"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
     "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
@@ -331,6 +371,7 @@ object TextAnalysis {
     "t06_surprisal"     -> ((s, d) => t06Surprisal(T(s, d))),
     "t07_bpe_merges"    -> ((s, d) => t07BpeMerges(T(s, d))),
     "t08_zipf_profile"  -> ((s, d) => t08ZipfProfile(T(s, d))),
+    "t09_bigram_entropy" -> ((s, d) => t09BigramEntropy(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -342,5 +383,6 @@ object TextAnalysis {
     "t06_surprisal"     -> t06Oracle,
     "t07_bpe_merges"    -> t07Oracle,
     "t08_zipf_profile"  -> t08Oracle,
+    "t09_bigram_entropy" -> t09Oracle,
   )
 }
