@@ -41,13 +41,19 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // millisecond precision keeps the line compact enough for log-tail
-    // capture (full-precision doubles push 96 queries past 2.5 KB)
     def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(rs: Seq[(String, Double)], extra: String = ""): String = {
+      val qs = rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(results.map(_._2).sum)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
+    }
+    // full per-query line first, then a compact top-10 summary: the full
+    // map for 120+ queries exceeds log-tail capture windows, so a second
+    // line that fits guarantees any parse strategy (full-stream scan or
+    // tail-only) finds one valid JSON result
+    println(line(results))
+    println(line(results.sortBy(-_._2).take(10),
+      s""","n_queries":${results.size}"""))
     spark.stop()
   }
 }

@@ -164,15 +164,66 @@ object Multimodal {
              WHERE doc_id % 3 = 2 AND i * 16 < length(text) AND i % 4 = 0)
        ORDER BY asset_id, frame_idx"""
 
+  final case class AudioWindow(asset_id: Long, win_idx: Long, n_bytes: Long,
+                               energy: Long)
+
+  /** Audio feature extraction: 50%-overlapped sliding windows (32-byte
+    * windows, 16-byte hop) over audio payloads, per-window energy = sum of
+    * squared byte amplitudes (the RMS/spectrogram-frame shape; a real codec
+    * would decode PCM and FFT each window — same partition-local iteration,
+    * same output schema). Overlap means the flatMap emits ~2x the payload
+    * bytes / hop rows per asset; only the narrow (id, idx, energy) rows
+    * survive, never the blobs. */
+  def audioWindows(ds: Dataset[Asset], winBytes: Int = 32, hop: Int = 16): Dataset[AudioWindow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // real codec: initialize the PCM decoder once per partition here
+      it.filter(_.kind == "audio").flatMap { a =>
+        val n = a.payload.length
+        val nWins = if (n == 0) 0 else (math.max(n - winBytes, 0) / hop) + 1
+        Iterator.range(0, nWins).map { i =>
+          val start = i * hop
+          val end = math.min(start + winBytes, n)
+          var e = 0L; var j = start
+          while (j < end) { val v = (a.payload(j) & 0xff).toLong; e += v * v; j += 1 }
+          AudioWindow(a.asset_id, i.toLong, (end - start).toLong, e)
+        }
+      }
+    }
+  }
+
+  def m04AudioWindows(t: T): DataFrame = {
+    import t.spark.implicits._
+    audioWindows(assets(t)).toDF()
+      .orderBy($"asset_id", $"win_idx")
+  }
+
+  /** Oracle: windows are 32-char substrings every 16 chars of the UTF-8
+    * text (ASCII corpus), energy = sum of squared char codes. */
+  val m04Oracle: String =
+    """SELECT doc_id AS asset_id, i AS win_idx,
+         CAST(length(sub) AS BIGINT) AS n_bytes,
+         list_sum(list_transform(range(1, length(sub) + 1),
+           j -> ascii(substr(sub, j::INT, 1))::BIGINT
+                * ascii(substr(sub, j::INT, 1))))::BIGINT AS energy
+       FROM (SELECT doc_id, i, substr(text, (i * 16 + 1)::INT, 32) AS sub
+             FROM documents, range(0, 64) r(i)
+             WHERE doc_id % 3 = 1
+               AND i <= greatest(length(text) - 32, 0) // 16
+               AND length(text) > 0)
+       ORDER BY asset_id, win_idx"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> ((s, d) => m01MediaFeatures(T(s, d))),
     "m02_media_rollup"   -> ((s, d) => m02MediaRollup(T(s, d))),
     "m03_frame_sample"   -> ((s, d) => m03FrameSample(T(s, d))),
+    "m04_audio_windows"  -> ((s, d) => m04AudioWindows(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
     "m01_media_features" -> m01Oracle,
     "m02_media_rollup"   -> m02Oracle,
     "m03_frame_sample"   -> m03Oracle,
+    "m04_audio_windows"  -> m04Oracle,
   )
 }
