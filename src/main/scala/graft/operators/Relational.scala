@@ -1825,6 +1825,73 @@ object Relational {
               length(md5(text))::BIGINT AS md5_len
        FROM documents ORDER BY doc_id"""
 
+  /** Ordered funnel analysis: view -> click -> purchase, each stage's
+    * timestamp strictly after the previous stage's FIRST occurrence. Three
+    * conditional-min aggregations, each joined back to the (already
+    * user-partitioned) event stream — every shuffle is on user_id, so the
+    * whole funnel is one partitioning reused across stages at any scale. */
+  def q78Funnel(t: T): DataFrame = {
+    import t.spark.implicits._
+    val ev = t.events.select($"user_id", $"event_type", $"ts")
+    val v = ev.groupBy($"user_id")
+      .agg(min(when($"event_type" === "view", $"ts")).as("tv"))
+    val c = ev.join(v, "user_id")
+      .groupBy($"user_id", $"tv")
+      .agg(min(when($"event_type" === "click" && $"ts" > $"tv", $"ts")).as("tc"))
+    val p = ev.join(c, "user_id")
+      .groupBy($"user_id", $"tv", $"tc")
+      .agg(min(when($"event_type" === "purchase" && $"ts" > $"tc", $"ts")).as("tp"))
+    p.agg(
+      count(lit(1)).as("n_users"),
+      count($"tv").as("n_view"),
+      count($"tc").as("n_view_click"),
+      count($"tp").as("n_view_click_purchase"))
+  }
+
+  val q78Oracle: String =
+    """WITH v AS (
+         SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS tv
+         FROM events GROUP BY user_id),
+       c AS (
+         SELECT e.user_id, v.tv,
+                MIN(CASE WHEN e.event_type = 'click' AND e.ts > v.tv THEN e.ts END) AS tc
+         FROM events e JOIN v ON v.user_id = e.user_id
+         GROUP BY e.user_id, v.tv),
+       p AS (
+         SELECT e.user_id, c.tv, c.tc,
+                MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > c.tc THEN e.ts END) AS tp
+         FROM events e JOIN c ON c.user_id = e.user_id
+         GROUP BY e.user_id, c.tv, c.tc)
+       SELECT COUNT(*) AS n_users, COUNT(tv) AS n_view,
+              COUNT(tc) AS n_view_click, COUNT(tp) AS n_view_click_purchase
+       FROM p"""
+
+  /** Cohort retention: users grouped by first-activity day, distinct active
+    * users per (cohort_day, day_offset). The cohort assignment is one
+    * aggregate + join on user_id; the retention matrix is one
+    * count-distinct on (cohort, offset) — both scale-flat shapes. */
+  def q79CohortRetention(t: T): DataFrame = {
+    import t.spark.implicits._
+    val ev = t.events.select($"user_id", expr("date_trunc('day', ts)").as("day"))
+    val cohort = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .select($"cohort_day",
+        expr("cast(datediff(cast(day AS date), cast(cohort_day AS date)) AS bigint)").as("day_offset"),
+        $"user_id")
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val q79Oracle: String =
+    """WITH ev AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+       cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+       SELECT cohort_day::TIMESTAMP AS cohort_day,
+              datediff('day', cohort_day::DATE, day::DATE)::BIGINT AS day_offset,
+              COUNT(DISTINCT user_id) AS n_active
+       FROM ev JOIN cohort USING (user_id)
+       GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"      -> ((s, d) => q39Percentiles(T(s, d))),
@@ -1904,6 +1971,8 @@ object Relational {
     "q75_date_series"      -> ((s, d) => q75DateSeries(T(s, d))),
     "q76_overlay"          -> ((s, d) => q76Overlay(T(s, d))),
     "q77_hash_fns"         -> ((s, d) => q77HashFns(T(s, d))),
+    "q78_funnel"           -> ((s, d) => q78Funnel(T(s, d))),
+    "q79_cohort_retention" -> ((s, d) => q79CohortRetention(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1984,5 +2053,7 @@ object Relational {
     "q75_date_series"      -> q75Oracle,
     "q76_overlay"          -> q76Oracle,
     "q77_hash_fns"         -> q77Oracle,
+    "q78_funnel"           -> q78Oracle,
+    "q79_cohort_retention" -> q79Oracle,
   )
 }

@@ -165,6 +165,21 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("d09: hashed-gram production variant matches the exact string version") {
+    val t = T(spark, sfDir)
+    val exact = snap(Dedup.d09SubstringDupCoverage(t))
+    val hashed = snap(Dedup.substringDupCoverageHashed(t))
+    assert(hashed == exact)
+    // stride 4: same docs, every gram count divided ~4x, never larger
+    val strided = Dedup.substringDupCoverageHashed(t, stride = 4)
+      .select("doc_id", "n_grams").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.substringDupCoverageHashed(t)
+      .select("doc_id", "n_grams").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    full.foreach { case (id, n) =>
+      assert(strided(id) <= n / 4 + 1, s"doc $id: strided=${strided(id)} full=$n")
+    }
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline") {
     // "*(n)" prefixes mark operators fused into whole-stage codegen; AQE
     // only shows them after the stages actually run
