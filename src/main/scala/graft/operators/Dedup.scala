@@ -482,6 +482,52 @@ object Dedup {
               (n_dup_grams * 10000 // n_grams)::BIGINT AS dup_bp
        FROM per_doc ORDER BY doc_id"""
 
+  /** Asymmetric containment near-dup: containment(A in B) =
+    * |A∩B| / |A| — catches excerpts and quotes that Jaccard misses (a
+    * 50-line doc pasted into a 500-line doc has tiny Jaccard but
+    * containment ~1). Candidates come from the same LSH band join as d04
+    * (banding on MinHash bounds Jaccard, and containment >= jaccard, so
+    * high-containment SIMILAR-SIZE pairs surface; a production excerpt
+    * detector would band on the smaller doc's signature only). Both
+    * directions are emitted per pair. */
+  def d11ContainmentPairs(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val hs = t.documents.select($"doc_id", array_sort(expr(shingleHashes)).as("h"))
+    val cand = d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
+    val ha = hs.select($"doc_id".as("doc_a"), $"h".as("ha"))
+    val hb = hs.select($"doc_id".as("doc_b"), $"h".as("hb"))
+    cand.join(ha, "doc_a").join(hb, "doc_b")
+      .select($"doc_a", $"doc_b",
+        size(expr("array_intersect(ha, hb)")).cast("long").as("n_inter"),
+        size($"ha").cast("long").as("na"), size($"hb").cast("long").as("nb"))
+      .select($"doc_a", $"doc_b",
+        expr("n_inter * 10000 DIV na").as("containment_a_in_b_bp"),
+        expr("n_inter * 10000 DIV nb").as("containment_b_in_a_bp"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val d11Oracle: String =
+    s"""WITH hs AS (SELECT doc_id, $shingleHashesDuck AS h FROM documents),
+       sigs AS (SELECT doc_id, h, $minhashSigDuck AS sig FROM hs),
+       bands AS (
+         SELECT doc_id, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
+         FROM sigs, range(0, 4) t(b)),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       pairs AS (
+         SELECT doc_a, doc_b,
+           len(list_intersect(a.h, b.h))::BIGINT AS n_inter,
+           len(a.h)::BIGINT AS na, len(b.h)::BIGINT AS nb
+         FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
+         WHERE len(list_intersect(a.h, b.h)) * 10000
+                 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 8000)
+       SELECT doc_a, doc_b,
+              (n_inter * 10000 // na)::BIGINT AS containment_a_in_b_bp,
+              (n_inter * 10000 // nb)::BIGINT AS containment_b_in_a_bp
+       FROM pairs ORDER BY doc_a, doc_b"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"        -> ((s, d) => d01ExactDedup(T(s, d))),
     "d02_ngram_jaccard"      -> ((s, d) => d02NgramJaccardPairs(T(s, d))),
@@ -492,6 +538,7 @@ object Dedup {
     "d07_dedup_clusters"     -> ((s, d) => d07DedupClusters(T(s, d))),
     "d08_prefix_jaccard"     -> ((s, d) => d08PrefixJaccardJoin(T(s, d))),
     "d09_substring_dup"      -> ((s, d) => d09SubstringDupCoverage(T(s, d))),
+    "d11_containment_pairs"  -> ((s, d) => d11ContainmentPairs(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -504,5 +551,6 @@ object Dedup {
     "d07_dedup_clusters"    -> d07Oracle,
     "d08_prefix_jaccard"    -> d08Oracle,
     "d09_substring_dup"     -> d09Oracle,
+    "d11_containment_pairs" -> d11Oracle,
   )
 }

@@ -1892,6 +1892,43 @@ object Relational {
        FROM ev JOIN cohort USING (user_id)
        GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""
 
+  /** Event-type transition matrix (first-order Markov counts): per-user
+    * event streams ordered by time, lag-paired, counted per (from, to) with
+    * row-share in basis points. One window shuffle on user_id + one small
+    * aggregate — the path-analysis primitive behind session flow reports.
+    * Ties in ts are broken by event_id so the lag pairing is total-ordered
+    * and cross-engine identical. */
+  def q80Transitions(t: T): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val paired = t.events
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+    paired
+      .groupBy($"prev_type".as("from_type"), $"event_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum($"n").over(Window.partitionBy($"from_type")))
+      .select($"from_type", $"to_type", $"n",
+        expr("n * 10000 DIV row_total").as("share_bp"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val q80Oracle: String =
+    """WITH paired AS (
+         SELECT user_id, event_type,
+                LAG(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       counted AS (
+         SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+         FROM paired WHERE prev_type IS NOT NULL
+         GROUP BY 1, 2)
+       SELECT from_type, to_type, n,
+              (n * 10000 // SUM(n) OVER (PARTITION BY from_type))::BIGINT AS share_bp
+       FROM counted ORDER BY from_type, to_type"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"      -> ((s, d) => q39Percentiles(T(s, d))),
@@ -1973,6 +2010,7 @@ object Relational {
     "q77_hash_fns"         -> ((s, d) => q77HashFns(T(s, d))),
     "q78_funnel"           -> ((s, d) => q78Funnel(T(s, d))),
     "q79_cohort_retention" -> ((s, d) => q79CohortRetention(T(s, d))),
+    "q80_transitions"      -> ((s, d) => q80Transitions(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2055,5 +2093,6 @@ object Relational {
     "q77_hash_fns"         -> q77Oracle,
     "q78_funnel"           -> q78Oracle,
     "q79_cohort_retention" -> q79Oracle,
+    "q80_transitions"      -> q80Oracle,
   )
 }

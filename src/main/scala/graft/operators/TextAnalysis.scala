@@ -362,6 +362,57 @@ object TextAnalysis {
               (SUM(n * surprisal) * 1000 // MAX(total))::BIGINT AS entropy_mbits
        FROM scored GROUP BY lang ORDER BY lang"""
 
+  /** Bigram language-model scoring — the KenLM-shaped quality filter: a
+    * corpus bigram model P(w|prev) = n(prev,w)/n(prev,*), each doc scored
+    * by its total conditional surprisal floor(log2(n(prev)/n(prev,w)))
+    * (integer-exact via binary-digit count, as t06) normalized to
+    * milli-bits per transition. Census = two aggregations shuffled on the
+    * bigram/prefix keys; scoring = one hash join of doc bigrams against
+    * the model — the same shape that trains and applies an n-gram LM on a
+    * 100 TB corpus. First tokens have no context and are skipped (a real
+    * LM backs off to the unigram model, t06's plane). */
+  def t10BigramLm(t: T): DataFrame = {
+    import t.spark.implicits._
+    val docBigrams = t.documents
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", expr(
+        """explode(zip_with(slice(toks, 1, size(toks) - 1),
+                            slice(toks, 2, size(toks) - 1),
+                            (a, b) -> struct(a AS prev, b AS w)))""").as("bg"))
+      .select($"doc_id", $"bg.prev".as("prev"), $"bg.w".as("w"))
+    val bigramN = docBigrams.groupBy($"prev", $"w").agg(count(lit(1)).as("nbw"))
+    val prefixN = bigramN.groupBy($"prev").agg(sum($"nbw").as("nprev"))
+    val model = bigramN.join(prefixN, "prev")
+      .withColumn("surprisal", expr("length(bin(nprev DIV nbw)) - 1").cast("long"))
+      .select($"prev", $"w", $"surprisal")
+    docBigrams.join(model, Seq("prev", "w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        sum($"surprisal").as("surprisal_total"))
+      .withColumn("milli_bits_per_transition",
+        expr("surprisal_total * 1000 DIV n_transitions"))
+      .orderBy($"doc_id")
+  }
+
+  val t10Oracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       bg AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(ts)),
+                  i -> {'prev': ts[i::INT], 'w': ts[i::INT + 1]})) AS s
+              FROM toks),
+       flat AS (SELECT doc_id, s.prev AS prev, s.w AS w FROM bg),
+       bigram_n AS (SELECT prev, w, COUNT(*) AS nbw FROM flat GROUP BY prev, w),
+       prefix_n AS (SELECT prev, SUM(nbw)::BIGINT AS nprev FROM bigram_n GROUP BY prev),
+       model AS (
+         SELECT prev, w,
+                (length(format('{:b}', (nprev // nbw)::BIGINT)) - 1)::BIGINT AS surprisal
+         FROM bigram_n JOIN prefix_n USING (prev))
+       SELECT doc_id, COUNT(*) AS n_transitions,
+              SUM(surprisal)::BIGINT AS surprisal_total,
+              (SUM(surprisal) * 1000 // COUNT(*))::BIGINT AS milli_bits_per_transition
+       FROM flat JOIN model USING (prev, w)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
     "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
@@ -372,6 +423,7 @@ object TextAnalysis {
     "t07_bpe_merges"    -> ((s, d) => t07BpeMerges(T(s, d))),
     "t08_zipf_profile"  -> ((s, d) => t08ZipfProfile(T(s, d))),
     "t09_bigram_entropy" -> ((s, d) => t09BigramEntropy(T(s, d))),
+    "t10_bigram_lm"     -> ((s, d) => t10BigramLm(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -384,5 +436,6 @@ object TextAnalysis {
     "t07_bpe_merges"    -> t07Oracle,
     "t08_zipf_profile"  -> t08Oracle,
     "t09_bigram_entropy" -> t09Oracle,
+    "t10_bigram_lm"     -> t10Oracle,
   )
 }
