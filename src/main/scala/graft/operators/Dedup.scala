@@ -353,21 +353,31 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"df", $"tok")))
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
-    // prefix length n - ceil(0.8 n) + 1, ceil done in integers
-    val pref = ranked
+    // ASYMMETRIC prefixes (the full PPJoin scheme): the probing (larger)
+    // side needs prefix n - ceil(t n) + 1 (its overlap bound is t|x| given
+    // the length filter), but the indexed (not-larger) side only needs
+    // n - ceil(2t/(1+t) n) + 1 = n - ceil(8n/9) + 1, since with |y| <= |x|
+    // the overlap bound ceil(t/(1+t)(|x|+|y|)) >= ceil(2t/(1+t)|y|).
+    // ~0.11n vs ~0.2n index tokens roughly halves the candidate join's
+    // row product vs symmetric prefixes. Size order (n, doc_id ties)
+    // decides who probes whom; output re-canonicalizes to doc_a < doc_b.
+    val probe = ranked
       .filter($"rn" <= expr("n - ((8000 * n + 9999) DIV 10000) + 1"))
       .select($"doc_id", $"tok", $"rn", $"n")
-    // candidate pruning beyond the shared-prefix-token requirement (both from
-    // PPJoin): the LENGTH filter (0.8|a| <= |b| <= |a|/0.8 else Jaccard < 0.8
-    // regardless of overlap) and the POSITIONAL filter (a token at prefix
-    // position rn leaves at most n - rn + 1 tokens that can still match, so
-    // the overlap can never reach ceil(0.8/1.8 * (na + nb))). On a corpus
-    // with flat df (like this synthetic one) these cut candidates ~5x.
-    val cand = pref.as("a").join(pref.as("b"), expr(
-        """a.tok = b.tok AND a.doc_id < b.doc_id
-           AND b.n * 10000 >= a.n * 8000 AND a.n * 10000 >= b.n * 8000
+    val index = ranked
+      .filter($"rn" <= expr("n - ((8 * n + 8) DIV 9) + 1"))
+      .select($"doc_id", $"tok", $"rn", $"n")
+    // plus PPJoin's LENGTH filter (0.8|a| <= |b| else Jaccard < 0.8
+    // regardless of overlap) and POSITIONAL filter (a token at prefix
+    // position rn leaves at most n - rn + 1 matchable tokens, so the
+    // overlap can never reach ceil(0.8/1.8 * (na + nb)))
+    val cand = probe.as("a").join(index.as("b"), expr(
+        """a.tok = b.tok
+           AND (b.n < a.n OR (b.n = a.n AND b.doc_id < a.doc_id))
+           AND b.n * 10000 >= a.n * 8000
            AND 1 + least(a.n - a.rn, b.n - b.rn) >= (4 * (a.n + b.n) + 8) DIV 9"""))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      .select(least($"a.doc_id", $"b.doc_id").as("doc_a"),
+        greatest($"a.doc_id", $"b.doc_id").as("doc_b")).distinct()
     val ha = hs.select($"doc_id".as("doc_a"), $"h".as("ha"))
     val hb = hs.select($"doc_id".as("doc_b"), $"h".as("hb"))
     cand.join(ha, "doc_a").join(hb, "doc_b")
@@ -376,26 +386,15 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The oracle states the implementation-independent DEFINITION — every
+    * pair with exact Jaccard >= 0.8 (naive all-pairs is fine at oracle
+    * scale) — so it also PROVES the prefix filter's recall is 1.0: any
+    * pair the asymmetric-prefix candidate join missed would hash-mismatch. */
   val d08Oracle: String =
-    s"""WITH hs AS (SELECT doc_id, list_sort($shingleHashesDuck) AS h FROM documents),
-       toks AS (SELECT doc_id, unnest(h) AS tok FROM hs),
-       dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
-       ranked AS (
-         SELECT doc_id, tok,
-           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, tok) AS rn,
-           COUNT(*) OVER (PARTITION BY doc_id) AS n
-         FROM toks JOIN dfreq USING (tok)),
-       pref AS (
-         SELECT doc_id, tok, rn, n FROM ranked
-         WHERE rn <= n - ((8000 * n + 9999) // 10000) + 1),
-       cand AS (
-         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
-           AND b.n * 10000 >= a.n * 8000 AND a.n * 10000 >= b.n * 8000
-           AND 1 + least(a.n - a.rn, b.n - b.rn) >= (4 * (a.n + b.n) + 8) // 9)
-       SELECT doc_a, doc_b,
+    s"""WITH hs AS (SELECT doc_id, $shingleHashesDuck AS h FROM documents)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) AS jaccard_bp
-       FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
+       FROM hs a JOIN hs b ON a.doc_id < b.doc_id
        WHERE len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 8000
        ORDER BY doc_a, doc_b"""
 
