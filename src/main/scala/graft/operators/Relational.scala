@@ -1929,6 +1929,29 @@ object Relational {
               (n * 10000 // SUM(n) OVER (PARTITION BY from_type))::BIGINT AS share_bp
        FROM counted ORDER BY from_type, to_type"""
 
+  /** Spark 4 VARIANT ingestion: parse_json into the binary semi-structured
+    * type, typed path extraction with variant_get, missing-path NULL
+    * semantics. The VARIANT stays columnar/binary end to end (no
+    * re-parse per access), which is the modern engine's answer to
+    * string-JSON hot paths like q23's. */
+  def q81Variant(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.events
+      .withColumn("v", expr("parse_json(props)"))
+      .select($"event_id",
+        expr("variant_get(v, '$.k', 'bigint')").as("vk"),
+        coalesce(expr("variant_get(v, '$.missing', 'bigint')"), lit(-1L)).as("v_missing"),
+        expr("cast(is_variant_null(variant_get(v, '$.k')) AS boolean)").as("k_is_null"))
+      .orderBy($"event_id")
+  }
+
+  val q81Oracle: String =
+    """SELECT event_id,
+              json_extract(props, '$.k')::BIGINT AS vk,
+              COALESCE(json_extract(props, '$.missing')::BIGINT, -1) AS v_missing,
+              (json_extract(props, '$.k') = 'null'::JSON) AS k_is_null
+       FROM events ORDER BY event_id"""
+
   /** All queries in this module, keyed for SparkEntry. */
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"      -> ((s, d) => q39Percentiles(T(s, d))),
@@ -2011,6 +2034,7 @@ object Relational {
     "q78_funnel"           -> ((s, d) => q78Funnel(T(s, d))),
     "q79_cohort_retention" -> ((s, d) => q79CohortRetention(T(s, d))),
     "q80_transitions"      -> ((s, d) => q80Transitions(T(s, d))),
+    "q81_variant"          -> ((s, d) => q81Variant(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2094,5 +2118,6 @@ object Relational {
     "q78_funnel"           -> q78Oracle,
     "q79_cohort_retention" -> q79Oracle,
     "q80_transitions"      -> q80Oracle,
+    "q81_variant"          -> q81Oracle,
   )
 }
