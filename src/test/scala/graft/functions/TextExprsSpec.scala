@@ -116,6 +116,29 @@ class TextExprsSpec extends SparkSpec {
     assert(TextHashOps.l2Sq(f(0f, 0f), f(3f, 4f)) == 25.0)
   }
 
+  test("property: polyHash == Horner reference on arbitrary ASCII strings") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val ascii = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    val prop = Prop.forAll(ascii) { s =>
+      val ref = s.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
+      TextHashOps.polyHash(UTF8String.fromString(s)) == ref
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
+  test("property: sorted-merge Jaccard == hash-set Jaccard on arbitrary arrays") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val arrays = Gen.listOf(Gen.choose(0L, 50L)).map(_.toArray)
+    val prop = Prop.forAll(arrays, arrays) { (xs, ys) =>
+      val merge = TextHashOps.jaccardBpSorted(
+        new GenericArrayData(xs.sorted), new GenericArrayData(ys.sorted))
+      val sets = TextHashOps.jaccardBp(
+        new GenericArrayData(xs), new GenericArrayData(ys))
+      merge == sets
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
   test("codegen path == interpreted path (whole-stage codegen on/off)") {
     Registry.ensure(spark)
     import spark.implicits._
