@@ -597,6 +597,49 @@ object Pipeline {
        FROM verdicts GROUP BY lang, verdict ORDER BY lang, verdict"""
   }
 
+  /** Weight-proportional source interleaving — the deterministic "data
+    * loader order" a trainer consumes: stride scheduling (WFQ) where doc k
+    * of a weight-w source runs at virtual time k*L/w (L = lcm of weights
+    * keeps it integer-exact), and the global schedule is the
+    * virtual-time order. Over any prefix of the schedule each source's
+    * share converges to its weight, and the order is a pure function of
+    * (doc_id, source) — stable under re-partitioning and re-ingestion,
+    * which rand()-shuffled loaders are not. One window per source + one
+    * global sort of the head. */
+  def p14InterleaveSchedule(t: T, take: Int = 200): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    val weighted = t.documents
+      .select($"doc_id", $"source")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      // weights: src1 -> 3, src2 -> 2, everything else 1; L = lcm = 6
+      .withColumn("wt",
+        when($"source" === "src1", 3L).when($"source" === "src2", 2L).otherwise(1L))
+      .withColumn("vt", expr("rn * 6 DIV wt"))
+    weighted
+      .orderBy($"vt", $"source", $"rn")
+      .limit(take)
+      .select(
+        row_number().over(Window.orderBy($"vt", $"source", $"rn")).cast("long").as("position"),
+        $"doc_id", $"source", $"vt")
+      .orderBy($"position")
+  }
+
+  val p14Oracle: String =
+    """WITH weighted AS (
+         SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+           CASE source WHEN 'src1' THEN 3 WHEN 'src2' THEN 2 ELSE 1 END AS wt
+         FROM documents),
+       vtimes AS (
+         SELECT doc_id, source, rn, (rn * 6 // wt)::BIGINT AS vt FROM weighted),
+       sched AS (
+         SELECT doc_id, source, vt,
+           ROW_NUMBER() OVER (ORDER BY vt, source, rn) AS position
+         FROM vtimes)
+       SELECT position::BIGINT AS position, doc_id, source, vt
+       FROM sched WHERE position <= 200 ORDER BY position"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -611,6 +654,7 @@ object Pipeline {
     "p11_quality_cascade"  -> ((s, d) => p11QualityCascade(T(s, d))),
     "p12_bloom_contamination" -> ((s, d) => p12BloomContamination(T(s, d))),
     "p13_curation_manifest" -> ((s, d) => p13CurationManifest(T(s, d))),
+    "p14_interleave_schedule" -> ((s, d) => p14InterleaveSchedule(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -627,5 +671,6 @@ object Pipeline {
     "p11_quality_cascade"  -> p11Oracle,
     "p12_bloom_contamination" -> p12Oracle,
     "p13_curation_manifest" -> p13Oracle,
+    "p14_interleave_schedule" -> p14Oracle,
   )
 }
