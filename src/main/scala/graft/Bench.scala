@@ -41,7 +41,9 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def fmt(v: Double): String = f"$v%.3f"
+    // explicit ROOT locale: the f-interpolator uses the JVM default locale,
+    // which can render "1,234" and break the JSON line on comma-decimal hosts
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def line(rs: Seq[(String, Double)], extra: String = ""): String = {
       val qs = rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")

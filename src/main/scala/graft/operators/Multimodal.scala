@@ -152,7 +152,13 @@ object Multimodal {
   }
 
   /** Oracle: frames are 16-char substrings of the UTF-8 text (ASCII corpus),
-    * sampled every 4th, checksummed with m01's polynomial. */
+    * sampled every 4th, checksummed with m01's polynomial.
+    *
+    * DuckDB `range` takes only constants (no lateral / subquery bound), so
+    * the frame index is enumerated to 1024 (= 16 KiB of text, ~30x the
+    * generator's 20-50-word cap) and a guard turns a longer doc into a hard
+    * oracle ERROR instead of a silent divergence from the unbounded Spark
+    * side. */
   val m03Oracle: String =
     """SELECT doc_id AS asset_id, i AS frame_idx,
          CAST(length(sub) AS BIGINT) AS n_bytes,
@@ -160,8 +166,11 @@ object Multimodal {
            j -> ascii(substr(sub, j::INT, 1))::BIGINT)),
            (acc, c) -> (acc * 31 + c) % 2147483647) AS checksum
        FROM (SELECT doc_id, i, substr(text, (i * 16 + 1)::INT, 16) AS sub
-             FROM documents, range(0, 64) r(i)
+             FROM documents, range(0, 1024) r(i)
              WHERE doc_id % 3 = 2 AND i * 16 < length(text) AND i % 4 = 0)
+       WHERE (SELECT CASE WHEN max(length(text)) > 16384
+                          THEN error('m03 oracle frame cap exceeded: doc longer than 16384 chars')
+                          ELSE 1 END FROM documents) = 1
        ORDER BY asset_id, frame_idx"""
 
   final case class AudioWindow(asset_id: Long, win_idx: Long, n_bytes: Long,
@@ -199,7 +208,9 @@ object Multimodal {
   }
 
   /** Oracle: windows are 32-char substrings every 16 chars of the UTF-8
-    * text (ASCII corpus), energy = sum of squared char codes. */
+    * text (ASCII corpus), energy = sum of squared char codes. Window index
+    * enumerated to 1024 (16 KiB text) with the same hard-error cap guard as
+    * m03 — a longer doc fails the oracle loudly instead of diverging. */
   val m04Oracle: String =
     """SELECT doc_id AS asset_id, i AS win_idx,
          CAST(length(sub) AS BIGINT) AS n_bytes,
@@ -207,10 +218,13 @@ object Multimodal {
            j -> ascii(substr(sub, j::INT, 1))::BIGINT
                 * ascii(substr(sub, j::INT, 1))))::BIGINT AS energy
        FROM (SELECT doc_id, i, substr(text, (i * 16 + 1)::INT, 32) AS sub
-             FROM documents, range(0, 64) r(i)
+             FROM documents, range(0, 1024) r(i)
              WHERE doc_id % 3 = 1
                AND i <= greatest(length(text) - 32, 0) // 16
                AND length(text) > 0)
+       WHERE (SELECT CASE WHEN max(length(text)) > 16384
+                          THEN error('m04 oracle window cap exceeded: doc longer than 16384 chars')
+                          ELSE 1 END FROM documents) = 1
        ORDER BY asset_id, win_idx"""
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
