@@ -221,6 +221,56 @@ object TextHashOps {
     if (union == 0) 10000L else inter * 10000L / union
   }
 
+  /** Dense bit ids -> fixed-width bitmap (nWords int64 words, little-endian
+    * bit order). Exact set representation when the token dictionary is dense
+    * (ids 0..V-1): intersect/union become word-wise popcounts. Out-of-range
+    * ids fail fast — a silent drop would make Jaccard wrong, not slow. */
+  def bitsToWords(bits: ArrayData, nWords: Int): ArrayData = {
+    val out = new Array[Long](nWords)
+    val n = bits.numElements()
+    var i = 0
+    while (i < n) {
+      val b = bits.getLong(i)
+      if (b < 0 || b >= nWords.toLong * 64)
+        throw new IllegalArgumentException(s"bit id $b out of range for $nWords words")
+      out((b >> 6).toInt) |= 1L << (b & 63)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact Jaccard in basis points over two equal-width bitmaps:
+    * popcount(AND) * 10000 div popcount(OR). Same value as [[jaccardBpSorted]]
+    * on the corresponding sorted id arrays, ~7x fewer ops per pair at 1024
+    * bits — the verify kernel for the dense-dictionary similarity join. */
+  def jaccardBpWords(a: ArrayData, b: ArrayData): Long = (a, b) match {
+    case (x: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData,
+          y: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData) =>
+      // concrete-typed loop: see jaccardBpSorted for why this beats the
+      // interface-typed call site in an all-pairs join
+      val n = math.min(x.numElements(), y.numElements())
+      var inter = 0L; var union = 0L
+      var i = 0
+      while (i < n) {
+        val u = x.getLong(i); val v = y.getLong(i)
+        inter += java.lang.Long.bitCount(u & v)
+        union += java.lang.Long.bitCount(u | v)
+        i += 1
+      }
+      if (union == 0) 10000L else inter * 10000L / union
+    case _ =>
+      val n = math.min(a.numElements(), b.numElements())
+      var inter = 0L; var union = 0L
+      var i = 0
+      while (i < n) {
+        val u = a.getLong(i); val v = b.getLong(i)
+        inter += java.lang.Long.bitCount(u & v)
+        union += java.lang.Long.bitCount(u | v)
+        i += 1
+      }
+      if (union == 0) 10000L else inter * 10000L / union
+  }
+
   /** Random-hyperplane LSH signature: bit m (0-based, m < numBits) is set iff
     * sum_i emb[i] * sgn(m, i) > 0, with deterministic +-1 hyperplanes
     * sgn(m, i) = (((m + 1) * 37 + i * 101) mod 97 mod 2) * 2 - 1 (i 1-based).
@@ -414,6 +464,31 @@ case class PolyHash(child: Expression) extends UnaryExpression with ExpectsInput
   override def prettyName: String = "poly_hash"
 }
 
+/** array<long> of dense bit ids -> array<long> bitmap of nWords words. */
+case class BitsToWords(child: Expression, nWords: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(LongType))
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.bitsToWords(input.asInstanceOf[ArrayData], nWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.bitsToWords($c, $nWords)")
+  override protected def withNewChildInternal(c: Expression): BitsToWords = copy(child = c)
+  override def prettyName: String = "bits_to_words"
+}
+
+/** (bitmap, bitmap) -> long Jaccard basis points via word-wise popcount. */
+case class JaccardBpWords(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashOps.jaccardBpWords(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashOps.jaccardBpWords($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardBpWords =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_bp_words"
+}
+
 /** Session registration so the expressions are usable from SQL text and
   * `expr(...)` strings: shingle_hashes(text, k, distinct), minhash_sig(h, n),
   * simhash48(h), jaccard_bp(a, b), cosine_sim(a, b). */
@@ -440,6 +515,8 @@ object Registry {
     "cosine_sim"     -> (es => CosineSim(es.head, es(1))),
     "l2_sq"          -> (es => L2Sq(es.head, es(1))),
     "poly_hash"      -> (es => PolyHash(es.head)),
+    "bits_to_words"  -> (es => BitsToWords(es.head, intLit(es(1)))),
+    "jaccard_bp_words" -> (es => JaccardBpWords(es.head, es(1))),
   )
 
   /** Idempotent per-session registration. */

@@ -72,17 +72,32 @@ object Dedup {
     * real scale path; this is the exact baseline it is measured against. */
   def d02NgramJaccardPairs(t: T): DataFrame = {
     import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     graft.functions.Registry.ensure(t.spark)
-    // sort once per doc; the per-pair Jaccard is then a zero-alloc merge —
-    // at sf0.1 this is 2.5M pairs, and HashSet-per-pair cost 91 s vs ~3 s.
     // The blocking key (lang) has 5 values -> salt it 8 ways so the pair work
     // spreads over 40 shuffle keys instead of 5 hot tasks (skew handling the
     // same plan needs on a real cluster).
-    val hs = t.documents.select($"doc_id", $"lang",
-      array_sort(expr(shingleHashes)).as("h"))
+    val hs0 = t.documents.select($"doc_id", $"lang", expr(shingleHashes).as("h"))
+      .localCheckpoint() // feeds the dictionary build and the doc relabel
+    // Dense-dictionary verify kernel (same scheme as d08): relabel tokens to
+    // dense ids (Jaccard is invariant under the bijection) and compare docs
+    // as nWords*64-bit bitmaps by word-wise popcount — ~7x fewer ops per
+    // pair and ~10x narrower shuffle rows than the sorted-array merge, which
+    // remains the fallback when the vocabulary outgrows a 4 KB bitmap.
+    val vocab = hs0.select(explode($"h").as("tok")).distinct()
+      .select($"tok", (row_number().over(Window.orderBy($"tok")) - 1L).as("bit"))
+      .localCheckpoint()
+    val nWords = ((vocab.count() + 63) / 64).toInt
+    val dense = nWords <= 512
+    val hs = hs0.select($"doc_id", $"lang", explode($"h").as("tok"))
+      .join(broadcast(vocab), "tok") // map-side relabel, no shuffle of tokens
+      .groupBy($"doc_id", $"lang").agg(collect_list($"bit").as("bits"))
+      .select($"doc_id", $"lang",
+        (if (dense) expr(s"bits_to_words(bits, $nWords)") else sort_array($"bits")).as("h"))
+    val simFn = if (dense) "jaccard_bp_words" else "jaccard_bp_sorted"
     // repartition both sides: the exchange converts the freshly-computed
-    // (boxed) sort output into UnsafeArrayData rows once per DOC, so the
-    // per-PAIR merge hits the allocation-free concrete fast path
+    // (boxed) aggregate output into UnsafeArrayData rows once per DOC, so the
+    // per-PAIR kernel hits the allocation-free concrete fast path
     val left = hs.select($"lang".as("la"), $"doc_id".as("doc_a"), $"h".as("ha"),
       pmod($"doc_id", lit(8)).as("salt"))
       .repartition($"la", $"salt")
@@ -90,7 +105,7 @@ object Dedup {
       .withColumn("rsalt", explode(expr("sequence(0, 7)")))
       .repartition($"lb", $"rsalt")
     left.join(right, $"la" === $"lb" && $"salt" === $"rsalt" && $"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", expr("jaccard_bp_sorted(ha, hb)").as("jaccard_bp"))
+      .select($"doc_a", $"doc_b", expr(s"$simFn(ha, hb)").as("jaccard_bp"))
       .orderBy($"jaccard_bp".desc, $"doc_a", $"doc_b")
       .limit(20)
   }
@@ -347,12 +362,32 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     graft.functions.Registry.ensure(t.spark)
     val hs = t.documents.select($"doc_id", array_sort(expr(shingleHashes)).as("h"))
+      .localCheckpoint() // feeds both the dictionary build and the doc relabel
     val toks = hs.select($"doc_id", explode($"h").as("tok"))
-    val dfreq = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
-    val ranked = toks.join(dfreq, "tok")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"df", $"tok")))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    // Global token dictionary, dense ids in (document-frequency, tok) order:
+    // the id order IS the rarest-first prefix order, so per-doc prefix = the
+    // k smallest ids — no per-doc window needed. The dictionary is the
+    // token VOCABULARY (not the corpus), small by construction; the global
+    // window over it is a deliberate single-partition pass over that small
+    // set (at truly unbounded vocab you'd assign order-preserving ids via
+    // zipWithIndex — the rest of the pipeline is unchanged).
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+      .select($"tok", (row_number().over(Window.orderBy($"df", $"tok")) - 1L).as("bit"))
+      .localCheckpoint()
+    val vocabSize = vocab.count()
+    val nWords = ((vocabSize + 63) / 64).toInt
+    // Dense-dictionary fast path: each doc's token SET as an nWords*64-bit
+    // bitmap (exact — ids are a bijective relabel, Jaccard is invariant),
+    // verified by word-wise popcount inline in the candidate join. Char-4-gram
+    // vocabularies are intrinsically bounded (<= charset^4 observed grams);
+    // past ~32k distinct tokens (4 KB/doc) the bitmap payload would dominate
+    // the shuffle, so fall back to the sorted id array + merge-pass verify.
+    val dense = nWords <= 512
+    val docs = toks.join(broadcast(vocab), "tok") // map-side relabel, no shuffle of toks
+      .groupBy($"doc_id").agg(sort_array(collect_list($"bit")).as("bits"))
+      .withColumn("n", size($"bits"))
+      .withColumn("payload",
+        if (dense) expr(s"bits_to_words(bits, $nWords)") else $"bits")
     // ASYMMETRIC prefixes (the full PPJoin scheme): the probing (larger)
     // side needs prefix n - ceil(t n) + 1 (its overlap bound is t|x| given
     // the length filter), but the indexed (not-larger) side only needs
@@ -361,28 +396,32 @@ object Dedup {
     // ~0.11n vs ~0.2n index tokens roughly halves the candidate join's
     // row product vs symmetric prefixes. Size order (n, doc_id ties)
     // decides who probes whom; output re-canonicalizes to doc_a < doc_b.
-    val probe = ranked
-      .filter($"rn" <= expr("n - ((8000 * n + 9999) DIV 10000) + 1"))
-      .select($"doc_id", $"tok", $"rn", $"n")
-    val index = ranked
-      .filter($"rn" <= expr("n - ((8 * n + 8) DIV 9) + 1"))
-      .select($"doc_id", $"tok", $"rn", $"n")
+    // Carrying the verify payload ON the prefix rows (~30 MB total) lets the
+    // join compute exact Jaccard per candidate inline, so only TRUE pairs
+    // ever hit the dedup shuffle — no candidate materialization, no
+    // verify joins shipping the full arrays to every candidate.
+    val pre = docs
+      .select($"doc_id", $"n", $"payload",
+        posexplode(expr("slice(bits, 1, n - ((8000 * n + 9999) DIV 10000) + 1)"))
+          .as(Seq("p", "bit")))
+      .select($"doc_id", $"n", $"payload", ($"p" + 1).as("rn"), $"bit",
+        ($"p" + 1 <= expr("n - ((8 * n + 8) DIV 9) + 1")).as("indexable"))
+      .localCheckpoint() // self-joined below; materialize once
+    val simFn = if (dense) "jaccard_bp_words" else "jaccard_bp_sorted"
     // plus PPJoin's LENGTH filter (0.8|a| <= |b| else Jaccard < 0.8
     // regardless of overlap) and POSITIONAL filter (a token at prefix
     // position rn leaves at most n - rn + 1 matchable tokens, so the
     // overlap can never reach ceil(0.8/1.8 * (na + nb)))
-    val cand = probe.as("a").join(index.as("b"), expr(
-        """a.tok = b.tok
+    pre.as("a").join(pre.as("b"), expr(
+        """a.bit = b.bit AND b.indexable
            AND (b.n < a.n OR (b.n = a.n AND b.doc_id < a.doc_id))
            AND b.n * 10000 >= a.n * 8000
            AND 1 + least(a.n - a.rn, b.n - b.rn) >= (4 * (a.n + b.n) + 8) DIV 9"""))
       .select(least($"a.doc_id", $"b.doc_id").as("doc_a"),
-        greatest($"a.doc_id", $"b.doc_id").as("doc_b")).distinct()
-    val ha = hs.select($"doc_id".as("doc_a"), $"h".as("ha"))
-    val hb = hs.select($"doc_id".as("doc_b"), $"h".as("hb"))
-    cand.join(ha, "doc_a").join(hb, "doc_b")
-      .select($"doc_a", $"doc_b", expr("jaccard_bp_sorted(ha, hb)").as("jaccard_bp"))
+        greatest($"a.doc_id", $"b.doc_id").as("doc_b"),
+        expr(s"$simFn(a.payload, b.payload)").as("jaccard_bp"))
       .filter($"jaccard_bp" >= 8000)
+      .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -34,11 +34,15 @@ object Graph {
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .distinct()
       .localCheckpoint() // 5 supersteps reuse blocks, not the LSH lineage
-    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    var ranks = outdeg.select($"src".as("node"), lit(1000000L).as("rank"))
+    // loop-invariant: every superstep scans edges-with-outdeg, so join it
+    // once and materialize — each round is then one join + one aggregation
+    val edgesDeg = edges
+      .join(edges.groupBy($"src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint()
+    var ranks = edgesDeg.select($"src".as("node")).distinct()
+      .select($"node", lit(1000000L).as("rank"))
     for (_ <- 1 to 5) {
-      ranks = edges.join(outdeg, "src")
-        .join(ranks, $"src" === $"node")
+      ranks = edgesDeg.join(ranks, $"src" === $"node")
         .select($"dst", expr("rank DIV outdeg").as("contrib"))
         .groupBy($"dst")
         .agg(expr("150000 + (850 * sum(contrib)) DIV 1000").as("rank"))
