@@ -16,6 +16,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.defs ++
+      operators.SqlSurface.defs ++
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
@@ -29,6 +30,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
+      operators.SqlSurface.oracles ++
       operators.TextAnalysis.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++

@@ -566,6 +566,60 @@ object Dedup {
               (n_inter * 10000 // nb)::BIGINT AS containment_b_in_a_bp
        FROM pairs ORDER BY doc_a, doc_b"""
 
+  /** Dedup keep-policy: per near-dup cluster (d07's connected components),
+    * elect the representative a curation pass would KEEP — longest doc,
+    * doc_id as the deterministic tiebreak — plus what gets dropped. This is
+    * the step that turns the pair/cluster analytics into an actionable
+    * training-set decision (the keeper list IS the dedup filter). One
+    * window over clusters keyed on cluster_id; scales like d07. */
+  def d12ClusterKeeper(t: T): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Registry.ensure(t.spark)
+    val clusters = connectedComponents(d04MinhashLshPairs(t).select($"doc_a", $"doc_b"))
+    val sized = clusters.join(t.documents.select($"doc_id", $"n_chars"), "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")))
+    sized.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        min(when($"rk" === 1, $"doc_id")).as("keeper_id"),
+        (sum($"n_chars") - min(when($"rk" === 1, $"n_chars"))).as("chars_dropped"))
+      .orderBy($"cluster_id")
+  }
+
+  val d12Oracle: String =
+    s"""WITH hs AS (SELECT doc_id, $shingleHashesDuck AS h FROM documents),
+       sigs AS (SELECT doc_id, h, $minhashSigDuck AS sig FROM hs),
+       bands AS (
+         SELECT doc_id, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
+         FROM sigs, range(0, 4) t(b)),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       pairs AS (
+         SELECT doc_a, doc_b
+         FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
+         WHERE len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 8000),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+       reach AS (
+         WITH RECURSIVE r(doc, label) AS (
+           SELECT s, s FROM edges
+           UNION
+           SELECT e.d, r.label FROM r JOIN edges e ON e.s = r.doc
+         ) SELECT doc, MIN(label) AS cluster_id FROM r GROUP BY doc),
+       sized AS (
+         SELECT cluster_id, doc AS doc_id, n_chars,
+                row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc) AS rk
+         FROM reach JOIN documents ON documents.doc_id = reach.doc)
+       SELECT cluster_id, COUNT(*) AS n_docs,
+              SUM(n_chars)::BIGINT AS total_chars,
+              MIN(CASE WHEN rk = 1 THEN doc_id END) AS keeper_id,
+              (SUM(n_chars) - MIN(CASE WHEN rk = 1 THEN n_chars END))::BIGINT AS chars_dropped
+       FROM sized GROUP BY cluster_id ORDER BY cluster_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"        -> ((s, d) => d01ExactDedup(T(s, d))),
     "d02_ngram_jaccard"      -> ((s, d) => d02NgramJaccardPairs(T(s, d))),
@@ -577,6 +631,7 @@ object Dedup {
     "d08_prefix_jaccard"     -> ((s, d) => d08PrefixJaccardJoin(T(s, d))),
     "d09_substring_dup"      -> ((s, d) => d09SubstringDupCoverage(T(s, d))),
     "d11_containment_pairs"  -> ((s, d) => d11ContainmentPairs(T(s, d))),
+    "d12_cluster_keeper"     -> ((s, d) => d12ClusterKeeper(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -590,5 +645,6 @@ object Dedup {
     "d08_prefix_jaccard"    -> d08Oracle,
     "d09_substring_dup"     -> d09Oracle,
     "d11_containment_pairs" -> d11Oracle,
+    "d12_cluster_keeper"    -> d12Oracle,
   )
 }

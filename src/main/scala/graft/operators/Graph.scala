@@ -135,13 +135,88 @@ object Graph {
        SELECT doc_id, COUNT(*) AS n_triangles
        FROM nodes GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Local clustering coefficient per node with degree >= 2:
+    * 2 * triangles * 10000 DIV (deg * (deg - 1)) in basis points — how
+    * close each near-dup neighborhood is to a clique (community density of
+    * the dedup graph). Same wedge-closure triangle enumeration as g02, one
+    * extra degree aggregation; all shuffles key on node id. */
+  def g03ClusteringCoefficient(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val pairs = Dedup.d04MinhashLshPairs(t)
+      .select($"doc_a", $"doc_b").localCheckpoint() // reused by deg + 3 joins
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .distinct()
+    val deg = edges.groupBy($"src".as("doc_id")).agg(count(lit(1)).as("deg"))
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"), $"e1.doc_b" === $"e2.doc_a")
+      .join(pairs.as("e3"),
+        $"e3.doc_a" === $"e1.doc_a" && $"e3.doc_b" === $"e2.doc_b")
+      .select(explode(array($"e1.doc_a", $"e1.doc_b", $"e2.doc_b")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+    deg.filter($"deg" >= 2)
+      .join(tri, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"deg",
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"),
+        expr("coalesce(n_triangles, 0) * 2 * 10000 DIV (deg * (deg - 1))").as("coeff_bp"))
+      .orderBy($"doc_id")
+  }
+
+  val g03Oracle: String =
+    s"""WITH $pairsCte,
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       deg AS (SELECT s AS doc_id, COUNT(*) AS deg FROM edges GROUP BY s),
+       tri AS (
+         SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         FROM pairs e1
+         JOIN pairs e2 ON e2.doc_a = e1.doc_b
+         JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       pertri AS (
+         SELECT doc_id, COUNT(*) AS n_triangles FROM (
+           SELECT a AS doc_id FROM tri
+           UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri) GROUP BY doc_id)
+       SELECT deg.doc_id, deg,
+              COALESCE(n_triangles, 0)::BIGINT AS n_triangles,
+              (COALESCE(n_triangles, 0) * 2 * 10000 // (deg * (deg - 1)))::BIGINT AS coeff_bp
+       FROM deg LEFT JOIN pertri ON pertri.doc_id = deg.doc_id
+       WHERE deg >= 2 ORDER BY deg.doc_id"""
+
+  /** Degree distribution of the near-dup graph — the shape diagnostic that
+    * decides salting/skew strategy before running heavier graph passes
+    * (a power-law tail here means the CC/PageRank plans need skew handling). */
+  def g04DegreeHistogram(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val pairs = Dedup.d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
+    pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .distinct()
+      .groupBy($"src").agg(count(lit(1)).as("deg"))
+      .groupBy($"deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"deg")
+  }
+
+  val g04Oracle: String =
+    s"""WITH $pairsCte,
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s)
+       SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank"  -> ((s, d) => g01PageRank(T(s, d))),
     "g02_triangles" -> ((s, d) => g02Triangles(T(s, d))),
+    "g03_clustering_coeff" -> ((s, d) => g03ClusteringCoefficient(T(s, d))),
+    "g04_degree_histogram" -> ((s, d) => g04DegreeHistogram(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
     "g01_pagerank"  -> g01Oracle,
     "g02_triangles" -> g02Oracle,
+    "g03_clustering_coeff" -> g03Oracle,
+    "g04_degree_histogram" -> g04Oracle,
   )
 }

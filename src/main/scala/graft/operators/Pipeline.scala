@@ -640,6 +640,39 @@ object Pipeline {
        SELECT position::BIGINT AS position, doc_id, source, vt
        FROM sched WHERE position <= 200 ORDER BY position"""
 
+  /** Token-budget batch packing: assign consecutive docs (doc_id order) to
+    * training batches of ~4096 tokens — batch = starting-offset DIV budget,
+    * i.e. a doc opens a new batch when the running total crosses the next
+    * budget boundary (the streaming packer's behavior). The global
+    * running-sum window is the DELIBERATE single-ordered pass here; at
+    * 100 TB you partition the window by shard (source, file) and pack within
+    * shards — the arithmetic is unchanged. Output is per-batch, so the
+    * packing decisions themselves are what the oracle hashes. */
+  def p15PackBatches(t: T, budget: Int = 4096): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    t.documents
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("tokens"))
+      .withColumn("cum", sum($"tokens").over(
+        Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("batch_id", expr(s"(cum - tokens) DIV $budget"))
+      .groupBy($"batch_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("batch_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"batch_id")
+  }
+
+  val p15Oracle: String =
+    """WITH d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS tokens FROM documents),
+       c AS (SELECT doc_id, tokens,
+                    SUM(tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM d)
+       SELECT ((cum - tokens) // 4096)::BIGINT AS batch_id,
+              COUNT(*) AS n_docs, SUM(tokens)::BIGINT AS batch_tokens,
+              MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       FROM c GROUP BY 1 ORDER BY batch_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -655,6 +688,7 @@ object Pipeline {
     "p12_bloom_contamination" -> ((s, d) => p12BloomContamination(T(s, d))),
     "p13_curation_manifest" -> ((s, d) => p13CurationManifest(T(s, d))),
     "p14_interleave_schedule" -> ((s, d) => p14InterleaveSchedule(T(s, d))),
+    "p15_pack_batches"        -> ((s, d) => p15PackBatches(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -672,5 +706,6 @@ object Pipeline {
     "p12_bloom_contamination" -> p12Oracle,
     "p13_curation_manifest" -> p13Oracle,
     "p14_interleave_schedule" -> p14Oracle,
+    "p15_pack_batches"        -> p15Oracle,
   )
 }

@@ -318,12 +318,62 @@ object Similarity {
                         ORDER BY votes DESC, n_label) AS vr FROM votes)
        WHERE vr = 1 ORDER BY query_id"""
 
+  /** Recall@5 of the LSH candidate set (s02) against the exact top-5 (s01),
+    * per query — the self-measuring quality gate every ANN deployment needs
+    * before trusting the approximate path. Both inputs are deterministic, so
+    * the recall numbers themselves are oracle-hashable (the sbt spec asserts
+    * a floor on the average; this query pins the exact per-query values). */
+  def s06AnnRecall(t: T): DataFrame = {
+    import t.spark.implicits._
+    val truth = s01CosineTopK(t).select($"query_id", $"neighbor_id")
+    val cand = s02HyperplaneLsh(t)
+      .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+    truth.join(cand, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"hit", lit(0L))).as("n_hits"))
+      .select($"query_id", $"n_hits", expr("n_hits * 10000 DIV 5").as("recall_bp"))
+      .orderBy($"query_id")
+  }
+
+  val s06Oracle: String =
+    s"""WITH sims AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                ROUND(${duckCos("a", "b")}, 4) + 0.0 AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+       truth AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+           FROM sims) WHERE rk <= 5),
+       sigs AS (
+         SELECT vec_id,
+           list_sum(list_transform(range(0, 32), m ->
+             CASE WHEN list_sum(list_transform(range(1, 65), i ->
+               embedding[i]::DOUBLE * ((((m + 1) * 37 + i * 101) % 97 % 2) * 2 - 1))) > 0
+             THEN 1::BIGINT << m::INT ELSE 0::BIGINT END)) AS sig
+         FROM embeddings),
+       bands AS (
+         SELECT vec_id, t AS tbl, (sig >> (t * 8)::INT) & 255 AS bucket
+         FROM sigs, range(0, 4) r(t)),
+       cand AS (
+         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM bands q JOIN bands c
+           ON q.tbl = c.tbl AND q.bucket = c.bucket
+          AND q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id)
+       SELECT t.query_id, COUNT(c.neighbor_id)::BIGINT AS n_hits,
+              (COUNT(c.neighbor_id) * 10000 // 5)::BIGINT AS recall_bp
+       FROM truth t LEFT JOIN cand c
+         ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+       GROUP BY t.query_id ORDER BY t.query_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
     "s03_embedding_neardup" -> ((s, d) => s03EmbeddingNeardup(T(s, d))),
     "s04_ivf_ann"           -> ((s, d) => s04IvfAnn(T(s, d))),
     "s05_knn_classify"      -> ((s, d) => s05KnnClassify(T(s, d))),
+    "s06_ann_recall"        -> ((s, d) => s06AnnRecall(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -332,5 +382,6 @@ object Similarity {
     "s03_embedding_neardup" -> s03Oracle,
     "s04_ivf_ann"           -> s04Oracle,
     "s05_knn_classify"      -> s05Oracle,
+    "s06_ann_recall"        -> s06Oracle,
   )
 }

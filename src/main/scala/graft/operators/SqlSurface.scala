@@ -1,0 +1,274 @@
+package graft.operators
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 SQL-surface widening: scalar-function families the reference's
+  * SQL clients rely on that q01-q81 did not yet exercise — delimiter-indexed
+  * substrings, padding, arbitrary-base conversion, 1-based list dispatch,
+  * calendar navigation, array/map editing, the regexp_* trio, checksum
+  * validation (Luhn), and character-level string ops. All map-side scalar
+  * projections (narrow, codegen'd, no shuffle beyond the output sort), so
+  * the 100 TB story is just "columns in, columns out".
+  *
+  * Oracle notes (cross-engine, see graft memory rules): every derived
+  * integer is cast to BIGINT on the DuckDB side; DATE-typed outputs are cast
+  * to TIMESTAMP on BOTH sides (pandas renders DuckDB DATE asymmetrically);
+  * DuckDB lacks substring_index / conv / elt / find_in_set / next_day /
+  * initcap / luhn_check / regexp_instr, so the oracles state each function's
+  * DEFINITION in list/str primitives — which doubles as documentation of the
+  * exact semantics implemented.
+  */
+object SqlSurface {
+
+  /** substring_index: split-join by delimiter with positive (first k) and
+    * negative (last k) counts. */
+  def q82SubstringIndex(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.documents.filter($"doc_id" < 1000)
+      .select($"doc_id",
+        substring_index($"text", " ", 3).as("first3"),
+        substring_index($"text", " ", -2).as("last2"))
+      .orderBy($"doc_id")
+  }
+
+  val q82Oracle: String =
+    """SELECT doc_id,
+              array_to_string((str_split(text, ' '))[1:3], ' ') AS first3,
+              array_to_string((str_split(text, ' '))[-2:], ' ') AS last2
+       FROM documents WHERE doc_id < 1000 ORDER BY doc_id"""
+
+  /** lpad / rpad / repeat, including lpad's truncation contract (result is
+    * exactly len chars even when the input is longer). */
+  def q83PadFns(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.part.filter($"p_partkey" < 2000)
+      .select($"p_partkey",
+        lpad($"p_partkey".cast("string"), 8, "0").as("key8"),
+        rpad(substring($"p_name", 1, 5), 12, ".").as("name12"),
+        lpad($"p_name", 3, "x").as("name_trunc3"),
+        repeat(substring($"p_name", 1, 2), 3).as("rep3"))
+      .orderBy($"p_partkey")
+  }
+
+  val q83Oracle: String =
+    """SELECT p_partkey,
+              lpad(p_partkey::VARCHAR, 8, '0') AS key8,
+              rpad(substr(p_name, 1, 5), 12, '.') AS name12,
+              lpad(p_name, 3, 'x') AS name_trunc3,
+              repeat(substr(p_name, 1, 2), 3) AS rep3
+       FROM part WHERE p_partkey < 2000 ORDER BY p_partkey"""
+
+  /** conv(): arbitrary-base integer rendering (16 / 7 / 36) plus a 36->10
+    * round-trip (DuckDB has no from-base, so the round-trip is asserted
+    * against the decimal rendering). Spark conv uppercases digits >= A, as
+    * does DuckDB to_base. */
+  def q84ConvBases(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders.filter($"o_orderkey" < 5000)
+      .select($"o_orderkey",
+        conv($"o_orderkey".cast("string"), 10, 16).as("hex16"),
+        conv($"o_orderkey".cast("string"), 10, 7).as("base7"),
+        conv($"o_orderkey".cast("string"), 10, 36).as("base36"),
+        conv(conv($"o_orderkey".cast("string"), 10, 36), 36, 10).as("rt10"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q84Oracle: String =
+    """SELECT o_orderkey,
+              to_base(o_orderkey, 16) AS hex16,
+              to_base(o_orderkey, 7) AS base7,
+              to_base(o_orderkey, 36) AS base36,
+              o_orderkey::VARCHAR AS rt10
+       FROM orders WHERE o_orderkey < 5000 ORDER BY o_orderkey"""
+
+  /** elt (1-based variadic dispatch) and find_in_set (position in a
+    * comma-separated list, 0 if absent). */
+  def q85EltFindInSet(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders.filter($"o_orderkey" < 20000)
+      .withColumn("idx", ($"o_orderkey" % 3 + 1).cast("int"))
+      .select($"o_orderkey", $"idx".cast("long").as("idx"),
+        expr("elt(idx, 'alpha', 'beta', 'gamma')").as("chosen"),
+        expr("cast(find_in_set(elt(idx, 'alpha', 'beta', 'gamma'), 'alpha,beta,gamma') AS bigint)").as("pos"),
+        expr("cast(find_in_set('missing', 'alpha,beta,gamma') AS bigint)").as("pos_missing"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q85Oracle: String =
+    """SELECT o_orderkey,
+              (o_orderkey % 3 + 1)::BIGINT AS idx,
+              (['alpha', 'beta', 'gamma'])[(o_orderkey % 3 + 1)::INT] AS chosen,
+              list_position(['alpha', 'beta', 'gamma'],
+                (['alpha', 'beta', 'gamma'])[(o_orderkey % 3 + 1)::INT])::BIGINT AS pos,
+              coalesce(list_position(['alpha', 'beta', 'gamma'], 'missing'), 0)::BIGINT AS pos_missing
+       FROM orders WHERE o_orderkey < 20000 ORDER BY o_orderkey"""
+
+  /** Calendar navigation: next_day (strictly-after next Monday), quarter
+    * truncation, day name, day-of-year. */
+  def q86CalendarFns(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders.filter($"o_orderkey" < 20000)
+      .withColumn("od", $"o_orderdate".cast("date"))
+      .select($"o_orderkey",
+        expr("cast(next_day(od, 'MO') AS timestamp)").as("next_mon"),
+        expr("cast(trunc(od, 'quarter') AS timestamp)").as("q_start"),
+        date_format($"od", "EEEE").as("dayname"),
+        dayofyear($"od").cast("long").as("doy"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q86Oracle: String =
+    """SELECT o_orderkey,
+              (o_orderdate::DATE + (CASE WHEN (8 - isodow(o_orderdate::DATE)) % 7 = 0
+                  THEN 7 ELSE (8 - isodow(o_orderdate::DATE)) % 7 END) * INTERVAL 1 DAY)
+                ::TIMESTAMP AS next_mon,
+              date_trunc('quarter', o_orderdate::DATE)::TIMESTAMP AS q_start,
+              strftime(o_orderdate::DATE, '%A') AS dayname,
+              dayofyear(o_orderdate::DATE)::BIGINT AS doy
+       FROM orders WHERE o_orderkey < 20000 ORDER BY o_orderkey"""
+
+  /** Array editing: array_insert (1-based, inserts before the position),
+    * append / prepend, and array_compact (null removal). Rendered through
+    * concat_ws so the harness hashes scalars. */
+  def q87ArrayEditFns(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders.filter($"o_orderkey" < 20000)
+      .withColumn("arr", expr("sequence(1L, 1L + o_orderkey % 4)"))
+      .select($"o_orderkey",
+        concat_ws(",", expr("array_insert(arr, 2, 99L)")).as("ins2"),
+        concat_ws(",", expr("array_append(arr, 0L)")).as("app"),
+        concat_ws(",", expr("array_prepend(arr, -1L)")).as("pre"),
+        concat_ws(",",
+          expr("array_compact(transform(arr, x -> CASE WHEN x % 2 = 0 THEN NULL ELSE x END))"))
+          .as("odds"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q87Oracle: String =
+    """WITH b AS (SELECT o_orderkey, range(1, 2 + o_orderkey % 4) AS arr
+                  FROM orders WHERE o_orderkey < 20000)
+       SELECT o_orderkey,
+              array_to_string(arr[1:1] || [99] || arr[2:], ',') AS ins2,
+              array_to_string(arr || [0], ',') AS app,
+              array_to_string([-1] || arr, ',') AS pre,
+              array_to_string(list_filter(arr, x -> x % 2 = 1), ',') AS odds
+       FROM b ORDER BY o_orderkey"""
+
+  /** Map construction and pointwise combination: map_from_arrays +
+    * map_zip_with + map_concat, exploded back to scalar rows for the
+    * harness (the DuckDB twin states the same arithmetic relationally). */
+  def q88MapBuildFns(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders.filter($"o_orderkey" < 5000)
+      .withColumn("m1", expr("map_from_arrays(sequence(1L, 3L), transform(sequence(1L, 3L), k -> k * (1 + o_orderkey % 7)))"))
+      .withColumn("m2", expr("map_from_arrays(sequence(1L, 3L), transform(sequence(1L, 3L), k -> k * k))"))
+      .withColumn("mz", expr("map_zip_with(m1, m2, (k, a, b) -> a + b)"))
+      .select($"o_orderkey", explode($"mz").as(Seq("k", "v")))
+      .orderBy($"o_orderkey", $"k")
+  }
+
+  val q88Oracle: String =
+    """SELECT o_orderkey, k::BIGINT AS k,
+              (k * (1 + o_orderkey % 7) + k * k)::BIGINT AS v
+       FROM orders, range(1, 4) t(k)
+       WHERE o_orderkey < 5000 ORDER BY o_orderkey, k"""
+
+  /** The regexp_* accessor trio: regexp_count / regexp_instr (1-based
+    * position of first match, 0 if none) / regexp_substr (NULL if none). */
+  def q89RegexpFamily(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.documents.filter($"doc_id" < 1000)
+      .select($"doc_id",
+        expr("cast(regexp_count(text, 'ta[a-z]+') AS bigint)").as("n_ta"),
+        expr("cast(regexp_instr(text, 'window') AS bigint)").as("pos_window"),
+        expr("regexp_substr(text, 'me[a-z]+')").as("first_me"))
+      .orderBy($"doc_id")
+  }
+
+  val q89Oracle: String =
+    """SELECT doc_id,
+              len(regexp_extract_all(text, 'ta[a-z]+'))::BIGINT AS n_ta,
+              (CASE WHEN regexp_matches(text, 'window')
+                    THEN len(str_split_regex(text, 'window')[1]) + 1 ELSE 0 END)::BIGINT AS pos_window,
+              nullif(regexp_extract(text, 'me[a-z]+'), '') AS first_me
+       FROM documents WHERE doc_id < 1000 ORDER BY doc_id"""
+
+  /** Luhn checksum validation over zero-padded numeric ids — the standard
+    * data-quality gate for account-number-shaped fields. The DuckDB twin
+    * states the algorithm digit-by-digit (double every second digit from
+    * the right, subtract 9 when > 9, valid iff the sum is divisible by 10). */
+  def q90LuhnCheck(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders.filter($"o_orderkey" < 20000)
+      .withColumn("acct", lpad($"o_orderkey".cast("string"), 8, "0"))
+      .select($"o_orderkey", $"acct",
+        expr("cast(CASE WHEN luhn_check(acct) THEN 1 ELSE 0 END AS bigint)").as("luhn_ok"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q90Oracle: String =
+    """WITH b AS (SELECT o_orderkey, lpad(o_orderkey::VARCHAR, 8, '0') AS acct
+                  FROM orders WHERE o_orderkey < 20000)
+       SELECT o_orderkey, acct,
+              (CASE WHEN list_sum(list_transform(range(1, len(acct) + 1), i ->
+                 CASE WHEN i % 2 = 0
+                      THEN (CASE WHEN 2 * (ascii(substr(reverse(acct), i::INT, 1)) - 48) > 9
+                                 THEN 2 * (ascii(substr(reverse(acct), i::INT, 1)) - 48) - 9
+                                 ELSE 2 * (ascii(substr(reverse(acct), i::INT, 1)) - 48) END)
+                      ELSE ascii(substr(reverse(acct), i::INT, 1)) - 48 END)) % 10 = 0
+                 THEN 1 ELSE 0 END)::BIGINT AS luhn_ok
+       FROM b ORDER BY o_orderkey"""
+
+  /** Character-level ops: initcap (word-capitalize), chr / ascii, left /
+    * right. DuckDB has no initcap; the twin rebuilds it per word. */
+  def q91CharFns(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.documents.filter($"doc_id" < 1000)
+      .withColumn("head", substring($"text", 1, 30))
+      .select($"doc_id",
+        initcap($"head").as("title_head"),
+        expr("chr(65 + doc_id % 26)").as("bucket_chr"),
+        ascii($"text").cast("long").as("first_code"),
+        expr("left(text, 4)").as("l4"),
+        expr("right(text, 4)").as("r4"))
+      .orderBy($"doc_id")
+  }
+
+  val q91Oracle: String =
+    """SELECT doc_id,
+              array_to_string(list_transform(str_split(substr(text, 1, 30), ' '),
+                w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ') AS title_head,
+              chr((65 + doc_id % 26)::INT) AS bucket_chr,
+              ascii(substr(text, 1, 1))::BIGINT AS first_code,
+              left(text, 4) AS l4,
+              right(text, 4) AS r4
+       FROM documents WHERE doc_id < 1000 ORDER BY doc_id"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
+    "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
+    "q84_conv_bases"      -> ((s, d) => q84ConvBases(T(s, d))),
+    "q85_elt_find_in_set" -> ((s, d) => q85EltFindInSet(T(s, d))),
+    "q86_calendar_fns"    -> ((s, d) => q86CalendarFns(T(s, d))),
+    "q87_array_edit_fns"  -> ((s, d) => q87ArrayEditFns(T(s, d))),
+    "q88_map_build_fns"   -> ((s, d) => q88MapBuildFns(T(s, d))),
+    "q89_regexp_family"   -> ((s, d) => q89RegexpFamily(T(s, d))),
+    "q90_luhn_check"      -> ((s, d) => q90LuhnCheck(T(s, d))),
+    "q91_char_fns"        -> ((s, d) => q91CharFns(T(s, d))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q82_substring_index" -> q82Oracle,
+    "q83_pad_fns"         -> q83Oracle,
+    "q84_conv_bases"      -> q84Oracle,
+    "q85_elt_find_in_set" -> q85Oracle,
+    "q86_calendar_fns"    -> q86Oracle,
+    "q87_array_edit_fns"  -> q87Oracle,
+    "q88_map_build_fns"   -> q88Oracle,
+    "q89_regexp_family"   -> q89Oracle,
+    "q90_luhn_check"      -> q90Oracle,
+    "q91_char_fns"        -> q91Oracle,
+  )
+}

@@ -419,6 +419,87 @@ object TextAnalysis {
        FROM flat JOIN model USING (prev, w)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Integer tf-idf: per-doc top-3 terms by tf * rarity, with rarity the
+    * linear integer weight 10000 - df*10000 DIV N (the corpus vocabulary is
+    * deliberately tiny, so a log-idf would floor to 0 for every term — the
+    * linear weight keeps the ranking discriminative AND exactly portable).
+    * Two shuffles (doc-term tf, term df) + one broadcast of the df
+    * dictionary + one per-doc window — the standard distributed tf-idf
+    * shape at any corpus size. */
+  def t11TfidfTopTerms(t: T): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val words = t.documents.select($"doc_id", explode(split($"text", " ")).as("word"))
+    val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val n = t.documents.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), "word").crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * (10000 - df * 10000 DIV n_docs)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score".desc, $"word")))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk".cast("long").as("rk"), $"word", $"score")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val t11Oracle: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+       df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+       n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       scored AS (
+         SELECT doc_id, word, (tf * (10000 - df * 10000 // n_docs))::BIGINT AS score,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tf * (10000 - df * 10000 // n_docs) DESC, word) AS rk
+         FROM tf JOIN df USING (word), n)
+       SELECT doc_id, rk::BIGINT AS rk, word, score
+       FROM scored WHERE rk <= 3 ORDER BY doc_id, rk"""
+
+  /** Doc-local hapax ratio: tokens occurring exactly once WITHIN the doc —
+    * a lexical-diversity signal (corpus-level hapax is degenerate on the
+    * closed synthetic vocabulary, so the doc-local variant is the
+    * discriminative one). Narrow per-doc aggregation, no corpus shuffle. */
+  def t12HapaxRatio(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.documents.select($"doc_id", explode(split($"text", " ")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_tokens"),
+        sum(when($"cnt" === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_bp", expr("n_hapax * 10000 DIV n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val t12Oracle: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word)
+       SELECT doc_id, SUM(cnt)::BIGINT AS n_tokens,
+              SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+              (SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 10000 // SUM(cnt))::BIGINT AS hapax_bp
+       FROM c GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Character-class composition via translate-deletion counting (both
+    * engines delete `from` chars unmatched in `to`): spaces, vowels, and
+    * vowel density over non-space chars. Pure map-side column arithmetic. */
+  def t13CharClassMix(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .withColumn("len", length($"text").cast("long"))
+      .withColumn("n_spaces", ($"len" - length(translate($"text", " ", ""))).cast("long"))
+      .withColumn("n_vowels", ($"len" - length(translate($"text", "aeiou", ""))).cast("long"))
+      .select($"doc_id", $"len", $"n_spaces", $"n_vowels",
+        expr("n_vowels * 10000 DIV (len - n_spaces)").as("vowel_bp"))
+      .orderBy($"doc_id")
+  }
+
+  val t13Oracle: String =
+    """SELECT doc_id, length(text)::BIGINT AS len,
+              (length(text) - length(translate(text, ' ', '')))::BIGINT AS n_spaces,
+              (length(text) - length(translate(text, 'aeiou', '')))::BIGINT AS n_vowels,
+              ((length(text) - length(translate(text, 'aeiou', ''))) * 10000
+                 // (length(translate(text, ' ', ''))))::BIGINT AS vowel_bp
+       FROM documents ORDER BY doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
     "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
@@ -430,6 +511,9 @@ object TextAnalysis {
     "t08_zipf_profile"  -> ((s, d) => t08ZipfProfile(T(s, d))),
     "t09_bigram_entropy" -> ((s, d) => t09BigramEntropy(T(s, d))),
     "t10_bigram_lm"     -> ((s, d) => t10BigramLm(T(s, d))),
+    "t11_tfidf_topterms" -> ((s, d) => t11TfidfTopTerms(T(s, d))),
+    "t12_hapax_ratio"   -> ((s, d) => t12HapaxRatio(T(s, d))),
+    "t13_charclass_mix" -> ((s, d) => t13CharClassMix(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -443,5 +527,8 @@ object TextAnalysis {
     "t08_zipf_profile"  -> t08Oracle,
     "t09_bigram_entropy" -> t09Oracle,
     "t10_bigram_lm"     -> t10Oracle,
+    "t11_tfidf_topterms" -> t11Oracle,
+    "t12_hapax_ratio"   -> t12Oracle,
+    "t13_charclass_mix" -> t13Oracle,
   )
 }

@@ -227,15 +227,51 @@ object StreamOps {
               COUNT(*) AS n, SUM(v)::BIGINT AS sum_value
        FROM w GROUP BY 1, 2 ORDER BY window_start, event_type"""
 
+  /** Streaming dedup: keep each (user_id, event_type) key's FIRST event.
+    * On a stream this is `dropDuplicates` over the key columns (watermark
+    * bounds nothing here — state is one row per live key; the
+    * dropDuplicatesWithinWatermark variant trades exactness for eviction).
+    * First-arrival equals first-by-event-time when the feed is in ts order,
+    * which is what the parity spec feeds and what the batch twin states. */
+  def firstPerKey(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 minutes")
+      .dropDuplicates("user_id", "event_type")
+
+  /** Batch twin of [[firstPerKey]] for oracle coverage: first event per
+    * (user_id, event_type) by (ts, event_id) — the deterministic statement
+    * of "first" that in-order streaming delivery realizes. */
+  def w04StreamDedup(t: graft.T): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    t.events
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")))
+      .filter($"rk" === 1)
+      .select($"user_id", $"event_type", $"event_id".as("first_event_id"),
+        $"ts".as("first_ts"), floor($"value").cast("long").as("first_value_floor"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val w04Oracle: String =
+    """SELECT user_id, event_type, event_id AS first_event_id,
+              ts AS first_ts, CAST(FLOOR(value) AS BIGINT) AS first_value_floor
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) AS rk
+             FROM events)
+       WHERE rk = 1 ORDER BY user_id, event_type"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_windowed_type_counts" -> ((s, d) => w01WindowedTypeCounts(graft.T(s, d))),
     "w02_session_windows"      -> ((s, d) => w02SessionWindows(graft.T(s, d))),
     "w03_sliding_type_counts"  -> ((s, d) => w03SlidingTypeCounts(graft.T(s, d))),
+    "w04_stream_dedup"         -> ((s, d) => w04StreamDedup(graft.T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
     "w01_windowed_type_counts" -> w01Oracle,
     "w02_session_windows"      -> w02Oracle,
     "w03_sliding_type_counts"  -> w03Oracle,
+    "w04_stream_dedup"         -> w04Oracle,
   )
 }

@@ -188,6 +188,76 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("g03/d12/s06: round-5 graph + dedup-policy joins stay equi-joins, no cartesian") {
+    Seq("g03_clustering_coeff", "d12_cluster_keeper", "s06_ann_recall").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("d08: dense-bitmap verify runs inline in the candidate join (no verify re-join)") {
+    // the rewritten d08 carries the verify payload on the prefix rows: the
+    // plan must contain exactly ONE self-join (the candidate equi-join) and
+    // no further join back to the corpus arrays
+    val p = plan("d08_prefix_jaccard")
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin"))
+    assert(joins <= 2, s"expected candidate join (+ optional dictionary join) only, got $joins:\n$p")
+    assert(p.contains("jaccard_bp_words") || p.contains("jaccard_bp_sorted"), p)
+  }
+
+  test("d12: every cluster keeper is a member of its cluster with maximal length") {
+    import spark.implicits._
+    val t = T(spark, sfDir)
+    val clusters = Dedup.connectedComponents(
+      Dedup.d04MinhashLshPairs(t).select($"doc_a", $"doc_b"))
+      .join(t.documents.select($"doc_id", $"n_chars"), "doc_id")
+      .select($"cluster_id", $"doc_id", $"n_chars")
+      .collect().groupBy(_.getLong(0))
+    val keepers = Dedup.d12ClusterKeeper(t)
+      .select($"cluster_id", $"keeper_id", $"n_docs").collect()
+    assert(keepers.nonEmpty)
+    keepers.foreach { r =>
+      val members = clusters(r.getLong(0))
+      assert(members.length == r.getLong(2))
+      val best = members.map(m => (-m.getLong(2), m.getLong(1))).min._2
+      assert(r.getLong(1) == best, s"cluster ${r.getLong(0)}: keeper ${r.getLong(1)} != $best")
+    }
+  }
+
+  test("s06: LSH recall is within [0, 10000] and useful on average") {
+    import spark.implicits._
+    val rs = Similarity.s06AnnRecall(T(spark, sfDir))
+      .select($"recall_bp").as[Long].collect()
+    assert(rs.nonEmpty && rs.forall(r => r >= 0 && r <= 10000))
+    val mean = rs.sum.toDouble / rs.size / 10000
+    info(f"mean LSH recall@5: $mean%.3f over ${rs.size} queries")
+    // the synthetic embeddings are near-uniform, so exact top-5 neighbors sit
+    // barely above the noise floor — 8-bit hyperplane buckets recall ~0.13 of
+    // them (vs ~0.0008 for a random 20-candidate set, i.e. ~160x over chance).
+    // s06's whole point is to MEASURE that honestly; the floor just guards
+    // against the candidate join degenerating to empty.
+    assert(mean >= 0.05, f"mean recall $mean%.3f below floor 0.05")
+  }
+
+  test("p15: packing is gapless, conserves tokens, and respects the budget boundary") {
+    import spark.implicits._
+    val t = T(spark, sfDir)
+    val batches = Pipeline.p15PackBatches(t).orderBy($"batch_id").collect()
+    val ids = batches.map(_.getLong(0))
+    assert(ids.sameElements(ids.indices.map(_.toLong)), "batch ids must be 0..n-1 gapless")
+    val total = t.documents
+      .select(org.apache.spark.sql.functions.expr("sum(size(split(text, ' ')))"))
+      .head.getLong(0)
+    assert(batches.map(_.getLong(2)).sum == total, "packing must conserve tokens")
+    // every batch except the last must END at or past its budget boundary
+    // (a batch only closes once the running total crosses it)
+    batches.dropRight(1).zipWithIndex.foreach { case (b, i) =>
+      val cumThrough = batches.take(i + 1).map(_.getLong(2)).sum
+      assert(cumThrough >= 4096L * (i + 1), s"batch $i closed before its boundary")
+    }
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline") {
     // "*(n)" prefixes mark operators fused into whole-stage codegen; AQE
     // only shows them after the stages actually run

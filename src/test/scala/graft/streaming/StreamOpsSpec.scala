@@ -128,6 +128,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("first-per-key dedup: streaming first arrival == batch first-by-ts (in-order feed)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // duplicate keys arriving later, in ts order — first arrival must win
+    val feed = sample ++ Seq(
+      StreamOps.Evt(7, ts(4, 0), 1, "click", 9.0), // dup of (1, click)
+      StreamOps.Evt(8, ts(4, 30), 2, "click", 9.0)) // dup of (2, click)
+    val stream = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.firstPerKey(stream.toDF())
+      .writeStream.format("memory").queryName("first_per_key")
+      .outputMode("append").start()
+    try {
+      stream.addData(feed: _*)
+      q.processAllAvailable()
+      val got = snap(spark.table("first_per_key")
+        .select($"user_id", $"event_type", $"event_id"))
+      val want = snap(feed.toDF()
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")))
+        .filter($"rk" === 1)
+        .select($"user_id", $"event_type", $"event_id"))
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: streaming result == batch join on same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
