@@ -620,6 +620,47 @@ object Dedup {
               (SUM(n_chars) - MIN(CASE WHEN rk = 1 THEN n_chars END))::BIGINT AS chars_dropped
        FROM sized GROUP BY cluster_id ORDER BY cluster_id"""
 
+  /** Semantic (embedding-space) dedup clusters, SemDeDup-style: pairs with
+    * cosine >= 0.40 over the embedding table, connected-componented into
+    * clusters with the same large-star/small-star CC as d07. The pair stage
+    * here is the EXACT all-pairs baseline (like s03, weak-by-design as a
+    * production path — at scale the candidate set comes from the s02 LSH
+    * buckets or s04 IVF cells and only candidates pay the exact cosine);
+    * the cluster stage is scale-safe as-is. Cosine is the codegen'd
+    * double-accumulation kernel, bit-identical to the oracle's explicit
+    * list arithmetic, so thresholding is cross-engine exact. */
+  def d13SemanticClusters(t: T, thresholdMilli: Int = 400): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val a = t.embeddings.select($"vec_id".as("doc_a"), $"embedding".as("ea"))
+    val b = t.embeddings.select($"vec_id".as("doc_b"), $"embedding".as("eb"))
+    val pairs = a.join(b, $"doc_a" < $"doc_b")
+      .filter(expr(s"cosine_sim(ea, eb) >= $thresholdMilli / 1000.0"))
+      .select($"doc_a", $"doc_b")
+    connectedComponents(pairs)
+      .select($"doc_id".as("vec_id"), $"cluster_id")
+      .orderBy($"vec_id")
+  }
+
+  val d13Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       pairs AS (
+         SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+               / sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))
+                    * list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))
+               >= 400 / 1000.0),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+       reach AS (
+         WITH RECURSIVE r(doc, label) AS (
+           SELECT s, s FROM edges
+           UNION
+           SELECT e2.d, r.label FROM r JOIN edges e2 ON e2.s = r.doc
+         ) SELECT doc, MIN(label) AS cluster_id FROM r GROUP BY doc)
+       SELECT doc AS vec_id, cluster_id FROM reach ORDER BY vec_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"        -> ((s, d) => d01ExactDedup(T(s, d))),
     "d02_ngram_jaccard"      -> ((s, d) => d02NgramJaccardPairs(T(s, d))),
@@ -632,6 +673,7 @@ object Dedup {
     "d09_substring_dup"      -> ((s, d) => d09SubstringDupCoverage(T(s, d))),
     "d11_containment_pairs"  -> ((s, d) => d11ContainmentPairs(T(s, d))),
     "d12_cluster_keeper"     -> ((s, d) => d12ClusterKeeper(T(s, d))),
+    "d13_semantic_clusters"  -> ((s, d) => d13SemanticClusters(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -646,5 +688,6 @@ object Dedup {
     "d09_substring_dup"     -> d09Oracle,
     "d11_containment_pairs" -> d11Oracle,
     "d12_cluster_keeper"    -> d12Oracle,
+    "d13_semantic_clusters" -> d13Oracle,
   )
 }

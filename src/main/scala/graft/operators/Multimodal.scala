@@ -227,11 +227,40 @@ object Multimodal {
                           ELSE 1 END FROM documents) = 1
        ORDER BY asset_id, win_idx"""
 
+  /** Cross-modal alignment manifest: join the text corpus to its embedding
+    * table (doc_id = vec_id — the contract a paired multimodal dataset
+    * must uphold) and report per (lang, label) pairing counts plus exact
+    * integer char totals. A FULL outer join would surface dangling rows on
+    * either side; on this corpus the pairing is total, so the manifest
+    * doubles as the assertion of that. Shuffle keys on the join id then the
+    * (lang, label) group — both standard at any scale. */
+  def m05ModalityManifest(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.documents.select($"doc_id", $"lang", $"n_chars")
+      .join(t.embeddings.select($"vec_id", $"label"),
+        $"doc_id" === $"vec_id", "full_outer")
+      .groupBy($"lang", $"label")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"doc_id".isNull || $"vec_id".isNull, 1L).otherwise(0L)).as("n_dangling"),
+        sum(coalesce($"n_chars", lit(0L))).as("total_chars"))
+      .select($"lang", $"label".cast("long").as("label"),
+        $"n_pairs", $"n_dangling", $"total_chars")
+      .orderBy($"lang", $"label")
+  }
+
+  val m05Oracle: String =
+    """SELECT lang, label::BIGINT AS label, COUNT(*) AS n_pairs,
+              SUM(CASE WHEN doc_id IS NULL OR vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_dangling,
+              SUM(COALESCE(n_chars, 0))::BIGINT AS total_chars
+       FROM documents FULL OUTER JOIN embeddings ON doc_id = vec_id
+       GROUP BY lang, label ORDER BY lang, label"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> ((s, d) => m01MediaFeatures(T(s, d))),
     "m02_media_rollup"   -> ((s, d) => m02MediaRollup(T(s, d))),
     "m03_frame_sample"   -> ((s, d) => m03FrameSample(T(s, d))),
     "m04_audio_windows"  -> ((s, d) => m04AudioWindows(T(s, d))),
+    "m05_modality_manifest" -> ((s, d) => m05ModalityManifest(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -239,5 +268,6 @@ object Multimodal {
     "m02_media_rollup"   -> m02Oracle,
     "m03_frame_sample"   -> m03Oracle,
     "m04_audio_windows"  -> m04Oracle,
+    "m05_modality_manifest" -> m05Oracle,
   )
 }

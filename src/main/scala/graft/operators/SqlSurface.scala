@@ -246,6 +246,49 @@ object SqlSurface {
               right(text, 4) AS r4
        FROM documents WHERE doc_id < 1000 ORDER BY doc_id"""
 
+  /** width_bucket histogram bucketing (equi-width, with the SQL-standard
+    * underflow bucket 0 and overflow bucket n+1). DuckDB lacks the function;
+    * the twin states the definition arithmetically — identical IEEE ops on
+    * identical doubles, so bucketing is cross-engine exact. */
+  def q92WidthBucket(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem
+      .select(expr("width_bucket(l_quantity, 0, 50, 10)").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+      .orderBy($"bucket")
+  }
+
+  val q92Oracle: String =
+    """SELECT (CASE WHEN l_quantity < 0 THEN 0
+                    WHEN l_quantity >= 50 THEN 11
+                    ELSE FLOOR((l_quantity - 0) * 10 / (50 - 0)) + 1 END)::BIGINT AS bucket,
+              COUNT(*) AS n
+       FROM lineitem GROUP BY 1 ORDER BY bucket"""
+
+  /** mask(): PII-shaped redaction — uppercase -> X, lowercase -> x,
+    * digit -> n (default), plus a custom-replacement variant. The DuckDB
+    * twin is the definition as chained global regexp_replace. */
+  def q93MaskFns(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.documents.filter($"doc_id" < 1000)
+      .withColumn("s", concat(upper(substring($"text", 1, 5)), lit("-"), $"doc_id".cast("string")))
+      .select($"doc_id",
+        expr("mask(s)").as("masked_default"),
+        expr("mask(s, 'U', 'l', '9', '#')").as("masked_custom"))
+      .orderBy($"doc_id")
+  }
+
+  val q93Oracle: String =
+    """WITH b AS (SELECT doc_id, upper(substr(text, 1, 5)) || '-' || doc_id::VARCHAR AS s
+                  FROM documents WHERE doc_id < 1000)
+       SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(s,
+                '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked_default,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+                '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '9', 'g'),
+                '[^Ul9]', '#', 'g') AS masked_custom
+       FROM b ORDER BY doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -257,6 +300,8 @@ object SqlSurface {
     "q89_regexp_family"   -> ((s, d) => q89RegexpFamily(T(s, d))),
     "q90_luhn_check"      -> ((s, d) => q90LuhnCheck(T(s, d))),
     "q91_char_fns"        -> ((s, d) => q91CharFns(T(s, d))),
+    "q92_width_bucket"    -> ((s, d) => q92WidthBucket(T(s, d))),
+    "q93_mask_fns"        -> ((s, d) => q93MaskFns(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -270,5 +315,7 @@ object SqlSurface {
     "q89_regexp_family"   -> q89Oracle,
     "q90_luhn_check"      -> q90Oracle,
     "q91_char_fns"        -> q91Oracle,
+    "q92_width_bucket"    -> q92Oracle,
+    "q93_mask_fns"        -> q93Oracle,
   )
 }
