@@ -206,11 +206,38 @@ object Graph {
        deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s)
        SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg"""
 
+  /** Cluster-size histogram of the near-dup connected components — the
+    * dedup diagnostic that sizes the blast radius of d12's keep-policy
+    * (how many docs sit in 2-clusters vs giant components). Reuses the
+    * star-contraction CC; two narrow aggregations after it. */
+  def g05ClusterSizes(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    Dedup.connectedComponents(Dedup.d04MinhashLshPairs(t).select($"doc_a", $"doc_b"))
+      .groupBy($"cluster_id").agg(count(lit(1)).as("csize"))
+      .groupBy($"csize").agg(count(lit(1)).as("n_clusters"))
+      .orderBy($"csize")
+  }
+
+  val g05Oracle: String =
+    s"""WITH $pairsCte,
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+       reach AS (
+         WITH RECURSIVE r(doc, label) AS (
+           SELECT s, s FROM edges
+           UNION
+           SELECT e.d, r.label FROM r JOIN edges e ON e.s = r.doc
+         ) SELECT doc, MIN(label) AS cluster_id FROM r GROUP BY doc),
+       sizes AS (SELECT cluster_id, COUNT(*) AS csize FROM reach GROUP BY cluster_id)
+       SELECT csize, COUNT(*) AS n_clusters FROM sizes GROUP BY csize ORDER BY csize"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank"  -> ((s, d) => g01PageRank(T(s, d))),
     "g02_triangles" -> ((s, d) => g02Triangles(T(s, d))),
     "g03_clustering_coeff" -> ((s, d) => g03ClusteringCoefficient(T(s, d))),
     "g04_degree_histogram" -> ((s, d) => g04DegreeHistogram(T(s, d))),
+    "g05_cluster_sizes"    -> ((s, d) => g05ClusterSizes(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -218,5 +245,6 @@ object Graph {
     "g02_triangles" -> g02Oracle,
     "g03_clustering_coeff" -> g03Oracle,
     "g04_degree_histogram" -> g04Oracle,
+    "g05_cluster_sizes"    -> g05Oracle,
   )
 }

@@ -289,6 +289,24 @@ object SqlSurface {
                 '[^Ul9]', '#', 'g') AS masked_custom
        FROM b ORDER BY doc_id"""
 
+  /** GROUP BY ALL / ORDER BY ALL: group and order by every non-aggregate
+    * select item — the modern analyst-SQL shorthand both engines support
+    * natively (grouping resolution is the capability under test; the
+    * aggregate arithmetic is deliberately plain). */
+  def q94GroupByAll(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+                COUNT(*) AS n,
+                SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS total_floor
+         FROM orders GROUP BY ALL ORDER BY ALL""")
+  }
+
+  val q94Oracle: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+              SUM(FLOOR(o_totalprice))::BIGINT AS total_floor
+       FROM orders GROUP BY ALL ORDER BY ALL"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -302,6 +320,7 @@ object SqlSurface {
     "q91_char_fns"        -> ((s, d) => q91CharFns(T(s, d))),
     "q92_width_bucket"    -> ((s, d) => q92WidthBucket(T(s, d))),
     "q93_mask_fns"        -> ((s, d) => q93MaskFns(T(s, d))),
+    "q94_group_by_all"    -> ((s, d) => q94GroupByAll(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -317,5 +336,6 @@ object SqlSurface {
     "q91_char_fns"        -> q91Oracle,
     "q92_width_bucket"    -> q92Oracle,
     "q93_mask_fns"        -> q93Oracle,
+    "q94_group_by_all"    -> q94Oracle,
   )
 }

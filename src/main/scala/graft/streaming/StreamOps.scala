@@ -261,11 +261,36 @@ object StreamOps {
              FROM events)
        WHERE rk = 1 ORDER BY user_id, event_type"""
 
+  /** Batch twin of [[enrichWithUsers]] for oracle coverage: the event
+    * stream joined to a broadcast static dimension (nation keyed by
+    * user_id mod 25 — the classic user->region lookup shape), rolled up
+    * per dimension row. The streaming plan is identical minus the rollup
+    * (stream-static joins are stateless); the broadcast is what makes the
+    * same join run against an unbounded feed without shuffling it. */
+  def w05EnrichedCounts(t: graft.T): DataFrame = {
+    import t.spark.implicits._
+    val dim = t.nation.select($"n_nationkey", $"n_name")
+    enrichWithUsers(
+      t.events.withColumn("user_id", pmod($"user_id", lit(25L))),
+      dim.withColumnRenamed("n_nationkey", "user_id"))
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor($"value")).cast("long").as("value_floor_sum"))
+      .orderBy($"n_name")
+  }
+
+  val w05Oracle: String =
+    """SELECT n_name, COUNT(*) AS n_events,
+              SUM(FLOOR(value))::BIGINT AS value_floor_sum
+       FROM events JOIN nation ON n_nationkey = user_id % 25
+       GROUP BY n_name ORDER BY n_name"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_windowed_type_counts" -> ((s, d) => w01WindowedTypeCounts(graft.T(s, d))),
     "w02_session_windows"      -> ((s, d) => w02SessionWindows(graft.T(s, d))),
     "w03_sliding_type_counts"  -> ((s, d) => w03SlidingTypeCounts(graft.T(s, d))),
     "w04_stream_dedup"         -> ((s, d) => w04StreamDedup(graft.T(s, d))),
+    "w05_enriched_counts"      -> ((s, d) => w05EnrichedCounts(graft.T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -273,5 +298,6 @@ object StreamOps {
     "w02_session_windows"      -> w02Oracle,
     "w03_sliding_type_counts"  -> w03Oracle,
     "w04_stream_dedup"         -> w04Oracle,
+    "w05_enriched_counts"      -> w05Oracle,
   )
 }
