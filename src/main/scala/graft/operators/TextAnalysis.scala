@@ -232,9 +232,18 @@ object TextAnalysis {
   def t07BpeMerges(t: T, k: Int = 6): DataFrame = {
     import t.spark.implicits._
     val spark = t.spark
-    var corpus = t.documents
-      .select($"doc_id",
-        concat(lit("·"), regexp_replace($"text", "(.)", "$1·")).as("mk"))
+    // A merge pair can never span the space symbol (the pair window below
+    // excludes it), so training on the word-frequency table is EXACTLY
+    // equivalent to training on the raw corpus — the classic Sennrich
+    // formulation. The corpus pays one tokenize+count shuffle up front;
+    // the k serial rounds then scan the tiny vocabulary table (|V| rows,
+    // pair counts weighted by word frequency), not every document. At any
+    // corpus size the per-round work is O(|V|), which is what makes
+    // hundreds of merges tractable at 100 TB.
+    var vocab = t.documents
+      .select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("wfreq"))
+      .select(concat(lit("·"), regexp_replace($"w", "(.)", "$1·")).as("mk"), $"wfreq")
       .localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, Long)]
     // overlapping pairs via zero-width lookahead capture: each marker
@@ -242,20 +251,19 @@ object TextAnalysis {
     // concat all stay in codegen — the transform/filter lambda formulation
     // of the same extraction runs interpreted per element and was 5x slower.
     for (i <- 1 to k) {
-      val best = corpus
-        .select(expr("explode(regexp_extract_all(mk, '(?=(·[^· ]+·[^· ]+·))', 1))").as("raw"))
-        .select(expr(
+      val best = vocab
+        .select($"wfreq",
+          expr("explode(regexp_extract_all(mk, '(?=(·[^· ]+·[^· ]+·))', 1))").as("raw"))
+        .select($"wfreq", expr(
           "concat(element_at(split(raw, '·'), 2), '|', element_at(split(raw, '·'), 3))").as("pair"))
-        .groupBy($"pair").agg(count(lit(1)).as("freq"))
+        .groupBy($"pair").agg(sum($"wfreq").as("freq"))
         .orderBy($"freq".desc, $"pair")
         .limit(1).collect()(0)
       val (pair, freq) = (best.getString(0), best.getLong(1))
       merges += ((i.toLong, pair, freq))
       val Array(a, b) = pair.split('|')
-      // plain lineage: each round appends one cheap `replace`, so replaying
-      // 6 of them beats materializing the corpus per round; checkpoint every
-      // ~10 rounds instead when training hundreds of merges at corpus scale
-      corpus = corpus
+      // plain lineage: each round appends one cheap `replace` over |V| rows
+      vocab = vocab
         .withColumn("mk", expr(s"replace(mk, '·${a}·${b}·', '·${a}${b}·')"))
     }
     spark.createDataFrame(merges.result()).toDF("it", "pair", "freq")
