@@ -632,10 +632,15 @@ object Dedup {
   def d13SemanticClusters(t: T, thresholdMilli: Int = 400): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val a = t.embeddings.select($"vec_id".as("doc_a"), $"embedding".as("ea"))
-    val b = t.embeddings.select($"vec_id".as("doc_b"), $"embedding".as("eb"))
+    // per-vector self-dots precomputed once: dot/sqrt(na*nb) is bit-identical
+    // to cosine_sim (its three accumulators are independent) at a third of
+    // the per-pair flops across the n^2/2 candidate space
+    val e = t.embeddings.select($"vec_id", $"embedding",
+      expr("dot_d(embedding, embedding)").as("nrm"))
+    val a = e.select($"vec_id".as("doc_a"), $"embedding".as("ea"), $"nrm".as("na"))
+    val b = e.select($"vec_id".as("doc_b"), $"embedding".as("eb"), $"nrm".as("nb"))
     val pairs = a.join(b, $"doc_a" < $"doc_b")
-      .filter(expr(s"cosine_sim(ea, eb) >= $thresholdMilli / 1000.0"))
+      .filter(expr(s"dot_d(ea, eb) / sqrt(na * nb) >= $thresholdMilli / 1000.0"))
       .select($"doc_a", $"doc_b")
     connectedComponents(pairs)
       .select($"doc_id".as("vec_id"), $"cluster_id")
