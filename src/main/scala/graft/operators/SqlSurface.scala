@@ -307,6 +307,48 @@ object SqlSurface {
               SUM(FLOOR(o_totalprice))::BIGINT AS total_floor
        FROM orders GROUP BY ALL ORDER BY ALL"""
 
+  /** to_csv / from_csv round-trip: struct -> delimited line -> struct —
+    * the schema'd escape hatch for line-oriented interchange. The DuckDB
+    * twin states the rendering/parsing explicitly. */
+  def q95CsvFns(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders.filter($"o_orderkey" < 5000)
+      .withColumn("line",
+        expr("to_csv(struct(o_orderkey, o_orderstatus, cast(floor(o_totalprice) AS bigint) AS p))"))
+      .withColumn("back",
+        expr("from_csv(line, 'k bigint, s string, p bigint')"))
+      .select($"o_orderkey", $"line",
+        $"back.k".as("rt_key"), $"back.s".as("rt_status"), $"back.p".as("rt_price"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q95Oracle: String =
+    """SELECT o_orderkey,
+              o_orderkey::VARCHAR || ',' || o_orderstatus || ','
+                || FLOOR(o_totalprice)::BIGINT::VARCHAR AS line,
+              o_orderkey AS rt_key, o_orderstatus AS rt_status,
+              FLOOR(o_totalprice)::BIGINT AS rt_price
+       FROM orders WHERE o_orderkey < 5000 ORDER BY o_orderkey"""
+
+  /** Bit access: bit_count (population count, the cardinality primitive
+    * under the d02/d08 bitmap verify) and getbit / single-bit extraction. */
+  def q96BitAccess(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders.filter($"o_orderkey" < 20000)
+      .select($"o_orderkey",
+        expr("cast(bit_count(o_orderkey) AS bigint)").as("popcount"),
+        expr("cast(getbit(o_orderkey, 0) AS bigint)").as("bit0"),
+        expr("cast(getbit(o_orderkey, 5) AS bigint)").as("bit5"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q96Oracle: String =
+    """SELECT o_orderkey,
+              bit_count(o_orderkey)::BIGINT AS popcount,
+              ((o_orderkey >> 0) & 1)::BIGINT AS bit0,
+              ((o_orderkey >> 5) & 1)::BIGINT AS bit5
+       FROM orders WHERE o_orderkey < 20000 ORDER BY o_orderkey"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -321,6 +363,8 @@ object SqlSurface {
     "q92_width_bucket"    -> ((s, d) => q92WidthBucket(T(s, d))),
     "q93_mask_fns"        -> ((s, d) => q93MaskFns(T(s, d))),
     "q94_group_by_all"    -> ((s, d) => q94GroupByAll(T(s, d))),
+    "q95_csv_fns"         -> ((s, d) => q95CsvFns(T(s, d))),
+    "q96_bit_access"      -> ((s, d) => q96BitAccess(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -337,5 +381,7 @@ object SqlSurface {
     "q92_width_bucket"    -> q92Oracle,
     "q93_mask_fns"        -> q93Oracle,
     "q94_group_by_all"    -> q94Oracle,
+    "q95_csv_fns"         -> q95Oracle,
+    "q96_bit_access"      -> q96Oracle,
   )
 }

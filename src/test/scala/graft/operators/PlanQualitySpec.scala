@@ -258,6 +258,13 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q82/q89/q93: doc_id filters on the scalar-fn queries reach the parquet scan") {
+    Seq("q82_substring_index", "q89_regexp_family", "q93_mask_fns").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("PushedFilters: [") && p.contains("LessThan(doc_id"), s"$q: $p")
+    }
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline") {
     // "*(n)" prefixes mark operators fused into whole-stage codegen; AQE
     // only shows them after the stages actually run
