@@ -647,6 +647,36 @@ object Dedup {
       .orderBy($"vec_id")
   }
 
+  /** The PRODUCTION path for [[d13SemanticClusters]]: candidate pairs from
+    * shared random-hyperplane LSH buckets (4 tables x 8 bits — s02's
+    * banding), exact cosine >= threshold on candidates only, then the same
+    * CC. Shuffle keys on (table, bucket) instead of the n^2/2 cross join —
+    * the shape that survives 10^11 vectors. Not oracle-declared because its
+    * output is the exact definition MINUS whatever LSH recall misses; the
+    * spec asserts the subset property and measures that recall instead. */
+  def d13SemanticClustersBucketed(t: T, thresholdMilli: Int = 400): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val sigs = t.embeddings.select($"vec_id", $"embedding",
+      expr("dot_d(embedding, embedding)").as("nrm"),
+      expr("hyperplane_sig(embedding, 32)").as("sig"))
+    val bands = sigs.select($"vec_id", $"embedding", $"nrm", expr(
+      "explode(transform(sequence(0, 3), t -> struct(t AS tbl, shiftright(sig, t * 8) & 255 AS bucket)))").as("bk"))
+      .select($"vec_id", $"embedding", $"nrm", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("doc_a"), $"y.vec_id".as("doc_b"),
+        $"x.embedding".as("ea"), $"x.nrm".as("na"),
+        $"y.embedding".as("eb"), $"y.nrm".as("nb"))
+      .dropDuplicates("doc_a", "doc_b")
+    val pairs = cand
+      .filter(expr(s"dot_d(ea, eb) / sqrt(na * nb) >= $thresholdMilli / 1000.0"))
+      .select($"doc_a", $"doc_b")
+    connectedComponents(pairs)
+      .select($"doc_id".as("vec_id"), $"cluster_id")
+      .orderBy($"vec_id")
+  }
+
   val d13Oracle: String =
     """WITH e AS (SELECT vec_id, embedding FROM embeddings),
        pairs AS (

@@ -258,6 +258,21 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("d13 bucketed variant: pairs are a subset of the exact definition; equi-join plan") {
+    import spark.implicits._
+    val t = T(spark, sfDir)
+    val exact = Dedup.d13SemanticClusters(t)
+      .select($"vec_id").as[Long].collect().toSet
+    val bucketed = Dedup.d13SemanticClustersBucketed(t)
+    val p = bucketed.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p) // candidates come from bucket keys
+    val got = bucketed.select($"vec_id").as[Long].collect().toSet
+    assert(got.subsetOf(exact), s"bucketed found vecs outside the exact pair set: ${got -- exact}")
+    val recall = if (exact.isEmpty) 1.0 else got.size.toDouble / exact.size
+    info(f"bucketed semantic-dedup member recall: $recall%.3f (${got.size}/${exact.size})")
+    assert(exact.isEmpty || recall >= 0.2, f"recall $recall%.3f below floor")
+  }
+
   test("q82/q89/q93: doc_id filters on the scalar-fn queries reach the parquet scan") {
     Seq("q82_substring_index", "q89_regexp_family", "q93_mask_fns").foreach { q =>
       val p = plan(q)
