@@ -349,6 +349,33 @@ object SqlSurface {
               ((o_orderkey >> 5) & 1)::BIGINT AS bit5
        FROM orders WHERE o_orderkey < 20000 ORDER BY o_orderkey"""
 
+  /** Name-resolved union: position-independent append — the
+    * schema-evolution primitive for batches whose column order drifted.
+    * Spark's form is Dataset.unionByName (with allowMissingColumns for
+    * ragged schemas); DuckDB's is UNION ALL BY NAME — the oracle states
+    * the latter, proving both resolve by name, not position. */
+  def q97UnionByName(t: T): DataFrame = {
+    import t.spark.implicits._
+    val even = t.orders.filter($"o_orderkey" % 2 === 0)
+      .select(lit("a").as("src"), $"o_orderkey", $"o_orderstatus".as("status"))
+    val odd = t.orders.filter($"o_orderkey" % 2 === 1)
+      .select($"o_orderstatus".as("status"), $"o_orderkey", lit("b").as("src"))
+    even.unionByName(odd) // columns matched by NAME despite reversed order
+      .filter($"o_orderkey" < 20000)
+      .select($"src", $"o_orderkey", $"status")
+      .orderBy($"o_orderkey")
+  }
+
+  val q97Oracle: String =
+    """SELECT src, o_orderkey, status FROM (
+         SELECT 'a' AS src, o_orderkey, o_orderstatus AS status
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL BY NAME
+         SELECT o_orderstatus AS status, o_orderkey, 'b' AS src
+         FROM orders WHERE o_orderkey % 2 = 1)
+       WHERE o_orderkey < 20000
+       ORDER BY o_orderkey"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -365,6 +392,7 @@ object SqlSurface {
     "q94_group_by_all"    -> ((s, d) => q94GroupByAll(T(s, d))),
     "q95_csv_fns"         -> ((s, d) => q95CsvFns(T(s, d))),
     "q96_bit_access"      -> ((s, d) => q96BitAccess(T(s, d))),
+    "q97_union_by_name"   -> ((s, d) => q97UnionByName(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -383,5 +411,6 @@ object SqlSurface {
     "q94_group_by_all"    -> q94Oracle,
     "q95_csv_fns"         -> q95Oracle,
     "q96_bit_access"      -> q96Oracle,
+    "q97_union_by_name"   -> q97Oracle,
   )
 }

@@ -139,6 +139,50 @@ class TextExprsSpec extends SparkSpec {
     assert(SCTest.check(SCTest.Parameters.default, prop).passed)
   }
 
+  test("property: bitmap popcount Jaccard == sorted-merge Jaccard on arbitrary bit sets") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val nWords = 4 // 256-bit universe
+    val idSets = Gen.listOf(Gen.choose(0L, nWords * 64L - 1)).map(_.distinct.toArray)
+    val prop = Prop.forAll(idSets, idSets) { (xs, ys) =>
+      val words = TextHashOps.jaccardBpWords(
+        TextHashOps.bitsToWords(new GenericArrayData(xs), nWords),
+        TextHashOps.bitsToWords(new GenericArrayData(ys), nWords))
+      val merge = TextHashOps.jaccardBpSorted(
+        new GenericArrayData(xs.sorted), new GenericArrayData(ys.sorted))
+      words == merge
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
+  test("bits_to_words fails fast on out-of-range ids (silent drop would corrupt Jaccard)") {
+    intercept[IllegalArgumentException] {
+      TextHashOps.bitsToWords(new GenericArrayData(Array(256L)), 4)
+    }
+    intercept[IllegalArgumentException] {
+      TextHashOps.bitsToWords(new GenericArrayData(Array(-1L)), 4)
+    }
+  }
+
+  test("property: dot_d with precomputed norms == fused cosine_sim bit-for-bit") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def f(xs: Seq[Float]) = {
+      val a = new Array[Any](xs.length)
+      xs.zipWithIndex.foreach { case (x, i) => a(i) = x }
+      new GenericArrayData(a)
+    }
+    val vecs = Gen.listOfN(16, Gen.choose(-100, 100).map(_ / 10.0f))
+    val prop = Prop.forAll(vecs, vecs) { (xs, ys) =>
+      val fused = TextHashOps.cosineSim(f(xs), f(ys))
+      val na = TextHashOps.dotD(f(xs), f(xs))
+      val nb = TextHashOps.dotD(f(ys), f(ys))
+      val split =
+        if (na == 0.0 || nb == 0.0) 0.0
+        else TextHashOps.dotD(f(xs), f(ys)) / math.sqrt(na * nb)
+      java.lang.Double.doubleToLongBits(fused) == java.lang.Double.doubleToLongBits(split)
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
   test("codegen path == interpreted path (whole-stage codegen on/off)") {
     Registry.ensure(spark)
     import spark.implicits._
