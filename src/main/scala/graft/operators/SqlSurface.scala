@@ -376,6 +376,51 @@ object SqlSurface {
        WHERE o_orderkey < 20000
        ORDER BY o_orderkey"""
 
+  /** WITH RECURSIVE (Spark 4): transitive closure up a derived decimal-digit
+    * hierarchy (parent = key DIV 10) — depth-to-root and ancestor-key sum
+    * per row. Same recursion in both engines, pure integer arithmetic. */
+  def q98RecursiveCte(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """WITH RECURSIVE anc(k, node, depth) AS (
+           SELECT o_orderkey, o_orderkey, 0
+           FROM orders WHERE o_orderkey < 5000
+           UNION ALL
+           SELECT k, node DIV 10, depth + 1 FROM anc WHERE node > 0)
+         SELECT k AS o_orderkey, MAX(depth) AS depth_to_root,
+                SUM(node) AS anc_sum
+         FROM anc GROUP BY k ORDER BY o_orderkey""")
+  }
+
+  val q98Oracle: String =
+    """WITH RECURSIVE anc(k, node, depth) AS (
+         SELECT o_orderkey, o_orderkey, 0
+         FROM orders WHERE o_orderkey < 5000
+         UNION ALL
+         SELECT k, node // 10, depth + 1 FROM anc WHERE node > 0)
+       SELECT k AS o_orderkey, MAX(depth)::BIGINT AS depth_to_root,
+              SUM(node)::BIGINT AS anc_sum
+       FROM anc GROUP BY k ORDER BY o_orderkey"""
+
+  /** EXECUTE IMMEDIATE with USING parameters (Spark 4): the parameterized-
+    * SQL entry point a gateway uses to run client statements without string
+    * splicing. The oracle is the bound statement itself. */
+  def q99ExecuteImmediate(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """EXECUTE IMMEDIATE
+           'SELECT o_orderstatus, COUNT(*) AS n,
+                   SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS total_floor
+            FROM orders WHERE o_orderkey < ? GROUP BY o_orderstatus ORDER BY o_orderstatus'
+           USING 20000""")
+  }
+
+  val q99Oracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+              SUM(FLOOR(o_totalprice))::BIGINT AS total_floor
+       FROM orders WHERE o_orderkey < 20000
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -393,6 +438,8 @@ object SqlSurface {
     "q95_csv_fns"         -> ((s, d) => q95CsvFns(T(s, d))),
     "q96_bit_access"      -> ((s, d) => q96BitAccess(T(s, d))),
     "q97_union_by_name"   -> ((s, d) => q97UnionByName(T(s, d))),
+    "q98_recursive_cte"   -> ((s, d) => q98RecursiveCte(T(s, d))),
+    "q99_execute_immediate" -> ((s, d) => q99ExecuteImmediate(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -412,5 +459,7 @@ object SqlSurface {
     "q95_csv_fns"         -> q95Oracle,
     "q96_bit_access"      -> q96Oracle,
     "q97_union_by_name"   -> q97Oracle,
+    "q98_recursive_cte"   -> q98Oracle,
+    "q99_execute_immediate" -> q99Oracle,
   )
 }

@@ -64,11 +64,41 @@ object UserFns {
               COUNT(*) AS n
        FROM orders GROUP BY 1 ORDER BY band"""
 
+  /** SQL-defined scalar UDFs (Spark 4 CREATE FUNCTION ... RETURN expr):
+    * the declarative end of the reference's UDF plane. Unlike a Scala UDF,
+    * the body is a Catalyst expression — inlined, codegen'd, pushdown-
+    * transparent — so this is the PREFERRED extension path for anything
+    * expressible as SQL. The oracle inlines the same bodies. */
+  def u02SqlUdf(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION taxed_cents(price DOUBLE, tax DOUBLE)
+         RETURNS BIGINT
+         RETURN CAST(FLOOR(price * 100) AS BIGINT) + CAST(FLOOR(price * tax * 100) AS BIGINT)""")
+    t.spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION clampq(q DOUBLE)
+         RETURNS BIGINT RETURN CAST(LEAST(GREATEST(q, 5.0), 45.0) AS BIGINT)""")
+    t.spark.sql(
+      """SELECT l_returnflag,
+                SUM(taxed_cents(l_extendedprice, l_tax)) AS taxed_cents_sum,
+                SUM(clampq(l_quantity)) AS clamped_qty_sum
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
+  val u02Oracle: String =
+    """SELECT l_returnflag,
+              SUM(FLOOR(l_extendedprice * 100)::BIGINT
+                  + FLOOR(l_extendedprice * l_tax * 100)::BIGINT)::BIGINT AS taxed_cents_sum,
+              SUM(LEAST(GREATEST(l_quantity, 5.0), 45.0)::BIGINT)::BIGINT AS clamped_qty_sum
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u01_udf_udaf" -> ((s, d) => u01UdfUdaf(T(s, d))),
+    "u02_sql_udf"  -> ((s, d) => u02SqlUdf(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
     "u01_udf_udaf" -> u01Oracle,
+    "u02_sql_udf"  -> u02Oracle,
   )
 }
