@@ -34,7 +34,7 @@ object Dedup {
   private val shingleHashes = "shingle_hashes(text, 4, true)"
 
   /** DuckDB twin of [[shingleHashes]]. */
-  private val shingleHashesDuck =
+  private[operators] val shingleHashesDuck =
     """list_distinct(list_transform(range(1, length(text) - 2),
          i -> ((ascii(substr(text, i::INT, 1))::BIGINT * 31 + ascii(substr(text, i::INT + 1, 1))) * 31
                + ascii(substr(text, i::INT + 2, 1))) * 31 + ascii(substr(text, i::INT + 3, 1))))"""
@@ -43,7 +43,7 @@ object Dedup {
     * Permutation j (1-based): (a_j * x + b_j) mod P with LCG-derived a_j, b_j. */
   private val minhashSig = "minhash_sig(h, 32)"
 
-  private val minhashSigDuck =
+  private[operators] val minhashSigDuck =
     s"""list_transform(range(1, 33), j ->
           list_min(list_transform(h, x ->
             (((1103515245 * j + 12345) % $P) * x + (1103515245 * (j + 101) + 54321) % $P) % $P)))"""

@@ -673,6 +673,71 @@ object Pipeline {
               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        FROM c GROUP BY 1 ORDER BY batch_id"""
 
+  /** Quality-weighted dedup keeper: per near-dup cluster (d07's connected
+    * components), keep the HIGHEST-QUALITY member by t03's integer quality
+    * score (doc_id tiebreak) — the industry keep-policy (d12 keeps by
+    * length; production curation keeps by quality). Composes d07 ∘ t03 with
+    * one per-cluster window; every stage shuffles on its natural key. */
+  def p16QualityKeeper(t: T): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Registry.ensure(t.spark)
+    val clusters = Dedup.connectedComponents(
+      Dedup.d04MinhashLshPairs(t).select($"doc_a", $"doc_b"))
+    val quality = TextAnalysis.t03QualityScore(t).select($"doc_id", $"quality_bp")
+    clusters.join(quality, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"cluster_id").orderBy($"quality_bp".desc, $"doc_id")))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(when($"rk" === 1, $"doc_id")).as("keeper_id"),
+        min(when($"rk" === 1, $"quality_bp")).as("keeper_quality_bp"),
+        min($"quality_bp").as("min_quality_bp"))
+      .orderBy($"cluster_id")
+  }
+
+  val p16Oracle: String =
+    s"""WITH hs AS (SELECT doc_id, ${Dedup.shingleHashesDuck} AS h FROM documents),
+       sigs AS (SELECT doc_id, h, ${Dedup.minhashSigDuck} AS sig FROM hs),
+       bands AS (
+         SELECT doc_id, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
+         FROM sigs, range(0, 4) t(b)),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       pairs AS (
+         SELECT doc_a, doc_b
+         FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
+         WHERE len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 8000),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+       reach AS (
+         WITH RECURSIVE r(doc, label) AS (
+           SELECT s, s FROM edges
+           UNION
+           SELECT e.d, r.label FROM r JOIN edges e ON e.s = r.doc
+         ) SELECT doc, MIN(label) AS cluster_id FROM r GROUP BY doc),
+       q AS (
+         SELECT doc_id,
+                ((n_dis * 10000) // n_tok) * 5 // 10 + LEAST(n_tok, 100) * 30
+                  + ((n_stop * 10000) // n_tok) * 2 // 10 AS quality_bp
+         FROM (SELECT doc_id,
+                 CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+                 CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_dis,
+                 CAST(len(list_filter(string_split(text,' '),
+                          t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+               FROM documents)),
+       ranked AS (
+         SELECT cluster_id, doc AS doc_id, quality_bp,
+                row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY quality_bp DESC, doc) AS rk
+         FROM reach JOIN q ON q.doc_id = reach.doc)
+       SELECT cluster_id, COUNT(*) AS n_docs,
+              MIN(CASE WHEN rk = 1 THEN doc_id END) AS keeper_id,
+              MIN(CASE WHEN rk = 1 THEN quality_bp END)::BIGINT AS keeper_quality_bp,
+              MIN(quality_bp)::BIGINT AS min_quality_bp
+       FROM ranked GROUP BY cluster_id ORDER BY cluster_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -689,6 +754,7 @@ object Pipeline {
     "p13_curation_manifest" -> ((s, d) => p13CurationManifest(T(s, d))),
     "p14_interleave_schedule" -> ((s, d) => p14InterleaveSchedule(T(s, d))),
     "p15_pack_batches"        -> ((s, d) => p15PackBatches(T(s, d))),
+    "p16_quality_keeper"      -> ((s, d) => p16QualityKeeper(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -707,5 +773,6 @@ object Pipeline {
     "p13_curation_manifest" -> p13Oracle,
     "p14_interleave_schedule" -> p14Oracle,
     "p15_pack_batches"        -> p15Oracle,
+    "p16_quality_keeper"      -> p16Oracle,
   )
 }

@@ -52,4 +52,25 @@ class ApproxAggSpec extends SparkSpec {
       approx_count_distinct($"l_returnflag").as("approx")).head()
     assert(r.getLong(0) == r.getLong(1))
   }
+
+  test("hll sketches: estimate within 5% of exact, and shard sketches union-merge") {
+    import spark.implicits._
+    // the 100 TB pattern: each shard keeps a fixed-size DataSketches HLL
+    // binary; the global distinct is a UNION of sketches, never a re-scan
+    val exact = t.lineitem.select(countDistinct($"l_partkey")).head().getLong(0)
+    val whole = t.lineitem
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 14))").as("est"))
+      .head().getLong(0)
+    assert(math.abs(whole - exact) <= math.max(1L, (exact * 0.05).toLong),
+      s"whole-table estimate $whole vs exact $exact")
+    val merged = t.lineitem
+      .groupBy(pmod($"l_orderkey", lit(8)).as("shard"))
+      .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .head().getLong(0)
+    // identical input set => the merged estimate must equal the single-pass
+    // sketch estimate exactly (HLL union over the same items is lossless
+    // at equal lgK)
+    assert(merged == whole, s"sharded-union estimate $merged vs single-pass $whole")
+  }
 }
