@@ -367,6 +367,82 @@ object Similarity {
          ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
        GROUP BY t.query_id ORDER BY t.query_id"""
 
+  /** Recall@3 of the trained-IVF path (s04) against the exact top-3 — the
+    * companion gate to s06 (which scores the hyperplane-LSH path). Measures
+    * the real thing a 100 TB deployment tunes with nprobe: how much of the
+    * true neighborhood survives probing only the 2 nearest of 8 clusters.
+    * Truth is one broadcast-probe pass (same shape as s01, k=3); the IVF
+    * side reuses s04 verbatim, so this also pins s04's end-to-end output. */
+  def s07IvfRecall(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val q = t.embeddings.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val c = t.embeddings.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    val truth = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        (round(expr("cosine_sim(q_emb, c_emb)"), 4) + lit(0.0)).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"query_id", $"neighbor_id")
+    val ann = s04IvfAnn(t)
+      .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+    truth.join(ann, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"hit", lit(0L))).as("n_hits"))
+      .select($"query_id", $"n_hits", expr("n_hits * 10000 DIV 3").as("recall_bp"))
+      .orderBy($"query_id")
+  }
+
+  val s07Oracle: String =
+    s"""WITH ebp AS (
+         SELECT vec_id, embedding,
+                list_transform(range(1, 65), i -> floor(embedding[i]::DOUBLE * 10000)::BIGINT) AS qe
+         FROM embeddings),
+       c0 AS (SELECT vec_id AS k, qe AS c FROM ebp WHERE vec_id < $IvfK),
+       a0 AS ${duckAssign("c0")},
+       c1 AS ${duckUpdate("a0", "c0")},
+       a1 AS ${duckAssign("c1")},
+       c2 AS ${duckUpdate("a1", "c1")},
+       af AS ${duckAssign("c2")},
+       probes AS (
+         SELECT vec_id, k AS cluster FROM (
+           SELECT e.vec_id, c.k,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                    list_sum(list_transform(range(1, 65), i ->
+                      (e.qe[i] - c.c[i]) * (e.qe[i] - c.c[i]))) ASC, c.k ASC) AS rn
+           FROM ebp e CROSS JOIN c2 c WHERE e.vec_id % 25 = 0)
+         WHERE rn <= $IvfNprobe),
+       pairs AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                ROUND(${duckCos("a", "b")}, 4) + 0.0 AS cosine
+         FROM probes q JOIN af c
+           ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+         JOIN embeddings a ON a.vec_id = q.vec_id
+         JOIN embeddings b ON b.vec_id = c.vec_id),
+       ann AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+           FROM pairs) WHERE rk <= 3),
+       sims AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                ROUND(${duckCos("a", "b")}, 4) + 0.0 AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+       truth AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+           FROM sims) WHERE rk <= 3)
+       SELECT t.query_id, COUNT(a.neighbor_id)::BIGINT AS n_hits,
+              (COUNT(a.neighbor_id) * 10000 // 3)::BIGINT AS recall_bp
+       FROM truth t LEFT JOIN ann a
+         ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+       GROUP BY t.query_id ORDER BY t.query_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
@@ -374,6 +450,7 @@ object Similarity {
     "s04_ivf_ann"           -> ((s, d) => s04IvfAnn(T(s, d))),
     "s05_knn_classify"      -> ((s, d) => s05KnnClassify(T(s, d))),
     "s06_ann_recall"        -> ((s, d) => s06AnnRecall(T(s, d))),
+    "s07_ivf_recall"        -> ((s, d) => s07IvfRecall(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -383,5 +460,6 @@ object Similarity {
     "s04_ivf_ann"           -> s04Oracle,
     "s05_knn_classify"      -> s05Oracle,
     "s06_ann_recall"        -> s06Oracle,
+    "s07_ivf_recall"        -> s07Oracle,
   )
 }

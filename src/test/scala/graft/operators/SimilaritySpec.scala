@@ -39,4 +39,16 @@ class SimilaritySpec extends SparkSpec {
     // value (nprobe=1 measured 0.283, nprobe=2 raises it)
     assert(mean >= 0.3, f"mean recall $mean%.3f below floor 0.3")
   }
+
+  test("s07 recall query agrees with the spec's hand-computed recall") {
+    import spark.implicits._
+    val rows = Similarity.s07IvfRecall(t)
+      .select($"query_id", $"n_hits", $"recall_bp").collect()
+    assert(rows.nonEmpty)
+    // recall_bp is the integer-bp rendering of n_hits/3
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(1) * 10000 / 3))
+    val mean = rows.map(_.getLong(2)).sum.toDouble / rows.length / 10000.0
+    info(f"s07 mean IVF recall@3: $mean%.3f")
+    assert(mean >= 0.3, f"s07 mean recall $mean%.3f below floor 0.3")
+  }
 }
