@@ -13,11 +13,14 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * the per-session programmatic twin.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     Registry.fnSpecs.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    // whole-operator extensions (custom LogicalPlan -> SparkPlan)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

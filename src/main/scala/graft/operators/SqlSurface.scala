@@ -421,6 +421,36 @@ object SqlSurface {
        FROM orders WHERE o_orderkey < 20000
        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Two-table as-of join through the custom whole-operator stack
+    * ([[graft.plans.AsOfJoinPlan]] → AsOfJoinExec): every purchase picks
+    * the latest click at or before it per user. Right side is made unique
+    * per (user, ts) first so the tie choice is well-defined in both
+    * engines. DuckDB's native ASOF LEFT JOIN is the oracle — the clearest
+    * possible semantic pin for the operator. q30 keeps the single-table
+    * window encoding; this is the genuine two-relation shape (here both
+    * inputs derive from `events`, but the operator never assumes that). */
+  def q100AsofExec(t: T): DataFrame = {
+    import t.spark.implicits._
+    val p = t.events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id".as("purchase_id"))
+    val c = t.events.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+      .select($"user_id".as("cu"), $"ts".as("cts"), $"click_id")
+    graft.plans.AsOf.join(p, c, Seq("user_id"), Seq("cu"), "ts", "cts")
+      .select($"user_id", $"purchase_id",
+        coalesce($"click_id", lit(-1L)).as("click_id"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  val q100Oracle: String =
+    """WITH p AS (SELECT user_id, ts, event_id AS purchase_id
+                  FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id AS cu, ts AS cts, MAX(event_id) AS click_id
+               FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+       SELECT p.user_id, p.purchase_id, COALESCE(c.click_id, -1) AS click_id
+       FROM p ASOF LEFT JOIN c ON p.user_id = c.cu AND p.ts >= c.cts
+       ORDER BY user_id, purchase_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -440,6 +470,7 @@ object SqlSurface {
     "q97_union_by_name"   -> ((s, d) => q97UnionByName(T(s, d))),
     "q98_recursive_cte"   -> ((s, d) => q98RecursiveCte(T(s, d))),
     "q99_execute_immediate" -> ((s, d) => q99ExecuteImmediate(T(s, d))),
+    "q100_asof_exec"      -> ((s, d) => q100AsofExec(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -461,5 +492,6 @@ object SqlSurface {
     "q97_union_by_name"   -> q97Oracle,
     "q98_recursive_cte"   -> q98Oracle,
     "q99_execute_immediate" -> q99Oracle,
+    "q100_asof_exec"      -> q100Oracle,
   )
 }
