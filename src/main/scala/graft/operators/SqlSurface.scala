@@ -451,6 +451,56 @@ object SqlSurface {
        FROM p ASOF LEFT JOIN c ON p.user_id = c.cu AND p.ts >= c.cts
        ORDER BY user_id, purchase_id"""
 
+  /** Gap-based sessionization (30-min inactivity gap), the canonical
+    * event-stream operator: flag session starts with lag(), number sessions
+    * with a running sum, then two aggregations. All arithmetic in integer
+    * microseconds (`unix_micros` / DuckDB `epoch_ns // 1000` — the exact
+    * truncation Tables.load applies), so every value is cross-engine exact.
+    * One shuffle on user_id serves the window AND both groupBys (the
+    * partial agg for (user_id, sess_id) is co-partitioned already). */
+  def q101Sessionize(t: T): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events.select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+      .withColumn("prev_us", lag($"ts_us", 1).over(wOrd))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || $"ts_us" - $"prev_us" > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum($"new_sess").over(wRun))
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max($"ts_us") - min($"ts_us")).as("dur_us"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max($"n_events").as("max_events"),
+        sum($"dur_us").as("total_dur_us"))
+      .orderBy($"user_id")
+  }
+
+  val q101Oracle: String =
+    """WITH ev AS (
+         SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+       flagged AS (
+         SELECT user_id, event_id, ts_us,
+                CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       sess AS (
+         SELECT user_id, ts_us,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+         FROM flagged),
+       per_sess AS (
+         SELECT user_id, sess_id, COUNT(*) AS n_events,
+                MAX(ts_us) - MIN(ts_us) AS dur_us
+         FROM sess GROUP BY 1, 2)
+       SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events)::BIGINT AS max_events,
+              SUM(dur_us)::BIGINT AS total_dur_us
+       FROM per_sess GROUP BY user_id ORDER BY user_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -471,6 +521,7 @@ object SqlSurface {
     "q98_recursive_cte"   -> ((s, d) => q98RecursiveCte(T(s, d))),
     "q99_execute_immediate" -> ((s, d) => q99ExecuteImmediate(T(s, d))),
     "q100_asof_exec"      -> ((s, d) => q100AsofExec(T(s, d))),
+    "q101_sessionize"     -> ((s, d) => q101Sessionize(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -493,5 +544,6 @@ object SqlSurface {
     "q98_recursive_cte"   -> q98Oracle,
     "q99_execute_immediate" -> q99Oracle,
     "q100_asof_exec"      -> q100Oracle,
+    "q101_sessionize"     -> q101Oracle,
   )
 }
