@@ -501,6 +501,91 @@ object SqlSurface {
               SUM(dur_us)::BIGINT AS total_dur_us
        FROM per_sess GROUP BY user_id ORDER BY user_id"""
 
+  /** RFM (recency/frequency/monetary) customer segmentation over purchase
+    * events — recency in integer micros, monetary in integer cents
+    * (floor(value*100): double sums across engines are partial-agg-order
+    * dependent; bigint sums are exact), quartiles via NTILE with user_id
+    * tie-break. The global (un-partitioned) windows run on the per-user
+    * AGGREGATE, which is |users| rows — already reduced by a partial agg at
+    * scale; the raw event table never passes through a single partition. */
+  def q102Rfm(t: T): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val agg = t.events.filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("ts_us"),
+        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"user_id")
+      .agg(max($"ts_us").as("last_us"), count(lit(1)).as("freq"),
+        sum($"cents").as("mon_cents"))
+    agg
+      .withColumn("r_q", ntile(4).over(Window.orderBy($"last_us".desc, $"user_id")).cast("long"))
+      .withColumn("f_q", ntile(4).over(Window.orderBy($"freq".desc, $"user_id")).cast("long"))
+      .withColumn("m_q", ntile(4).over(Window.orderBy($"mon_cents".desc, $"user_id")).cast("long"))
+      .select($"user_id", $"freq", $"mon_cents",
+        ($"r_q" * 100 + $"f_q" * 10 + $"m_q").as("rfm_code"))
+      .orderBy($"user_id")
+  }
+
+  val q102Oracle: String =
+    """WITH agg AS (
+         SELECT user_id, MAX(epoch_ns(ts) // 1000) AS last_us, COUNT(*) AS freq,
+                SUM(FLOOR(value * 100))::BIGINT AS mon_cents
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+       SELECT user_id, freq, mon_cents,
+              (NTILE(4) OVER (ORDER BY last_us DESC, user_id) * 100
+               + NTILE(4) OVER (ORDER BY freq DESC, user_id) * 10
+               + NTILE(4) OVER (ORDER BY mon_cents DESC, user_id))::BIGINT AS rfm_code
+       FROM agg ORDER BY user_id"""
+
+  /** TPC-H Q8-shaped market share: within the ASIA region's STANDARD-part
+    * market, NATION_3 suppliers' yearly revenue share in integer basis
+    * points. The 8-table join exercises the planner's bread and butter:
+    * nation/region broadcast explicitly, part filtered before the join so
+    * the big lineitem⋈orders shuffle carries only qualifying rows, and the
+    * whole revenue pipeline stays in bigint cents. */
+  def q103MarketShare(t: T): DataFrame = {
+    import t.spark.implicits._
+    val vol = t.lineitem
+      .join(t.part.filter($"p_type" === "STANDARD"), $"l_partkey" === $"p_partkey")
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(t.nation.select($"n_nationkey".as("cnk"), $"n_regionkey")),
+        $"c_nationkey" === $"cnk")
+      .join(broadcast(t.region.filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(t.nation.select($"n_nationkey".as("snk"), $"n_name".as("supp_nation"))),
+        $"s_nationkey" === $"snk")
+      .select(year($"o_orderdate").cast("long").as("o_year"),
+        expr("CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)").as("vol_cents"),
+        $"supp_nation")
+    vol.groupBy($"o_year")
+      .agg(sum($"vol_cents").as("total_cents"),
+        sum(when($"supp_nation" === "NATION_3", $"vol_cents").otherwise(0L)).as("nation_cents"))
+      .select($"o_year", $"total_cents", $"nation_cents",
+        expr("nation_cents * 10000 DIV total_cents").as("share_bp"))
+      .orderBy($"o_year")
+  }
+
+  val q103Oracle: String =
+    """WITH vol AS (
+         SELECT year(o_orderdate) AS o_year,
+                FLOOR(l_extendedprice * (1 - l_discount) * 100)::BIGINT AS vol_cents,
+                sn.n_name AS supp_nation
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey)
+       SELECT o_year::BIGINT AS o_year, SUM(vol_cents)::BIGINT AS total_cents,
+              SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_cents ELSE 0 END)::BIGINT AS nation_cents,
+              (SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_cents ELSE 0 END) * 10000
+                 // SUM(vol_cents))::BIGINT AS share_bp
+       FROM vol GROUP BY 1 ORDER BY o_year"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -522,6 +607,8 @@ object SqlSurface {
     "q99_execute_immediate" -> ((s, d) => q99ExecuteImmediate(T(s, d))),
     "q100_asof_exec"      -> ((s, d) => q100AsofExec(T(s, d))),
     "q101_sessionize"     -> ((s, d) => q101Sessionize(T(s, d))),
+    "q102_rfm"            -> ((s, d) => q102Rfm(T(s, d))),
+    "q103_market_share"   -> ((s, d) => q103MarketShare(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -545,5 +632,7 @@ object SqlSurface {
     "q99_execute_immediate" -> q99Oracle,
     "q100_asof_exec"      -> q100Oracle,
     "q101_sessionize"     -> q101Oracle,
+    "q102_rfm"            -> q102Oracle,
+    "q103_market_share"   -> q103Oracle,
   )
 }
