@@ -586,6 +586,27 @@ object SqlSurface {
                  // SUM(vol_cents))::BIGINT AS share_bp
        FROM vol GROUP BY 1 ORDER BY o_year"""
 
+  /** Modern projection surface in one statement: `SELECT * EXCEPT (...)`
+    * (schema-evolution-proof wide-table projection), table indirection via
+    * `IDENTIFIER(...)` (the safe dynamic-table-name mechanism a gateway
+    * needs instead of string splicing), and LIMIT/OFFSET pagination.
+    * DuckDB's `* EXCLUDE` is the oracle twin. Catalyst resolves the star
+    * minus the excluded columns at analysis time, so column pruning still
+    * reaches the scan — only the 4 surviving columns are read. */
+  def q104StarExcept(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """SELECT * EXCEPT (o_custkey, o_orderpriority)
+         FROM IDENTIFIER('orders')
+         WHERE o_orderkey < 1000
+         ORDER BY o_orderkey LIMIT 20 OFFSET 10""")
+  }
+
+  val q104Oracle: String =
+    """SELECT * EXCLUDE (o_custkey, o_orderpriority)
+       FROM orders WHERE o_orderkey < 1000
+       ORDER BY o_orderkey LIMIT 20 OFFSET 10"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -609,6 +630,7 @@ object SqlSurface {
     "q101_sessionize"     -> ((s, d) => q101Sessionize(T(s, d))),
     "q102_rfm"            -> ((s, d) => q102Rfm(T(s, d))),
     "q103_market_share"   -> ((s, d) => q103MarketShare(T(s, d))),
+    "q104_star_except"    -> ((s, d) => q104StarExcept(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -634,5 +656,6 @@ object SqlSurface {
     "q101_sessionize"     -> q101Oracle,
     "q102_rfm"            -> q102Oracle,
     "q103_market_share"   -> q103Oracle,
+    "q104_star_except"    -> q104Oracle,
   )
 }
