@@ -232,12 +232,57 @@ object Graph {
        sizes AS (SELECT cluster_id, COUNT(*) AS csize FROM reach GROUP BY cluster_id)
        SELECT csize, COUNT(*) AS n_clusters FROM sizes GROUP BY csize ORDER BY csize"""
 
+  /** 2-core peeling, 3 fixed pruning rounds: repeatedly drop nodes with
+    * degree < 2 and the edges touching them — the standard dense-subgraph
+    * filter (cores = communities worth clustering, peeled nodes = isolated
+    * near-dup pairs). A fixed round count keeps both engines exact (same
+    * unrolled-iterations device as s04's Lloyd steps and g01's supersteps);
+    * each round is one degree aggregation + two semi-joins shuffled on node
+    * id. Output: surviving nodes with their within-core degree. */
+  def g06KCore(t: T, k: Int = 2, rounds: Int = 3): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val pairs = Dedup.d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
+    var edges = pairs.select($"doc_a".as("s"), $"doc_b".as("d"))
+      .union(pairs.select($"doc_b".as("s"), $"doc_a".as("d")))
+      .distinct()
+      .localCheckpoint() // rounds reuse blocks, not the LSH lineage
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy($"s").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k).select($"s".as("kn"))
+      edges = edges
+        .join(keep, $"s" === $"kn", "left_semi")
+        .join(keep, $"d" === $"kn", "left_semi")
+        .localCheckpoint()
+    }
+    edges.groupBy($"s").agg(count(lit(1)).as("core_deg"))
+      .select($"s".as("doc_id"), $"core_deg")
+      .orderBy($"doc_id")
+  }
+
+  /** One peel round: keep edges whose BOTH endpoints have degree >= 2. */
+  private def duckPeel(prev: String): String =
+    s"""(SELECT e.s, e.d FROM $prev e
+        JOIN (SELECT s FROM $prev GROUP BY s HAVING COUNT(*) >= 2) a ON a.s = e.s
+        JOIN (SELECT s FROM $prev GROUP BY s HAVING COUNT(*) >= 2) b ON b.s = e.d)"""
+
+  val g06Oracle: String =
+    s"""WITH $pairsCte,
+       e0 AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+       e1 AS ${duckPeel("e0")},
+       e2 AS ${duckPeel("e1")},
+       e3 AS ${duckPeel("e2")}
+       SELECT s AS doc_id, COUNT(*) AS core_deg
+       FROM e3 GROUP BY s ORDER BY doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank"  -> ((s, d) => g01PageRank(T(s, d))),
     "g02_triangles" -> ((s, d) => g02Triangles(T(s, d))),
     "g03_clustering_coeff" -> ((s, d) => g03ClusteringCoefficient(T(s, d))),
     "g04_degree_histogram" -> ((s, d) => g04DegreeHistogram(T(s, d))),
     "g05_cluster_sizes"    -> ((s, d) => g05ClusterSizes(T(s, d))),
+    "g06_kcore"            -> ((s, d) => g06KCore(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -246,5 +291,6 @@ object Graph {
     "g03_clustering_coeff" -> g03Oracle,
     "g04_degree_histogram" -> g04Oracle,
     "g05_cluster_sizes"    -> g05Oracle,
+    "g06_kcore"            -> g06Oracle,
   )
 }

@@ -508,6 +508,34 @@ object TextAnalysis {
                  // (length(translate(text, ' ', ''))))::BIGINT AS vowel_bp
        FROM documents ORDER BY doc_id"""
 
+  /** Readability proxy for a corpus with no sentence punctuation: per-word
+    * syllable complexity via vowel-group counting (the Flesch syllable
+    * estimator) and a long-word ratio, both in integer basis points. A
+    * vowel group = one maximal `[aeiou]+` run; counting them over the whole
+    * text equals summing per-word counts because spaces break runs. */
+  def t14Readability(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .withColumn("n_words", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .withColumn("n_vgroups", expr("CAST(size(regexp_extract_all(text, '[aeiou]+', 0)) AS BIGINT)"))
+      .withColumn("n_long", expr("CAST(size(filter(split(text, ' '), w -> length(w) > 6)) AS BIGINT)"))
+      .select($"doc_id", $"n_words", $"n_vgroups",
+        expr("n_vgroups * 10000 DIV n_words").as("syll_per_word_bp"),
+        expr("n_long * 10000 DIV n_words").as("long_word_bp"))
+      .orderBy($"doc_id")
+  }
+
+  val t14Oracle: String =
+    """SELECT doc_id, n_words, n_vgroups,
+              (n_vgroups * 10000 // n_words)::BIGINT AS syll_per_word_bp,
+              (n_long * 10000 // n_words)::BIGINT AS long_word_bp
+       FROM (SELECT doc_id,
+               len(string_split(text, ' '))::BIGINT AS n_words,
+               len(regexp_extract_all(text, '[aeiou]+'))::BIGINT AS n_vgroups,
+               len(list_filter(string_split(text, ' '), w -> length(w) > 6))::BIGINT AS n_long
+             FROM documents)
+       ORDER BY doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
     "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
@@ -522,6 +550,7 @@ object TextAnalysis {
     "t11_tfidf_topterms" -> ((s, d) => t11TfidfTopTerms(T(s, d))),
     "t12_hapax_ratio"   -> ((s, d) => t12HapaxRatio(T(s, d))),
     "t13_charclass_mix" -> ((s, d) => t13CharClassMix(T(s, d))),
+    "t14_readability"   -> ((s, d) => t14Readability(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -538,5 +567,6 @@ object TextAnalysis {
     "t11_tfidf_topterms" -> t11Oracle,
     "t12_hapax_ratio"   -> t12Oracle,
     "t13_charclass_mix" -> t13Oracle,
+    "t14_readability"   -> t14Oracle,
   )
 }
