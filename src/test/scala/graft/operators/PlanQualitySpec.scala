@@ -280,6 +280,26 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q103: nation/region broadcast; 8-table join stays equi-join") {
+    val p = plan("q103_market_share")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the part-type filter must reach the part scan, not sit above the join
+    assert(p.contains("PushedFilters: [") && p.contains("EqualTo(p_type,STANDARD)"), p)
+  }
+
+  test("q101: sessionization reuses ONE user_id exchange for window + both aggs") {
+    val p = plan("q101_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected a single user_id exchange, got $exchanges:\n$p")
+  }
+
+  test("q100: as-of exec plans one exchange per side and no window") {
+    val p = plan("q100_asof_exec")
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline") {
     // "*(n)" prefixes mark operators fused into whole-stage codegen; AQE
     // only shows them after the stages actually run
