@@ -443,6 +443,54 @@ object Similarity {
          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
        GROUP BY t.query_id ORDER BY t.query_id"""
 
+  /** IVF index diagnostics: per-cluster population and exact integer
+    * inertia (sum of bp-space squared distances to the assigned centroid) —
+    * the numbers that drive the k/nprobe sizing decision (elbow curve,
+    * imbalance factor). Distances are exact integers in basis-point space
+    * (values < 2^14, 64-dim double accumulation < 2^53), so the inertia is
+    * bit-identical across engines. One scan + one agg shuffled on cluster
+    * id; the 8x64 centroid matrix is inlined as literals (driver-side
+    * model broadcast), so assignment is pure map-side codegen. */
+  def s08IvfStats(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val cents = trainIvfCentroids(t)
+    val dks = cents.zipWithIndex.map { case (c, k) =>
+      struct(
+        call_function("l2_sq", col("qe"), array(c.map(v => lit(v.toFloat)): _*)).as("dist"),
+        lit(k).as("k"))
+    }
+    quantized(t)
+      .withColumn("best", least(dks: _*))
+      .groupBy($"best.k".cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum($"best.dist".cast("long")).as("inertia"))
+      .orderBy($"cluster")
+  }
+
+  val s08Oracle: String =
+    s"""WITH ebp AS (
+         SELECT vec_id, embedding,
+                list_transform(range(1, 65), i -> floor(embedding[i]::DOUBLE * 10000)::BIGINT) AS qe
+         FROM embeddings),
+       c0 AS (SELECT vec_id AS k, qe AS c FROM ebp WHERE vec_id < $IvfK),
+       a0 AS ${duckAssign("c0")},
+       c1 AS ${duckUpdate("a0", "c0")},
+       a1 AS ${duckAssign("c1")},
+       c2 AS ${duckUpdate("a1", "c1")},
+       best AS (
+         SELECT vec_id, k, dist FROM (
+           SELECT e.vec_id, c.k,
+                  list_sum(list_transform(range(1, 65), i ->
+                    (e.qe[i] - c.c[i]) * (e.qe[i] - c.c[i]))) AS dist,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                    list_sum(list_transform(range(1, 65), i ->
+                      (e.qe[i] - c.c[i]) * (e.qe[i] - c.c[i]))) ASC, c.k ASC) AS rn
+           FROM ebp e CROSS JOIN c2 c)
+         WHERE rn = 1)
+       SELECT k::BIGINT AS cluster, COUNT(*) AS n_vecs, SUM(dist)::BIGINT AS inertia
+       FROM best GROUP BY k ORDER BY cluster"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
@@ -451,6 +499,7 @@ object Similarity {
     "s05_knn_classify"      -> ((s, d) => s05KnnClassify(T(s, d))),
     "s06_ann_recall"        -> ((s, d) => s06AnnRecall(T(s, d))),
     "s07_ivf_recall"        -> ((s, d) => s07IvfRecall(T(s, d))),
+    "s08_ivf_stats"         -> ((s, d) => s08IvfStats(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -461,5 +510,6 @@ object Similarity {
     "s05_knn_classify"      -> s05Oracle,
     "s06_ann_recall"        -> s06Oracle,
     "s07_ivf_recall"        -> s07Oracle,
+    "s08_ivf_stats"         -> s08Oracle,
   )
 }
