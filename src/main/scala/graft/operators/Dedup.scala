@@ -528,6 +528,36 @@ object Dedup {
     * high-containment SIMILAR-SIZE pairs surface; a production excerpt
     * detector would band on the smaller doc's signature only). Both
     * directions are emitted per pair. */
+  /** Prefix-blocked edit-distance near-dup pairs: block on the first 12
+    * chars (near-dups of this corpus share their opening), verify with
+    * Levenshtein over the 60-char head, keep distance <= 10. The classic
+    * blocking+verify fuzzy-dedup shape: the block key turns an all-pairs
+    * O(n^2 * L^2) problem into an equi-join (shuffle on the block key), and
+    * the quadratic-cost verify runs only inside blocks. At 100 TB the block
+    * key would widen (lang, source, prefix) and skewed blocks would be
+    * salted — the join shape is unchanged. */
+  def d10EditDistPairs(t: T): DataFrame = {
+    import t.spark.implicits._
+    val d = t.documents.select($"doc_id", $"text", substring($"text", 1, 12).as("blk"))
+    val a = d.select($"doc_id".as("doc_a"), $"text".as("ta"), $"blk")
+    val b = d.select($"doc_id".as("doc_b"), $"text".as("tb"), $"blk")
+    a.join(b, Seq("blk"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        levenshtein(substring($"ta", 1, 60), substring($"tb", 1, 60))
+          .cast("long").as("edit_dist"))
+      .filter($"edit_dist" <= 10)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val d10Oracle: String =
+    """WITH d AS (SELECT doc_id, text, substr(text, 1, 12) AS blk FROM documents)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60))::BIGINT AS edit_dist
+       FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       WHERE levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 10
+       ORDER BY doc_a, doc_b"""
+
   def d11ContainmentPairs(t: T): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
@@ -706,6 +736,7 @@ object Dedup {
     "d07_dedup_clusters"     -> ((s, d) => d07DedupClusters(T(s, d))),
     "d08_prefix_jaccard"     -> ((s, d) => d08PrefixJaccardJoin(T(s, d))),
     "d09_substring_dup"      -> ((s, d) => d09SubstringDupCoverage(T(s, d))),
+    "d10_editdist_pairs"     -> ((s, d) => d10EditDistPairs(T(s, d))),
     "d11_containment_pairs"  -> ((s, d) => d11ContainmentPairs(T(s, d))),
     "d12_cluster_keeper"     -> ((s, d) => d12ClusterKeeper(T(s, d))),
     "d13_semantic_clusters"  -> ((s, d) => d13SemanticClusters(T(s, d))),
@@ -721,6 +752,7 @@ object Dedup {
     "d07_dedup_clusters"    -> d07Oracle,
     "d08_prefix_jaccard"    -> d08Oracle,
     "d09_substring_dup"     -> d09Oracle,
+    "d10_editdist_pairs"    -> d10Oracle,
     "d11_containment_pairs" -> d11Oracle,
     "d12_cluster_keeper"    -> d12Oracle,
     "d13_semantic_clusters" -> d13Oracle,

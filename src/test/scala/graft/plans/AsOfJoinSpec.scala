@@ -55,6 +55,24 @@ class AsOfJoinSpec extends SparkSpec {
     df.collect() // and it runs
   }
 
+  test("composite keys and bigint time columns merge correctly") {
+    import spark.implicits._
+    // two-part key (user_id, event_type bucket) + long micros time
+    val l = t.events
+      .select($"user_id", substring($"event_type", 1, 1).as("kb"),
+        unix_micros($"ts").as("t_us"), $"event_id")
+    val r = t.events
+      .select($"user_id".as("ru"), substring($"event_type", 1, 1).as("rb"),
+        (unix_micros($"ts") - 1L).as("r_us"), $"event_id".as("r_id"))
+    val res = AsOf.join(l, r, Seq("user_id", "kb"), Seq("ru", "rb"), "t_us", "r_us")
+    // every left row's own twin sits 1µs before it with the same key, so
+    // every left row matches, and the as-of pick (largest r_us <= t_us)
+    // must land in [t_us - 1, t_us]
+    assert(res.count() === l.count())
+    assert(res.filter($"r_us".isNull).count() === 0)
+    assert(res.filter($"r_us" > $"t_us" || $"r_us" < $"t_us" - 1L).count() === 0)
+  }
+
   test("empty right side yields all-null right columns, left preserved") {
     import spark.implicits._
     val p = t.events.filter($"event_type" === "purchase")
