@@ -738,6 +738,47 @@ object Pipeline {
               MIN(quality_bp)::BIGINT AS min_quality_bp
        FROM ranked GROUP BY cluster_id ORDER BY cluster_id"""
 
+  /** Temperature-scaled source mixture (alpha = 0.5): target share of each
+    * source ∝ sqrt(its token count) — the standard downweighting that stops
+    * giant sources from drowning small ones (multilingual alpha-sampling).
+    * sqrt over an exact integer is correctly-rounded IEEE in both engines,
+    * and floor(. * 100) pins it to an exact integer weight before any
+    * ratio; shares and targets are then pure int64 arithmetic. One narrow
+    * aggregate + two scalar window sums over |sources| rows. */
+  def p17SqrtTemperature(t: T): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    t.documents
+      .select($"source", size(split($"text", " ")).cast("long").as("n_tok"))
+      .groupBy($"source").agg(sum($"n_tok").as("src_toks"))
+      .withColumn("weight",
+        expr("CAST(FLOOR(SQRT(CAST(src_toks AS DOUBLE)) * 100) AS BIGINT)"))
+      .withColumn("tot_w", sum($"weight").over(Window.partitionBy()))
+      .withColumn("tot_toks", sum($"src_toks").over(Window.partitionBy()))
+      .select($"source", $"src_toks", $"weight",
+        expr("weight * 10000 DIV tot_w").as("share_bp"),
+        expr("tot_toks * (weight * 10000 DIV tot_w) DIV 10000").as("target_toks"))
+      .orderBy($"source")
+  }
+
+  val p17Oracle: String =
+    """WITH src AS (
+         SELECT source, SUM(len(string_split(text, ' ')))::BIGINT AS src_toks
+         FROM documents GROUP BY source),
+       wts AS (
+         SELECT source, src_toks,
+                FLOOR(SQRT(src_toks::DOUBLE) * 100)::BIGINT AS weight
+         FROM src),
+       tot AS (
+         SELECT source, src_toks, weight,
+                SUM(weight) OVER () AS tot_w,
+                SUM(src_toks) OVER () AS tot_toks
+         FROM wts)
+       SELECT source, src_toks, weight,
+              (weight * 10000 // tot_w)::BIGINT AS share_bp,
+              (tot_toks * (weight * 10000 // tot_w) // 10000)::BIGINT AS target_toks
+       FROM tot ORDER BY source"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -755,6 +796,7 @@ object Pipeline {
     "p14_interleave_schedule" -> ((s, d) => p14InterleaveSchedule(T(s, d))),
     "p15_pack_batches"        -> ((s, d) => p15PackBatches(T(s, d))),
     "p16_quality_keeper"      -> ((s, d) => p16QualityKeeper(T(s, d))),
+    "p17_sqrt_temperature"    -> ((s, d) => p17SqrtTemperature(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -774,5 +816,6 @@ object Pipeline {
     "p14_interleave_schedule" -> p14Oracle,
     "p15_pack_batches"        -> p15Oracle,
     "p16_quality_keeper"      -> p16Oracle,
+    "p17_sqrt_temperature"    -> p17Oracle,
   )
 }

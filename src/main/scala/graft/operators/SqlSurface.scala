@@ -607,6 +607,46 @@ object SqlSurface {
        FROM orders WHERE o_orderkey < 1000
        ORDER BY o_orderkey LIMIT 20 OFFSET 10"""
 
+  /** Time-weighted average event value per user — the correct "average
+    * level" statistic for irregularly sampled series (each value weighted
+    * by how long it held, i.e. until the next event). lead() pairs each
+    * event with its successor; integer cents x whole seconds keeps every
+    * product exact and far from int64 overflow (56021 cents x 3e7 s x 1e3
+    * events ~ 1.7e15). Users whose events all fall within one second (zero
+    * total weight) are excluded rather than divided by zero. */
+  def q105TimeWeightedAvg(t: T): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    t.events
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("next_us", lead($"ts_us", 1).over(w))
+      .filter($"next_us".isNotNull)
+      .withColumn("dur_s", expr("(next_us - ts_us) DIV 1000000"))
+      .groupBy($"user_id")
+      .agg(sum($"cents" * $"dur_s").as("wsum"), sum($"dur_s").as("tot_s"))
+      .filter($"tot_s" > 0)
+      .select($"user_id", $"tot_s", expr("wsum DIV tot_s").as("twa_cents"))
+      .orderBy($"user_id")
+  }
+
+  val q105Oracle: String =
+    """WITH ev AS (
+         SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                FLOOR(value * 100)::BIGINT AS cents
+         FROM events),
+       gaps AS (
+         SELECT user_id, cents,
+                (lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                   - ts_us) // 1000000 AS dur_s
+         FROM ev),
+       agg AS (
+         SELECT user_id, SUM(cents * dur_s) AS wsum, SUM(dur_s) AS tot_s
+         FROM gaps WHERE dur_s IS NOT NULL GROUP BY user_id)
+       SELECT user_id, tot_s::BIGINT AS tot_s, (wsum // tot_s)::BIGINT AS twa_cents
+       FROM agg WHERE tot_s > 0 ORDER BY user_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -631,6 +671,7 @@ object SqlSurface {
     "q102_rfm"            -> ((s, d) => q102Rfm(T(s, d))),
     "q103_market_share"   -> ((s, d) => q103MarketShare(T(s, d))),
     "q104_star_except"    -> ((s, d) => q104StarExcept(T(s, d))),
+    "q105_time_weighted_avg" -> ((s, d) => q105TimeWeightedAvg(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -657,5 +698,6 @@ object SqlSurface {
     "q102_rfm"            -> q102Oracle,
     "q103_market_share"   -> q103Oracle,
     "q104_star_except"    -> q104Oracle,
+    "q105_time_weighted_avg" -> q105Oracle,
   )
 }
