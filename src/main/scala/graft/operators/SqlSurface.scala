@@ -647,6 +647,39 @@ object SqlSurface {
        SELECT user_id, tot_s::BIGINT AS tot_s, (wsum // tot_s)::BIGINT AS twa_cents
        FROM agg WHERE tot_s > 0 ORDER BY user_id"""
 
+  /** CDC compaction: latest record per (user, event_type) key — the
+    * row_number()=1 "upsert view" every change-capture pipeline
+    * materializes. Spark 3.5+ recognizes the rank<=k-over-window pattern
+    * and plans WindowGroupLimit (partial map-side top-1 BEFORE the
+    * shuffle, final after), so only one surviving row per key per input
+    * partition crosses the wire — the compaction stays linear at 100 TB. */
+  def q106LatestPerKey(t: T): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts_us".desc, $"event_id".desc)
+    t.events
+      .select($"user_id", $"event_type", $"event_id", unix_micros($"ts").as("ts_us"),
+        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"user_id", $"event_type", $"event_id".as("latest_event_id"),
+        $"ts_us".as("latest_ts_us"), $"cents".as("latest_cents"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val q106Oracle: String =
+    """SELECT user_id, event_type, event_id AS latest_event_id,
+              ts_us AS latest_ts_us, cents AS latest_cents
+       FROM (SELECT user_id, event_type, event_id,
+                    epoch_ns(ts) // 1000 AS ts_us,
+                    FLOOR(value * 100)::BIGINT AS cents,
+                    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY epoch_ns(ts) // 1000 DESC,
+                                                event_id DESC) AS rk
+             FROM events)
+       WHERE rk = 1 ORDER BY user_id, event_type"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -672,6 +705,7 @@ object SqlSurface {
     "q103_market_share"   -> ((s, d) => q103MarketShare(T(s, d))),
     "q104_star_except"    -> ((s, d) => q104StarExcept(T(s, d))),
     "q105_time_weighted_avg" -> ((s, d) => q105TimeWeightedAvg(T(s, d))),
+    "q106_latest_per_key" -> ((s, d) => q106LatestPerKey(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -699,5 +733,6 @@ object SqlSurface {
     "q103_market_share"   -> q103Oracle,
     "q104_star_except"    -> q104Oracle,
     "q105_time_weighted_avg" -> q105Oracle,
+    "q106_latest_per_key" -> q106Oracle,
   )
 }

@@ -300,6 +300,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q106: rank=1 compaction plans WindowGroupLimit (map-side top-1)") {
+    val p = plan("q106_latest_per_key")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), s"expected a partial (pre-shuffle) group limit:\n$p")
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline") {
     // "*(n)" prefixes mark operators fused into whole-stage codegen; AQE
     // only shows them after the stages actually run
