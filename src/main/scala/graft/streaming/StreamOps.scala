@@ -285,12 +285,44 @@ object StreamOps {
        FROM events JOIN nation ON n_nationkey = user_id % 25
        GROUP BY n_name ORDER BY n_name"""
 
+  /** Batch twin of [[clickPurchaseJoin]] on the corpus events (the
+    * stream-stream interval join whose streaming parity StreamOpsSpec
+    * proves on MemoryStreams): per-user attributed click→purchase pairs
+    * within 10 minutes, with gap extremes in whole seconds. Same code path
+    * as the stream — withWatermark is a no-op on batch inputs. */
+  def w06IntervalJoinPairs(t: graft.T): DataFrame = {
+    import t.spark.implicits._
+    val clicks = t.events.filter($"event_type" === "click")
+    val purchases = t.events.filter($"event_type" === "purchase")
+    clickPurchaseJoin(clicks, purchases)
+      .select($"user_id",
+        (unix_micros($"purchase_ts") - unix_micros($"click_ts")).as("gap_us"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("MIN(gap_us DIV 1000000)").as("min_gap_s"),
+        expr("MAX(gap_us DIV 1000000)").as("max_gap_s"))
+      .orderBy($"user_id")
+  }
+
+  val w06Oracle: String =
+    """WITH c AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us
+                  FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us
+               FROM events WHERE event_type = 'purchase')
+       SELECT c.user_id AS user_id, COUNT(*) AS n_pairs,
+              MIN((p.ts_us - c.ts_us) // 1000000)::BIGINT AS min_gap_s,
+              MAX((p.ts_us - c.ts_us) // 1000000)::BIGINT AS max_gap_s
+       FROM c JOIN p ON c.user_id = p.user_id
+        AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 600000000
+       GROUP BY c.user_id ORDER BY c.user_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_windowed_type_counts" -> ((s, d) => w01WindowedTypeCounts(graft.T(s, d))),
     "w02_session_windows"      -> ((s, d) => w02SessionWindows(graft.T(s, d))),
     "w03_sliding_type_counts"  -> ((s, d) => w03SlidingTypeCounts(graft.T(s, d))),
     "w04_stream_dedup"         -> ((s, d) => w04StreamDedup(graft.T(s, d))),
     "w05_enriched_counts"      -> ((s, d) => w05EnrichedCounts(graft.T(s, d))),
+    "w06_interval_join_pairs"  -> ((s, d) => w06IntervalJoinPairs(graft.T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -299,5 +331,6 @@ object StreamOps {
     "w03_sliding_type_counts"  -> w03Oracle,
     "w04_stream_dedup"         -> w04Oracle,
     "w05_enriched_counts"      -> w05Oracle,
+    "w06_interval_join_pairs"  -> w06Oracle,
   )
 }
