@@ -536,6 +536,39 @@ object TextAnalysis {
              FROM documents)
        ORDER BY doc_id"""
 
+  /** N-gram novelty: per document, the share of its distinct 4-grams whose
+    * FIRST appearance (by doc_id order) is this document — near 10000 bp
+    * for fresh content, near 0 for late copies of earlier docs. The
+    * incremental-crawl dedup metric: "how much does this doc add to the
+    * corpus". Two shuffles: grams→min(doc_id) owner, then re-join and
+    * aggregate per doc; both keyed on the gram hash, the natural 100 TB
+    * partitioning (the owner table is exactly an inverted index). */
+  def t15Novelty(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val grams = t.documents
+      .select($"doc_id", explode(expr("shingle_hashes(text, 4, true)")).as("gram"))
+    val firstSeen = grams.groupBy($"gram").agg(min($"doc_id").as("first_doc"))
+    grams.join(firstSeen, "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_grams", $"n_novel",
+        expr("n_novel * 10000 DIV n_grams").as("novelty_bp"))
+      .orderBy($"doc_id")
+  }
+
+  val t15Oracle: String =
+    s"""WITH hs AS (SELECT doc_id, ${Dedup.shingleHashesDuck} AS h FROM documents),
+       grams AS (SELECT doc_id, unnest(h) AS gram FROM hs),
+       fs AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram)
+       SELECT g.doc_id, COUNT(*) AS n_grams,
+              SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+              (SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 10000
+                 // COUNT(*))::BIGINT AS novelty_bp
+       FROM grams g JOIN fs f ON f.gram = g.gram
+       GROUP BY g.doc_id ORDER BY g.doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
     "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
@@ -551,6 +584,7 @@ object TextAnalysis {
     "t12_hapax_ratio"   -> ((s, d) => t12HapaxRatio(T(s, d))),
     "t13_charclass_mix" -> ((s, d) => t13CharClassMix(T(s, d))),
     "t14_readability"   -> ((s, d) => t14Readability(T(s, d))),
+    "t15_novelty"       -> ((s, d) => t15Novelty(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -568,5 +602,6 @@ object TextAnalysis {
     "t12_hapax_ratio"   -> t12Oracle,
     "t13_charclass_mix" -> t13Oracle,
     "t14_readability"   -> t14Oracle,
+    "t15_novelty"       -> t15Oracle,
   )
 }
