@@ -551,6 +551,7 @@ object Registry {
     "bits_to_words"  -> (es => BitsToWords(es.head, intLit(es(1)))),
     "jaccard_bp_words" -> (es => JaccardBpWords(es.head, es(1))),
     "dot_d"          -> (es => DotD(es.head, es(1))),
+    "topk_longs"     -> (es => TopKLongs(es.head, intLit(es(1)))),
   )
 
   /** Idempotent per-session registration. */

@@ -680,6 +680,27 @@ object SqlSurface {
              FROM events)
        WHERE rk = 1 ORDER BY user_id, event_type"""
 
+  /** Per-group top-k through the custom [[graft.functions.TopKLongs]]
+    * TypedImperativeAggregate: top-3 order totals (integer cents) per
+    * order status in ONE aggregation — each map task ships a bounded
+    * 3-slot buffer per group instead of ranking rows through a window.
+    * DuckDB twin: sort the grouped list descending and slice. */
+  def q107TopkAgg(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    t.orders
+      .select($"o_orderstatus",
+        expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy($"o_orderstatus")
+      .agg(expr("topk_longs(cents, 3)").as("top3_cents"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q107Oracle: String =
+    """SELECT o_orderstatus,
+              (list_sort(list(FLOOR(o_totalprice * 100)::BIGINT), 'DESC'))[1:3] AS top3_cents
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -706,6 +727,7 @@ object SqlSurface {
     "q104_star_except"    -> ((s, d) => q104StarExcept(T(s, d))),
     "q105_time_weighted_avg" -> ((s, d) => q105TimeWeightedAvg(T(s, d))),
     "q106_latest_per_key" -> ((s, d) => q106LatestPerKey(T(s, d))),
+    "q107_topk_agg"       -> ((s, d) => q107TopkAgg(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -734,5 +756,6 @@ object SqlSurface {
     "q104_star_except"    -> q104Oracle,
     "q105_time_weighted_avg" -> q105Oracle,
     "q106_latest_per_key" -> q106Oracle,
+    "q107_topk_agg"       -> q107Oracle,
   )
 }

@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.{SparkSpec, T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+class TopKAggSpec extends SparkSpec {
+
+  private def t = T(spark, sfDir)
+
+  test("topk_longs equals the window top-k on every group") {
+    import spark.implicits._
+    Registry.ensure(spark)
+    val viaAgg = t.orders
+      .select($"o_orderstatus", expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy($"o_orderstatus")
+      .agg(expr("topk_longs(cents, 3)").as("top3"))
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"cents".desc)
+    val viaWindow = t.orders
+      .select($"o_orderstatus", expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .groupBy($"o_orderstatus")
+      .agg(sort_array(collect_list($"cents"), asc = false).as("top3"))
+    assert(snap(viaAgg) === snap(viaWindow))
+  }
+
+  test("topk_longs buffers merge across repartitionings (partial agg correctness)") {
+    import spark.implicits._
+    Registry.ensure(spark)
+    val base = t.orders.select($"o_orderkey",
+      $"o_orderstatus", expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val one = base.coalesce(1).groupBy($"o_orderstatus")
+      .agg(expr("topk_longs(cents, 5)").as("top"))
+    val many = base.repartition(13, $"o_orderkey" % 13)
+      .groupBy($"o_orderstatus").agg(expr("topk_longs(cents, 5)").as("top"))
+    assert(snap(one) === snap(many))
+  }
+
+  test("groups smaller than k return all values, sorted descending") {
+    import spark.implicits._
+    Registry.ensure(spark)
+    val r = Seq((1L, 5L), (1L, 9L), (2L, 7L)).toDF("g", "v")
+      .groupBy($"g").agg(expr("topk_longs(v, 4)").as("top"))
+      .orderBy($"g").collect()
+    assert(r(0).getSeq[Long](1) === Seq(9L, 5L))
+    assert(r(1).getSeq[Long](1) === Seq(7L))
+  }
+}
