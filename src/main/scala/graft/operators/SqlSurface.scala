@@ -701,6 +701,31 @@ object SqlSurface {
               (list_sort(list(FLOOR(o_totalprice * 100)::BIGINT), 'DESC'))[1:3] AS top3_cents
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Exact DECIMAL money arithmetic: cast the double price to
+    * DECIMAL(12,2) at the scan (recovering the exact cents the generator
+    * rounded to — the stored double is never a .005 tie, so HALF_UP
+    * rounding is unambiguous in both engines) and aggregate in decimal
+    * space. Decimal sums are exact under any partial-agg order — the
+    * money-correctness guarantee double aggregation cannot give. */
+  def q108DecimalTotals(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders
+      .select($"o_orderstatus", $"o_totalprice".cast("decimal(12,2)").as("price"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"price").cast("string").as("total_price"),
+        min($"price").cast("string").as("min_price"),
+        max($"price").cast("string").as("max_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q108Oracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+              SUM(o_totalprice::DECIMAL(12,2))::VARCHAR AS total_price,
+              MIN(o_totalprice::DECIMAL(12,2))::VARCHAR AS min_price,
+              MAX(o_totalprice::DECIMAL(12,2))::VARCHAR AS max_price
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -728,6 +753,7 @@ object SqlSurface {
     "q105_time_weighted_avg" -> ((s, d) => q105TimeWeightedAvg(T(s, d))),
     "q106_latest_per_key" -> ((s, d) => q106LatestPerKey(T(s, d))),
     "q107_topk_agg"       -> ((s, d) => q107TopkAgg(T(s, d))),
+    "q108_decimal_totals" -> ((s, d) => q108DecimalTotals(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -757,5 +783,6 @@ object SqlSurface {
     "q105_time_weighted_avg" -> q105Oracle,
     "q106_latest_per_key" -> q106Oracle,
     "q107_topk_agg"       -> q107Oracle,
+    "q108_decimal_totals" -> q108Oracle,
   )
 }
