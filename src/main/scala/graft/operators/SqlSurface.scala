@@ -726,6 +726,40 @@ object SqlSurface {
               MAX(o_totalprice::DECIMAL(12,2))::VARCHAR AS max_price
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Rolling 7-day distinct purchasers per day — the rolling-cardinality
+    * dashboard metric. Two-level shape that scales: first a per-day
+    * distinct-user set (one shuffle on day, sets bounded by daily actives),
+    * then a RANGE frame over the tiny per-day table unions 7 sets; the raw
+    * event table never enters the window. Set size is order-invariant, so
+    * the counts are deterministic despite collect_set's arbitrary order. */
+  def q109RollingDistinct(t: T): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = t.events.filter($"event_type" === "purchase")
+      .select(expr("unix_micros(ts) DIV 86400000000").as("day_d"), $"user_id")
+      .groupBy($"day_d")
+      .agg(collect_set($"user_id").as("users"))
+    val w = Window.orderBy($"day_d").rangeBetween(-6, 0)
+    daily
+      .withColumn("win_users", flatten(collect_list($"users").over(w)))
+      .select($"day_d",
+        size($"users").cast("long").as("n_day_users"),
+        size(array_distinct($"win_users")).cast("long").as("n_rolling_users"))
+      .orderBy($"day_d")
+  }
+
+  val q109Oracle: String =
+    """WITH daily AS (
+         SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day_d,
+                list(DISTINCT user_id) AS users
+         FROM events WHERE event_type = 'purchase' GROUP BY 1)
+       SELECT day_d,
+              len(users)::BIGINT AS n_day_users,
+              len(list_distinct(flatten(list(users) OVER
+                (ORDER BY day_d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))))::BIGINT
+                AS n_rolling_users
+       FROM daily ORDER BY day_d"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -754,6 +788,7 @@ object SqlSurface {
     "q106_latest_per_key" -> ((s, d) => q106LatestPerKey(T(s, d))),
     "q107_topk_agg"       -> ((s, d) => q107TopkAgg(T(s, d))),
     "q108_decimal_totals" -> ((s, d) => q108DecimalTotals(T(s, d))),
+    "q109_rolling_distinct" -> ((s, d) => q109RollingDistinct(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -784,5 +819,6 @@ object SqlSurface {
     "q106_latest_per_key" -> q106Oracle,
     "q107_topk_agg"       -> q107Oracle,
     "q108_decimal_totals" -> q108Oracle,
+    "q109_rolling_distinct" -> q109Oracle,
   )
 }
