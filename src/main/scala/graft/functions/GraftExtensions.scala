@@ -22,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // whole-operator extensions (custom LogicalPlan -> SparkPlan)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }

@@ -760,6 +760,37 @@ object SqlSurface {
                 AS n_rolling_users
        FROM daily ORDER BY day_d"""
 
+  /** Click→purchase attribution pairs through the custom
+    * [[graft.plans.IntervalJoinPlan]] sweep exec (q29's semantics, but the
+    * per-key work is linear in matches instead of SMJ's per-key cross
+    * product + residual filter — the difference between a bot user costing
+    * |clicks|x|purchases| and costing its actual attributions). Emits the
+    * per-user pair count plus the tightest attribution gap. */
+  def q110IntervalExec(t: T): DataFrame = {
+    import t.spark.implicits._
+    val clicks = t.events.filter($"event_type" === "click")
+      .select($"user_id", unix_micros($"ts").as("c_us"))
+    val purchases = t.events.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), unix_micros($"ts").as("p_us"))
+    graft.plans.IntervalJoin.join(clicks, purchases,
+        Seq("user_id"), Seq("pu"), "c_us", "p_us", 0L, 300L * 1000000L)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("MIN((p_us - c_us) DIV 1000)").as("min_gap_ms"))
+      .orderBy($"user_id")
+  }
+
+  val q110Oracle: String =
+    """WITH c AS (SELECT user_id, epoch_ns(ts) // 1000 AS c_us
+                  FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id AS pu, epoch_ns(ts) // 1000 AS p_us
+               FROM events WHERE event_type = 'purchase')
+       SELECT user_id, COUNT(*) AS n_pairs,
+              MIN((p_us - c_us) // 1000)::BIGINT AS min_gap_ms
+       FROM c JOIN p ON user_id = pu
+        AND p_us >= c_us AND p_us <= c_us + 300000000
+       GROUP BY user_id ORDER BY user_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -789,6 +820,7 @@ object SqlSurface {
     "q107_topk_agg"       -> ((s, d) => q107TopkAgg(T(s, d))),
     "q108_decimal_totals" -> ((s, d) => q108DecimalTotals(T(s, d))),
     "q109_rolling_distinct" -> ((s, d) => q109RollingDistinct(T(s, d))),
+    "q110_interval_exec"  -> ((s, d) => q110IntervalExec(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -820,5 +852,6 @@ object SqlSurface {
     "q107_topk_agg"       -> q107Oracle,
     "q108_decimal_totals" -> q108Oracle,
     "q109_rolling_distinct" -> q109Oracle,
+    "q110_interval_exec"  -> q110Oracle,
   )
 }
