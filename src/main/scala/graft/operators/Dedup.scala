@@ -558,6 +558,65 @@ object Dedup {
        WHERE levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 10
        ORDER BY doc_a, doc_b"""
 
+  /** LSH index-tuning diagnostic: candidate volume and verify precision of
+    * two bandings of the same 32-slot MinHash signature — 4 bands x 8 rows
+    * (d04's high-precision config) vs 8 bands x 4 rows (higher recall, more
+    * candidates). The numbers every LSH deployment reads before picking
+    * (b, r) at scale: candidates ~ cost, precision ~ wasted verifies. */
+  def d14LshTuning(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val sigs = t.documents
+      .withColumn("h", expr(shingleHashes))
+      .withColumn("sig", expr(minhashSig))
+      .withColumn("h", array_sort($"h"))
+      .select($"doc_id", $"h", $"sig")
+      .localCheckpoint() // both configs and the verify reuse it
+    def stats(nBands: Int, rowsPer: Int): DataFrame = {
+      val bands = sigs.select($"doc_id", expr(
+        s"""explode(transform(sequence(0, ${nBands - 1}, 1), b -> struct(b AS band,
+             concat_ws(',', transform(slice(sig, b * $rowsPer + 1, $rowsPer),
+               x -> cast(x AS string))) AS bkey)))""").as("bk"))
+        .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+      val cand = bands.as("x").join(bands.as("y"),
+          $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+      val ha = sigs.select($"doc_id".as("doc_a"), $"h".as("ha"))
+      val hb = sigs.select($"doc_id".as("doc_b"), $"h".as("hb"))
+      cand.join(ha, "doc_a").join(hb, "doc_b")
+        .select(expr("jaccard_bp_sorted(ha, hb)").as("j"))
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when($"j" >= 8000, 1L).otherwise(0L)).as("n_true"))
+        .select(lit(s"b${nBands}r$rowsPer").as("config"), $"n_cand", $"n_true",
+          expr("n_true * 10000 DIV n_cand").as("precision_bp"))
+    }
+    stats(4, 8).unionAll(stats(8, 4)).orderBy($"config")
+  }
+
+  private def duckBandStats(nBands: Int, rowsPer: Int): String =
+    s"""(SELECT 'b${nBands}r$rowsPer' AS config, COUNT(*) AS n_cand,
+           SUM(CASE WHEN j >= 8000 THEN 1 ELSE 0 END)::BIGINT AS n_true,
+           (SUM(CASE WHEN j >= 8000 THEN 1 ELSE 0 END) * 10000 // COUNT(*))::BIGINT AS precision_bp
+        FROM (
+          SELECT len(list_intersect(a.h, b.h)) * 10000
+                   // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) AS j
+          FROM (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM (SELECT doc_id, b, array_to_string(sig[b * $rowsPer + 1 : b * $rowsPer + $rowsPer], ',') AS bkey
+                  FROM sigs, range(0, $nBands) t(b)) x
+            JOIN (SELECT doc_id, b, array_to_string(sig[b * $rowsPer + 1 : b * $rowsPer + $rowsPer], ',') AS bkey
+                  FROM sigs, range(0, $nBands) t(b)) y
+              ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id) c
+          JOIN hs a ON a.doc_id = c.doc_a
+          JOIN hs b ON b.doc_id = c.doc_b))"""
+
+  val d14Oracle: String =
+    s"""WITH hs AS (SELECT doc_id, $shingleHashesDuck AS h FROM documents),
+       sigs AS (SELECT doc_id, $minhashSigDuck AS sig FROM hs),
+       cfg_a AS ${duckBandStats(4, 8)},
+       cfg_b AS ${duckBandStats(8, 4)}
+       SELECT * FROM cfg_a UNION ALL SELECT * FROM cfg_b ORDER BY config"""
+
   def d11ContainmentPairs(t: T): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
@@ -737,6 +796,7 @@ object Dedup {
     "d08_prefix_jaccard"     -> ((s, d) => d08PrefixJaccardJoin(T(s, d))),
     "d09_substring_dup"      -> ((s, d) => d09SubstringDupCoverage(T(s, d))),
     "d10_editdist_pairs"     -> ((s, d) => d10EditDistPairs(T(s, d))),
+    "d14_lsh_tuning"         -> ((s, d) => d14LshTuning(T(s, d))),
     "d11_containment_pairs"  -> ((s, d) => d11ContainmentPairs(T(s, d))),
     "d12_cluster_keeper"     -> ((s, d) => d12ClusterKeeper(T(s, d))),
     "d13_semantic_clusters"  -> ((s, d) => d13SemanticClusters(T(s, d))),
@@ -753,6 +813,7 @@ object Dedup {
     "d08_prefix_jaccard"    -> d08Oracle,
     "d09_substring_dup"     -> d09Oracle,
     "d10_editdist_pairs"    -> d10Oracle,
+    "d14_lsh_tuning"        -> d14Oracle,
     "d11_containment_pairs" -> d11Oracle,
     "d12_cluster_keeper"    -> d12Oracle,
     "d13_semantic_clusters" -> d13Oracle,

@@ -276,6 +276,43 @@ object Graph {
        SELECT s AS doc_id, COUNT(*) AS core_deg
        FROM e3 GROUP BY s ORDER BY doc_id"""
 
+  /** Degree-assortativity moments over the symmetrized pair graph: for
+    * every directed edge, the endpoint degrees' exact integer sums
+    * (Σda, Σdb, Σda·db, Σda², Σdb²) — the five numbers that determine the
+    * Pearson degree correlation ("do near-dup hubs link to hubs?"), kept
+    * as exact int64 so the oracle matches bit-for-bit and the float
+    * division happens client-side. One degree aggregation + two broadcast-
+    * able joins back to the edge list, all shuffled on node id. */
+  def g07Assortativity(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val pairs = Dedup.d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
+    val edges = pairs.select($"doc_a".as("s"), $"doc_b".as("d"))
+      .union(pairs.select($"doc_b".as("s"), $"doc_a".as("d")))
+      .distinct()
+      .localCheckpoint()
+    val deg = edges.groupBy($"s").agg(count(lit(1)).as("deg"))
+    edges
+      .join(deg.select($"s".as("sa"), $"deg".as("da")), $"s" === $"sa")
+      .join(deg.select($"s".as("sb"), $"deg".as("db")), $"d" === $"sb")
+      .agg(count(lit(1)).as("n_edges"),
+        sum($"da").as("s_da"), sum($"db").as("s_db"),
+        sum($"da" * $"db").as("s_dadb"),
+        sum($"da" * $"da").as("s_da2"), sum($"db" * $"db").as("s_db2"))
+  }
+
+  val g07Oracle: String =
+    s"""WITH $pairsCte,
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s)
+       SELECT COUNT(*) AS n_edges,
+              SUM(a.deg)::BIGINT AS s_da, SUM(b.deg)::BIGINT AS s_db,
+              SUM(a.deg * b.deg)::BIGINT AS s_dadb,
+              SUM(a.deg * a.deg)::BIGINT AS s_da2,
+              SUM(b.deg * b.deg)::BIGINT AS s_db2
+       FROM edges e JOIN deg a ON a.s = e.s JOIN deg b ON b.s = e.d"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank"  -> ((s, d) => g01PageRank(T(s, d))),
     "g02_triangles" -> ((s, d) => g02Triangles(T(s, d))),
@@ -283,6 +320,7 @@ object Graph {
     "g04_degree_histogram" -> ((s, d) => g04DegreeHistogram(T(s, d))),
     "g05_cluster_sizes"    -> ((s, d) => g05ClusterSizes(T(s, d))),
     "g06_kcore"            -> ((s, d) => g06KCore(T(s, d))),
+    "g07_assortativity"    -> ((s, d) => g07Assortativity(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -292,5 +330,6 @@ object Graph {
     "g04_degree_histogram" -> g04Oracle,
     "g05_cluster_sizes"    -> g05Oracle,
     "g06_kcore"            -> g06Oracle,
+    "g07_assortativity"    -> g07Oracle,
   )
 }

@@ -779,6 +779,33 @@ object Pipeline {
               (tot_toks * (weight * 10000 // tot_w) // 10000)::BIGINT AS target_toks
        FROM tot ORDER BY source"""
 
+  /** Deterministic per-epoch training shuffle: each epoch orders the corpus
+    * by an LCG hash of (doc_id, epoch) — reproducible, seedable, and
+    * uncorrelated across epochs, with doc_id as the tie-break. The property
+    * a training pipeline needs from "shuffle": the SAME order on every
+    * rerun of the same epoch, a DIFFERENT order across epochs, no data
+    * movement beyond one sort (at scale: range-partition on the hash). */
+  def p18EpochShuffle(t: T, epochs: Int = 2): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"epoch").orderBy($"shuffle_key", $"doc_id")
+    t.documents.select($"doc_id")
+      .crossJoin(t.spark.range(0, epochs).toDF("epoch"))
+      .withColumn("shuffle_key",
+        expr("(doc_id * 1103515245 + 12345 + epoch * 54321) % 2147483647"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"epoch", $"doc_id", $"pos")
+      .orderBy($"epoch", $"pos")
+  }
+
+  val p18Oracle: String =
+    """SELECT epoch, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY epoch
+                                 ORDER BY (doc_id * 1103515245 + 12345 + epoch * 54321) % 2147483647,
+                                          doc_id)::BIGINT AS pos
+       FROM documents, range(0, 2) r(epoch)
+       ORDER BY epoch, pos"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -797,6 +824,7 @@ object Pipeline {
     "p15_pack_batches"        -> ((s, d) => p15PackBatches(T(s, d))),
     "p16_quality_keeper"      -> ((s, d) => p16QualityKeeper(T(s, d))),
     "p17_sqrt_temperature"    -> ((s, d) => p17SqrtTemperature(T(s, d))),
+    "p18_epoch_shuffle"       -> ((s, d) => p18EpochShuffle(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -817,5 +845,6 @@ object Pipeline {
     "p15_pack_batches"        -> p15Oracle,
     "p16_quality_keeper"      -> p16Oracle,
     "p17_sqrt_temperature"    -> p17Oracle,
+    "p18_epoch_shuffle"       -> p18Oracle,
   )
 }
