@@ -791,6 +791,111 @@ object SqlSurface {
         AND p_us >= c_us AND p_us <= c_us + 300000000
        GROUP BY user_id ORDER BY user_id"""
 
+  /** IGNORE NULLS window family: carry-forward of the latest purchase value
+    * over each user's full event stream (last_value IGNORE NULLS — the
+    * fill-forward idiom for sparse observations), plus the previous non-null
+    * purchase (lag ... IGNORE NULLS). Narrow after one shuffle on user_id;
+    * at 100 TB this is the standard sensor/price fill-forward shape. */
+  def q111IgnoreNulls(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.events.filter($"user_id" < 300)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        when($"event_type" === "purchase", $"value").as("pv"))
+      .selectExpr("user_id", "event_id",
+        """last_value(pv) IGNORE NULLS OVER
+             (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase""",
+        """lag(pv) IGNORE NULLS OVER
+             (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_purchase""")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q111Oracle: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                         CASE WHEN event_type = 'purchase' THEN value END AS pv
+                  FROM events WHERE user_id < 300)
+       SELECT user_id, event_id,
+              last_value(pv IGNORE NULLS) OVER
+                (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase,
+              lag(pv IGNORE NULLS) OVER
+                (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_purchase
+       FROM e ORDER BY user_id, event_id"""
+
+  /** Lateral column aliases: later SELECT-list items reference earlier
+    * aliases in the same list (Spark 3.4 analyzer feature; DuckDB has the
+    * same resolution). The chain net → taxed → margin_bp is written once
+    * instead of re-expanding each subexpression — Catalyst still inlines and
+    * codegens the whole projection, so the plan is identical to the
+    * expanded form (no materialization between steps). */
+  def q112LateralAlias(t: T): DataFrame = {
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.spark.sql(
+      """SELECT l_orderkey, l_linenumber,
+                l_extendedprice * (1 - l_discount) AS net,
+                net * (1 + l_tax) AS taxed,
+                CAST(FLOOR((taxed - net) * 10000 / taxed) AS BIGINT) AS tax_bp
+         FROM lineitem WHERE l_orderkey < 600
+         ORDER BY l_orderkey, l_linenumber""")
+  }
+
+  val q112Oracle: String =
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) AS net,
+              net * (1 + l_tax) AS taxed,
+              FLOOR((taxed - net) * 10000 / taxed)::BIGINT AS tax_bp
+       FROM lineitem WHERE l_orderkey < 600
+       ORDER BY l_orderkey, l_linenumber"""
+
+  /** Case-insensitive grouping via Spark 4 collations: the group key is
+    * collated UTF8_LCASE so 'EN' and 'en' fall in one group *at the
+    * comparison level* (hash/sort semantics change, not the bytes).
+    * DuckDB oracle states the equivalent canonicalization with lower().
+    * The displayed key is lower()ed on both sides because a collated
+    * group's representative bytes are whichever variant arrived first. */
+  def q113Collation(t: T): DataFrame = {
+    t.documents.createOrReplaceTempView("documents")
+    t.spark.sql(
+      """SELECT lower(k) AS lang_ci, COUNT(*) AS n_docs,
+                SUM(n_chars) AS sum_chars
+         FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END
+                        COLLATE UTF8_LCASE AS k,
+                      n_chars
+               FROM documents)
+         GROUP BY k ORDER BY lang_ci""")
+  }
+
+  val q113Oracle: String =
+    """SELECT lower(k) AS lang_ci, COUNT(*) AS n_docs,
+              SUM(n_chars)::BIGINT AS sum_chars
+       FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS k,
+                    n_chars
+             FROM documents)
+       GROUP BY lower(k) ORDER BY lang_ci"""
+
+  /** Exact distinct-count via bitmap aggregation (Spark 3.5 bitmap fns):
+    * user ids are bucketed (bitmap_bucket_number) and each bucket packs its
+    * members' bit positions into one 4 KiB bitmap (bitmap_construct_agg);
+    * counting = popcount, merging = bitmap_or_agg. Unlike
+    * COUNT(DISTINCT) this pre-aggregates map-side into fixed-size state and
+    * merges associatively — the 100 TB distinct-count shape (same layout
+    * Delta/Iceberg deletion vectors and ClickHouse groupBitmap use).
+    * Oracle is the semantic contract: plain COUNT(DISTINCT). */
+  def q114BitmapDistinct(t: T): DataFrame = {
+    t.events.createOrReplaceTempView("events")
+    t.spark.sql(
+      """SELECT event_type,
+                CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_users
+         FROM (SELECT event_type, bitmap_bucket_number(user_id) AS bkt,
+                      bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+               FROM events GROUP BY event_type, bkt)
+         GROUP BY event_type ORDER BY event_type""")
+  }
+
+  val q114Oracle: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -821,6 +926,10 @@ object SqlSurface {
     "q108_decimal_totals" -> ((s, d) => q108DecimalTotals(T(s, d))),
     "q109_rolling_distinct" -> ((s, d) => q109RollingDistinct(T(s, d))),
     "q110_interval_exec"  -> ((s, d) => q110IntervalExec(T(s, d))),
+    "q111_ignore_nulls"   -> ((s, d) => q111IgnoreNulls(T(s, d))),
+    "q112_lateral_alias"  -> ((s, d) => q112LateralAlias(T(s, d))),
+    "q113_collation"      -> ((s, d) => q113Collation(T(s, d))),
+    "q114_bitmap_distinct" -> ((s, d) => q114BitmapDistinct(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -853,5 +962,9 @@ object SqlSurface {
     "q108_decimal_totals" -> q108Oracle,
     "q109_rolling_distinct" -> q109Oracle,
     "q110_interval_exec"  -> q110Oracle,
+    "q111_ignore_nulls"   -> q111Oracle,
+    "q112_lateral_alias"  -> q112Oracle,
+    "q113_collation"      -> q113Oracle,
+    "q114_bitmap_distinct" -> q114Oracle,
   )
 }
