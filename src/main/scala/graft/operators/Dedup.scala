@@ -785,6 +785,37 @@ object Dedup {
          ) SELECT doc, MIN(label) AS cluster_id FROM r GROUP BY doc)
        SELECT doc AS vec_id, cluster_id FROM reach ORDER BY vec_id"""
 
+  /** Duplicate-provenance matrix: the d04 near-dup pairs attributed back to
+    * their source pair (src_lo <= src_hi, unordered) — the "where do my
+    * duplicates come from" report that decides whether to drop a source,
+    * dedup within it, or dedup across a specific pair (mirror sites,
+    * re-crawls, syndication show up as hot off-diagonal cells). Two
+    * broadcast-size joins against the narrow (doc_id, source) projection on
+    * top of the LSH pair stream; the matrix itself is |sources|^2 rows. */
+  def d15DupProvenance(t: T): DataFrame = {
+    import t.spark.implicits._
+    val src = t.documents.select($"doc_id", $"source")
+    d04MinhashLshPairs(t)
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+      .groupBy(least($"sa", $"sb").as("src_lo"),
+        greatest($"sa", $"sb").as("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"), max($"jaccard_bp").as("max_jaccard_bp"))
+      .orderBy($"src_lo", $"src_hi")
+  }
+
+  /** The d04 oracle verbatim as a nested CTE, aggregated by source pair. */
+  val d15Oracle: String =
+    s"""WITH pairs AS ($d04Oracle)
+       SELECT least(a.source, b.source) AS src_lo,
+              greatest(a.source, b.source) AS src_hi,
+              COUNT(*) AS n_pairs,
+              MAX(jaccard_bp)::BIGINT AS max_jaccard_bp
+       FROM pairs
+       JOIN documents a ON a.doc_id = pairs.doc_a
+       JOIN documents b ON b.doc_id = pairs.doc_b
+       GROUP BY 1, 2 ORDER BY src_lo, src_hi"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"        -> ((s, d) => d01ExactDedup(T(s, d))),
     "d02_ngram_jaccard"      -> ((s, d) => d02NgramJaccardPairs(T(s, d))),
@@ -800,6 +831,7 @@ object Dedup {
     "d11_containment_pairs"  -> ((s, d) => d11ContainmentPairs(T(s, d))),
     "d12_cluster_keeper"     -> ((s, d) => d12ClusterKeeper(T(s, d))),
     "d13_semantic_clusters"  -> ((s, d) => d13SemanticClusters(T(s, d))),
+    "d15_dup_provenance"     -> ((s, d) => d15DupProvenance(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -817,5 +849,6 @@ object Dedup {
     "d11_containment_pairs" -> d11Oracle,
     "d12_cluster_keeper"    -> d12Oracle,
     "d13_semantic_clusters" -> d13Oracle,
+    "d15_dup_provenance"    -> d15Oracle,
   )
 }

@@ -491,6 +491,55 @@ object Similarity {
        SELECT k::BIGINT AS cluster, COUNT(*) AS n_vecs, SUM(dist)::BIGINT AS inertia
        FROM best GROUP BY k ORDER BY cluster"""
 
+  /** Int8 vector-quantization audit: per-vector min/max scale, uint8 codes
+    * (floor), and the reconstruction-error bound — the compression pass a
+    * 100 TB ANN index runs before shipping vectors to the serving tier
+    * (4x smaller than float32, dot products in integer SIMD). Everything is
+    * map-side lambda codegen over the embedding array — no shuffle, no UDF;
+    * at scale this is a pure columnar rewrite of the vector column.
+    * Error is reported in floored micro-units so the cross-engine compare
+    * stays in exact integers (the double arithmetic itself is identical
+    * IEEE ops in identical order on both sides). */
+  def s09QuantAudit(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.embeddings
+      .selectExpr("vec_id", "transform(embedding, v -> CAST(v AS DOUBLE)) AS e")
+      .selectExpr("vec_id", "e",
+        "array_min(e) AS mn", "array_max(e) AS mx")
+      .selectExpr("vec_id", "e", "mn", "mx",
+        """CASE WHEN mx > mn
+             THEN transform(e, v -> CAST(floor((v - mn) * 255.0 / (mx - mn)) AS BIGINT))
+             ELSE transform(e, v -> CAST(0 AS BIGINT)) END AS codes""")
+      .selectExpr("vec_id", "mn", "mx",
+        "aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + x) AS code_sum",
+        "CAST(size(filter(codes, x -> x = 255)) AS BIGINT) AS n_sat",
+        """CAST(floor(array_max(zip_with(e, codes, (v, c) ->
+             abs(mn + c * (mx - mn) / 255.0 - v))) * 1000000.0) AS BIGINT)
+           AS err_micro""")
+      .orderBy($"vec_id")
+  }
+
+  val s09Oracle: String =
+    """WITH q AS (
+         SELECT vec_id,
+                list_transform(embedding, v -> v::DOUBLE) AS e,
+                list_min(list_transform(embedding, v -> v::DOUBLE)) AS mn,
+                list_max(list_transform(embedding, v -> v::DOUBLE)) AS mx
+         FROM embeddings),
+       c AS (
+         SELECT vec_id, e, mn, mx,
+                CASE WHEN mx > mn
+                  THEN list_transform(e, v -> floor((v - mn) * 255.0 / (mx - mn))::BIGINT)
+                  ELSE list_transform(e, v -> 0::BIGINT) END AS codes
+         FROM q)
+       SELECT vec_id, mn, mx,
+              list_sum(codes)::BIGINT AS code_sum,
+              len(list_filter(codes, x -> x = 255))::BIGINT AS n_sat,
+              floor(list_max(list_transform(range(1, len(e) + 1), i ->
+                abs(mn + codes[i] * (mx - mn) / 255.0 - e[i]))) * 1000000.0)::BIGINT
+                AS err_micro
+       FROM c ORDER BY vec_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
@@ -500,6 +549,7 @@ object Similarity {
     "s06_ann_recall"        -> ((s, d) => s06AnnRecall(T(s, d))),
     "s07_ivf_recall"        -> ((s, d) => s07IvfRecall(T(s, d))),
     "s08_ivf_stats"         -> ((s, d) => s08IvfStats(T(s, d))),
+    "s09_quant_audit"       -> ((s, d) => s09QuantAudit(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -511,5 +561,6 @@ object Similarity {
     "s06_ann_recall"        -> s06Oracle,
     "s07_ivf_recall"        -> s07Oracle,
     "s08_ivf_stats"         -> s08Oracle,
+    "s09_quant_audit"       -> s09Oracle,
   )
 }

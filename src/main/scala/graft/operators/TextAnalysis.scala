@@ -569,6 +569,51 @@ object TextAnalysis {
        FROM grams g JOIN fs f ON f.gram = g.gram
        GROUP BY g.doc_id ORDER BY g.doc_id"""
 
+  /** Cross-source vocabulary-overlap matrix: Jaccard similarity of the
+    * distinct-token sets of every source pair — the redundancy/diversity
+    * diagnostic behind mixture design (two sources with ~identical
+    * vocabularies contribute less diversity than their token counts
+    * suggest). Shape is the scalable one: distinct (source, token) pairs,
+    * then a self-equi-join ON token (never a cross join of vocabularies) —
+    * co-occurrence counts shuffle once on token, the 190-row pair matrix is
+    * trivially small. At 100 TB the token join is the textbook
+    * inverted-index build; a df-cap filter would bound the hottest tokens. */
+  def t16VocabOverlap(t: T): DataFrame = {
+    import t.spark.implicits._
+    val st = t.documents
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+      .distinct()
+    val sizes = st.groupBy($"source").agg(count(lit(1)).as("n"))
+    val shared = st.as("a").join(st.as("b"),
+        $"a.tok" === $"b.tok" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select($"source".as("src_a"), $"n".as("na")), "src_a")
+      .join(sizes.select($"source".as("src_b"), $"n".as("nb")), "src_b")
+      .select($"src_a", $"src_b", $"n_shared",
+        expr("n_shared * 10000 DIV (na + nb - n_shared)").as("jaccard_bp"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val t16Oracle: String =
+    """WITH st AS (
+         SELECT DISTINCT source, tok FROM (
+           SELECT source, unnest(str_split(text, ' ')) AS tok FROM documents)
+         WHERE length(tok) > 0),
+       sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+       shared AS (
+         SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+         FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT src_a, src_b, n_shared,
+              (n_shared * 10000 // (sa.n + sb.n - n_shared))::BIGINT AS jaccard_bp
+       FROM shared
+       JOIN sizes sa ON sa.source = src_a
+       JOIN sizes sb ON sb.source = src_b
+       ORDER BY src_a, src_b"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
     "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
@@ -585,6 +630,7 @@ object TextAnalysis {
     "t13_charclass_mix" -> ((s, d) => t13CharClassMix(T(s, d))),
     "t14_readability"   -> ((s, d) => t14Readability(T(s, d))),
     "t15_novelty"       -> ((s, d) => t15Novelty(T(s, d))),
+    "t16_vocab_overlap" -> ((s, d) => t16VocabOverlap(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -603,5 +649,6 @@ object TextAnalysis {
     "t13_charclass_mix" -> t13Oracle,
     "t14_readability"   -> t14Oracle,
     "t15_novelty"       -> t15Oracle,
+    "t16_vocab_overlap" -> t16Oracle,
   )
 }

@@ -316,6 +316,51 @@ object StreamOps {
         AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 600000000
        GROUP BY c.user_id ORDER BY c.user_id"""
 
+  /** Stream-stream LEFT OUTER interval join: every click, attributed to the
+    * purchases it produced within 10 minutes — or emitted with nulls once
+    * the watermark proves no purchase can arrive (the state-cleanup
+    * contract outer stream joins hinge on). Same join as
+    * [[clickPurchaseJoin]] but orphan clicks survive; downstream computes
+    * the per-user conversion funnel including the non-converting majority,
+    * which the inner join silently drops. */
+  def clickPurchaseOuterJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("ts", "10 minutes").alias("c")
+      .join(
+        purchases.withWatermark("ts", "10 minutes").alias("p"),
+        expr("""c.user_id = p.user_id
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTES"""),
+        "left_outer")
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"),
+        col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"))
+
+  /** Batch twin of [[clickPurchaseOuterJoin]] (oracle coverage for the
+    * outer-join multiplicity: k purchase rows per matched click, one null
+    * row per orphan click). */
+  def w07OuterIntervalJoin(t: graft.T): DataFrame = {
+    import t.spark.implicits._
+    val clicks = t.events.filter($"event_type" === "click")
+    val purchases = t.events.filter($"event_type" === "purchase")
+    clickPurchaseOuterJoin(clicks, purchases)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"purchase_id").as("n_matched"),
+        sum(when($"purchase_id".isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .orderBy($"user_id")
+  }
+
+  val w07Oracle: String =
+    """WITH c AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+                  FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id AS pu, event_id AS p_id, epoch_ns(ts) // 1000 AS p_us
+               FROM events WHERE event_type = 'purchase')
+       SELECT user_id, COUNT(*) AS n_rows,
+              COUNT(p_id) AS n_matched,
+              SUM(CASE WHEN p_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+       FROM c LEFT JOIN p ON user_id = pu
+        AND p_us >= ts_us AND p_us <= ts_us + 600000000
+       GROUP BY user_id ORDER BY user_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_windowed_type_counts" -> ((s, d) => w01WindowedTypeCounts(graft.T(s, d))),
     "w02_session_windows"      -> ((s, d) => w02SessionWindows(graft.T(s, d))),
@@ -323,6 +368,7 @@ object StreamOps {
     "w04_stream_dedup"         -> ((s, d) => w04StreamDedup(graft.T(s, d))),
     "w05_enriched_counts"      -> ((s, d) => w05EnrichedCounts(graft.T(s, d))),
     "w06_interval_join_pairs"  -> ((s, d) => w06IntervalJoinPairs(graft.T(s, d))),
+    "w07_outer_interval_join"  -> ((s, d) => w07OuterIntervalJoin(graft.T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -332,5 +378,6 @@ object StreamOps {
     "w04_stream_dedup"         -> w04Oracle,
     "w05_enriched_counts"      -> w05Oracle,
     "w06_interval_join_pairs"  -> w06Oracle,
+    "w07_outer_interval_join"  -> w07Oracle,
   )
 }

@@ -186,6 +186,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer interval join: orphan clicks emitted with nulls once watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      StreamOps.Evt(1, ts(0, 0), 1, "click", 1.0),  // converts (purchase 11)
+      StreamOps.Evt(2, ts(5, 0), 2, "click", 1.0),  // orphan: purchase 12 is 11m out
+      StreamOps.Evt(3, ts(20, 0), 1, "click", 1.0)) // converts (purchase 13)
+    val purchases = Seq(
+      StreamOps.Evt(11, ts(4, 0), 1, "purchase", 9.0),
+      StreamOps.Evt(12, ts(16, 0), 2, "purchase", 9.0),
+      StreamOps.Evt(13, ts(25, 0), 1, "purchase", 9.0))
+    val batch = snap(StreamOps.clickPurchaseOuterJoin(clicks.toDF(), purchases.toDF()))
+    assert(batch.size == 3) // 2 matched + 1 null-extended orphan
+
+    val cs = MemoryStream[StreamOps.Evt]
+    val ps = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.clickPurchaseOuterJoin(cs.toDF(), ps.toDF())
+      .writeStream.format("memory").queryName("cp_outer_join")
+      .outputMode("append").start()
+    try {
+      cs.addData(clicks: _*)
+      ps.addData(purchases: _*)
+      q.processAllAvailable()
+      // the orphan row for click 2 only materializes after BOTH watermarks
+      // pass its join window — push them far ahead with sentinel users
+      cs.addData(StreamOps.Evt(98, ts(59), 998, "click", 0.0))
+      ps.addData(StreamOps.Evt(99, ts(59), 999, "purchase", 0.0))
+      q.processAllAvailable()
+      assert(snap(spark.table("cp_outer_join")) == batch)
+    } finally q.stop()
+  }
+
   test("session windows: gap merge/split boundary and streaming parity") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
