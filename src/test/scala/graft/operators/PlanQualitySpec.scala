@@ -306,6 +306,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Partial"), s"expected a partial (pre-shuffle) group limit:\n$p")
   }
 
+  test("s09: quantization audit is map-side lambda codegen — no join, one sort exchange") {
+    val p = plan("s09_quant_audit")
+    assert(!p.contains("Join"), p)
+    // the only exchange is the output ORDER BY's range partitioning
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected at most the final sort exchange:\n$p")
+  }
+
+  test("t16: vocab overlap joins ON token — equi-join, never a vocab cross join") {
+    val p = plan("t16_vocab_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q114: bitmap distinct pre-aggregates map-side and plans no Expand") {
+    val p = plan("q114_bitmap_distinct")
+    // COUNT(DISTINCT) would rewrite through Expand; the bitmap path must not
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("partial_bitmap_construct_agg") || p.contains("partial"), p)
+  }
+
+  test("d15: provenance attribution broadcasts the narrow (doc_id, source) side") {
+    val p = plan("d15_dup_provenance")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline") {
     // "*(n)" prefixes mark operators fused into whole-stage codegen; AQE
     // only shows them after the stages actually run
