@@ -896,6 +896,41 @@ object SqlSurface {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
        FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** XML ingestion: from_xml parses attribute + element fields into a typed
+    * struct (Spark 4 native XML, attributes surfaced with the `_` prefix),
+    * with the xpath_* family as the scalar extraction path. The XML is
+    * constructed from corpus columns so the round-trip is self-contained;
+    * DuckDB has no XML type, so the oracle states the exact extraction
+    * semantics in regexp primitives over the identical string. */
+  def q115XmlFns(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.events.filter($"event_id" < 2000)
+      .withColumn("xml", concat(
+        lit("<e id=\""), $"event_id", lit("\"><t>"), $"event_type",
+        lit("</t><k>"), expr("get_json_object(props, '$.k')"), lit("</k></e>")))
+      .select($"event_id",
+        expr("from_xml(xml, '_id BIGINT, t STRING, k BIGINT')").as("x"),
+        expr("xpath_long(xml, '/e/k')").as("xp_k"),
+        expr("xpath_string(xml, '/e/t')").as("xp_t"))
+      .select($"event_id", $"x._id".as("xml_id"), $"x.t".as("xml_t"),
+        $"x.k".as("xml_k"), $"xp_k", $"xp_t")
+      .orderBy($"event_id")
+  }
+
+  val q115Oracle: String =
+    """WITH x AS (
+         SELECT event_id,
+                '<e id="' || event_id || '"><t>' || event_type || '</t><k>'
+                  || json_extract_string(props, '$.k') || '</k></e>' AS xml
+         FROM events WHERE event_id < 2000)
+       SELECT event_id,
+              regexp_extract(xml, 'id="(\d+)"', 1)::BIGINT AS xml_id,
+              regexp_extract(xml, '<t>([^<]*)</t>', 1) AS xml_t,
+              regexp_extract(xml, '<k>(\d+)</k>', 1)::BIGINT AS xml_k,
+              regexp_extract(xml, '<k>(\d+)</k>', 1)::BIGINT AS xp_k,
+              regexp_extract(xml, '<t>([^<]*)</t>', 1) AS xp_t
+       FROM x ORDER BY event_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -930,6 +965,7 @@ object SqlSurface {
     "q112_lateral_alias"  -> ((s, d) => q112LateralAlias(T(s, d))),
     "q113_collation"      -> ((s, d) => q113Collation(T(s, d))),
     "q114_bitmap_distinct" -> ((s, d) => q114BitmapDistinct(T(s, d))),
+    "q115_xml_fns"        -> ((s, d) => q115XmlFns(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -966,5 +1002,6 @@ object SqlSurface {
     "q112_lateral_alias"  -> q112Oracle,
     "q113_collation"      -> q113Oracle,
     "q114_bitmap_distinct" -> q114Oracle,
+    "q115_xml_fns"        -> q115Oracle,
   )
 }
