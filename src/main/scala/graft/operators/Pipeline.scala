@@ -806,6 +806,74 @@ object Pipeline {
        FROM documents, range(0, 2) r(epoch)
        ORDER BY epoch, pos"""
 
+  /** Contamination-aware split assignment: p01's content-hash split with
+    * p04's benchmark-overlap gate composed on top — a doc sharing any
+    * 5-gram with the held-out benchmark (src0) may NOT land in valid/test
+    * (its membership would leak benchmark text into evaluation), so it is
+    * quarantined to train; src0 itself never enters the corpus. This is
+    * the composition every production curation run performs between
+    * "split by hash" and "ship the eval set". Per final split: doc count,
+    * quarantine count, token count. Scale shape: the gram semi-join is
+    * p04's (one shuffle on gram), the split is map-side hashing. */
+  def p19CleanEvalSplit(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val corpus = t.documents.filter($"source" =!= "src0")
+    val grams = corpus
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(toks) >= 5
+             THEN transform(sequence(1, size(toks) - 4),
+                            i -> concat_ws(' ', slice(toks, i, 5)))
+             ELSE array() END""")).as("gram"))
+      .distinct()
+    val holdout = t.documents.filter($"source" === "src0")
+      .select(explode(expr(
+        """CASE WHEN size(split(text, ' ')) >= 5
+             THEN transform(sequence(1, size(split(text, ' ')) - 4),
+                            i -> concat_ws(' ', slice(split(text, ' '), i, 5)))
+             ELSE array() END""")).as("gram"))
+      .distinct()
+    val tainted = grams.join(holdout, Seq("gram"), "left_semi")
+      .select($"doc_id").distinct().withColumn("bad", lit(true))
+    corpus
+      .withColumn("bucket",
+        pmod(expr("weighted_fingerprint(shingle_hashes(text, 4, false))"), lit(100)))
+      .withColumn("split0",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "valid").otherwise("test"))
+      .join(tainted, Seq("doc_id"), "left")
+      .withColumn("quarantined", coalesce($"bad", lit(false)) && $"split0" =!= "train")
+      .withColumn("split", when($"quarantined", "train").otherwise($"split0"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"quarantined", 1L).otherwise(0L)).as("n_quarantined"),
+        sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
+      .orderBy($"split")
+  }
+
+  val p19Oracle: String =
+    s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+       g AS (SELECT DISTINCT doc_id, source,
+               unnest(list_transform(range(1, len(ts) - 3),
+                        i -> array_to_string(list_slice(ts, i, i + 4), ' '))) AS gram
+             FROM tok),
+       hold AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+       cont AS (SELECT DISTINCT doc_id FROM g JOIN hold USING (gram)
+                WHERE source <> 'src0'),
+       fp AS (SELECT doc_id, text, $fpDuck % 100 AS bucket
+              FROM documents WHERE source <> 'src0'),
+       s AS (SELECT doc_id, text,
+               CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid'
+                    ELSE 'test' END AS split0,
+               doc_id IN (SELECT doc_id FROM cont) AS bad
+             FROM fp)
+       SELECT CASE WHEN bad AND split0 <> 'train' THEN 'train' ELSE split0 END AS split,
+              COUNT(*) AS n_docs,
+              SUM(CASE WHEN bad AND split0 <> 'train' THEN 1 ELSE 0 END)::BIGINT
+                AS n_quarantined,
+              SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens
+       FROM s GROUP BY 1 ORDER BY split"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -825,6 +893,7 @@ object Pipeline {
     "p16_quality_keeper"      -> ((s, d) => p16QualityKeeper(T(s, d))),
     "p17_sqrt_temperature"    -> ((s, d) => p17SqrtTemperature(T(s, d))),
     "p18_epoch_shuffle"       -> ((s, d) => p18EpochShuffle(T(s, d))),
+    "p19_clean_eval_split"    -> ((s, d) => p19CleanEvalSplit(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -846,5 +915,6 @@ object Pipeline {
     "p16_quality_keeper"      -> p16Oracle,
     "p17_sqrt_temperature"    -> p17Oracle,
     "p18_epoch_shuffle"       -> p18Oracle,
+    "p19_clean_eval_split"    -> p19Oracle,
   )
 }

@@ -931,6 +931,35 @@ object SqlSurface {
               regexp_extract(xml, '<t>([^<]*)</t>', 1) AS xp_t
        FROM x ORDER BY event_id"""
 
+  /** Corrupt-record-tolerant ingestion: from_json in PERMISSIVE mode with
+    * `_corrupt_record` declared — malformed payloads (here: every 7th row
+    * truncated, the classic chopped-upload shape) yield null fields plus
+    * the raw text in the corrupt column instead of failing the job. The
+    * quarantine-and-continue contract every 100 TB ingest needs: bad rows
+    * route to a dead-letter sink, good rows keep flowing. */
+  def q116CorruptJson(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.events.filter($"event_id" < 3000)
+      .withColumn("raw",
+        when(pmod($"event_id", lit(7)) === 0,
+          expr("substring(props, 1, length(props) - 2)")).otherwise($"props"))
+      .select($"event_id",
+        expr("from_json(raw, 'k BIGINT, _corrupt_record STRING')").as("j"))
+      .select($"event_id", $"j.k".as("k"),
+        $"j._corrupt_record".isNotNull.as("is_corrupt"),
+        $"j._corrupt_record".as("corrupt_raw"))
+      .orderBy($"event_id")
+  }
+
+  val q116Oracle: String =
+    """SELECT event_id,
+              CASE WHEN event_id % 7 = 0 THEN NULL
+                   ELSE json_extract(props, '$.k')::BIGINT END AS k,
+              (event_id % 7 = 0) AS is_corrupt,
+              CASE WHEN event_id % 7 = 0
+                   THEN substr(props, 1, length(props) - 2) END AS corrupt_raw
+       FROM events WHERE event_id < 3000 ORDER BY event_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -966,6 +995,7 @@ object SqlSurface {
     "q113_collation"      -> ((s, d) => q113Collation(T(s, d))),
     "q114_bitmap_distinct" -> ((s, d) => q114BitmapDistinct(T(s, d))),
     "q115_xml_fns"        -> ((s, d) => q115XmlFns(T(s, d))),
+    "q116_corrupt_json"   -> ((s, d) => q116CorruptJson(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1003,5 +1033,6 @@ object SqlSurface {
     "q113_collation"      -> q113Oracle,
     "q114_bitmap_distinct" -> q114Oracle,
     "q115_xml_fns"        -> q115Oracle,
+    "q116_corrupt_json"   -> q116Oracle,
   )
 }
