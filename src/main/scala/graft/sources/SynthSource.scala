@@ -70,12 +70,14 @@ private case class SynthTable(rows: Long, parts: Int) extends Table with Support
   override def name: String = s"graft_synth($rows rows)"
   override def schema: StructType = SynthSource.schema
   override def capabilities: util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, parts)
+    new SynthScanBuilder(rows, parts,
+      options.getOrDefault("rowsPerBatch", "0").toLong)
 }
 
-private class SynthScanBuilder(rows: Long, parts: Int) extends ScanBuilder
+private class SynthScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long)
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = SynthSource.schema
@@ -114,13 +116,22 @@ private class SynthScanBuilder(rows: Long, parts: Int) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new SynthScan(lo, math.max(lo, hi), parts, required)
+  override def build(): Scan =
+    new SynthScan(lo, math.max(lo, hi), parts, required, rowsPerBatch)
 }
 
-private class SynthScan(lo: Long, hi: Long, parts: Int, required: StructType)
+private class SynthScan(lo: Long, hi: Long, parts: Int, required: StructType,
+                        rowsPerBatch: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** Same pruned/pushed-down scan as a micro-batch stream: offsets are doc
+    * ids, each trigger admits `rowsPerBatch` more rows (0 = everything at
+    * once). Column pruning and range pushdown apply to the stream too — a
+    * filtered readStream never generates the pruned rows or columns. */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SynthMicroBatchStream(lo, hi, parts, required, rowsPerBatch)
   /** Honest size estimate (~190 B/row of generated text) — consumed by the
     * work-sharing cost model (ShareDetector builds a throwaway scan to ask)
     * and by anything else that plans off v2 statistics. */
@@ -143,6 +154,53 @@ private class SynthScan(lo: Long, hi: Long, parts: Int, required: StructType)
 }
 
 private case class SynthPartition(start: Long, end: Long) extends InputPartition
+
+/** Doc-id offset for the streaming read (connector-API Offset, JSON = the id). */
+private case class SynthOffset(id: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = id.toString
+}
+
+/** Micro-batch view of the generator: the unread id range [lo, hi) drains in
+  * `rowsPerBatch` admission steps (0 = all at once). Purely deterministic —
+  * restarting from a checkpointed offset regenerates identical rows, which is
+  * exactly the replayable-source contract Structured Streaming requires for
+  * end-to-end exactly-once. */
+private class SynthMicroBatchStream(lo: Long, hi: Long, parts: Int,
+                                    required: StructType, rowsPerBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  @volatile private var watermark: Long = lo
+
+  override def initialOffset(): Offset = SynthOffset(lo)
+
+  override def latestOffset(): Offset = {
+    // each trigger admits one more batch of ids (admission control)
+    watermark =
+      if (rowsPerBatch <= 0) hi
+      else math.min(hi, watermark + rowsPerBatch)
+    SynthOffset(watermark)
+  }
+
+  override def deserializeOffset(json: String): Offset = SynthOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SynthOffset].id
+    val e = end.asInstanceOf[SynthOffset].id
+    val total = math.max(0L, e - s)
+    val n = math.max(1, parts)
+    (0 until n).map { i =>
+      SynthPartition(s + i * total / n, s + (i + 1) * total / n): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private class SynthReaderFactory(required: StructType)
     extends PartitionReaderFactory {
