@@ -313,6 +313,58 @@ object Graph {
               SUM(b.deg * b.deg)::BIGINT AS s_db2
        FROM edges e JOIN deg a ON a.s = e.s JOIN deg b ON b.s = e.d"""
 
+  /** Modularity decomposition of the LANGUAGE partition over the near-dup
+    * graph: per lang, the intra-community edge share (gain_bp ~ e_c/m) and
+    * the degree-based null-model expectation (null_bp ~ (d_c/2m)^2), each in
+    * integer basis points. Their difference is the community's modularity
+    * term; they are emitted separately because the difference can be
+    * negative and Spark's DIV truncates toward zero while DuckDB's //
+    * floors — keeping both numerators non-negative keeps the arithmetic
+    * engine-exact. High gain vs null means near-dups concentrate within a
+    * language (dedup can shard by lang); gain ~ null means the partition is
+    * no better than random. One pass over the attributed edge list. */
+  def g08Modularity(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val lab = t.documents.select($"doc_id", $"lang")
+    val pe = Dedup.d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
+      .join(lab.select($"doc_id".as("doc_a"), $"lang".as("la")), "doc_a")
+      .join(lab.select($"doc_id".as("doc_b"), $"lang".as("lb")), "doc_b")
+      .localCheckpoint()
+    val m = pe.select(count(lit(1)).as("m"))
+    val deg = pe.select($"la".as("lang")).union(pe.select($"lb".as("lang")))
+      .groupBy($"lang").agg(count(lit(1)).as("degree_sum"))
+    val intra = pe.filter($"la" === $"lb")
+      .groupBy($"la".as("lang")).agg(count(lit(1)).as("n_intra"))
+    deg.join(intra, Seq("lang"), "left")
+      .withColumn("n_intra", coalesce($"n_intra", lit(0L)))
+      .crossJoin(broadcast(m))
+      .select($"lang", $"n_intra", $"degree_sum", $"m".as("n_edges"),
+        expr("(n_intra * 10000) DIV m").as("gain_bp"),
+        expr("(degree_sum * degree_sum * 10000) DIV (4 * m * m)").as("null_bp"))
+      .orderBy($"lang")
+  }
+
+  val g08Oracle: String =
+    s"""WITH $pairsCte,
+       pe AS (SELECT p.doc_a, p.doc_b, a.lang AS la, b.lang AS lb
+              FROM pairs p
+              JOIN documents a ON a.doc_id = p.doc_a
+              JOIN documents b ON b.doc_id = p.doc_b),
+       m AS (SELECT COUNT(*) AS m FROM pe),
+       deg AS (SELECT lang, COUNT(*) AS degree_sum
+               FROM (SELECT la AS lang FROM pe UNION ALL SELECT lb FROM pe) u
+               GROUP BY lang),
+       intra AS (SELECT la AS lang, COUNT(*) AS n_intra FROM pe
+                 WHERE la = lb GROUP BY la)
+       SELECT d.lang, COALESCE(i.n_intra, 0)::BIGINT AS n_intra,
+              d.degree_sum::BIGINT AS degree_sum, m.m AS n_edges,
+              (COALESCE(i.n_intra, 0) * 10000 // m.m)::BIGINT AS gain_bp,
+              (d.degree_sum * d.degree_sum * 10000
+                 // (4 * m.m * m.m))::BIGINT AS null_bp
+       FROM deg d LEFT JOIN intra i USING (lang) CROSS JOIN m
+       ORDER BY d.lang"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank"  -> ((s, d) => g01PageRank(T(s, d))),
     "g02_triangles" -> ((s, d) => g02Triangles(T(s, d))),
@@ -321,6 +373,7 @@ object Graph {
     "g05_cluster_sizes"    -> ((s, d) => g05ClusterSizes(T(s, d))),
     "g06_kcore"            -> ((s, d) => g06KCore(T(s, d))),
     "g07_assortativity"    -> ((s, d) => g07Assortativity(T(s, d))),
+    "g08_modularity"       -> ((s, d) => g08Modularity(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -331,5 +384,6 @@ object Graph {
     "g05_cluster_sizes"    -> g05Oracle,
     "g06_kcore"            -> g06Oracle,
     "g07_assortativity"    -> g07Oracle,
+    "g08_modularity"       -> g08Oracle,
   )
 }
