@@ -255,12 +255,58 @@ object Multimodal {
        FROM documents FULL OUTER JOIN embeddings ON doc_id = vec_id
        GROUP BY lang, label ORDER BY lang, label"""
 
+  /** WebDataset-style shard manifest: assets packed into ~16 KiB shards by
+    * running payload-byte budget (boundary-crossing rule as p15: a shard is
+    * closed by the asset that crosses the budget), reporting per-shard byte
+    * total and modality mix — the tar-shard planning step before media
+    * training data ships to object storage. Payload bytes never move: the
+    * manifest is arithmetic over octet lengths. The global running sum is
+    * the same single-window shape as p15 (at 100 TB: per-source sub-shards
+    * then a prefix-sum over per-source totals — two window passes, no
+    * single-partition bottleneck; documented not implemented, as for p15). */
+  def m06ShardManifest(t: T, budgetBytes: Int = 16384): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    assets(t).toDF()
+      .select($"asset_id", $"kind", length($"payload").cast("long").as("n_bytes"))
+      .withColumn("cum", sum($"n_bytes").over(
+        Window.orderBy($"asset_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("shard_id", expr(s"(cum - n_bytes) DIV $budgetBytes"))
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_assets"), sum($"n_bytes").as("shard_bytes"),
+        sum(when($"kind" === "image", 1L).otherwise(0L)).as("n_image"),
+        sum(when($"kind" === "audio", 1L).otherwise(0L)).as("n_audio"),
+        sum(when($"kind" === "video", 1L).otherwise(0L)).as("n_video"),
+        min($"asset_id").as("first_asset"), max($"asset_id").as("last_asset"))
+      .orderBy($"shard_id")
+  }
+
+  /** Oracle: payload bytes == length(text) (ASCII corpus, UTF-8 payload). */
+  val m06Oracle: String =
+    """WITH a AS (SELECT doc_id AS asset_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+                length(text)::BIGINT AS n_bytes
+         FROM documents),
+       c AS (SELECT asset_id, kind, n_bytes,
+               SUM(n_bytes) OVER (ORDER BY asset_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM a)
+       SELECT ((cum - n_bytes) // 16384)::BIGINT AS shard_id,
+              COUNT(*) AS n_assets, SUM(n_bytes)::BIGINT AS shard_bytes,
+              SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END)::BIGINT AS n_image,
+              SUM(CASE WHEN kind = 'audio' THEN 1 ELSE 0 END)::BIGINT AS n_audio,
+              SUM(CASE WHEN kind = 'video' THEN 1 ELSE 0 END)::BIGINT AS n_video,
+              MIN(asset_id) AS first_asset, MAX(asset_id) AS last_asset
+       FROM c GROUP BY 1 ORDER BY shard_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> ((s, d) => m01MediaFeatures(T(s, d))),
     "m02_media_rollup"   -> ((s, d) => m02MediaRollup(T(s, d))),
     "m03_frame_sample"   -> ((s, d) => m03FrameSample(T(s, d))),
     "m04_audio_windows"  -> ((s, d) => m04AudioWindows(T(s, d))),
     "m05_modality_manifest" -> ((s, d) => m05ModalityManifest(T(s, d))),
+    "m06_shard_manifest"    -> ((s, d) => m06ShardManifest(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -269,5 +315,6 @@ object Multimodal {
     "m03_frame_sample"   -> m03Oracle,
     "m04_audio_windows"  -> m04Oracle,
     "m05_modality_manifest" -> m05Oracle,
+    "m06_shard_manifest"    -> m06Oracle,
   )
 }
