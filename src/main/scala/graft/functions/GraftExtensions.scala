@@ -23,5 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extensions (custom LogicalPlan -> SparkPlan)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
+    // opt-in COUNT(DISTINCT int) -> bitmap-aggregation rewrite
+    ext.injectOptimizerRule(s => graft.plans.BitmapDistinctRewrite(s))
   }
 }

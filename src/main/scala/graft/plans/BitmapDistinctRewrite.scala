@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Opt-in optimizer rule: rewrite an integer `COUNT(DISTINCT x)` aggregate
+  * into the two-level bitmap shape
+  *
+  * {{{
+  *   Aggregate(G, sum(bitmap_count(bm)) + max(min_flag))
+  *     Aggregate(G ++ (sign, bitmap_bucket_number(mapped)),
+  *               bitmap_construct_agg(bitmap_bit_position(mapped)) AS bm,
+  *               max(x = Long.MinValue) AS min_flag)
+  * }}}
+  *
+  * Spark's stock planning of distinct aggregates keeps per-key distinct
+  * state through the shuffle; the bitmap form pre-aggregates map-side into
+  * fixed-size 4 KiB bitmaps that merge associatively — at 100 TB the
+  * difference between shuffling every distinct value and shuffling one
+  * bitmap per (group, 32k-id bucket). Same contract q114 demonstrates by
+  * hand; this rule makes the engine apply it to ordinary `COUNT(DISTINCT)`
+  * SQL automatically.
+  *
+  * Spark's bitmap functions are defined on POSITIVE ids only (position is
+  * (x-1) mod 32768, asserted non-negative at runtime), so the full long
+  * range is first mapped through the sign-split bijection
+  * `x >= 1 ? x : 1 - x` with the sign in the grouping key — exact for every
+  * value except Long.MinValue (whose image overflows), which is excluded by
+  * an aggregate FILTER and counted once via a max-flag instead. Nulls are
+  * skipped by both forms.
+  *
+  * Enabled per-session with `SET spark.graft.bitmapDistinct=true` (default
+  * off). Deliberately narrow: fires only when every output of the aggregate
+  * is a grouping key or THE single filter-free integral `COUNT(DISTINCT x)`
+  * — anything else keeps Spark's plan. The rewrite preserves the original
+  * output exprIds so downstream references bind unchanged.
+  */
+case class BitmapDistinctRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!session.conf.get("spark.graft.bitmapDistinct", "false").toBoolean) plan
+    else plan.transformUp {
+      case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
+        val groupAttrs = groupExprs.collect { case a: AttributeReference => a }
+        val distincts = aggExprs.collect {
+          case al @ Alias(AggregateExpression(Count(Seq(c)), _, true, None, _), _)
+              if integral(c.dataType) => (al, c)
+        }
+        val passThrough = aggExprs.collect { case a: AttributeReference => a }
+        val shapeOk =
+          groupAttrs.size == groupExprs.size &&
+          distincts.size == 1 &&
+          passThrough.size + 1 == aggExprs.size &&
+          passThrough.forall(p => groupAttrs.exists(_.exprId == p.exprId))
+        if (!shapeOk) agg
+        else {
+          val (origAlias, col) = distincts.head
+          val x = if (col.dataType == LongType) col else Cast(col, LongType)
+          val one = Literal(1L)
+          val isPos = GreaterThanOrEqual(x, one)
+          val isMin = EqualTo(x, Literal(Long.MinValue))
+          // bijection into [1, 2^63) except Long.MinValue, whose image would
+          // overflow under ANSI arithmetic — it maps (harmlessly) to 1 and is
+          // excluded from the bitmap by the FILTER below; the flag counts it
+          val mapped = If(isMin, one, If(isPos, x, Subtract(one, x)))
+          // the bitmap_* scalar fns are RuntimeReplaceable and the optimizer's
+          // ReplaceExpressions batch has already run — inline the replacements
+          val bucket = BitmapBucketNumber(mapped).replacement
+          val bm = Alias(
+            AggregateExpression(
+              BitmapConstructAgg(BitmapBitPosition(mapped).replacement),
+              Complete, isDistinct = false, filter = Some(Not(isMin))),
+            "graft_bm")()
+          val minFlag = Alias(
+            AggregateExpression(Max(If(isMin, one, Literal(0L))),
+              Complete, isDistinct = false),
+            "graft_minflag")()
+          val inner = Aggregate(
+            groupExprs ++ Seq(isPos, bucket),
+            (groupAttrs: Seq[NamedExpression]) ++
+              Seq(Alias(isPos, "graft_sign")(), Alias(bucket, "graft_bkt")(),
+                bm, minFlag),
+            child)
+          val total = Alias(
+            Add(
+              Coalesce(Seq(
+                AggregateExpression(Sum(BitmapCount(bm.toAttribute).replacement),
+                  Complete, isDistinct = false),
+                Literal(0L))),
+              Coalesce(Seq(
+                AggregateExpression(Max(minFlag.toAttribute),
+                  Complete, isDistinct = false),
+                Literal(0L)))),
+            origAlias.name)(exprId = origAlias.exprId)
+          val outerAggs: Seq[NamedExpression] = aggExprs.map {
+            case a: AttributeReference => a
+            case _ => total
+          }
+          Aggregate(groupExprs, outerAggs, inner)
+        }
+    }
+}
