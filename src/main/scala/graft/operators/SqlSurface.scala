@@ -960,6 +960,62 @@ object SqlSurface {
                    THEN substr(props, 1, length(props) - 2) END AS corrupt_raw
        FROM events WHERE event_id < 3000 ORDER BY event_id"""
 
+  /** Order-dependent recursion as a higher-order fold: integer EMA
+    * (ema' = (7*ema + 3*v) DIV 10) over each user's purchase sequence via
+    * aggregate() on the time-sorted value array — the declarative form of a
+    * stateful per-key scan (what mapGroupsWithState does on streams). The
+    * fold stays in exact integers so the cross-engine compare is bit-exact
+    * (DuckDB twin: list_reduce, first element as init on both sides). */
+  def q117IntegerEma(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.events.filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+        abs(floor($"value")).cast("long").as("v"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"ts_us", $"event_id", $"v"))).as("obs"))
+      .selectExpr("user_id", "CAST(size(obs) AS BIGINT) AS n_obs",
+        "transform(obs, o -> o.v) AS vs")
+      .selectExpr("user_id", "n_obs",
+        "element_at(vs, 1) AS first_v",
+        "element_at(vs, -1) AS last_v",
+        """aggregate(slice(vs, 2, CAST(n_obs AS INT) - 1), element_at(vs, 1),
+             (a, x) -> (a * 7 + x * 3) DIV 10) AS ema""")
+      .orderBy($"user_id")
+  }
+
+  val q117Oracle: String =
+    """WITH p AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                         abs(floor(value))::BIGINT AS v
+                  FROM events WHERE event_type = 'purchase'),
+       l AS (SELECT user_id, list(v ORDER BY ts_us, event_id) AS vs
+             FROM p GROUP BY user_id)
+       SELECT user_id, len(vs)::BIGINT AS n_obs,
+              vs[1] AS first_v, vs[-1] AS last_v,
+              list_reduce(vs, (a, x) -> (a * 7 + x * 3) // 10)::BIGINT AS ema
+       FROM l ORDER BY user_id"""
+
+  /** SQL session variables (Spark 4 DECLARE / SET VAR): a parameterized
+    * filter threshold lives in the session, referenced by name in the query
+    * text — the session-state contract SQL clients of the gateway use for
+    * templated dashboards. Constant-folded into the plan at analysis, so
+    * the predicate still pushes into the scan. Oracle inlines the value. */
+  def q118SqlVariables(t: T): DataFrame = {
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.spark.sql("DECLARE OR REPLACE VARIABLE graft_min_qty DOUBLE DEFAULT 30.0")
+    t.spark.sql("SET VAR graft_min_qty = 45.0")
+    t.spark.sql(
+      """SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(FLOOR(l_extendedprice)) AS BIGINT) AS price_floor_sum
+         FROM lineitem WHERE l_quantity > graft_min_qty
+         GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
+  val q118Oracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+              SUM(FLOOR(l_extendedprice))::BIGINT AS price_floor_sum
+       FROM lineitem WHERE l_quantity > 45.0
+       GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -996,6 +1052,8 @@ object SqlSurface {
     "q114_bitmap_distinct" -> ((s, d) => q114BitmapDistinct(T(s, d))),
     "q115_xml_fns"        -> ((s, d) => q115XmlFns(T(s, d))),
     "q116_corrupt_json"   -> ((s, d) => q116CorruptJson(T(s, d))),
+    "q117_integer_ema"    -> ((s, d) => q117IntegerEma(T(s, d))),
+    "q118_sql_variables"  -> ((s, d) => q118SqlVariables(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1034,5 +1092,7 @@ object SqlSurface {
     "q114_bitmap_distinct" -> q114Oracle,
     "q115_xml_fns"        -> q115Oracle,
     "q116_corrupt_json"   -> q116Oracle,
+    "q117_integer_ema"    -> q117Oracle,
+    "q118_sql_variables"  -> q118Oracle,
   )
 }
