@@ -874,6 +874,57 @@ object Pipeline {
               SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens
        FROM s GROUP BY 1 ORDER BY split"""
 
+  /** Per-source dataset card: the summary block a curation run publishes
+    * with each snapshot — volume (docs, tokens), t03's quality score
+    * averaged, exact-duplicate share (md5 text-hash multiplicity, d01's
+    * key), and language spread. One doc-level pass + one hash-group join;
+    * every aggregate is integer-exact. The per-source rows are what mixture
+    * design (p09/p17) and quota capping (p08) consume as input. */
+  def p20DatasetCard(t: T): DataFrame = {
+    import t.spark.implicits._
+    val scored = t.documents
+      .withColumn("n_tok", size(split($"text", " ")).cast("long"))
+      .withColumn("n_dis", size(expr("array_distinct(split(text, ' '))")).cast("long"))
+      .withColumn("n_stop", size(expr(
+        "filter(split(text, ' '), x -> x IN ('the','a','of','and','to','in','is'))")).cast("long"))
+      .withColumn("quality_bp", expr(
+        "((n_dis * 10000) DIV n_tok) * 5 DIV 10 + least(n_tok, 100L) * 30 " +
+        "+ ((n_stop * 10000) DIV n_tok) * 2 DIV 10"))
+    val dupCounts = t.documents
+      .groupBy(md5($"text").as("h")).agg(count(lit(1)).as("c"))
+    scored.withColumn("h", md5($"text"))
+      .join(dupCounts, "h")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        expr("SUM(quality_bp) DIV COUNT(1)").as("mean_quality_bp"),
+        sum(when($"c" > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        countDistinct($"lang").as("n_langs"))
+      .withColumn("dup_bp", expr("n_dup_docs * 10000 DIV n_docs"))
+      .orderBy($"source")
+  }
+
+  val p20Oracle: String =
+    """WITH b AS (SELECT doc_id, source, lang, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+             FROM documents),
+       q AS (SELECT *,
+               ((n_dis * 10000) // n_tok) * 5 // 10 + LEAST(n_tok, 100) * 30
+                 + ((n_stop * 10000) // n_tok) * 2 // 10 AS quality_bp
+             FROM b),
+       d AS (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY 1)
+       SELECT source, COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tokens,
+              (SUM(quality_bp) // COUNT(*))::BIGINT AS mean_quality_bp,
+              SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+              COUNT(DISTINCT lang) AS n_langs,
+              (SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 10000
+                 // COUNT(*))::BIGINT AS dup_bp
+       FROM q JOIN d ON d.h = md5(q.text)
+       GROUP BY source ORDER BY source"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -894,6 +945,7 @@ object Pipeline {
     "p17_sqrt_temperature"    -> ((s, d) => p17SqrtTemperature(T(s, d))),
     "p18_epoch_shuffle"       -> ((s, d) => p18EpochShuffle(T(s, d))),
     "p19_clean_eval_split"    -> ((s, d) => p19CleanEvalSplit(T(s, d))),
+    "p20_dataset_card"        -> ((s, d) => p20DatasetCard(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -916,5 +968,6 @@ object Pipeline {
     "p17_sqrt_temperature"    -> p17Oracle,
     "p18_epoch_shuffle"       -> p18Oracle,
     "p19_clean_eval_split"    -> p19Oracle,
+    "p20_dataset_card"        -> p20Oracle,
   )
 }

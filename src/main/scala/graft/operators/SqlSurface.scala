@@ -1016,6 +1016,32 @@ object SqlSurface {
        FROM lineitem WHERE l_quantity > 45.0
        GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Multi-aggregate PIVOT: one pivot producing BOTH a count and a floored
+    * value sum per pivoted event type (Spark names the columns
+    * `<value>_<aggAlias>`). q28 is the single-agg form; real reporting
+    * pivots carry several measures at once. DuckDB oracle is the FILTER
+    * conditional-aggregation expansion, which is also exactly how Catalyst
+    * lowers pivot (PivotFirst over grouped FILTER aggregates). */
+  def q119MultiAggPivot(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.events
+      .withColumn("user_bucket", ($"user_id" % 10).cast("long"))
+      .groupBy($"user_bucket")
+      .pivot("event_type", Seq("click", "purchase"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value")).cast("long").as("vsum"))
+      .na.fill(0L)
+      .orderBy($"user_bucket")
+  }
+
+  val q119Oracle: String =
+    """SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+              COUNT(*) FILTER (WHERE event_type = 'click') AS click_n,
+              COALESCE(SUM(FLOOR(value)) FILTER (WHERE event_type = 'click'), 0)::BIGINT AS click_vsum,
+              COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+              COALESCE(SUM(FLOOR(value)) FILTER (WHERE event_type = 'purchase'), 0)::BIGINT AS purchase_vsum
+       FROM events GROUP BY 1 ORDER BY user_bucket"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -1054,6 +1080,7 @@ object SqlSurface {
     "q116_corrupt_json"   -> ((s, d) => q116CorruptJson(T(s, d))),
     "q117_integer_ema"    -> ((s, d) => q117IntegerEma(T(s, d))),
     "q118_sql_variables"  -> ((s, d) => q118SqlVariables(T(s, d))),
+    "q119_multi_agg_pivot" -> ((s, d) => q119MultiAggPivot(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1094,5 +1121,6 @@ object SqlSurface {
     "q116_corrupt_json"   -> q116Oracle,
     "q117_integer_ema"    -> q117Oracle,
     "q118_sql_variables"  -> q118Oracle,
+    "q119_multi_agg_pivot" -> q119Oracle,
   )
 }
