@@ -29,9 +29,10 @@ import org.apache.spark.sql.types._
   * (x-1) mod 32768, asserted non-negative at runtime), so the full long
   * range is first mapped through the sign-split bijection
   * `x >= 1 ? x : 1 - x` with the sign in the grouping key — exact for every
-  * value except Long.MinValue (whose image overflows), which is excluded by
-  * an aggregate FILTER and counted once via a max-flag instead. Nulls are
-  * skipped by both forms.
+  * value except the two bottom ones (Long.MinValue and Long.MinValue+1,
+  * whose images overflow ANSI long arithmetic), which are excluded by an
+  * aggregate FILTER and counted once each via presence flags instead.
+  * Nulls are skipped by both forms.
   *
   * Enabled per-session with `SET spark.graft.bitmapDistinct=true` (default
   * off). Deliberately narrow: fires only when every output of the aggregate
@@ -67,39 +68,47 @@ case class BitmapDistinctRewrite(session: SparkSession) extends Rule[LogicalPlan
           val x = if (col.dataType == LongType) col else Cast(col, LongType)
           val one = Literal(1L)
           val isPos = GreaterThanOrEqual(x, one)
-          val isMin = EqualTo(x, Literal(Long.MinValue))
-          // bijection into [1, 2^63) except Long.MinValue, whose image would
-          // overflow under ANSI arithmetic — it maps (harmlessly) to 1 and is
-          // excluded from the bitmap by the FILTER below; the flag counts it
-          val mapped = If(isMin, one, If(isPos, x, Subtract(one, x)))
+          // sign-split bijection into [1, 2^63): x>=1 keeps x, x<=0 maps to
+          // 1-x. There are two more non-positives than positives, so the two
+          // bottom values (MinValue, whose image is undefined, and
+          // MinValue+1, whose image 2^63 overflows ANSI arithmetic) are
+          // excluded from the bitmap by the FILTER below and counted by one
+          // presence flag each; their mapped value is a harmless 1
+          val isSpecial = LessThanOrEqual(x, Literal(Long.MinValue + 1))
+          val mapped = If(isSpecial, one, If(isPos, x, Subtract(one, x)))
           // the bitmap_* scalar fns are RuntimeReplaceable and the optimizer's
           // ReplaceExpressions batch has already run — inline the replacements
           val bucket = BitmapBucketNumber(mapped).replacement
           val bm = Alias(
             AggregateExpression(
               BitmapConstructAgg(BitmapBitPosition(mapped).replacement),
-              Complete, isDistinct = false, filter = Some(Not(isMin))),
+              Complete, isDistinct = false, filter = Some(Not(isSpecial))),
             "graft_bm")()
-          val minFlag = Alias(
-            AggregateExpression(Max(If(isMin, one, Literal(0L))),
+          def presenceFlag(v: Long, name: String): Alias = Alias(
+            AggregateExpression(
+              Max(If(EqualTo(x, Literal(v)), one, Literal(0L))),
               Complete, isDistinct = false),
-            "graft_minflag")()
+            name)()
+          val minFlag = presenceFlag(Long.MinValue, "graft_minflag")
+          val min1Flag = presenceFlag(Long.MinValue + 1, "graft_min1flag")
           val inner = Aggregate(
             groupExprs ++ Seq(isPos, bucket),
             (groupAttrs: Seq[NamedExpression]) ++
               Seq(Alias(isPos, "graft_sign")(), Alias(bucket, "graft_bkt")(),
-                bm, minFlag),
+                bm, minFlag, min1Flag),
             child)
+          def outerMax(a: Attribute): Expression = Coalesce(Seq(
+            AggregateExpression(Max(a), Complete, isDistinct = false),
+            Literal(0L)))
           val total = Alias(
             Add(
-              Coalesce(Seq(
-                AggregateExpression(Sum(BitmapCount(bm.toAttribute).replacement),
-                  Complete, isDistinct = false),
-                Literal(0L))),
-              Coalesce(Seq(
-                AggregateExpression(Max(minFlag.toAttribute),
-                  Complete, isDistinct = false),
-                Literal(0L)))),
+              Add(
+                Coalesce(Seq(
+                  AggregateExpression(Sum(BitmapCount(bm.toAttribute).replacement),
+                    Complete, isDistinct = false),
+                  Literal(0L))),
+                outerMax(minFlag.toAttribute)),
+              outerMax(min1Flag.toAttribute)),
             origAlias.name)(exprId = origAlias.exprId)
           val outerAggs: Seq[NamedExpression] = aggExprs.map {
             case a: AttributeReference => a

@@ -51,6 +51,31 @@ class BitmapDistinctRewriteSpec extends SparkSpec {
     }
   }
 
+  test("randomized: rewrite == stock COUNT(DISTINCT) on 10 seeded long datasets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val extremes = Seq(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L,
+      32767L, 32768L, Long.MaxValue - 1, Long.MaxValue)
+    withRule {
+      spark.conf.set("spark.graft.bitmapDistinct", "true")
+      for (_ <- 1 to 10) {
+        val n = 1 + rnd.nextInt(200)
+        val vals = Seq.fill(n)(
+          if (rnd.nextInt(4) == 0) extremes(rnd.nextInt(extremes.size))
+          else rnd.nextLong() % 100000L) ++
+          Seq.fill(rnd.nextInt(5))(extremes(rnd.nextInt(extremes.size)))
+        val df = vals.toDF("v").withColumn("g", pmod(col("v"), lit(3)))
+        val got = df.groupBy($"g").agg(count_distinct($"v").as("n"))
+        assert(got.queryExecution.optimizedPlan.toString.contains("bitmap_construct_agg"))
+        val expected = vals.groupBy(v => ((v % 3) + 3) % 3).view.mapValues(_.distinct.size)
+        val rows = got.collect().map(r => (if (r.get(0) == null) -1L else r.getLong(0)) -> r.getLong(1)).toMap
+        expected.foreach { case (g, cnt) =>
+          assert(rows(g) == cnt.toLong, s"group $g: got ${rows(g)}, want $cnt in $vals")
+        }
+      }
+    }
+  }
+
   test("conf off, multi-agg, non-integral, and filtered shapes are untouched") {
     withRule {
       // conf defaults to false -> passthrough even with the rule installed
