@@ -264,7 +264,12 @@ object Multimodal {
     * the same single-window shape as p15 (at 100 TB: per-source sub-shards
     * then a prefix-sum over per-source totals — two window passes, no
     * single-partition bottleneck; documented not implemented, as for p15). */
-  def m06ShardManifest(t: T, budgetBytes: Int = 16384): DataFrame = {
+  /** Default shard byte budget — the registered m06 oracle is generated
+    * from this same constant, so only default-budget calls are
+    * oracle-comparable; other budgets are for library use. */
+  val ShardBudgetBytes: Int = 16384
+
+  def m06ShardManifest(t: T, budgetBytes: Int = ShardBudgetBytes): DataFrame = {
     import t.spark.implicits._
     import org.apache.spark.sql.expressions.Window
     assets(t).toDF()
@@ -283,7 +288,7 @@ object Multimodal {
 
   /** Oracle: payload bytes == length(text) (ASCII corpus, UTF-8 payload). */
   val m06Oracle: String =
-    """WITH a AS (SELECT doc_id AS asset_id,
+    s"""WITH a AS (SELECT doc_id AS asset_id,
                 CASE WHEN doc_id % 3 = 0 THEN 'image'
                      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
                 length(text)::BIGINT AS n_bytes
@@ -292,7 +297,7 @@ object Multimodal {
                SUM(n_bytes) OVER (ORDER BY asset_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
              FROM a)
-       SELECT ((cum - n_bytes) // 16384)::BIGINT AS shard_id,
+       SELECT ((cum - n_bytes) // $ShardBudgetBytes)::BIGINT AS shard_id,
               COUNT(*) AS n_assets, SUM(n_bytes)::BIGINT AS shard_bytes,
               SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END)::BIGINT AS n_image,
               SUM(CASE WHEN kind = 'audio' THEN 1 ELSE 0 END)::BIGINT AS n_audio,

@@ -121,17 +121,22 @@ object Pipeline {
     * (much smaller) holdout gram set, aggregate per doc — one shuffle on the
     * gram key, never doc×doc all-pairs, so it survives a 100 TB corpus
     * against a fixed benchmark suite. */
-  def p04Contamination(t: T): DataFrame = {
-    import t.spark.implicits._
-    val grams = t.documents
-      .select($"doc_id", $"source", split($"text", " ").as("toks"))
-      .select($"doc_id", $"source", explode(expr(
-        // sequence(1, n) DESCENDS when n < 1 — guard short docs explicitly
+  /** Distinct word-5-grams per doc: (doc_id, source, gram) — the shared
+    * contamination currency of p04/p12/p19. sequence(1, n) DESCENDS when
+    * n < 1, so short docs are guarded to zero grams explicitly. */
+  private def fiveGrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"), explode(expr(
         """CASE WHEN size(toks) >= 5
              THEN transform(sequence(1, size(toks) - 4),
                             i -> concat_ws(' ', slice(toks, i, 5)))
              ELSE array() END""")).as("gram"))
       .distinct()
+
+  def p04Contamination(t: T): DataFrame = {
+    import t.spark.implicits._
+    val grams = fiveGrams(t.documents)
     val holdout = grams.filter($"source" === "src0")
       .select($"gram").distinct().withColumn("hit", lit(1L))
     grams.filter($"source" =!= "src0")
@@ -452,14 +457,7 @@ object Pipeline {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
     def posExpr(j: Int) = expr(s"((${bloomA(j)} * gh + ${bloomB(j)}) % $bloomP) % 4096")
-    val grams = t.documents
-      .select($"doc_id", $"source", split($"text", " ").as("toks"))
-      .select($"doc_id", $"source", explode(expr(
-        """CASE WHEN size(toks) >= 5
-             THEN transform(sequence(1, size(toks) - 4),
-                            i -> concat_ws(' ', slice(toks, i, 5)))
-             ELSE array() END""")).as("gram"))
-      .distinct()
+    val grams = fiveGrams(t.documents)
       .withColumn("gh", expr("poly_hash(gram)"))
     val bits = grams.filter($"source" === "src0")
       .select(explode(array(posExpr(1), posExpr(2), posExpr(3))).as("pos"))
@@ -819,21 +817,9 @@ object Pipeline {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
     val corpus = t.documents.filter($"source" =!= "src0")
-    val grams = corpus
-      .select($"doc_id", split($"text", " ").as("toks"))
-      .select($"doc_id", explode(expr(
-        """CASE WHEN size(toks) >= 5
-             THEN transform(sequence(1, size(toks) - 4),
-                            i -> concat_ws(' ', slice(toks, i, 5)))
-             ELSE array() END""")).as("gram"))
-      .distinct()
-    val holdout = t.documents.filter($"source" === "src0")
-      .select(explode(expr(
-        """CASE WHEN size(split(text, ' ')) >= 5
-             THEN transform(sequence(1, size(split(text, ' ')) - 4),
-                            i -> concat_ws(' ', slice(split(text, ' '), i, 5)))
-             ELSE array() END""")).as("gram"))
-      .distinct()
+    val grams = fiveGrams(corpus).select($"doc_id", $"gram")
+    val holdout = fiveGrams(t.documents.filter($"source" === "src0"))
+      .select($"gram").distinct()
     val tainted = grams.join(holdout, Seq("gram"), "left_semi")
       .select($"doc_id").distinct().withColumn("bad", lit(true))
     corpus

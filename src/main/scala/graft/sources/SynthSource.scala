@@ -162,26 +162,41 @@ private case class SynthOffset(id: Long)
 }
 
 /** Micro-batch view of the generator: the unread id range [lo, hi) drains in
-  * `rowsPerBatch` admission steps (0 = all at once). Purely deterministic —
-  * restarting from a checkpointed offset regenerates identical rows, which is
-  * exactly the replayable-source contract Structured Streaming requires for
-  * end-to-end exactly-once. */
+  * `rowsPerBatch` admission steps (0 = all at once). Implements
+  * SupportsAdmissionControl so each trigger's end offset is computed FROM
+  * the checkpointed start offset — the stream object keeps no watermark
+  * state, which makes restart trivially correct (a fresh instance given
+  * start=N continues at N; the restart spec proves committed rows are never
+  * re-emitted). Purely deterministic: replaying any offset range
+  * regenerates identical rows, the replayable-source contract Structured
+  * Streaming requires for end-to-end exactly-once. */
 private class SynthMicroBatchStream(lo: Long, hi: Long, parts: Int,
                                     required: StructType, rowsPerBatch: Long)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
-
-  @volatile private var watermark: Long = lo
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
 
   override def initialOffset(): Offset = SynthOffset(lo)
 
-  override def latestOffset(): Offset = {
-    // each trigger admits one more batch of ids (admission control)
-    watermark =
-      if (rowsPerBatch <= 0) hi
-      else math.min(hi, watermark + rowsPerBatch)
-    SynthOffset(watermark)
+  override def getDefaultReadLimit: ReadLimit =
+    if (rowsPerBatch <= 0) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[SynthOffset].id
+    val end = limit match {
+      case m: ReadMaxRows => math.min(hi, start + m.maxRows())
+      case _ => hi
+    }
+    SynthOffset(math.max(start, end))
   }
+
+  /** Spark calls the admission-control overload when it is implemented. */
+  override def latestOffset(): Offset =
+    throw new IllegalStateException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def reportLatestOffset(): Offset = SynthOffset(hi)
 
   override def deserializeOffset(json: String): Offset = SynthOffset(json.toLong)
 

@@ -324,7 +324,8 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q114_bitmap_distinct")
     // COUNT(DISTINCT) would rewrite through Expand; the bitmap path must not
     assert(!p.contains("Expand"), p)
-    assert(p.contains("partial_bitmap_construct_agg") || p.contains("partial"), p)
+    assert(p.contains("partial_bitmap_construct_agg"),
+      s"expected map-side bitmap pre-aggregation:\n$p")
   }
 
   test("d15: provenance attribution broadcasts the narrow (doc_id, source) side") {

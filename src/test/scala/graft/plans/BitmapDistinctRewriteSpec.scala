@@ -76,6 +76,34 @@ class BitmapDistinctRewriteSpec extends SparkSpec {
     }
   }
 
+  test("shipped injection path: rule fires in a GraftExtensions-built session") {
+    import org.apache.spark.sql.SparkSession
+    val prior = spark // keep the shared context alive
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      s2.conf.set("spark.graft.bitmapDistinct", "true")
+      import s2.implicits._
+      val df = Seq(1L, 2L, 2L, 0L, -5L, -5L).toDF("v")
+        .withColumn("g", $"v" % 2)
+        .groupBy($"g").agg(
+          org.apache.spark.sql.functions.count_distinct($"v").as("n"))
+      // extendedOperatorOptimizationRules run inside the fixed-point batch —
+      // the rewritten two-level aggregate must survive the other rules there
+      assert(df.queryExecution.optimizedPlan.toString.contains("bitmap_construct_agg"),
+        df.queryExecution.optimizedPlan.toString)
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(0L -> 2L, 1L -> 1L, -1L -> 1L), got) // {2,0}, {1}, {-5}
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
   test("conf off, multi-agg, non-integral, and filtered shapes are untouched") {
     withRule {
       // conf defaults to false -> passthrough even with the rule installed

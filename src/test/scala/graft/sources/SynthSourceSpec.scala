@@ -55,6 +55,32 @@ class SynthSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart from checkpoint does not re-emit committed rows") {
+    // memory sink can't recover from a checkpoint — use the file sink,
+    // whose manifest also detects duplicate batch re-writes
+    val ckpt = java.nio.file.Files.createTempDirectory("synth-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("synth-out").toString
+    def run(rows: Int): Unit = {
+      val q = spark.readStream.format("graft.sources.SynthSource")
+        .option("rows", rows.toString).option("partitions", "2")
+        .option("rowsPerBatch", "40")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(rows = 80)
+    assert(spark.read.parquet(out).count() == 80)
+    // "more data arrives": same checkpoint, id range extended to 120. The
+    // restarted stream instance must resume at the committed offset 80 —
+    // a fresh watermark starting at 0 would re-emit [0, 80) here.
+    run(rows = 120)
+    val all = spark.read.parquet(out)
+    assert(all.count() == 120, s"duplicates re-emitted: ${all.count()} rows")
+    assert(all.select(col("doc_id")).distinct().count() == 120)
+  }
+
   test("streaming read prunes columns and pushes the doc_id range") {
     val df = spark.readStream.format("graft.sources.SynthSource")
       .option("rows", "1000").option("partitions", "2")
