@@ -334,6 +334,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q111: both IGNORE NULLS windows share one user_id exchange") {
+    val p = plan("q111_ignore_nulls")
+    assert(!p.contains("Join"), p)
+    // one hash exchange for the shared (user_id) window spec + the output
+    // sort's range exchange — a second hash exchange would mean the two
+    // window functions stopped sharing a Window operator
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected shared window exchange:\n$p")
+  }
+
+  test("q117: EMA fold is one aggregation — no join, no extra shuffle") {
+    val p = plan("q117_integer_ema")
+    assert(!p.contains("Join"), p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected groupBy + sort exchanges only:\n$p")
+  }
+
+  test("p19: the contamination gate is a semi-join on gram, never doc x doc") {
+    val p = plan("p19_clean_eval_split")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline") {
     // "*(n)" prefixes mark operators fused into whole-stage codegen; AQE
     // only shows them after the stages actually run
