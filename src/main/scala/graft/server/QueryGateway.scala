@@ -73,7 +73,15 @@ final class QueryGateway(
       while (line != null && line.trim != "quit") {
         if (line.trim.nonEmpty) {
           try {
-            val it = session.sql(line).toJSON.toLocalIterator()
+            val (meta, sql) = QueryGateway.parseMeta(line)
+            // per-statement scheduling class (the reference's --metadata
+            // flags, carried as a hint comment over the same wire): urgent/
+            // bulk statements run in the weighted FAIR pools; unmarked
+            // statements keep the connection's own pool
+            val pool =
+              if (meta == graft.sharing.JobMeta()) s"graft-client-$id" else meta.pool
+            session.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+            val it = session.sql(sql).toJSON.toLocalIterator()
             out.println("ok")
             var n = 0L
             while (n < maxRows && it.hasNext) { out.println(it.next()); n += 1 }
@@ -91,6 +99,31 @@ final class QueryGateway(
   }
 
   def close(): Unit = { running = false; server.close() }
+}
+
+object QueryGateway {
+  private val MetaHint =
+    """(?s)^\s*/\*\+\s*graft\(([^)]*)\)\s*\*/\s*(.*)$""".r
+
+  /** Parse an optional `/*+ graft(priority=N, deadlineMs=T) */` hint prefix
+    * into the statement's [[graft.sharing.JobMeta]] — the wire form of the
+    * reference's DAGMetadata descriptor (its README's --metadata flags).
+    * Unknown keys are ignored; a malformed hint is treated as plain SQL so
+    * a typo degrades to default scheduling, never to an error. */
+  def parseMeta(line: String): (graft.sharing.JobMeta, String) = line match {
+    case MetaHint(kvs, sql) =>
+      val pairs = kvs.split(",").iterator.map(_.trim).filter(_.nonEmpty).flatMap {
+        kv => kv.split("=", 2) match {
+          case Array(k, v) => Some(k.trim.toLowerCase -> v.trim)
+          case _ => None
+        }
+      }.toMap
+      val meta = graft.sharing.JobMeta(
+        priority = pairs.get("priority").flatMap(_.toIntOption).getOrElse(0),
+        deadlineMs = pairs.get("deadlinems").flatMap(_.toLongOption))
+      (meta, sql)
+    case _ => (graft.sharing.JobMeta(), line)
+  }
 }
 
 /** JDBC/ODBC front-end: Spark's own HiveThriftServer2 bound to the shared

@@ -27,6 +27,34 @@ class QueryGatewaySpec extends SparkSpec {
     (head, rows.result(), line)
   }
 
+  test("metadata hint parses to JobMeta and the hinted statement still runs") {
+    import graft.sharing.JobMeta
+    // pure parse: the wire form of the reference's --metadata flags
+    assert(QueryGateway.parseMeta("SELECT 1") == (JobMeta(), "SELECT 1"))
+    val (m1, s1) = QueryGateway.parseMeta(
+      "/*+ graft(priority=5, deadlineMs=123456) */ SELECT 1 AS x")
+    assert(m1 == JobMeta(priority = 5, deadlineMs = Some(123456L)))
+    assert(s1 == "SELECT 1 AS x")
+    assert(m1.pool == "graft-urgent")
+    val (m2, _) = QueryGateway.parseMeta("/*+ graft(priority=-1) */ SELECT 2")
+    assert(m2.pool == "graft-bulk")
+    // malformed hint degrades to plain SQL (which then fails in the parser,
+    // not the gateway) and unknown keys are ignored
+    val (m3, _) = QueryGateway.parseMeta("/*+ graft(priority=oops, zz=1) */ SELECT 3")
+    assert(m3 == JobMeta())
+    // end-to-end: a hinted statement executes and streams
+    val gw = new QueryGateway(spark, s => Tables.register(s, sfDir))
+    try {
+      val (sock, out, in) = connect(gw.boundPort)
+      out.println("/*+ graft(priority=9) */ SELECT count(*) AS n FROM region")
+      val (head, rows, trailer) = readResponse(in)
+      assert(head == "ok")
+      assert(rows.size == 1 && rows.head.contains("\"n\":5"), rows)
+      assert(trailer == "done 1")
+      sock.close()
+    } finally gw.close()
+  }
+
   test("gateway executes SQL and streams JSON rows per connection") {
     val gw = new QueryGateway(spark, s => Tables.register(s, sfDir))
     try {
