@@ -911,6 +911,40 @@ object Pipeline {
        FROM q JOIN d ON d.h = md5(q.text)
        GROUP BY source ORDER BY source"""
 
+  /** Effective token count per source: tokens discounted by d09's
+    * substring-duplication coverage — "10 B tokens of which 40% is
+    * boilerplate is 6 B effective tokens", the deduplicated-data-size
+    * number scaling-law planning actually consumes (cf. the repeated-data
+    * discount in Muennighoff et al. 2023). Per-doc discount in exact
+    * integer bp, then one rollup per source. */
+  def p21EffectiveTokens(t: T): DataFrame = {
+    import t.spark.implicits._
+    val cov = Dedup.d09SubstringDupCoverage(t).select($"doc_id", $"dup_bp")
+    t.documents
+      .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("tokens"))
+      .join(cov, "doc_id")
+      .withColumn("eff", expr("tokens * (10000 - dup_bp) DIV 10000"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"tokens").as("n_tokens"),
+        sum($"eff").as("effective_tokens"))
+      .withColumn("eff_bp", expr("effective_tokens * 10000 DIV n_tokens"))
+      .orderBy($"source")
+  }
+
+  /** The d09 oracle verbatim as a nested CTE, discounted and rolled up. */
+  val p21Oracle: String =
+    s"""WITH cov AS (${Dedup.d09Oracle}),
+       d AS (SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+             FROM documents)
+       SELECT source, COUNT(*) AS n_docs, SUM(tokens)::BIGINT AS n_tokens,
+              SUM(tokens * (10000 - dup_bp) // 10000)::BIGINT AS effective_tokens,
+              (SUM(tokens * (10000 - dup_bp) // 10000) * 10000
+                 // SUM(tokens))::BIGINT AS eff_bp
+       FROM d JOIN cov USING (doc_id)
+       GROUP BY source ORDER BY source"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -932,6 +966,7 @@ object Pipeline {
     "p18_epoch_shuffle"       -> ((s, d) => p18EpochShuffle(T(s, d))),
     "p19_clean_eval_split"    -> ((s, d) => p19CleanEvalSplit(T(s, d))),
     "p20_dataset_card"        -> ((s, d) => p20DatasetCard(T(s, d))),
+    "p21_effective_tokens"    -> ((s, d) => p21EffectiveTokens(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -955,5 +990,6 @@ object Pipeline {
     "p18_epoch_shuffle"       -> p18Oracle,
     "p19_clean_eval_split"    -> p19Oracle,
     "p20_dataset_card"        -> p20Oracle,
+    "p21_effective_tokens"    -> p21Oracle,
   )
 }

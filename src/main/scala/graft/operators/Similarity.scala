@@ -540,6 +540,39 @@ object Similarity {
                 AS err_micro
        FROM c ORDER BY vec_id"""
 
+  /** Label purity of the LSH retrieval: per query, the share of s02's
+    * candidate neighbors that carry the query's own label (basis points) —
+    * the retrieval-quality metric a labeled eval set gives you for free
+    * (high purity = the ANN index clusters semantically; low purity on a
+    * high-recall query = the embedding space, not the index, is the
+    * problem). Two broadcast joins of the narrow (vec_id, label) projection
+    * onto the candidate stream. */
+  def s10LabelPurity(t: T): DataFrame = {
+    import t.spark.implicits._
+    val labels = t.embeddings.select($"vec_id", $"label")
+    s02HyperplaneLsh(t).select($"query_id", $"neighbor_id")
+      .join(labels.select($"vec_id".as("query_id"), $"label".as("ql")), "query_id")
+      .join(labels.select($"vec_id".as("neighbor_id"), $"label".as("nl")), "neighbor_id")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when($"ql" === $"nl", 1L).otherwise(0L)).as("n_same_label"))
+      .withColumn("purity_bp", expr("n_same_label * 10000 DIV n_neighbors"))
+      .orderBy($"query_id")
+  }
+
+  /** The s02 oracle verbatim as a nested CTE, joined to labels. */
+  val s10Oracle: String =
+    s"""WITH ann AS ($s02Oracle)
+       SELECT query_id, COUNT(*) AS n_neighbors,
+              SUM(CASE WHEN a.label = b.label THEN 1 ELSE 0 END)::BIGINT
+                AS n_same_label,
+              (SUM(CASE WHEN a.label = b.label THEN 1 ELSE 0 END) * 10000
+                 // COUNT(*))::BIGINT AS purity_bp
+       FROM ann
+       JOIN embeddings a ON a.vec_id = ann.query_id
+       JOIN embeddings b ON b.vec_id = ann.neighbor_id
+       GROUP BY query_id ORDER BY query_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
@@ -550,6 +583,7 @@ object Similarity {
     "s07_ivf_recall"        -> ((s, d) => s07IvfRecall(T(s, d))),
     "s08_ivf_stats"         -> ((s, d) => s08IvfStats(T(s, d))),
     "s09_quant_audit"       -> ((s, d) => s09QuantAudit(T(s, d))),
+    "s10_label_purity"      -> ((s, d) => s10LabelPurity(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -562,5 +596,6 @@ object Similarity {
     "s07_ivf_recall"        -> s07Oracle,
     "s08_ivf_stats"         -> s08Oracle,
     "s09_quant_audit"       -> s09Oracle,
+    "s10_label_purity"      -> s10Oracle,
   )
 }

@@ -361,6 +361,25 @@ object StreamOps {
         AND p_us >= ts_us AND p_us <= ts_us + 600000000
        GROUP BY user_id ORDER BY user_id"""
 
+  /** Complete-output-mode leaderboard: running top-k event types by count.
+    * Sort + LIMIT over a streaming aggregate is only legal in complete mode
+    * (the whole result re-emits per trigger) — the third output-mode family
+    * member next to the append (w01-w07) and update paths, and the shape of
+    * every live "top sources/types right now" dashboard. Deterministic
+    * tie-break on the type name. */
+  def topTypeCounts(events: DataFrame, k: Int = 3): DataFrame =
+    events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+      .limit(k)
+
+  /** Batch twin of [[topTypeCounts]] for oracle coverage. */
+  def w08TopTypes(t: graft.T): DataFrame =
+    topTypeCounts(t.events)
+
+  val w08Oracle: String =
+    """SELECT event_type, COUNT(*) AS n FROM events
+       GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_windowed_type_counts" -> ((s, d) => w01WindowedTypeCounts(graft.T(s, d))),
     "w02_session_windows"      -> ((s, d) => w02SessionWindows(graft.T(s, d))),
@@ -369,6 +388,7 @@ object StreamOps {
     "w05_enriched_counts"      -> ((s, d) => w05EnrichedCounts(graft.T(s, d))),
     "w06_interval_join_pairs"  -> ((s, d) => w06IntervalJoinPairs(graft.T(s, d))),
     "w07_outer_interval_join"  -> ((s, d) => w07OuterIntervalJoin(graft.T(s, d))),
+    "w08_top_types"            -> ((s, d) => w08TopTypes(graft.T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -379,5 +399,6 @@ object StreamOps {
     "w05_enriched_counts"      -> w05Oracle,
     "w06_interval_join_pairs"  -> w06Oracle,
     "w07_outer_interval_join"  -> w07Oracle,
+    "w08_top_types"            -> w08Oracle,
   )
 }

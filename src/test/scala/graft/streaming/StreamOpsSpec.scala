@@ -186,6 +186,26 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("complete-mode top-k: final leaderboard == batch top-k on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evts = (1 to 20).map(i => StreamOps.Evt(i,
+      ts(i % 10, 0), i % 5,
+      Seq("click", "click", "view", "purchase")(i % 4), 1.0))
+    val batch = snap(StreamOps.topTypeCounts(evts.toDF()))
+    val src = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.topTypeCounts(src.toDF())
+      .writeStream.format("memory").queryName("top_types")
+      .outputMode("complete").start()
+    try {
+      src.addData(evts.take(10): _*)
+      q.processAllAvailable()
+      src.addData(evts.drop(10): _*) // leaderboard must re-emit, not append
+      q.processAllAvailable()
+      assert(snap(spark.table("top_types")) == batch)
+    } finally q.stop()
+  }
+
   test("outer interval join: orphan clicks emitted with nulls once watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
