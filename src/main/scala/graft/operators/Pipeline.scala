@@ -868,14 +868,12 @@ object Pipeline {
     * design (p09/p17) and quota capping (p08) consume as input. */
   def p20DatasetCard(t: T): DataFrame = {
     import t.spark.implicits._
+    // t03's ACTUAL query (not a re-statement of its formula) supplies the
+    // per-doc quality score, the same way p21 reuses d09 and s10 reuses s02
+    val quality = TextAnalysis.t03QualityScore(t).select($"doc_id", $"quality_bp")
     val scored = t.documents
       .withColumn("n_tok", size(split($"text", " ")).cast("long"))
-      .withColumn("n_dis", size(expr("array_distinct(split(text, ' '))")).cast("long"))
-      .withColumn("n_stop", size(expr(
-        "filter(split(text, ' '), x -> x IN ('the','a','of','and','to','in','is'))")).cast("long"))
-      .withColumn("quality_bp", expr(
-        "((n_dis * 10000) DIV n_tok) * 5 DIV 10 + least(n_tok, 100L) * 30 " +
-        "+ ((n_stop * 10000) DIV n_tok) * 2 DIV 10"))
+      .join(quality, "doc_id")
     val dupCounts = t.documents
       .groupBy(md5($"text").as("h")).agg(count(lit(1)).as("c"))
     scored.withColumn("h", md5($"text"))
@@ -890,17 +888,13 @@ object Pipeline {
       .orderBy($"source")
   }
 
+  /** The t03 oracle verbatim as a nested CTE (its quality_bp is the
+    * contract), joined back to the corpus for source/lang/token rollup. */
   val p20Oracle: String =
-    """WITH b AS (SELECT doc_id, source, lang, text,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis,
-               CAST(len(list_filter(string_split(text, ' '),
-                        x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+    s"""WITH q3 AS (${TextAnalysis.t03Oracle}),
+       b AS (SELECT doc_id, source, lang, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
              FROM documents),
-       q AS (SELECT *,
-               ((n_dis * 10000) // n_tok) * 5 // 10 + LEAST(n_tok, 100) * 30
-                 + ((n_stop * 10000) // n_tok) * 2 // 10 AS quality_bp
-             FROM b),
        d AS (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY 1)
        SELECT source, COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tokens,
               (SUM(quality_bp) // COUNT(*))::BIGINT AS mean_quality_bp,
@@ -908,7 +902,7 @@ object Pipeline {
               COUNT(DISTINCT lang) AS n_langs,
               (SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 10000
                  // COUNT(*))::BIGINT AS dup_bp
-       FROM q JOIN d ON d.h = md5(q.text)
+       FROM b JOIN q3 USING (doc_id) JOIN d ON d.h = md5(b.text)
        GROUP BY source ORDER BY source"""
 
   /** Effective token count per source: tokens discounted by d09's

@@ -1001,8 +1001,12 @@ object SqlSurface {
     * the predicate still pushes into the scan. Oracle inlines the value. */
   def q118SqlVariables(t: T): DataFrame = {
     t.lineitem.createOrReplaceTempView("lineitem")
-    t.spark.sql("DECLARE OR REPLACE VARIABLE graft_min_qty DOUBLE DEFAULT 30.0")
-    t.spark.sql("SET VAR graft_min_qty = 45.0")
+    // the session variable is shared session state: declare the final value
+    // and make the SET VAR self-referential-idempotent (greatest with the
+    // same threshold), so concurrent invocations interleaving DECLARE/SET
+    // can never fold a partially-updated value into a sibling's plan
+    t.spark.sql("DECLARE OR REPLACE VARIABLE graft_min_qty DOUBLE DEFAULT 45.0")
+    t.spark.sql("SET VAR graft_min_qty = greatest(graft_min_qty, 45.0)")
     t.spark.sql(
       """SELECT l_returnflag, COUNT(*) AS n,
                 CAST(SUM(FLOOR(l_extendedprice)) AS BIGINT) AS price_floor_sum

@@ -76,10 +76,12 @@ final class QueryGateway(
             val (meta, sql) = QueryGateway.parseMeta(line)
             // per-statement scheduling class (the reference's --metadata
             // flags, carried as a hint comment over the same wire): urgent/
-            // bulk statements run in the weighted FAIR pools; unmarked
-            // statements keep the connection's own pool
+            // bulk statements run in the weighted FAIR pool classes; any
+            // other statement — including deadline-only hints, since EDF
+            // ordering lives in the BatchWindow path, not here — keeps the
+            // connection's own pool and its FAIR isolation
             val pool =
-              if (meta == graft.sharing.JobMeta()) s"graft-client-$id" else meta.pool
+              if (meta.priority != 0) meta.pool else s"graft-client-$id"
             session.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
             val it = session.sql(sql).toJSON.toLocalIterator()
             out.println("ok")

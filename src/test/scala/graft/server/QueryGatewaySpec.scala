@@ -38,6 +38,11 @@ class QueryGatewaySpec extends SparkSpec {
     assert(m1.pool == "graft-urgent")
     val (m2, _) = QueryGateway.parseMeta("/*+ graft(priority=-1) */ SELECT 2")
     assert(m2.pool == "graft-bulk")
+    // a deadline-only hint carries metadata but priority 0 — the gateway
+    // must keep such statements in the connection's own pool (EDF ordering
+    // belongs to the BatchWindow path)
+    val (m4, _) = QueryGateway.parseMeta("/*+ graft(deadlineMs=9) */ SELECT 4")
+    assert(m4 == JobMeta(deadlineMs = Some(9L)) && m4.priority == 0)
     // malformed hint degrades to plain SQL (which then fails in the parser,
     // not the gateway) and unknown keys are ignored
     val (m3, _) = QueryGateway.parseMeta("/*+ graft(priority=oops, zz=1) */ SELECT 3")
