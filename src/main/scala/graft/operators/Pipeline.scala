@@ -939,6 +939,58 @@ object Pipeline {
        FROM d JOIN cov USING (doc_id)
        GROUP BY source ORDER BY source"""
 
+  /** Water-filling source caps: given a token budget (60% of the corpus),
+    * find the unique water level `cap` such that charging every source
+    * min(its tokens, cap) spends the budget — the closed-form solver behind
+    * "cap the over-represented sources, keep the small ones whole" mixture
+    * balancing (p08 applies a FIXED cap; this computes the right one).
+    * Closed form over sorted prefix sums: the first k (ascending sizes)
+    * where prefix_k + (n-k)·size_k covers the budget pins
+    * cap = (budget - prefix_k) DIV (n-k). All integer arithmetic; the
+    * window runs over the per-SOURCE rollup (20 rows), not the corpus, so
+    * the single-partition sort is trivially safe at any scale. */
+  def p22SourceWaterfill(t: T): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sizes = t.documents.groupBy($"source")
+      .agg(sum(size(split($"text", " ")).cast("long")).as("tokens"))
+    val tot = sizes.agg(sum($"tokens").as("total"), count(lit(1)).as("n_src"))
+    val w = Window.orderBy($"tokens", $"source")
+    val ordered = sizes.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("total * 6 DIV 10"))
+      .withColumn("prefix", coalesce(
+        sum($"tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("k", row_number().over(w) - 1)
+    val cap = ordered
+      .filter(expr("prefix + (n_src - k) * tokens >= budget"))
+      .orderBy($"k").limit(1)
+      .selectExpr("(budget - prefix) DIV (n_src - k) AS cap")
+    ordered.crossJoin(broadcast(cap))
+      .select($"source", $"tokens",
+        least($"tokens", $"cap").as("allocation"),
+        ($"tokens" > $"cap").as("capped"),
+        $"cap", $"budget")
+      .orderBy($"source")
+  }
+
+  val p22Oracle: String =
+    """WITH sizes AS (SELECT source,
+               SUM(len(string_split(text, ' ')))::BIGINT AS tokens
+             FROM documents GROUP BY source),
+       tot AS (SELECT SUM(tokens)::BIGINT AS total, COUNT(*) AS n_src FROM sizes),
+       ordered AS (SELECT source, tokens, n_src, total * 6 // 10 AS budget,
+               COALESCE(SUM(tokens) OVER (ORDER BY tokens, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+               ROW_NUMBER() OVER (ORDER BY tokens, source) - 1 AS k
+             FROM sizes CROSS JOIN tot),
+       cap AS (SELECT (budget - prefix) // (n_src - k) AS cap FROM ordered
+               WHERE prefix + (n_src - k) * tokens >= budget
+               ORDER BY k LIMIT 1)
+       SELECT source, tokens, LEAST(tokens, cap)::BIGINT AS allocation,
+              (tokens > cap) AS capped, cap::BIGINT AS cap,
+              budget::BIGINT AS budget
+       FROM ordered CROSS JOIN cap ORDER BY source"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -961,6 +1013,7 @@ object Pipeline {
     "p19_clean_eval_split"    -> ((s, d) => p19CleanEvalSplit(T(s, d))),
     "p20_dataset_card"        -> ((s, d) => p20DatasetCard(T(s, d))),
     "p21_effective_tokens"    -> ((s, d) => p21EffectiveTokens(T(s, d))),
+    "p22_source_waterfill"    -> ((s, d) => p22SourceWaterfill(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -985,5 +1038,6 @@ object Pipeline {
     "p19_clean_eval_split"    -> p19Oracle,
     "p20_dataset_card"        -> p20Oracle,
     "p21_effective_tokens"    -> p21Oracle,
+    "p22_source_waterfill"    -> p22Oracle,
   )
 }

@@ -380,6 +380,28 @@ object StreamOps {
     """SELECT event_type, COUNT(*) AS n FROM events
        GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3"""
 
+  /** Update-output-mode running counts per (user, type): each trigger emits
+    * only the keys whose count changed — the third output mode (append:
+    * w01-w07, complete: w08), and the state-table shape every live
+    * per-entity counter service uses. The parity spec proves the LATEST
+    * update per key converges to the batch counts. */
+  def userTypeCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Batch twin of [[userTypeCounts]] for oracle coverage (bounded to the
+    * first users so the row count stays sane at any sf). */
+  def w09UserTypeCounts(t: graft.T): DataFrame = {
+    import t.spark.implicits._
+    userTypeCounts(t.events.filter($"user_id" < 50))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val w09Oracle: String =
+    """SELECT user_id, event_type, COUNT(*) AS n FROM events
+       WHERE user_id < 50 GROUP BY user_id, event_type
+       ORDER BY user_id, event_type"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_windowed_type_counts" -> ((s, d) => w01WindowedTypeCounts(graft.T(s, d))),
     "w02_session_windows"      -> ((s, d) => w02SessionWindows(graft.T(s, d))),
@@ -389,6 +411,7 @@ object StreamOps {
     "w06_interval_join_pairs"  -> ((s, d) => w06IntervalJoinPairs(graft.T(s, d))),
     "w07_outer_interval_join"  -> ((s, d) => w07OuterIntervalJoin(graft.T(s, d))),
     "w08_top_types"            -> ((s, d) => w08TopTypes(graft.T(s, d))),
+    "w09_user_type_counts"     -> ((s, d) => w09UserTypeCounts(graft.T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -400,5 +423,6 @@ object StreamOps {
     "w06_interval_join_pairs"  -> w06Oracle,
     "w07_outer_interval_join"  -> w07Oracle,
     "w08_top_types"            -> w08Oracle,
+    "w09_user_type_counts"     -> w09Oracle,
   )
 }

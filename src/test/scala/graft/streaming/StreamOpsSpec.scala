@@ -186,6 +186,31 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("update-mode counts: latest update per key == batch counts, changed keys re-emit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evts = (1 to 24).map(i => StreamOps.Evt(i, ts(i % 10, 0), i % 3,
+      Seq("click", "view")(i % 2), 1.0))
+    val batch = StreamOps.userTypeCounts(evts.toDF())
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val src = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.userTypeCounts(src.toDF())
+      .writeStream.format("memory").queryName("user_type_counts")
+      .outputMode("update").start()
+    try {
+      src.addData(evts.take(12): _*)
+      q.processAllAvailable()
+      src.addData(evts.drop(12): _*)
+      q.processAllAvailable()
+      val rows = spark.table("user_type_counts").collect()
+      // every key changed in both triggers -> two emissions per key
+      assert(rows.length > batch.size, s"update mode should re-emit changed keys: ${rows.length}")
+      val latest = rows.groupBy(r => (r.getLong(0), r.getString(1)))
+        .view.mapValues(_.map(_.getLong(2)).max).toMap
+      assert(latest == batch)
+    } finally q.stop()
+  }
+
   test("complete-mode top-k: final leaderboard == batch top-k on same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
