@@ -816,6 +816,36 @@ object Dedup {
        JOIN documents b ON b.doc_id = pairs.doc_b
        GROUP BY 1, 2 ORDER BY src_lo, src_hi"""
 
+  /** Per-cluster diversity audit: before d12/p16 drop a cluster's members,
+    * what exactly is being collapsed — languages and sources spanned,
+    * length spread, membership. A near-dup cluster spanning several
+    * sources is syndication (safe to keep one); one spanning languages is
+    * usually an LSH false merge worth inspecting. Composes d07's labels
+    * with one rollup on cluster_id. */
+  def d16ClusterAudit(t: T): DataFrame = {
+    import t.spark.implicits._
+    val labels = d07DedupClusters(t) // (doc_id, cluster_id)
+    labels.join(t.documents.select($"doc_id", $"lang", $"source", $"n_chars"), "doc_id")
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"lang").as("n_langs"),
+        countDistinct($"source").as("n_sources"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+      .filter($"n_docs" > 1)
+      .orderBy($"cluster_id")
+  }
+
+  /** The d07 oracle verbatim as a nested CTE, rolled up per cluster. */
+  val d16Oracle: String =
+    s"""WITH labels AS ($d07Oracle)
+       SELECT cluster_id, COUNT(*) AS n_docs,
+              COUNT(DISTINCT lang) AS n_langs,
+              COUNT(DISTINCT source) AS n_sources,
+              MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+       FROM labels JOIN documents USING (doc_id)
+       GROUP BY cluster_id HAVING COUNT(*) > 1
+       ORDER BY cluster_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"        -> ((s, d) => d01ExactDedup(T(s, d))),
     "d02_ngram_jaccard"      -> ((s, d) => d02NgramJaccardPairs(T(s, d))),
@@ -832,6 +862,7 @@ object Dedup {
     "d12_cluster_keeper"     -> ((s, d) => d12ClusterKeeper(T(s, d))),
     "d13_semantic_clusters"  -> ((s, d) => d13SemanticClusters(T(s, d))),
     "d15_dup_provenance"     -> ((s, d) => d15DupProvenance(T(s, d))),
+    "d16_cluster_audit"      -> ((s, d) => d16ClusterAudit(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -850,5 +881,6 @@ object Dedup {
     "d12_cluster_keeper"    -> d12Oracle,
     "d13_semantic_clusters" -> d13Oracle,
     "d15_dup_provenance"    -> d15Oracle,
+    "d16_cluster_audit"     -> d16Oracle,
   )
 }
