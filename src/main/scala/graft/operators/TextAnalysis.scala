@@ -614,6 +614,56 @@ object TextAnalysis {
        JOIN sizes sb ON sb.source = src_b
        ORDER BY src_a, src_b"""
 
+  /** Per-source distribution drift: the source's unigram cross-entropy
+    * against the CORPUS distribution next to its own entropy, in t09's
+    * integer floor-log2 milli-bit surrogate — their gap is the KL-style
+    * divergence mixture design watches for domain drift (a source whose
+    * cross-entropy far exceeds its self-entropy speaks a different
+    * language than the mixture). The two sums are emitted separately
+    * because each is non-negative while their difference is not, and
+    * Spark's DIV truncates where DuckDB's // floors on negatives. One
+    * token census joined to the corpus census on token. */
+  def t17SourceDrift(t: T): DataFrame = {
+    import t.spark.implicits._
+    val toks = t.documents
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+    val corpus = toks.groupBy($"tok").agg(count(lit(1)).as("cw"))
+    val corpusTotal = corpus.agg(sum($"cw").as("nn"))
+    val bySource = toks.groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+      .withColumn("ns", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+    bySource.join(corpus, "tok").crossJoin(broadcast(corpusTotal))
+      .withColumn("surp_q", expr("length(bin(nn DIV cw)) - 1").cast("long"))
+      .withColumn("surp_p", expr("length(bin(ns DIV c)) - 1").cast("long"))
+      .groupBy($"source")
+      .agg(max($"ns").as("n_tokens"),
+        expr("sum(c * surp_q) * 1000 DIV max(ns)").as("cross_mbits"),
+        expr("sum(c * surp_p) * 1000 DIV max(ns)").as("self_mbits"))
+      .orderBy($"source")
+  }
+
+  val t17Oracle: String =
+    """WITH toks AS (
+         SELECT source, tok FROM (
+           SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+         WHERE length(tok) > 0),
+       corpus AS (SELECT tok, COUNT(*) AS cw FROM toks GROUP BY tok),
+       tot AS (SELECT SUM(cw)::BIGINT AS nn FROM corpus),
+       bysrc AS (
+         SELECT source, tok, COUNT(*) AS c,
+                SUM(COUNT(*)) OVER (PARTITION BY source) AS ns
+         FROM toks GROUP BY source, tok),
+       scored AS (
+         SELECT source, c, ns,
+                (length(format('{:b}', (nn // cw)::BIGINT)) - 1)::BIGINT AS surp_q,
+                (length(format('{:b}', (ns // c)::BIGINT)) - 1)::BIGINT AS surp_p
+         FROM bysrc JOIN corpus USING (tok) CROSS JOIN tot)
+       SELECT source, MAX(ns)::BIGINT AS n_tokens,
+              (SUM(c * surp_q) * 1000 // MAX(ns))::BIGINT AS cross_mbits,
+              (SUM(c * surp_p) * 1000 // MAX(ns))::BIGINT AS self_mbits
+       FROM scored GROUP BY source ORDER BY source"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
     "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
@@ -631,6 +681,7 @@ object TextAnalysis {
     "t14_readability"   -> ((s, d) => t14Readability(T(s, d))),
     "t15_novelty"       -> ((s, d) => t15Novelty(T(s, d))),
     "t16_vocab_overlap" -> ((s, d) => t16VocabOverlap(T(s, d))),
+    "t17_source_drift"  -> ((s, d) => t17SourceDrift(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -650,5 +701,6 @@ object TextAnalysis {
     "t14_readability"   -> t14Oracle,
     "t15_novelty"       -> t15Oracle,
     "t16_vocab_overlap" -> t16Oracle,
+    "t17_source_drift"  -> t17Oracle,
   )
 }
