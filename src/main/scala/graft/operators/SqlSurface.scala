@@ -1046,6 +1046,49 @@ object SqlSurface {
               COALESCE(SUM(FLOOR(value)) FILTER (WHERE event_type = 'purchase'), 0)::BIGINT AS purchase_vsum
        FROM events GROUP BY 1 ORDER BY user_bucket"""
 
+  /** DISTRIBUTE BY / SORT BY: the ETL-writer surface for controlling
+    * physical layout (files-per-partition sizing, within-partition
+    * clustering for downstream merge reads) without changing the result
+    * set. The oracle is the same projection — physical layout is invisible
+    * to the rows — while the capability exercised is the Spark-specific
+    * repartition+local-sort SQL clauses. */
+  def q120DistributeBy(t: T): DataFrame = {
+    t.orders.createOrReplaceTempView("orders")
+    t.spark.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor
+         FROM orders WHERE o_orderkey < 5000
+         DISTRIBUTE BY o_custkey SORT BY o_custkey, o_orderkey""")
+      .orderBy("o_orderkey")
+  }
+
+  val q120Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+              FLOOR(o_totalprice)::BIGINT AS price_floor
+       FROM orders WHERE o_orderkey < 5000 ORDER BY o_orderkey"""
+
+  /** Join-strategy hints through SQL: BROADCAST pins the dimension build
+    * side, REPARTITION sizes the output — the escape hatches when stats
+    * mislead the optimizer (the 100 TB "I know better than AQE this once"
+    * lever). Result-identical to the unhinted join, which is the oracle;
+    * the plan effect (BroadcastHashJoin) is asserted in PlanQualitySpec. */
+  def q121JoinHints(t: T): DataFrame = {
+    t.orders.createOrReplaceTempView("orders")
+    t.customer.createOrReplaceTempView("customer")
+    t.spark.sql(
+      """SELECT /*+ BROADCAST(customer), REPARTITION(8) */
+                c_mktsegment, COUNT(*) AS n_orders,
+                CAST(SUM(FLOOR(o_totalprice)) AS BIGINT) AS price_floor_sum
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
+  val q121Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+              SUM(FLOOR(o_totalprice))::BIGINT AS price_floor_sum
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -1085,6 +1128,8 @@ object SqlSurface {
     "q117_integer_ema"    -> ((s, d) => q117IntegerEma(T(s, d))),
     "q118_sql_variables"  -> ((s, d) => q118SqlVariables(T(s, d))),
     "q119_multi_agg_pivot" -> ((s, d) => q119MultiAggPivot(T(s, d))),
+    "q120_distribute_by"  -> ((s, d) => q120DistributeBy(T(s, d))),
+    "q121_join_hints"     -> ((s, d) => q121JoinHints(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1126,5 +1171,7 @@ object SqlSurface {
     "q117_integer_ema"    -> q117Oracle,
     "q118_sql_variables"  -> q118Oracle,
     "q119_multi_agg_pivot" -> q119Oracle,
+    "q120_distribute_by"  -> q120Oracle,
+    "q121_join_hints"     -> q121Oracle,
   )
 }

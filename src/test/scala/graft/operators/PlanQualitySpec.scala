@@ -314,10 +314,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 1, s"expected at most the final sort exchange:\n$p")
   }
 
-  test("t16: vocab overlap joins ON token — equi-join, never a vocab cross join") {
-    val p = plan("t16_vocab_overlap")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  test("t16/t17: token-census joins stay equi-joins, never a vocab cross join") {
+    for (q <- Seq("t16_vocab_overlap", "t17_source_drift")) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q:\n${plan(q)}")
+    }
+    // t16's only joins are equi ON token; t17 additionally broadcasts a
+    // 1-row corpus total, which legitimately plans as a nested-loop
+    // broadcast — so the BNLJ ban applies to t16 alone
+    assert(!plan("t16_vocab_overlap").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q121: BROADCAST hint pins the customer build side") {
+    val p = plan("q121_join_hints")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q114: bitmap distinct pre-aggregates map-side and plans no Expand") {
