@@ -846,6 +846,32 @@ object Dedup {
        GROUP BY cluster_id HAVING COUNT(*) > 1
        ORDER BY cluster_id"""
 
+  /** Survivorship merge: where d12/p16 ELECT one row per duplicate group,
+    * this MERGES the group's attributes into the surviving record — the
+    * record-linkage step that keeps provenance (all sources and languages
+    * the duplicate appeared under) instead of discarding it. Exact groups
+    * on the md5 text key (d01's identity); the survivor id is the minimum
+    * doc_id; multi-valued attributes collapse to sorted distinct lists. */
+  def d17Survivorship(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .groupBy(md5(substring($"text", 1, 64)).as("h")) // d01's identity key
+      .agg(count(lit(1)).as("n_members"),
+        min($"doc_id").as("survivor_id"),
+        array_join(array_sort(collect_set($"source")), ",").as("sources"),
+        array_join(array_sort(collect_set($"lang")), ",").as("langs"))
+      .filter($"n_members" > 1)
+      .select($"survivor_id", $"n_members", $"sources", $"langs")
+      .orderBy($"survivor_id")
+  }
+
+  val d17Oracle: String =
+    """SELECT MIN(doc_id) AS survivor_id, COUNT(*) AS n_members,
+              string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+              string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+       FROM documents GROUP BY md5(substr(text, 1, 64)) HAVING COUNT(*) > 1
+       ORDER BY survivor_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"        -> ((s, d) => d01ExactDedup(T(s, d))),
     "d02_ngram_jaccard"      -> ((s, d) => d02NgramJaccardPairs(T(s, d))),
@@ -863,6 +889,7 @@ object Dedup {
     "d13_semantic_clusters"  -> ((s, d) => d13SemanticClusters(T(s, d))),
     "d15_dup_provenance"     -> ((s, d) => d15DupProvenance(T(s, d))),
     "d16_cluster_audit"      -> ((s, d) => d16ClusterAudit(T(s, d))),
+    "d17_survivorship"       -> ((s, d) => d17Survivorship(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -882,5 +909,6 @@ object Dedup {
     "d13_semantic_clusters" -> d13Oracle,
     "d15_dup_provenance"    -> d15Oracle,
     "d16_cluster_audit"     -> d16Oracle,
+    "d17_survivorship"      -> d17Oracle,
   )
 }

@@ -991,6 +991,45 @@ object Pipeline {
               budget::BIGINT AS budget
        FROM ordered CROSS JOIN cap ORDER BY source"""
 
+  /** Padding-waste report for length-sorted batching: docs ranked by token
+    * count form fixed-size batches of 8; per batch the pad waste is
+    * n·max − Σtokens (every sequence pads to the batch max). Length-sorted
+    * batching is THE standard trick to shrink this number — the report
+    * quantifies what it achieves, per batch and in basis points, so the
+    * batching policy is measured rather than assumed. Same ranked-window
+    * shape as p15 (tiny per-source rollup at 100 TB: rank within source). */
+  def p23PaddingWaste(t: T, batchSize: Int = 8): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    t.documents
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("tokens"))
+      .withColumn("rk", row_number().over(Window.orderBy($"tokens", $"doc_id")))
+      .withColumn("batch_id", expr(s"(rk - 1) DIV $batchSize"))
+      .groupBy($"batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max($"tokens").as("max_tokens"),
+        sum($"tokens").as("sum_tokens"))
+      .withColumn("pad_waste", expr("n_docs * max_tokens - sum_tokens"))
+      .withColumn("waste_bp", expr("pad_waste * 10000 DIV (n_docs * max_tokens)"))
+      .orderBy($"batch_id")
+  }
+
+  val p23Oracle: String =
+    """WITH d AS (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+             FROM documents),
+       r AS (SELECT tokens,
+               ROW_NUMBER() OVER (ORDER BY tokens, doc_id) AS rk
+             FROM d),
+       b AS (SELECT ((rk - 1) // 8)::BIGINT AS batch_id, COUNT(*) AS n_docs,
+               MAX(tokens)::BIGINT AS max_tokens, SUM(tokens)::BIGINT AS sum_tokens
+             FROM r GROUP BY 1)
+       SELECT batch_id, n_docs, max_tokens, sum_tokens,
+              (n_docs * max_tokens - sum_tokens)::BIGINT AS pad_waste,
+              ((n_docs * max_tokens - sum_tokens) * 10000
+                 // (n_docs * max_tokens))::BIGINT AS waste_bp
+       FROM b ORDER BY batch_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -1014,6 +1053,7 @@ object Pipeline {
     "p20_dataset_card"        -> ((s, d) => p20DatasetCard(T(s, d))),
     "p21_effective_tokens"    -> ((s, d) => p21EffectiveTokens(T(s, d))),
     "p22_source_waterfill"    -> ((s, d) => p22SourceWaterfill(T(s, d))),
+    "p23_padding_waste"       -> ((s, d) => p23PaddingWaste(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1039,5 +1079,6 @@ object Pipeline {
     "p20_dataset_card"        -> p20Oracle,
     "p21_effective_tokens"    -> p21Oracle,
     "p22_source_waterfill"    -> p22Oracle,
+    "p23_padding_waste"       -> p23Oracle,
   )
 }

@@ -92,13 +92,51 @@ object UserFns {
               SUM(LEAST(GREATEST(l_quantity, 5.0), 45.0)::BIGINT)::BIGINT AS clamped_qty_sum
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Typed row for the Dataset-API lane. */
+  final case class OrderRow(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+
+  /** The typed Dataset API end-to-end: case-class rows, groupByKey,
+    * reduceGroups — the compile-time-checked lane the reference's
+    * schema-from-case-class clients used, kept oracle-comparable by
+    * emitting the reduced row's scalar fields. reduceGroups is
+    * order-sensitive in general; the reducer here is the (max, tiebreak)
+    * semilattice so any reduction tree yields the same row — the
+    * determinism contract typed reducers must satisfy on a cluster. */
+  def u03TypedReduce(t: T): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    t.orders
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .as[OrderRow]
+      .groupByKey(_.o_custkey % 100)
+      .reduceGroups((a: OrderRow, b: OrderRow) =>
+        if (a.o_totalprice > b.o_totalprice ||
+          (a.o_totalprice == b.o_totalprice && a.o_orderkey < b.o_orderkey)) a else b)
+      .map { case (bucket, top) =>
+        (bucket, top.o_orderkey, math.floor(top.o_totalprice).toLong)
+      }
+      .toDF("cust_bucket", "top_orderkey", "top_price_floor")
+      .orderBy($"cust_bucket")
+  }
+
+  val u03Oracle: String =
+    """SELECT cust_bucket, o_orderkey AS top_orderkey,
+              FLOOR(o_totalprice)::BIGINT AS top_price_floor
+       FROM (SELECT o_custkey % 100 AS cust_bucket, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey % 100
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders)
+       WHERE rn = 1 ORDER BY cust_bucket"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u01_udf_udaf" -> ((s, d) => u01UdfUdaf(T(s, d))),
     "u02_sql_udf"  -> ((s, d) => u02SqlUdf(T(s, d))),
+    "u03_typed_reduce" -> ((s, d) => u03TypedReduce(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
     "u01_udf_udaf" -> u01Oracle,
     "u02_sql_udf"  -> u02Oracle,
+    "u03_typed_reduce" -> u03Oracle,
   )
 }

@@ -106,6 +106,13 @@ object StreamOps {
   def enrichWithUsers(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left_outer")
 
+  /** Stream-static LEFT ANTI join: stream rows with NO match in the
+    * broadcast dimension — the live denylist/quarantine filter (unknown
+    * user, revoked key, missing consent record). Stateless per row, so it
+    * runs in append mode with no watermark requirement. */
+  def unmatchedEvents(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left_anti")
+
   /** Stream-stream interval join: purchases within 10 minutes after a click
     * by the same user. Both sides carry watermarks and the join condition
     * bounds event-time distance, so each side's buffered state is evictable —
@@ -402,6 +409,27 @@ object StreamOps {
        WHERE user_id < 50 GROUP BY user_id, event_type
        ORDER BY user_id, event_type"""
 
+  /** Batch twin of [[unmatchedEvents]]: events whose bucketed user id has
+    * no row in the first-10-nations dimension, counted per type. */
+  def w10AntiEnrich(t: graft.T): DataFrame = {
+    import t.spark.implicits._
+    val dim = t.nation.filter($"n_nationkey" < 10)
+      .select($"n_nationkey".as("user_id"))
+    unmatchedEvents(
+      t.events.withColumn("user_id", pmod($"user_id", lit(25L))), dim)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor($"value")).cast("long").as("value_floor_sum"))
+      .orderBy($"event_type")
+  }
+
+  val w10Oracle: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+              SUM(FLOOR(value))::BIGINT AS value_floor_sum
+       FROM events WHERE user_id % 25 NOT IN
+         (SELECT n_nationkey FROM nation WHERE n_nationkey < 10)
+       GROUP BY event_type ORDER BY event_type"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_windowed_type_counts" -> ((s, d) => w01WindowedTypeCounts(graft.T(s, d))),
     "w02_session_windows"      -> ((s, d) => w02SessionWindows(graft.T(s, d))),
@@ -412,6 +440,7 @@ object StreamOps {
     "w07_outer_interval_join"  -> ((s, d) => w07OuterIntervalJoin(graft.T(s, d))),
     "w08_top_types"            -> ((s, d) => w08TopTypes(graft.T(s, d))),
     "w09_user_type_counts"     -> ((s, d) => w09UserTypeCounts(graft.T(s, d))),
+    "w10_anti_enrich"          -> ((s, d) => w10AntiEnrich(graft.T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -424,5 +453,6 @@ object StreamOps {
     "w07_outer_interval_join"  -> w07Oracle,
     "w08_top_types"            -> w08Oracle,
     "w09_user_type_counts"     -> w09Oracle,
+    "w10_anti_enrich"          -> w10Oracle,
   )
 }

@@ -186,6 +186,24 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static anti join: streaming unmatched rows == batch anti join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(1L, 2L, 3L).toDF("user_id")
+    val evts = (1 to 12).map(i => StreamOps.Evt(i, ts(i, 0), i % 6, "click", 1.0))
+    val batch = snap(StreamOps.unmatchedEvents(evts.toDF(), dim))
+    assert(batch.nonEmpty) // users 0, 4, 5 have no dim row
+    val src = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.unmatchedEvents(src.toDF(), dim)
+      .writeStream.format("memory").queryName("anti_enrich")
+      .outputMode("append").start()
+    try {
+      src.addData(evts: _*)
+      q.processAllAvailable()
+      assert(snap(spark.table("anti_enrich")) == batch)
+    } finally q.stop()
+  }
+
   test("update-mode counts: latest update per key == batch counts, changed keys re-emit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
