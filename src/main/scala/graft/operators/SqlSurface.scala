@@ -1089,6 +1089,59 @@ object SqlSurface {
        FROM orders JOIN customer ON o_custkey = c_custkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** Percent-of-total analytics (ratio_to_report): each segment's share of
+    * the grand total and of its own nation, via window sums over the
+    * aggregate — one aggregation, two window frames, shares in exact
+    * integer basis points. */
+  def q122PercentOfTotal(t: T): DataFrame = {
+    t.customer.createOrReplaceTempView("customer")
+    t.spark.sql(
+      """WITH seg AS (
+           SELECT c_nationkey, c_mktsegment,
+                  CAST(SUM(FLOOR(c_acctbal)) AS BIGINT) AS bal
+           FROM customer WHERE c_acctbal > 0
+           GROUP BY c_nationkey, c_mktsegment)
+         SELECT c_nationkey, c_mktsegment, bal,
+                bal * 10000 DIV SUM(bal) OVER () AS share_total_bp,
+                bal * 10000 DIV SUM(bal) OVER (PARTITION BY c_nationkey)
+                  AS share_nation_bp
+         FROM seg ORDER BY c_nationkey, c_mktsegment""")
+  }
+
+  val q122Oracle: String =
+    """WITH seg AS (
+         SELECT c_nationkey, c_mktsegment,
+                SUM(FLOOR(c_acctbal))::BIGINT AS bal
+         FROM customer WHERE c_acctbal > 0
+         GROUP BY c_nationkey, c_mktsegment)
+       SELECT c_nationkey, c_mktsegment, bal,
+              (bal * 10000 // SUM(bal) OVER ())::BIGINT AS share_total_bp,
+              (bal * 10000 // SUM(bal) OVER (PARTITION BY c_nationkey))::BIGINT
+                AS share_nation_bp
+       FROM seg ORDER BY c_nationkey, c_mktsegment"""
+
+  /** ANSI FILTER clause on aggregates — the standard syntax for conditional
+    * aggregation (Spark 3.0+), the form Catalyst lowers CASE-WHEN pivots
+    * into. Identical on both engines, so the oracle IS the query. */
+  def q123FilterClause(t: T): DataFrame = {
+    t.events.createOrReplaceTempView("events")
+    t.spark.sql(
+      """SELECT user_id % 10 AS user_bucket,
+                COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+                COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+                CAST(SUM(FLOOR(value)) FILTER (WHERE event_type = 'purchase')
+                     AS BIGINT) AS purchase_floor_sum
+         FROM events GROUP BY user_id % 10 ORDER BY user_bucket""")
+  }
+
+  val q123Oracle: String =
+    """SELECT user_id % 10 AS user_bucket,
+              COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+              COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+              SUM(FLOOR(value)) FILTER (WHERE event_type = 'purchase')::BIGINT
+                AS purchase_floor_sum
+       FROM events GROUP BY user_id % 10 ORDER BY user_bucket"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -1130,6 +1183,8 @@ object SqlSurface {
     "q119_multi_agg_pivot" -> ((s, d) => q119MultiAggPivot(T(s, d))),
     "q120_distribute_by"  -> ((s, d) => q120DistributeBy(T(s, d))),
     "q121_join_hints"     -> ((s, d) => q121JoinHints(T(s, d))),
+    "q122_percent_of_total" -> ((s, d) => q122PercentOfTotal(T(s, d))),
+    "q123_filter_clause"  -> ((s, d) => q123FilterClause(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1173,5 +1228,7 @@ object SqlSurface {
     "q119_multi_agg_pivot" -> q119Oracle,
     "q120_distribute_by"  -> q120Oracle,
     "q121_join_hints"     -> q121Oracle,
+    "q122_percent_of_total" -> q122Oracle,
+    "q123_filter_clause"  -> q123Oracle,
   )
 }
