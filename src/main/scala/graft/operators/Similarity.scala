@@ -573,6 +573,86 @@ object Similarity {
        JOIN embeddings b ON b.vec_id = ann.neighbor_id
        GROUP BY query_id ORDER BY query_id"""
 
+  /** Recall@3 of retrieval over s09's uint8 codes: rank neighbors by the
+    * INTEGER code dot product (the arithmetic an int8-SIMD serving tier
+    * actually executes) and score against the exact-cosine top-3 — the
+    * measurement that decides whether 4x compression costs recall. Exact
+    * integer ranking on both engines; scale-free code dots are a proxy for
+    * cosine (per-vector scale cancels only approximately — that gap is
+    * precisely what this query measures). */
+  def s11QuantRecall(t: T): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Registry.ensure(t.spark)
+    val codes = t.embeddings
+      .selectExpr("vec_id", "transform(embedding, v -> CAST(v AS DOUBLE)) AS e")
+      .selectExpr("vec_id", "e", "array_min(e) AS mn", "array_max(e) AS mx")
+      .selectExpr("vec_id",
+        """CASE WHEN mx > mn
+             THEN transform(e, v -> CAST(floor((v - mn) * 255.0 / (mx - mn)) AS BIGINT))
+             ELSE transform(e, v -> CAST(0 AS BIGINT)) END AS codes""")
+    val qc = codes.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("query_id"), $"codes".as("q_codes"))
+    val approx = qc.join(codes, $"vec_id" =!= $"query_id")
+      .selectExpr("query_id", "vec_id AS neighbor_id",
+        """aggregate(zip_with(q_codes, codes, (a, b) -> a * b),
+             CAST(0 AS BIGINT), (s, x) -> s + x) AS dot""")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id")))
+      .filter($"rk" <= 3)
+      .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+    val emb = t.embeddings.select($"vec_id", $"embedding")
+    val truth = emb.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      .join(emb, $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (round(expr("cosine_sim(q_emb, embedding)"), 4) + lit(0.0)).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")))
+      .filter($"rk" <= 3)
+      .select($"query_id", $"neighbor_id")
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"hit", lit(0L))).as("n_hits"))
+      .select($"query_id", $"n_hits", expr("n_hits * 10000 DIV 3").as("recall_bp"))
+      .orderBy($"query_id")
+  }
+
+  val s11Oracle: String =
+    s"""WITH c0 AS (
+         SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e,
+                list_min(list_transform(embedding, v -> v::DOUBLE)) AS mn,
+                list_max(list_transform(embedding, v -> v::DOUBLE)) AS mx
+         FROM embeddings),
+       codes AS (
+         SELECT vec_id,
+                CASE WHEN mx > mn
+                  THEN list_transform(e, v -> floor((v - mn) * 255.0 / (mx - mn))::BIGINT)
+                  ELSE list_transform(e, v -> 0::BIGINT) END AS codes
+         FROM c0),
+       approx AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_sum(list_transform(range(1, 65),
+                      i -> q.codes[i] * c.codes[i])) DESC, c.vec_id) AS rk
+           FROM codes q JOIN codes c
+             ON q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id)
+         WHERE rk <= 3),
+       truth AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                    ROUND(${duckCos("a", "b")}, 4) DESC, b.vec_id) AS rk
+           FROM embeddings a JOIN embeddings b
+             ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id)
+         WHERE rk <= 3)
+       SELECT t.query_id, COUNT(a.neighbor_id)::BIGINT AS n_hits,
+              (COUNT(a.neighbor_id) * 10000 // 3)::BIGINT AS recall_bp
+       FROM truth t LEFT JOIN approx a
+         ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+       GROUP BY t.query_id ORDER BY t.query_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
@@ -584,6 +664,7 @@ object Similarity {
     "s08_ivf_stats"         -> ((s, d) => s08IvfStats(T(s, d))),
     "s09_quant_audit"       -> ((s, d) => s09QuantAudit(T(s, d))),
     "s10_label_purity"      -> ((s, d) => s10LabelPurity(T(s, d))),
+    "s11_quant_recall"      -> ((s, d) => s11QuantRecall(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -597,5 +678,6 @@ object Similarity {
     "s08_ivf_stats"         -> s08Oracle,
     "s09_quant_audit"       -> s09Oracle,
     "s10_label_purity"      -> s10Oracle,
+    "s11_quant_recall"      -> s11Oracle,
   )
 }
