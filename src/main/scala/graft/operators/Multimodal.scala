@@ -305,6 +305,48 @@ object Multimodal {
               MIN(asset_id) AS first_asset, MAX(asset_id) AS last_asset
        FROM c GROUP BY 1 ORDER BY shard_id"""
 
+  /** Video near-dup pairs by shared frame fingerprints: two videos whose
+    * sampled-frame checksum sets overlap ≥ 25% of the smaller set are
+    * re-encodes/clips of each other — the multimodal twin of d11's
+    * asymmetric containment, run on m03's frame stream instead of text
+    * shingles (a real pipeline swaps the checksum for a perceptual hash;
+    * the join shape is identical). One shuffle on the fingerprint key,
+    * pair space bounded by fingerprint collisions, never video x video. */
+  def m07FrameDupPairs(t: T): DataFrame = {
+    import t.spark.implicits._
+    val frames = sampleFrames(assets(t)).toDF()
+      .select($"asset_id", $"checksum").distinct()
+    val counts = frames.groupBy($"asset_id").agg(count(lit(1)).as("nf"))
+    frames.as("a").join(frames.as("b"),
+        $"a.checksum" === $"b.checksum" && $"a.asset_id" < $"b.asset_id")
+      .groupBy($"a.asset_id".as("asset_a"), $"b.asset_id".as("asset_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(counts.select($"asset_id".as("asset_a"), $"nf".as("na")), "asset_a")
+      .join(counts.select($"asset_id".as("asset_b"), $"nf".as("nb")), "asset_b")
+      .select($"asset_a", $"asset_b", $"n_shared",
+        expr("n_shared * 10000 DIV least(na, nb)").as("containment_bp"))
+      .filter($"containment_bp" >= 2500)
+      .orderBy($"asset_a", $"asset_b")
+  }
+
+  /** The m03 oracle verbatim as a nested CTE, self-joined on checksum. */
+  val m07Oracle: String =
+    s"""WITH f0 AS ($m03Oracle),
+       frames AS (SELECT DISTINCT asset_id, checksum FROM f0),
+       counts AS (SELECT asset_id, COUNT(*) AS nf FROM frames GROUP BY asset_id),
+       pairs AS (
+         SELECT a.asset_id AS asset_a, b.asset_id AS asset_b, COUNT(*) AS n_shared
+         FROM frames a JOIN frames b
+           ON a.checksum = b.checksum AND a.asset_id < b.asset_id
+         GROUP BY 1, 2)
+       SELECT asset_a, asset_b, n_shared,
+              (n_shared * 10000 // LEAST(ca.nf, cb.nf))::BIGINT AS containment_bp
+       FROM pairs
+       JOIN counts ca ON ca.asset_id = asset_a
+       JOIN counts cb ON cb.asset_id = asset_b
+       WHERE n_shared * 10000 // LEAST(ca.nf, cb.nf) >= 2500
+       ORDER BY asset_a, asset_b"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> ((s, d) => m01MediaFeatures(T(s, d))),
     "m02_media_rollup"   -> ((s, d) => m02MediaRollup(T(s, d))),
@@ -312,6 +354,7 @@ object Multimodal {
     "m04_audio_windows"  -> ((s, d) => m04AudioWindows(T(s, d))),
     "m05_modality_manifest" -> ((s, d) => m05ModalityManifest(T(s, d))),
     "m06_shard_manifest"    -> ((s, d) => m06ShardManifest(T(s, d))),
+    "m07_frame_dup_pairs"   -> ((s, d) => m07FrameDupPairs(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -321,5 +364,6 @@ object Multimodal {
     "m04_audio_windows"  -> m04Oracle,
     "m05_modality_manifest" -> m05Oracle,
     "m06_shard_manifest"    -> m06Oracle,
+    "m07_frame_dup_pairs"   -> m07Oracle,
   )
 }
