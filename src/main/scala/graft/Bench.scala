@@ -56,6 +56,14 @@ object Bench {
     println(line(results))
     println(line(results.sortBy(-_._2).take(10),
       s""","n_queries":${results.size}"""))
+    // the complete per-query map also goes to a file: stdout tails get
+    // truncated at a few KB, and round-over-round regression diffs need
+    // every timing, not the 10 slowest
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line(results, s""","n_queries":${results.size}""") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
   }
 }

@@ -736,13 +736,17 @@ object Dedup {
       .orderBy($"vec_id")
   }
 
-  /** The PRODUCTION path for [[d13SemanticClusters]]: candidate pairs from
-    * shared random-hyperplane LSH buckets (4 tables x 8 bits — s02's
-    * banding), exact cosine >= threshold on candidates only, then the same
-    * CC. Shuffle keys on (table, bucket) instead of the n^2/2 cross join —
-    * the shape that survives 10^11 vectors. Not oracle-declared because its
-    * output is the exact definition MINUS whatever LSH recall misses; the
-    * spec asserts the subset property and measures that recall instead. */
+  /** The PRODUCTION path for [[d13SemanticClusters]] and the DECLARED
+    * d13 query since round 6: candidate pairs from shared random-hyperplane
+    * LSH buckets (4 tables x 8 bits — s02's banding), exact cosine >=
+    * threshold on candidates only, then the same CC. Shuffle keys on
+    * (table, bucket) instead of the n^2/2 cross join — the shape that
+    * survives 10^11 vectors. The LSH is deterministic, so the whole
+    * pipeline is oracle-hashable: the DuckDB twin replicates the signature
+    * and banding in SQL (s06's pattern) and pays exact cosine only on
+    * bucket candidates too. The all-pairs [[d13SemanticClusters]] stays as
+    * the semantic definition; the PlanQualitySpec subset/recall gate ties
+    * the two together. */
   def d13SemanticClustersBucketed(t: T, thresholdMilli: Int = 400): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
@@ -774,6 +778,42 @@ object Dedup {
          WHERE list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
                / sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))
                     * list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))
+               >= 400 / 1000.0),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+       reach AS (
+         WITH RECURSIVE r(doc, label) AS (
+           SELECT s, s FROM edges
+           UNION
+           SELECT e2.d, r.label FROM r JOIN edges e2 ON e2.s = r.doc
+         ) SELECT doc, MIN(label) AS cluster_id FROM r GROUP BY doc)
+       SELECT doc AS vec_id, cluster_id FROM reach ORDER BY vec_id"""
+
+  /** DuckDB twin of [[d13SemanticClustersBucketed]]: the hyperplane
+    * signature and 4x8-bit banding replicated in SQL (same derivation as
+    * the s06 oracle), exact cosine only on bucket-coincident candidates,
+    * then the identical recursive CC. */
+  val d13BucketedOracle: String =
+    """WITH sigs AS (
+         SELECT vec_id, embedding,
+           list_sum(list_transform(range(0, 32), m ->
+             CASE WHEN list_sum(list_transform(range(1, 65), i ->
+               embedding[i]::DOUBLE * ((((m + 1) * 37 + i * 101) % 97 % 2) * 2 - 1))) > 0
+             THEN 1::BIGINT << m::INT ELSE 0::BIGINT END)) AS sig
+         FROM embeddings),
+       bands AS (
+         SELECT vec_id, embedding, t AS tbl, (sig >> (t * 8)::INT) & 255 AS bucket
+         FROM sigs, range(0, 4) r(t)),
+       cand AS (
+         SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                a.embedding AS ea, b.embedding AS eb
+         FROM bands a JOIN bands b
+           ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       pairs AS (
+         SELECT doc_a, doc_b FROM cand
+         WHERE list_sum(list_transform(range(1, 65), i -> ea[i]::DOUBLE * eb[i]::DOUBLE))
+               / sqrt(list_sum(list_transform(range(1, 65), i -> ea[i]::DOUBLE * ea[i]::DOUBLE))
+                    * list_sum(list_transform(range(1, 65), i -> eb[i]::DOUBLE * eb[i]::DOUBLE)))
                >= 400 / 1000.0),
        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
                  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -886,7 +926,7 @@ object Dedup {
     "d14_lsh_tuning"         -> ((s, d) => d14LshTuning(T(s, d))),
     "d11_containment_pairs"  -> ((s, d) => d11ContainmentPairs(T(s, d))),
     "d12_cluster_keeper"     -> ((s, d) => d12ClusterKeeper(T(s, d))),
-    "d13_semantic_clusters"  -> ((s, d) => d13SemanticClusters(T(s, d))),
+    "d13_semantic_clusters"  -> ((s, d) => d13SemanticClustersBucketed(T(s, d))),
     "d15_dup_provenance"     -> ((s, d) => d15DupProvenance(T(s, d))),
     "d16_cluster_audit"      -> ((s, d) => d16ClusterAudit(T(s, d))),
     "d17_survivorship"       -> ((s, d) => d17Survivorship(T(s, d))),
@@ -906,7 +946,7 @@ object Dedup {
     "d14_lsh_tuning"        -> d14Oracle,
     "d11_containment_pairs" -> d11Oracle,
     "d12_cluster_keeper"    -> d12Oracle,
-    "d13_semantic_clusters" -> d13Oracle,
+    "d13_semantic_clusters" -> d13BucketedOracle,
     "d15_dup_provenance"    -> d15Oracle,
     "d16_cluster_audit"     -> d16Oracle,
     "d17_survivorship"      -> d17Oracle,

@@ -327,10 +327,13 @@ object Graph {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
     val lab = t.documents.select($"doc_id", $"lang")
+    // cache, not localCheckpoint: m/deg/intra reuse the blocks but lineage
+    // stays intact (an evicted or executor-lost block recomputes instead of
+    // failing the job), and nothing materializes unless the result runs
     val pe = Dedup.d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
       .join(lab.select($"doc_id".as("doc_a"), $"lang".as("la")), "doc_a")
       .join(lab.select($"doc_id".as("doc_b"), $"lang".as("lb")), "doc_b")
-      .localCheckpoint()
+      .cache()
     val m = pe.select(count(lit(1)).as("m"))
     val deg = pe.select($"la".as("lang")).union(pe.select($"lb".as("lang")))
       .groupBy($"lang").agg(count(lit(1)).as("degree_sum"))

@@ -684,7 +684,11 @@ object SqlSurface {
     * TypedImperativeAggregate: top-3 order totals (integer cents) per
     * order status in ONE aggregation — each map task ships a bounded
     * 3-slot buffer per group instead of ranking rows through a window.
-    * DuckDB twin: sort the grouped list descending and slice. */
+    * Output is posexploded to scalar (status, rk, cents) rows: array
+    * columns can't be hashed by the oracle harness, and the explode
+    * keeps the aggregate itself on the execution path.
+    * DuckDB twin: sort the grouped list descending, slice, unnest with
+    * a lateral generate_series as the ordinality. */
   def q107TopkAgg(t: T): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
@@ -692,14 +696,21 @@ object SqlSurface {
       .select($"o_orderstatus",
         expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents"))
       .groupBy($"o_orderstatus")
-      .agg(expr("topk_longs(cents, 3)").as("top3_cents"))
-      .orderBy($"o_orderstatus")
+      .agg(expr("topk_longs(cents, 3)").as("top3"))
+      .select($"o_orderstatus", posexplode($"top3").as(Seq("pos", "cents")))
+      .select($"o_orderstatus", ($"pos" + 1).cast("long").as("rk"), $"cents")
+      .orderBy($"o_orderstatus", $"rk")
   }
 
   val q107Oracle: String =
-    """SELECT o_orderstatus,
-              (list_sort(list(FLOOR(o_totalprice * 100)::BIGINT), 'DESC'))[1:3] AS top3_cents
-       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+    """WITH g AS (
+         SELECT o_orderstatus,
+                (list_sort(list(FLOOR(o_totalprice * 100)::BIGINT), 'DESC'))[1:3] AS top3
+         FROM orders GROUP BY o_orderstatus)
+       SELECT o_orderstatus, i::BIGINT AS rk, top3[i] AS cents
+       FROM g CROSS JOIN (VALUES (1), (2), (3)) AS t(i)
+       WHERE i <= len(top3)
+       ORDER BY o_orderstatus, rk"""
 
   /** Exact DECIMAL money arithmetic: cast the double price to
     * DECIMAL(12,2) at the scan (recovering the exact cents the generator

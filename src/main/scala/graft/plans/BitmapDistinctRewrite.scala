@@ -73,42 +73,48 @@ case class BitmapDistinctRewrite(session: SparkSession) extends Rule[LogicalPlan
           // bottom values (MinValue, whose image is undefined, and
           // MinValue+1, whose image 2^63 overflows ANSI arithmetic) are
           // excluded from the bitmap by the FILTER below and counted by one
-          // presence flag each; their mapped value is a harmless 1
+          // presence flag each; their mapped value is a harmless 1. For
+          // narrower integral inputs (Byte/Short/Int) those two values are
+          // unreachable, so the bijection alone is exact — no filter and no
+          // presence flags carried through the shuffle.
+          val narrow = col.dataType != LongType
           val isSpecial = LessThanOrEqual(x, Literal(Long.MinValue + 1))
-          val mapped = If(isSpecial, one, If(isPos, x, Subtract(one, x)))
+          val mapped =
+            if (narrow) If(isPos, x, Subtract(one, x))
+            else If(isSpecial, one, If(isPos, x, Subtract(one, x)))
           // the bitmap_* scalar fns are RuntimeReplaceable and the optimizer's
           // ReplaceExpressions batch has already run — inline the replacements
           val bucket = BitmapBucketNumber(mapped).replacement
           val bm = Alias(
             AggregateExpression(
               BitmapConstructAgg(BitmapBitPosition(mapped).replacement),
-              Complete, isDistinct = false, filter = Some(Not(isSpecial))),
+              Complete, isDistinct = false,
+              filter = if (narrow) None else Some(Not(isSpecial))),
             "graft_bm")()
           def presenceFlag(v: Long, name: String): Alias = Alias(
             AggregateExpression(
               Max(If(EqualTo(x, Literal(v)), one, Literal(0L))),
               Complete, isDistinct = false),
             name)()
-          val minFlag = presenceFlag(Long.MinValue, "graft_minflag")
-          val min1Flag = presenceFlag(Long.MinValue + 1, "graft_min1flag")
+          val flags =
+            if (narrow) Seq.empty
+            else Seq(presenceFlag(Long.MinValue, "graft_minflag"),
+              presenceFlag(Long.MinValue + 1, "graft_min1flag"))
           val inner = Aggregate(
             groupExprs ++ Seq(isPos, bucket),
             (groupAttrs: Seq[NamedExpression]) ++
-              Seq(Alias(isPos, "graft_sign")(), Alias(bucket, "graft_bkt")(),
-                bm, minFlag, min1Flag),
+              Seq(Alias(isPos, "graft_sign")(), Alias(bucket, "graft_bkt")(), bm) ++
+              flags,
             child)
           def outerMax(a: Attribute): Expression = Coalesce(Seq(
             AggregateExpression(Max(a), Complete, isDistinct = false),
             Literal(0L)))
+          val bmSum: Expression = Coalesce(Seq(
+            AggregateExpression(Sum(BitmapCount(bm.toAttribute).replacement),
+              Complete, isDistinct = false),
+            Literal(0L)))
           val total = Alias(
-            Add(
-              Add(
-                Coalesce(Seq(
-                  AggregateExpression(Sum(BitmapCount(bm.toAttribute).replacement),
-                    Complete, isDistinct = false),
-                  Literal(0L))),
-                outerMax(minFlag.toAttribute)),
-              outerMax(min1Flag.toAttribute)),
+            flags.foldLeft(bmSum)((acc, f) => Add(acc, outerMax(f.toAttribute))),
             origAlias.name)(exprId = origAlias.exprId)
           val outerAggs: Seq[NamedExpression] = aggExprs.map {
             case a: AttributeReference => a

@@ -37,7 +37,8 @@ final class QueryGateway(
     root: SparkSession,
     sessionInit: SparkSession => Unit = _ => (),
     port: Int = 0,
-    maxRows: Long = Long.MaxValue) {
+    maxRows: Long = Long.MaxValue,
+    maxHintPriority: Int = 0) {
 
   private val server = new ServerSocket(port)
   private val connIds = new AtomicLong()
@@ -79,9 +80,15 @@ final class QueryGateway(
             // bulk statements run in the weighted FAIR pool classes; any
             // other statement — including deadline-only hints, since EDF
             // ordering lives in the BatchWindow path, not here — keeps the
-            // connection's own pool and its FAIR isolation
+            // connection's own pool and its FAIR isolation. Hinted
+            // priorities are clamped to the server-side cap so a client
+            // can't claim graft-urgent weight unless the operator allows
+            // it (self-demotion to graft-bulk is always permitted).
+            val effective = meta.copy(priority =
+              math.min(meta.priority, maxHintPriority))
             val pool =
-              if (meta.priority != 0) meta.pool else s"graft-client-$id"
+              if (effective.priority != 0) effective.pool
+              else s"graft-client-$id"
             session.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
             val it = session.sql(sql).toJSON.toLocalIterator()
             out.println("ok")

@@ -173,10 +173,17 @@ private case class SynthOffset(id: Long)
 private class SynthMicroBatchStream(lo: Long, hi: Long, parts: Int,
                                     required: StructType, rowsPerBatch: Long)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
 
   override def initialOffset(): Offset = SynthOffset(lo)
+
+  /** Trigger.AvailableNow: the end offset is the static `hi` — nothing to
+    * snapshot. Declaring support keeps Spark on the admission-control path
+    * (multiple capped batches) instead of the one-shot Trigger.Once
+    * fallback it uses for non-supporting sources. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   override def getDefaultReadLimit: ReadLimit =
     if (rowsPerBatch <= 0) ReadLimit.allAvailable()
@@ -184,10 +191,16 @@ private class SynthMicroBatchStream(lo: Long, hi: Long, parts: Int,
 
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val start = startOffset.asInstanceOf[SynthOffset].id
-    val end = limit match {
-      case m: ReadMaxRows => math.min(hi, start + m.maxRows())
-      case _ => hi
+    // Trigger.AvailableNow wraps the source's own limit in a
+    // CompositeReadLimit — honor any embedded ReadMaxRows so the admission
+    // cap survives the wrapping instead of draining the range in one batch
+    def maxRowsOf(l: ReadLimit): Option[Long] = l match {
+      case m: ReadMaxRows => Some(m.maxRows())
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.toSeq.flatMap(maxRowsOf(_)).reduceOption(_ min _)
+      case _ => None
     }
+    val end = maxRowsOf(limit).fold(hi)(m => math.min(hi, start + m))
     SynthOffset(math.max(start, end))
   }
 

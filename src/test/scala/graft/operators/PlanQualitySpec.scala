@@ -47,6 +47,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q107: topk_longs runs as a TypedImperativeAggregate, exploded after the agg") {
+    val p = plan("q107_topk_agg")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("topk_longs"), p)
+    assert(p.contains("Generate"), p) // posexplode sits above the aggregate
+  }
+
   test("s01: brute-force top-k broadcasts the query side only") {
     val p = plan("s01_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin"), p)

@@ -35,6 +35,22 @@ class BitmapDistinctRewriteSpec extends SparkSpec {
     }
   }
 
+  test("narrow integral inputs skip the presence flags and the special filter") {
+    import spark.implicits._
+    val df = Seq(-3, -1, 0, 1, 2, 2, Int.MinValue, Int.MaxValue)
+      .toDF("v").withColumn("g", lit(1))
+    val stock = df.groupBy($"g").agg(count_distinct($"v").as("n")).collect()(0).getLong(1)
+    withRule {
+      spark.conf.set("spark.graft.bitmapDistinct", "true")
+      val got = df.groupBy($"g").agg(count_distinct($"v").as("n"))
+      val optimized = got.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bitmap_construct_agg"), optimized)
+      // Int.MinValue etc. can't reach Long.MinValue — no dead Max aggregates
+      assert(!optimized.contains("graft_minflag") && !optimized.contains("graft_min1flag"), optimized)
+      assert(got.collect()(0).getLong(1) == stock && stock == 7)
+    }
+  }
+
   test("exact on negative, boundary, and huge values") {
     import spark.implicits._
     val vals = Seq(-100000L, -100000L, -1L, 0L, 1L, 32767L, 32768L,

@@ -60,6 +60,25 @@ class QueryGatewaySpec extends SparkSpec {
     } finally gw.close()
   }
 
+  test("priority hints clamp to the server cap; self-demotion stays allowed") {
+    import graft.sharing.JobMeta
+    // default cap 0: a client cannot claim graft-urgent weight...
+    assert(math.min(JobMeta(priority = 9).priority, 0) == 0)
+    // ...but may still demote itself to bulk
+    assert(JobMeta(priority = math.min(-1, 0)).pool == "graft-bulk")
+    // an operator-raised cap admits urgent up to the cap, no further
+    assert(JobMeta(priority = math.min(9, 1)).pool == "graft-urgent")
+    val gw = new QueryGateway(spark, s => Tables.register(s, sfDir), maxHintPriority = 0)
+    try {
+      val (sock, out, in) = connect(gw.boundPort)
+      // a priority-9 hint still executes — in the connection pool, not urgent
+      out.println("/*+ graft(priority=9) */ SELECT count(*) AS n FROM region")
+      val (head, rows, _) = readResponse(in)
+      assert(head == "ok" && rows.head.contains("\"n\":5"))
+      sock.close()
+    } finally gw.close()
+  }
+
   test("gateway executes SQL and streams JSON rows per connection") {
     val gw = new QueryGateway(spark, s => Tables.register(s, sfDir))
     try {

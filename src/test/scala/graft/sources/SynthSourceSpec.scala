@@ -55,6 +55,25 @@ class SynthSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow keeps the admission cap (CompositeReadLimit unwrap)") {
+    val df = spark.readStream.format("graft.sources.SynthSource")
+      .option("rows", "100").option("partitions", "3")
+      .option("rowsPerBatch", "40")
+      .load()
+    val q = df.writeStream.format("memory").queryName("synth_avail_now")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      assert(snap(spark.table("synth_avail_now")) == snap(synth(100)))
+      // AvailableNow wraps the source limit in a CompositeReadLimit; the cap
+      // must still split the range into 40+40+20, not one 100-row batch
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(sizes.forall(_ <= 40) && sizes.sum == 100, sizes.mkString(","))
+    } finally q.stop()
+  }
+
   test("restart from checkpoint does not re-emit committed rows") {
     // memory sink can't recover from a checkpoint — use the file sink,
     // whose manifest also detects duplicate batch re-writes
