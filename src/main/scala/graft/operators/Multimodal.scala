@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed in partition-sized batches.
   *
   * The Spark-side mechanics here are real and tested — schema, partitioning,
-  * batch shape, codec dispatch; only the media codec itself is a STUB
-  * (`FakeCodec`): the container has no image/audio libraries, so decode is a
-  * deterministic function of the bytes. Swapping `FakeCodec` for a real one
-  * (JavaCPP/FFmpeg, TwelveMonkeys ImageIO) changes no plan shape.
+  * batch shape, codec dispatch — and since round 6 so is the codec on the
+  * declared m01–m04 paths: [[JvmCodec]] encodes the corpus into real
+  * containers (PNG via ImageIO, WAV via javax.sound, a length-prefixed
+  * PNG-frame video container) and decodes them back executor-side; all
+  * three are lossless, so the oracles' corpus-byte arithmetic still hashes.
+  * `FakeCodec` remains the codec-free twin the spec compares against.
+  * Swapping `JvmCodec` for a native one (JavaCPP/FFmpeg, TwelveMonkeys)
+  * changes no plan shape.
   *
   * Scale design: media blobs ride the same rows as their metadata, so a
   * 100 TB corpus partitions by file count/size exactly like any parquet
@@ -61,21 +65,58 @@ object Multimodal {
       encode($"text", "UTF-8").as("payload")).as[Asset]
   }
 
-  /** The decode/feature-extract stage: mapPartitions so codec setup happens
-    * once per partition and rows stream through in one pass. */
+  /** The corpus as REAL encoded media: image payloads become lossless
+    * grayscale PNGs, audio becomes 8-bit PCM WAV, video becomes a
+    * length-prefixed PNG-frame container — all encoded executor-side with
+    * the pure-JVM [[JvmCodec]]. Every container is lossless, so decoded
+    * content equals the raw corpus bytes and the m01–m04 oracles (which
+    * state their arithmetic over the corpus text) keep hashing. */
+  def assetsEncoded(t: T): Dataset[Asset] = {
+    import t.spark.implicits._
+    assets(t).mapPartitions { it =>
+      it.map { a =>
+        a.kind match {
+          case "image" => a.copy(payload = JvmCodec.encodePng(a.payload))
+          case "audio" => a.copy(payload = JvmCodec.encodeWav(a.payload))
+          case _       => a.copy(payload = JvmCodec.encodeFrameContainer(a.payload, 16))
+        }
+      }
+    }
+  }
+
+  /** The real decode stage: containers back to content bytes, one codec
+    * initialization per partition, rows streamed through in one pass. */
+  def decodeAssets(ds: Dataset[Asset]): Dataset[Asset] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { a =>
+        a.kind match {
+          case "image" => a.copy(payload = JvmCodec.decodePng(a.payload))
+          case "audio" => a.copy(payload = JvmCodec.decodeWav(a.payload))
+          case _ => a.copy(payload =
+            JvmCodec.demuxFrames(a.payload).flatMap(JvmCodec.decodePng).toArray)
+        }
+      }
+    }
+  }
+
+  /** The feature-extract stage: mapPartitions so codec setup happens
+    * once per partition and rows stream through in one pass. The feature
+    * arithmetic is [[FakeCodec.decode]] — shared between the codec-free
+    * twin (raw assets) and the real path (decoded containers). */
   def extractFeatures(ds: Dataset[Asset]): Dataset[Feature] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // real codec: initialize native decoder here, once per partition
       it.map(FakeCodec.decode)
     }
   }
 
-  /** End-to-end query: features + per-kind aggregate, blobs dropped before
-    * the shuffle (only narrow feature columns cross stage boundaries). */
+  /** End-to-end query: real encode -> real decode -> features + per-kind
+    * aggregate, blobs dropped before the shuffle (only narrow feature
+    * columns cross stage boundaries). */
   def m01MediaFeatures(t: T): DataFrame = {
     import t.spark.implicits._
-    extractFeatures(assets(t)).toDF()
+    extractFeatures(decodeAssets(assetsEncoded(t))).toDF()
       .select($"asset_id", $"kind", $"n_bytes", $"checksum",
         round($"mean_byte", 4).as("mean_byte"),
         $"thumb_w".cast("long").as("thumb_w"), $"thumb_h".cast("long").as("thumb_h"))
@@ -97,10 +138,11 @@ object Multimodal {
          CAST(GREATEST(1, (16 + (doc_id * 7) % 240) // GREATEST(1, (GREATEST(16 + doc_id % 240, 16 + (doc_id * 7) % 240) + 63) // 64)) AS BIGINT) AS thumb_h
        FROM documents ORDER BY asset_id"""
 
-  /** Per-kind rollup over features (blob-free shuffle). */
+  /** Per-kind rollup over features (blob-free shuffle), through the real
+    * encode/decode pair like m01. */
   def m02MediaRollup(t: T): DataFrame = {
     import t.spark.implicits._
-    extractFeatures(assets(t)).toDF()
+    extractFeatures(decodeAssets(assetsEncoded(t))).toDF()
       .groupBy($"kind")
       .agg(count(lit(1)).as("n"),
         sum($"n_bytes").as("total_bytes"),
@@ -145,9 +187,29 @@ object Multimodal {
     }
   }
 
+  /** The REAL sampler over the encoded video container: demux the
+    * length-prefixed frame stream, decode (ImageIO) only every `stride`-th
+    * frame — unsampled frames are seeked past, never decoded, which is the
+    * cost property real video sampling depends on. Same output schema and
+    * values as the codec-free [[sampleFrames]] twin (lossless frames). */
+  def sampleFramesReal(ds: Dataset[Asset], stride: Int = 4): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.filter(_.kind == "video").flatMap { a =>
+        JvmCodec.demuxFrames(a.payload).zipWithIndex.collect {
+          case (png, i) if i % stride == 0 =>
+            val px = JvmCodec.decodePng(png)
+            var sum = 0L; var j = 0
+            while (j < px.length) { sum = (sum * 31 + (px(j) & 0xff)) % 2147483647L; j += 1 }
+            Frame(a.asset_id, i.toLong, px.length.toLong, sum)
+        }
+      }
+    }
+  }
+
   def m03FrameSample(t: T): DataFrame = {
     import t.spark.implicits._
-    sampleFrames(assets(t)).toDF()
+    sampleFramesReal(assetsEncoded(t)).toDF()
       .orderBy($"asset_id", $"frame_idx")
   }
 
@@ -203,7 +265,12 @@ object Multimodal {
 
   def m04AudioWindows(t: T): DataFrame = {
     import t.spark.implicits._
-    audioWindows(assets(t)).toDF()
+    // real path: WAV-decode (AudioSystem) the audio assets, then window the
+    // decoded PCM; image/video rows are filtered before any decode work
+    val decoded = assetsEncoded(t).filter(_.kind == "audio").mapPartitions { it =>
+      it.map(a => a.copy(payload = JvmCodec.decodeWav(a.payload)))
+    }
+    audioWindows(decoded).toDF()
       .orderBy($"asset_id", $"win_idx")
   }
 

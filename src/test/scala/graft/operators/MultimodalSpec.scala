@@ -43,6 +43,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("JvmCodec: PNG, WAV and frame-container roundtrips are bit-exact") {
+    val data = Array.tabulate(257)(i => ((i * 7 + 3) % 251).toByte)
+    val png = JvmCodec.encodePng(data)
+    // real container: PNG magic, not the raw bytes
+    assert(png.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    assert(JvmCodec.decodePng(png).sameElements(data))
+    val wav = JvmCodec.encodeWav(data)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(JvmCodec.decodeWav(wav).sameElements(data))
+    val container = JvmCodec.encodeFrameContainer(data, 16)
+    val frames = JvmCodec.demuxFrames(container).toVector
+    assert(frames.size == (data.length + 15) / 16)
+    assert(frames.flatMap(JvmCodec.decodePng).toArray.sameElements(data))
+    // empty-content edge: all codecs pass empties through
+    assert(JvmCodec.decodePng(JvmCodec.encodePng(Array.emptyByteArray)).isEmpty)
+    assert(JvmCodec.decodeWav(JvmCodec.encodeWav(Array.emptyByteArray)).isEmpty)
+    assert(JvmCodec.demuxFrames(JvmCodec.encodeFrameContainer(Array.emptyByteArray, 16)).isEmpty)
+  }
+
+  test("real-codec path equals the codec-free twin on the whole corpus") {
+    // features through real encode->decode == features over raw content
+    val real = snap(Multimodal.extractFeatures(
+      Multimodal.decodeAssets(Multimodal.assetsEncoded(t))).toDF())
+    val twin = snap(Multimodal.extractFeatures(Multimodal.assets(t)).toDF())
+    assert(real == twin && real.nonEmpty)
+    // sampled frames: real demux+decode == raw chunk twin
+    val realFrames = snap(Multimodal.sampleFramesReal(Multimodal.assetsEncoded(t)).toDF())
+    val twinFrames = snap(Multimodal.sampleFrames(Multimodal.assets(t)).toDF())
+    assert(realFrames == twinFrames && realFrames.nonEmpty)
+  }
+
+  test("encoded assets are real containers, not renamed corpus bytes") {
+    import spark.implicits._
+    val rows = Multimodal.assetsEncoded(t).filter($"asset_id" < 9).collect()
+    rows.foreach { a =>
+      a.kind match {
+        case "image" => assert(a.payload(1) == 'P'.toByte && a.payload(2) == 'N'.toByte)
+        case "audio" => assert(new String(a.payload.take(4), "US-ASCII") == "RIFF")
+        case _ => // frame container: first 4 bytes are the first frame's length prefix
+          val len = java.nio.ByteBuffer.wrap(a.payload.take(4)).getInt
+          assert(len > 0 && len <= a.payload.length - 4)
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("thumbnail arithmetic fits the 64x64 box and keeps aspect floor") {
     val bad = Multimodal.m01MediaFeatures(t)
       .filter(col("thumb_w") > 64 || col("thumb_h") > 64 || col("thumb_w") < 1 || col("thumb_h") < 1)
