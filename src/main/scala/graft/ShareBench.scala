@@ -79,8 +79,12 @@ object ShareBench {
     def best(f: => Unit): Double =
       (1 to 3).map { _ => spark.catalog.clearCache(); time(f) }.min
 
+    // optional arg filters which workload rows run (local dev: "dedup")
+    val only: String => Boolean =
+      if (args.nonEmpty) _.startsWith(args(0)) else _ => true
+
     val lines = for {
-      (wname, build) <- workloads
+      (wname, build) <- workloads if only(wname)
       win <- Seq(2, 5, 10)
     } yield {
       val sep = best(new WorkSharingExecutor(spark, budgetBytes = 0L).runBatch(jobs(build, win)))
@@ -90,6 +94,31 @@ object ShareBench {
       s"""{"workload":"$wname","window":$win,"separate":$sep,"cached":$cachedT,"merged":$mergedT}"""
     }
     lines.foreach(println)
+
+    // dedup family: five production dedup queries that all derive from the
+    // LSH-pair subplan (d07/d12/d16 through the CC labels, d15 directly).
+    // Fragment sharing materializes that subplan once per window — the
+    // subplan-granularity version of the reference's scan-share scenario.
+    if (only("dedup_family")) {
+      import graft.operators.Dedup
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+      def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+      def dedupJobs: Seq[QueryJob[Unit]] = Seq[(String, SparkSession => DataFrame)](
+        "d07" -> (s => Dedup.d07DedupClusters(T(s, sfDir))),
+        "d12" -> (s => Dedup.d12ClusterKeeper(T(s, sfDir))),
+        "d15" -> (s => Dedup.d15DupProvenance(T(s, sfDir))),
+        "d16" -> (s => Dedup.d16ClusterAudit(T(s, sfDir))),
+        "d17" -> (s => Dedup.d17Survivorship(T(s, sfDir)))
+      ).map { case (n, b) => QueryJob[Unit](n, b, noop) }
+      val frag = Seq("lsh_pairs" ->
+        ((s: SparkSession) => Dedup.d04MinhashLshPairs(T(s, sfDir))))
+      val sepD = best(new WorkSharingExecutor(spark, budgetBytes = 0L).runBatch(dedupJobs))
+      val fragD = best {
+        val ex = new WorkSharingExecutor(spark)
+        try ex.runBatch(dedupJobs, frag) finally ex.shutdown()
+      }
+      println(s"""{"workload":"dedup_family","window":5,"separate":$sepD,"fragment_shared":$fragD}""")
+    }
     spark.stop()
   }
 }

@@ -215,9 +215,34 @@ final class WorkSharingExecutor(
 
   /** Run one window of jobs with scan sharing; returns each job's action
     * result. Semantics are identical to running each job in isolation (the
-    * metamorphic property the spec asserts). */
-  def runBatch[A](jobs: Seq[QueryJob[A]]): Map[String, A] = synchronized {
+    * metamorphic property the spec asserts).
+    *
+    * `sharedFragments` extends sharing from scan granularity to SUBPLAN
+    * granularity (the reference's MuxRDD "one RDD, N pipelines" idea one
+    * level up): each named fragment is materialized into the cache BEFORE
+    * any job builds, so every job whose plan contains a canonically-equal
+    * subtree — including jobs whose build eagerly materializes through a
+    * checkpointing iterative operator like connectedComponents — reads the
+    * fragment's InMemoryRelation instead of recomputing it. Fragments are
+    * declared by the caller because eager-build operators erase their
+    * upstream plan (a checkpoint leaves only a LogicalRDD behind), which
+    * makes post-build automatic detection structurally blind to exactly
+    * the expensive subplans worth sharing. */
+  def runBatch[A](jobs: Seq[QueryJob[A]],
+                  sharedFragments: Seq[(String, SparkSession => DataFrame)] = Nil)
+      : Map[String, A] = synchronized {
     batchNo += 1
+    sharedFragments.foreach { case (fragName, mk) =>
+      val fp = s"frag:$fragName"
+      if (!cached.contains(fp)) {
+        val df = mk(spark).persist(StorageLevel.MEMORY_AND_DISK)
+        df.count() // materialize once, blocking, like scan warming below
+        cached.put(fp, (df, df.queryExecution.optimizedPlan.stats.sizeInBytes, batchNo))
+      } else {
+        val (df, sz, _) = cached(fp)
+        cached.update(fp, (df, sz, batchNo))
+      }
+    }
     val built = jobs.map(j => (j.name, j.build(spark)))
     val byName = jobs.map(j => j.name -> j).toMap
     val (mergeGroups, unmergedNames) =
@@ -244,11 +269,15 @@ final class WorkSharingExecutor(
     evictOverBudget()
 
     // Concurrent submission on FAIR pools (reference: JobConcurrent threads);
-    // the pool is the job's priority class — weights via FairPools.
+    // the pool is the job's priority class — weights via FairPools. The
+    // already-built DataFrames are reused (not rebuilt): cache substitution
+    // happens lazily at first execution, and a rebuild would make an
+    // eager-build job (checkpointing operators) pay its build twice.
+    val builtByName = built.toMap
     val singleFutures = unmergedNames.map(byName).map { j =>
       j.name -> Future {
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", j.meta.pool)
-        try j.action(j.build(spark))
+        try j.action(builtByName(j.name))
         finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
       }
     }

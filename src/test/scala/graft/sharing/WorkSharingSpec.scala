@@ -80,6 +80,29 @@ class WorkSharingSpec extends SparkSpec {
     } finally { ex.shutdown(); spark.catalog.clearCache() }
   }
 
+  test("dedup family batches with the LSH-pair subplan computed once") {
+    import graft.operators.Dedup
+    val family: Seq[QueryJob[Seq[String]]] = Seq(
+      QueryJob("d07", s => Dedup.d07DedupClusters(T(s, sfDir)), snap),
+      QueryJob("d12", s => Dedup.d12ClusterKeeper(T(s, sfDir)), snap),
+      QueryJob("d15", s => Dedup.d15DupProvenance(T(s, sfDir)), snap),
+      QueryJob("d16", s => Dedup.d16ClusterAudit(T(s, sfDir)), snap),
+      QueryJob("d17", s => Dedup.d17Survivorship(T(s, sfDir)), snap))
+    val isolated = family.map(j => j.name -> j.action(j.build(spark))).toMap
+    val ex = new WorkSharingExecutor(spark)
+    try {
+      val batched = ex.runBatch(family,
+        sharedFragments = Seq("lsh_pairs" -> (s => Dedup.d04MinhashLshPairs(T(s, sfDir)))))
+      // metamorphic: shared-fragment batching never changes any answer
+      batched.foreach { case (name, rows) => assert(rows == isolated(name), s"job $name") }
+      assert(ex.cachedFingerprints.contains("frag:lsh_pairs"), ex.cachedFingerprints)
+      // a sibling built AFTER the batch reads the fragment's cache, proving
+      // canonical substitution (d15 contains the d04 subtree verbatim)
+      val probe = Dedup.d15DupProvenance(T(spark, sfDir))
+      assert(probe.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    } finally { ex.shutdown(); spark.catalog.clearCache() }
+  }
+
   test("zero budget -> no caching, results still correct") {
     val isolated = jobs.map(j => j.name -> j.action(j.build(spark))).toMap
     val ex = new WorkSharingExecutor(spark, budgetBytes = 0L)
