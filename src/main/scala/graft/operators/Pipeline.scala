@@ -1030,6 +1030,45 @@ object Pipeline {
                  // (n_docs * max_tokens))::BIGINT AS waste_bp
        FROM b ORDER BY batch_id"""
 
+  /** [[p23PaddingWaste]]'s 100 TB form: rank and batch WITHIN each source,
+    * so the window partitions by a real key instead of pulling the corpus
+    * into one partition — the mitigation p23's docstring only documented.
+    * Per-source batching is also what a sharded loader actually does (each
+    * source's shard set is length-sorted independently); the report gains a
+    * source column and loses nothing else. */
+  def p24PaddingWastePerSource(t: T, batchSize: Int = 8): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    t.documents
+      .select($"source", $"doc_id", size(split($"text", " ")).cast("long").as("tokens"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"tokens", $"doc_id")))
+      .withColumn("batch_id", expr(s"(rk - 1) DIV $batchSize"))
+      .groupBy($"source", $"batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max($"tokens").as("max_tokens"),
+        sum($"tokens").as("sum_tokens"))
+      .withColumn("pad_waste", expr("n_docs * max_tokens - sum_tokens"))
+      .withColumn("waste_bp", expr("pad_waste * 10000 DIV (n_docs * max_tokens)"))
+      .orderBy($"source", $"batch_id")
+  }
+
+  val p24Oracle: String =
+    """WITH d AS (SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+             FROM documents),
+       r AS (SELECT source, tokens,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY tokens, doc_id) AS rk
+             FROM d),
+       b AS (SELECT source, ((rk - 1) // 8)::BIGINT AS batch_id, COUNT(*) AS n_docs,
+               MAX(tokens)::BIGINT AS max_tokens, SUM(tokens)::BIGINT AS sum_tokens
+             FROM r GROUP BY 1, 2)
+       SELECT source, batch_id, n_docs, max_tokens, sum_tokens,
+              (n_docs * max_tokens - sum_tokens)::BIGINT AS pad_waste,
+              ((n_docs * max_tokens - sum_tokens) * 10000
+                 // (n_docs * max_tokens))::BIGINT AS waste_bp
+       FROM b ORDER BY source, batch_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -1054,6 +1093,7 @@ object Pipeline {
     "p21_effective_tokens"    -> ((s, d) => p21EffectiveTokens(T(s, d))),
     "p22_source_waterfill"    -> ((s, d) => p22SourceWaterfill(T(s, d))),
     "p23_padding_waste"       -> ((s, d) => p23PaddingWaste(T(s, d))),
+    "p24_padding_per_source"  -> ((s, d) => p24PaddingWastePerSource(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1080,5 +1120,6 @@ object Pipeline {
     "p21_effective_tokens"    -> p21Oracle,
     "p22_source_waterfill"    -> p22Oracle,
     "p23_padding_waste"       -> p23Oracle,
+    "p24_padding_per_source"  -> p24Oracle,
   )
 }

@@ -47,6 +47,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("p24: padding window partitions by source (no single-partition rank)") {
+    val p = plan("p24_padding_per_source")
+    assert(p.contains("windowspecdefinition(source"), p)
+  }
+
   test("q107: topk_longs runs as a TypedImperativeAggregate, exploded after the agg") {
     val p = plan("q107_topk_agg")
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
