@@ -53,15 +53,23 @@ object Bench {
     // map for 120+ queries exceeds log-tail capture windows, so a second
     // line that fits guarantees any parse strategy (full-stream scan or
     // tail-only) finds one valid JSON result
+    // scale-cliff guard (no sf1 corpus exists to smoke at): any query past
+    // the per-query ceiling is named loudly, so a quadratic baseline
+    // accidentally promoted to a hot path reads as a breach, not a silent
+    // +N s in a 200-entry map
+    val ceiling = sys.env.getOrElse("SPARK_GRAFT_CEILING_SEC", "30").toDouble
+    val breaches = results.filter(_._2 > ceiling).map(_._1)
+    val breachJson =
+      s""","ceiling_sec":${fmt(ceiling)},"breaches":[${breaches.map("\"" + _ + "\"").mkString(",")}]"""
     println(line(results))
     println(line(results.sortBy(-_._2).take(10),
-      s""","n_queries":${results.size}"""))
+      s""","n_queries":${results.size}$breachJson"""))
     // the complete per-query map also goes to a file: stdout tails get
     // truncated at a few KB, and round-over-round regression diffs need
     // every timing, not the 10 slowest
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line(results, s""","n_queries":${results.size}""") + "\n")
+      (line(results, s""","n_queries":${results.size}$breachJson""") + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
