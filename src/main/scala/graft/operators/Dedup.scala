@@ -912,6 +912,52 @@ object Dedup {
        FROM documents GROUP BY md5(substr(text, 1, 64)) HAVING COUNT(*) > 1
        ORDER BY survivor_id"""
 
+  /** Production top-k similarity join — [[d02NgramJaccardPairs]]'s scale
+    * path: candidates from the d04 MinHash band join (no threshold filter),
+    * exact Jaccard verified on candidates only, global top-20 by score.
+    * Where d02 pays all pairs within its lang blocks, this pays only
+    * band-coincident pairs — one shuffle on the band key, TakeOrdered for
+    * the top-k, no quadratic stage. Like d13/s02, the LSH is deterministic
+    * so the whole pipeline is oracle-hashable; the spec measures top-k
+    * recall against d02's exact answer instead of assuming it. */
+  def d18TopkSimJoin(t: T, k: Int = 20): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val sigs = t.documents
+      .withColumn("h", expr(shingleHashes))
+      .withColumn("sig", expr(minhashSig))
+      .withColumn("h", array_sort($"h"))
+      .select($"doc_id", $"h", $"sig")
+    val bands = sigs.select($"doc_id", expr(
+      """explode(transform(sequence(0, 3), b -> struct(b AS band,
+           concat_ws(',', transform(slice(sig, b * 8 + 1, 8), x -> cast(x AS string))) AS bkey)))""").as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+    val ha = sigs.select($"doc_id".as("doc_a"), $"h".as("ha"))
+    val hb = sigs.select($"doc_id".as("doc_b"), $"h".as("hb"))
+    cand.join(ha, "doc_a").join(hb, "doc_b")
+      .select($"doc_a", $"doc_b", expr("jaccard_bp_sorted(ha, hb)").as("jaccard_bp"))
+      .orderBy($"jaccard_bp".desc, $"doc_a", $"doc_b")
+      .limit(k)
+  }
+
+  /** The d04 oracle's candidate stage, unthresholded, top-20 by score. */
+  val d18Oracle: String =
+    s"""WITH hs AS (SELECT doc_id, $shingleHashesDuck AS h FROM documents),
+       sigs AS (SELECT doc_id, h, $minhashSigDuck AS sig FROM hs),
+       bands AS (
+         SELECT doc_id, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
+         FROM sigs, range(0, 4) t(b)),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+       SELECT doc_a, doc_b,
+         len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) AS jaccard_bp
+       FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
+       ORDER BY jaccard_bp DESC, doc_a, doc_b LIMIT 20"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"        -> ((s, d) => d01ExactDedup(T(s, d))),
     "d02_ngram_jaccard"      -> ((s, d) => d02NgramJaccardPairs(T(s, d))),
@@ -930,6 +976,7 @@ object Dedup {
     "d15_dup_provenance"     -> ((s, d) => d15DupProvenance(T(s, d))),
     "d16_cluster_audit"      -> ((s, d) => d16ClusterAudit(T(s, d))),
     "d17_survivorship"       -> ((s, d) => d17Survivorship(T(s, d))),
+    "d18_topk_sim_join"      -> ((s, d) => d18TopkSimJoin(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -950,5 +997,6 @@ object Dedup {
     "d15_dup_provenance"    -> d15Oracle,
     "d16_cluster_audit"     -> d16Oracle,
     "d17_survivorship"      -> d17Oracle,
+    "d18_topk_sim_join"     -> d18Oracle,
   )
 }

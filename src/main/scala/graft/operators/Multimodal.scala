@@ -414,6 +414,45 @@ object Multimodal {
        WHERE n_shared * 10000 // LEAST(ca.nf, cb.nf) >= 2500
        ORDER BY asset_a, asset_b"""
 
+  final case class ImageStats(asset_id: Long, n_px: Long, px_sum: Long,
+                              b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Per-image brightness statistics over REAL decoded pixels: ImageIO
+    * decodes each PNG asset and the 4-bin histogram (value >> 6) plus the
+    * integer pixel sum are computed in one pass over the raster — the
+    * quality-filter shape (dark/blown-out frame screens) of an image
+    * curation pipeline. One mapPartitions, no shuffle until the final sort;
+    * only 7 narrow columns leave the decode stage. */
+  def m08ImageHistogram(t: T): DataFrame = {
+    import t.spark.implicits._
+    assetsEncoded(t).filter(_.kind == "image").mapPartitions { it =>
+      it.map { a =>
+        val px = JvmCodec.decodePng(a.payload)
+        val bins = new Array[Long](4)
+        var s = 0L; var i = 0
+        while (i < px.length) { val v = px(i) & 0xff; s += v; bins(v >> 6) += 1; i += 1 }
+        ImageStats(a.asset_id, px.length.toLong, s, bins(0), bins(1), bins(2), bins(3))
+      }
+    }.toDF().orderBy($"asset_id")
+  }
+
+  /** Oracle: the same arithmetic over the corpus char codes (the PNG is a
+    * lossless carrier of exactly those bytes). ASCII means bins 2/3 stay 0
+    * — asserted by construction, not assumed. */
+  val m08Oracle: String =
+    """SELECT doc_id AS asset_id, length(text)::BIGINT AS n_px,
+         COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+           i -> ascii(substr(text, i::INT, 1))::BIGINT)), 0)::BIGINT AS px_sum,
+         COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+           i -> CASE WHEN ascii(substr(text, i::INT, 1)) // 64 = 0 THEN 1::BIGINT ELSE 0::BIGINT END)), 0)::BIGINT AS b0,
+         COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+           i -> CASE WHEN ascii(substr(text, i::INT, 1)) // 64 = 1 THEN 1::BIGINT ELSE 0::BIGINT END)), 0)::BIGINT AS b1,
+         COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+           i -> CASE WHEN ascii(substr(text, i::INT, 1)) // 64 = 2 THEN 1::BIGINT ELSE 0::BIGINT END)), 0)::BIGINT AS b2,
+         COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+           i -> CASE WHEN ascii(substr(text, i::INT, 1)) // 64 = 3 THEN 1::BIGINT ELSE 0::BIGINT END)), 0)::BIGINT AS b3
+       FROM documents WHERE doc_id % 3 = 0 ORDER BY asset_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> ((s, d) => m01MediaFeatures(T(s, d))),
     "m02_media_rollup"   -> ((s, d) => m02MediaRollup(T(s, d))),
@@ -422,6 +461,7 @@ object Multimodal {
     "m05_modality_manifest" -> ((s, d) => m05ModalityManifest(T(s, d))),
     "m06_shard_manifest"    -> ((s, d) => m06ShardManifest(T(s, d))),
     "m07_frame_dup_pairs"   -> ((s, d) => m07FrameDupPairs(T(s, d))),
+    "m08_image_histogram"   -> ((s, d) => m08ImageHistogram(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -432,5 +472,6 @@ object Multimodal {
     "m05_modality_manifest" -> m05Oracle,
     "m06_shard_manifest"    -> m06Oracle,
     "m07_frame_dup_pairs"   -> m07Oracle,
+    "m08_image_histogram"   -> m08Oracle,
   )
 }

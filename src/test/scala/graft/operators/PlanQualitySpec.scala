@@ -47,6 +47,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d18: top-k sim join is equi-join + TakeOrdered; recall vs exact d02 measured") {
+    import spark.implicits._
+    val t = T(spark, sfDir)
+    val d18 = Dedup.d18TopkSimJoin(t)
+    val p = d18.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val approx = d18.select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val exactRows = Dedup.d02NgramJaccardPairs(t)
+      .select($"doc_a", $"doc_b", $"jaccard_bp").as[(Long, Long, Long)].collect()
+    // the banding's design regime (4x8 bands: ~98.7% per-pair collision at
+    // j=0.95, higher above): near-total recall, not a per-pair guarantee
+    val design = exactRows.filter(_._3 >= 9500).map(r => (r._1, r._2)).toSet
+    val designRecall =
+      if (design.isEmpty) 1.0 else (design & approx).size.toDouble / design.size
+    assert(designRecall >= 0.8,
+      f"design-regime recall $designRecall%.2f; missed: ${design -- approx}")
+    // below the design threshold recall degrades by construction (the tiny
+    // spec corpus puts most of the top-20 tail there) — measure, floor low
+    val exact = exactRows.map(r => (r._1, r._2)).toSet
+    val recall = if (exact.isEmpty) 1.0 else (approx & exact).size.toDouble / exact.size
+    info(f"d18 top-20 recall vs exact d02: $recall%.2f (design-regime pairs: ${design.size})")
+    assert(exact.isEmpty || recall >= 0.2, f"recall $recall%.2f below floor")
+  }
+
   test("p24: padding window partitions by source (no single-partition rank)") {
     val p = plan("p24_padding_per_source")
     assert(p.contains("windowspecdefinition(source"), p)
