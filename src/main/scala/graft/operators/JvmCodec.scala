@@ -27,7 +27,9 @@ object JvmCodec {
   import javax.imageio.ImageIO
   import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
-  /** Lossless 8-bit grayscale PNG of `bytes` as an n x 1 scanline. */
+  /** Lossless 8-bit grayscale PNG of `bytes` as an n x 1 scanline.
+    * (Kept for interop; [[encodeBmp]] is the fast path — PNG's deflate
+    * costs ~10x more per tiny image and buys nothing for synthesis.) */
   def encodePng(bytes: Array[Byte]): Array[Byte] = {
     if (bytes.isEmpty) return Array.emptyByteArray
     val img = new BufferedImage(bytes.length, 1, BufferedImage.TYPE_BYTE_GRAY)
@@ -39,10 +41,35 @@ object JvmCodec {
     bos.toByteArray
   }
 
-  /** Decode any grayscale PNG back to its sample bytes, row-major. */
-  def decodePng(png: Array[Byte]): Array[Byte] = {
-    if (png.isEmpty) return Array.emptyByteArray
-    val img = ImageIO.read(new ByteArrayInputStream(png))
+  /** Lossless 8-bit palettized BMP (BI_RGB, grayscale palette) of `bytes`
+    * as an n x 1 scanline — a real, spec-conformant container that ImageIO
+    * decodes natively, written directly (BMP is header + palette + padded
+    * rows; routing the encode through ImageIO would only add overhead). */
+  def encodeBmp(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.isEmpty) return Array.emptyByteArray
+    val n = bytes.length
+    val rowSize = (n + 3) & ~3 // rows pad to 4-byte boundaries
+    val dataOffset = 14 + 40 + 256 * 4
+    val fileSize = dataOffset + rowSize
+    val out = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(dataOffset)
+    out.putInt(40).putInt(n).putInt(1).putShort(1).putShort(8)
+      .putInt(0).putInt(rowSize).putInt(2835).putInt(2835).putInt(256).putInt(0)
+    var i = 0
+    while (i < 256) { // palette entry i = (i, i, i): index == gray value
+      out.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte); i += 1
+    }
+    out.put(bytes)
+    out.array()
+  }
+
+  /** Decode any grayscale image container (PNG, BMP — sniffed by magic)
+    * back to its sample bytes, row-major, via the real ImageIO reader. */
+  def decodeImage(encoded: Array[Byte]): Array[Byte] = {
+    if (encoded.isEmpty) return Array.emptyByteArray
+    val img = ImageIO.read(new ByteArrayInputStream(encoded))
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster
     val out = new Array[Byte](w * h)
@@ -54,6 +81,9 @@ object JvmCodec {
     }
     out
   }
+
+  /** Back-compat alias for [[decodeImage]]. */
+  def decodePng(png: Array[Byte]): Array[Byte] = decodeImage(png)
 
   /** 8-bit unsigned PCM mono at 16 kHz — one byte per sample, so the WAV
     * data chunk is the input verbatim and the roundtrip is bit-exact. */
@@ -73,7 +103,7 @@ object JvmCodec {
     try in.readAllBytes() finally in.close()
   }
 
-  /** Chunk `bytes` into `frameBytes`-sized frames, each a lossless PNG,
+  /** Chunk `bytes` into `frameBytes`-sized frames, each a lossless BMP,
     * length-prefixed (4-byte big-endian) so a reader can seek past frames
     * it does not decode. */
   def encodeFrameContainer(bytes: Array[Byte], frameBytes: Int): Array[Byte] = {
@@ -82,16 +112,16 @@ object JvmCodec {
     var off = 0
     while (off < bytes.length) {
       val end = math.min(off + frameBytes, bytes.length)
-      val png = encodePng(java.util.Arrays.copyOfRange(bytes, off, end))
-      out.writeInt(png.length)
-      out.write(png)
+      val frame = encodeBmp(java.util.Arrays.copyOfRange(bytes, off, end))
+      out.writeInt(frame.length)
+      out.write(frame)
       off = end
     }
     out.flush()
     bos.toByteArray
   }
 
-  /** Demux WITHOUT decoding: the still-encoded PNG frame bytes, in order.
+  /** Demux WITHOUT decoding: the still-encoded image frame bytes, in order.
     * A sampler decodes only the frames it keeps. */
   def demuxFrames(container: Array[Byte]): Iterator[Array[Byte]] =
     new Iterator[Array[Byte]] {

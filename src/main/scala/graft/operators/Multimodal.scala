@@ -66,17 +66,18 @@ object Multimodal {
   }
 
   /** The corpus as REAL encoded media: image payloads become lossless
-    * grayscale PNGs, audio becomes 8-bit PCM WAV, video becomes a
+    * grayscale BMPs, audio becomes 8-bit PCM WAV, video becomes a
     * length-prefixed PNG-frame container — all encoded executor-side with
     * the pure-JVM [[JvmCodec]]. Every container is lossless, so decoded
     * content equals the raw corpus bytes and the m01–m04 oracles (which
     * state their arithmetic over the corpus text) keep hashing. */
-  def assetsEncoded(t: T): Dataset[Asset] = {
+  def assetsEncoded(t: T, only: Option[String] = None): Dataset[Asset] = {
     import t.spark.implicits._
-    assets(t).mapPartitions { it =>
+    val base = only.fold(assets(t))(k => assets(t).filter(_.kind == k))
+    base.mapPartitions { it =>
       it.map { a =>
         a.kind match {
-          case "image" => a.copy(payload = JvmCodec.encodePng(a.payload))
+          case "image" => a.copy(payload = JvmCodec.encodeBmp(a.payload))
           case "audio" => a.copy(payload = JvmCodec.encodeWav(a.payload))
           case _       => a.copy(payload = JvmCodec.encodeFrameContainer(a.payload, 16))
         }
@@ -91,10 +92,10 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.map { a =>
         a.kind match {
-          case "image" => a.copy(payload = JvmCodec.decodePng(a.payload))
+          case "image" => a.copy(payload = JvmCodec.decodeImage(a.payload))
           case "audio" => a.copy(payload = JvmCodec.decodeWav(a.payload))
           case _ => a.copy(payload =
-            JvmCodec.demuxFrames(a.payload).flatMap(JvmCodec.decodePng).toArray)
+            JvmCodec.demuxFrames(a.payload).flatMap(JvmCodec.decodeImage).toArray)
         }
       }
     }
@@ -198,7 +199,7 @@ object Multimodal {
       it.filter(_.kind == "video").flatMap { a =>
         JvmCodec.demuxFrames(a.payload).zipWithIndex.collect {
           case (png, i) if i % stride == 0 =>
-            val px = JvmCodec.decodePng(png)
+            val px = JvmCodec.decodeImage(png)
             var sum = 0L; var j = 0
             while (j < px.length) { sum = (sum * 31 + (px(j) & 0xff)) % 2147483647L; j += 1 }
             Frame(a.asset_id, i.toLong, px.length.toLong, sum)
@@ -209,7 +210,9 @@ object Multimodal {
 
   def m03FrameSample(t: T): DataFrame = {
     import t.spark.implicits._
-    sampleFramesReal(assetsEncoded(t)).toDF()
+    // only video assets are demuxed — encode only them (kind is metadata,
+    // so the filter prunes before any codec work)
+    sampleFramesReal(assetsEncoded(t, only = Some("video"))).toDF()
       .orderBy($"asset_id", $"frame_idx")
   }
 
@@ -267,7 +270,7 @@ object Multimodal {
     import t.spark.implicits._
     // real path: WAV-decode (AudioSystem) the audio assets, then window the
     // decoded PCM; image/video rows are filtered before any decode work
-    val decoded = assetsEncoded(t).filter(_.kind == "audio").mapPartitions { it =>
+    val decoded = assetsEncoded(t, only = Some("audio")).mapPartitions { it =>
       it.map(a => a.copy(payload = JvmCodec.decodeWav(a.payload)))
     }
     audioWindows(decoded).toDF()
@@ -425,9 +428,9 @@ object Multimodal {
     * only 7 narrow columns leave the decode stage. */
   def m08ImageHistogram(t: T): DataFrame = {
     import t.spark.implicits._
-    assetsEncoded(t).filter(_.kind == "image").mapPartitions { it =>
+    assetsEncoded(t, only = Some("image")).mapPartitions { it =>
       it.map { a =>
-        val px = JvmCodec.decodePng(a.payload)
+        val px = JvmCodec.decodeImage(a.payload)
         val bins = new Array[Long](4)
         var s = 0L; var i = 0
         while (i < px.length) { val v = px(i) & 0xff; s += v; bins(v >> 6) += 1; i += 1 }

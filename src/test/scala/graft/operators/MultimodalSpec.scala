@@ -46,18 +46,22 @@ class MultimodalSpec extends SparkSpec {
   test("JvmCodec: PNG, WAV and frame-container roundtrips are bit-exact") {
     val data = Array.tabulate(257)(i => ((i * 7 + 3) % 251).toByte)
     val png = JvmCodec.encodePng(data)
-    // real container: PNG magic, not the raw bytes
+    // real containers: PNG/BMP magic, not the raw bytes
     assert(png.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
-    assert(JvmCodec.decodePng(png).sameElements(data))
+    assert(JvmCodec.decodeImage(png).sameElements(data))
+    val bmp = JvmCodec.encodeBmp(data)
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    assert(JvmCodec.decodeImage(bmp).sameElements(data))
     val wav = JvmCodec.encodeWav(data)
     assert(new String(wav.take(4), "US-ASCII") == "RIFF")
     assert(JvmCodec.decodeWav(wav).sameElements(data))
     val container = JvmCodec.encodeFrameContainer(data, 16)
     val frames = JvmCodec.demuxFrames(container).toVector
     assert(frames.size == (data.length + 15) / 16)
-    assert(frames.flatMap(JvmCodec.decodePng).toArray.sameElements(data))
+    assert(frames.flatMap(JvmCodec.decodeImage).toArray.sameElements(data))
     // empty-content edge: all codecs pass empties through
-    assert(JvmCodec.decodePng(JvmCodec.encodePng(Array.emptyByteArray)).isEmpty)
+    assert(JvmCodec.decodeImage(JvmCodec.encodePng(Array.emptyByteArray)).isEmpty)
+    assert(JvmCodec.decodeImage(JvmCodec.encodeBmp(Array.emptyByteArray)).isEmpty)
     assert(JvmCodec.decodeWav(JvmCodec.encodeWav(Array.emptyByteArray)).isEmpty)
     assert(JvmCodec.demuxFrames(JvmCodec.encodeFrameContainer(Array.emptyByteArray, 16)).isEmpty)
   }
@@ -79,7 +83,7 @@ class MultimodalSpec extends SparkSpec {
     val rows = Multimodal.assetsEncoded(t).filter($"asset_id" < 9).collect()
     rows.foreach { a =>
       a.kind match {
-        case "image" => assert(a.payload(1) == 'P'.toByte && a.payload(2) == 'N'.toByte)
+        case "image" => assert(a.payload(0) == 'B'.toByte && a.payload(1) == 'M'.toByte)
         case "audio" => assert(new String(a.payload.take(4), "US-ASCII") == "RIFF")
         case _ => // frame container: first 4 bytes are the first frame's length prefix
           val len = java.nio.ByteBuffer.wrap(a.payload.take(4)).getInt
