@@ -653,6 +653,62 @@ object Similarity {
          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
        GROUP BY t.query_id ORDER BY t.query_id"""
 
+  /** k-NN graph over the whole corpus — every vector's top-3 neighbors
+    * among its LSH-bucket candidates (SemDeDup / graph-clustering input,
+    * and the batch ANN join a 100 TB dedup pass runs: NOT queries-vs-corpus
+    * but corpus-vs-corpus). Candidates come from the same 4x8-bit
+    * hyperplane banding as s02, exact cosine only on bucket pairs, then a
+    * per-source window keeps k — shuffle keys are (table, bucket) and src;
+    * no all-pairs stage anywhere. Deterministic LSH makes the whole graph
+    * oracle-hashable, like d13/s02. */
+  def s12KnnGraph(t: T, k: Int = 3): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Registry.ensure(t.spark)
+    val sigs = t.embeddings
+      .select($"vec_id", $"embedding", expr("hyperplane_sig(embedding, 32)").as("sig"))
+    val bands = sigs.select($"vec_id", $"embedding", expr(
+      "explode(transform(sequence(0, 3), t -> struct(t AS tbl, shiftright(sig, t * 8) & 255 AS bucket)))").as("bk"))
+      .select($"vec_id", $"embedding", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" && $"x.vec_id" =!= $"y.vec_id")
+      .select($"x.vec_id".as("src"), $"y.vec_id".as("dst"),
+        $"x.embedding".as("ea"), $"y.embedding".as("eb"))
+      .dropDuplicates("src", "dst")
+    val w = Window.partitionBy($"src").orderBy($"cosine".desc, $"dst")
+    cand
+      .select($"src", $"dst", (round(expr("cosine_sim(ea, eb)"), 4) + lit(0.0)).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"src", $"rk".cast("long").as("rk"), $"dst", $"cosine")
+      .orderBy($"src", $"rk")
+  }
+
+  /** s02's banding CTEs, all-to-all within buckets, ranked per source. */
+  val s12Oracle: String =
+    s"""WITH sigs AS (
+         SELECT vec_id, embedding,
+           list_sum(list_transform(range(0, 32), m ->
+             CASE WHEN list_sum(list_transform(range(1, 65), i ->
+               embedding[i]::DOUBLE * ((((m + 1) * 37 + i * 101) % 97 % 2) * 2 - 1))) > 0
+             THEN 1::BIGINT << m::INT ELSE 0::BIGINT END)) AS sig
+         FROM embeddings),
+       bands AS (
+         SELECT vec_id, t AS tbl, (sig >> (t * 8)::INT) & 255 AS bucket
+         FROM sigs, range(0, 4) r(t)),
+       cand AS (
+         SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+         FROM bands x JOIN bands y
+           ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       scored AS (
+         SELECT src, dst, ROUND(${duckCos("a", "b")}, 4) + 0.0 AS cosine
+         FROM cand JOIN embeddings a ON a.vec_id = src
+                   JOIN embeddings b ON b.vec_id = dst)
+       SELECT src, rk::BIGINT AS rk, dst, cosine
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                        ORDER BY cosine DESC, dst) AS rk FROM scored)
+       WHERE rk <= 3 ORDER BY src, rk"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
@@ -665,6 +721,7 @@ object Similarity {
     "s09_quant_audit"       -> ((s, d) => s09QuantAudit(T(s, d))),
     "s10_label_purity"      -> ((s, d) => s10LabelPurity(T(s, d))),
     "s11_quant_recall"      -> ((s, d) => s11QuantRecall(T(s, d))),
+    "s12_knn_graph"         -> ((s, d) => s12KnnGraph(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -679,5 +736,6 @@ object Similarity {
     "s09_quant_audit"       -> s09Oracle,
     "s10_label_purity"      -> s10Oracle,
     "s11_quant_recall"      -> s11Oracle,
+    "s12_knn_graph"         -> s12Oracle,
   )
 }

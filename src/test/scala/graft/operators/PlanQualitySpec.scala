@@ -72,6 +72,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(exact.isEmpty || recall >= 0.2, f"recall $recall%.2f below floor")
   }
 
+  test("s12: knn graph candidates are bucket equi-joins, window keyed by src") {
+    val p = plan("s12_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("windowspecdefinition(src"), p)
+  }
+
   test("p24: padding window partitions by source (no single-partition rank)") {
     val p = plan("p24_padding_per_source")
     assert(p.contains("windowspecdefinition(source"), p)
