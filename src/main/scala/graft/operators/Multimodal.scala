@@ -417,6 +417,49 @@ object Multimodal {
        WHERE n_shared * 10000 // LEAST(ca.nf, cb.nf) >= 2500
        ORDER BY asset_a, asset_b"""
 
+  /** [[m06ShardManifest]]'s 100 TB form: the running byte budget is kept
+    * WITHIN each source (windows keyed by the doc's source) — the per-source
+    * sub-shard pass m06's docstring only documented, and what an object-store
+    * layout actually wants (each source's shard set is independently
+    * append-able). Same boundary-crossing rule; shard ids restart per source. */
+  def m09ShardManifestPerSource(t: T, budgetBytes: Int = ShardBudgetBytes): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val src = t.documents.select($"doc_id".as("asset_id"), $"source")
+    assets(t).toDF()
+      .select($"asset_id", $"kind", length($"payload").cast("long").as("n_bytes"))
+      .join(src, "asset_id")
+      .withColumn("cum", sum($"n_bytes").over(
+        Window.partitionBy($"source").orderBy($"asset_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("shard_id", expr(s"(cum - n_bytes) DIV $budgetBytes"))
+      .groupBy($"source", $"shard_id")
+      .agg(count(lit(1)).as("n_assets"), sum($"n_bytes").as("shard_bytes"),
+        sum(when($"kind" === "image", 1L).otherwise(0L)).as("n_image"),
+        sum(when($"kind" === "audio", 1L).otherwise(0L)).as("n_audio"),
+        sum(when($"kind" === "video", 1L).otherwise(0L)).as("n_video"),
+        min($"asset_id").as("first_asset"), max($"asset_id").as("last_asset"))
+      .orderBy($"source", $"shard_id")
+  }
+
+  val m09Oracle: String =
+    s"""WITH a AS (SELECT doc_id AS asset_id, source,
+                CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+                length(text)::BIGINT AS n_bytes
+         FROM documents),
+       c AS (SELECT asset_id, source, kind, n_bytes,
+               SUM(n_bytes) OVER (PARTITION BY source ORDER BY asset_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM a)
+       SELECT source, ((cum - n_bytes) // $ShardBudgetBytes)::BIGINT AS shard_id,
+              COUNT(*) AS n_assets, SUM(n_bytes)::BIGINT AS shard_bytes,
+              SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END)::BIGINT AS n_image,
+              SUM(CASE WHEN kind = 'audio' THEN 1 ELSE 0 END)::BIGINT AS n_audio,
+              SUM(CASE WHEN kind = 'video' THEN 1 ELSE 0 END)::BIGINT AS n_video,
+              MIN(asset_id) AS first_asset, MAX(asset_id) AS last_asset
+       FROM c GROUP BY 1, 2 ORDER BY source, shard_id"""
+
   final case class ImageStats(asset_id: Long, n_px: Long, px_sum: Long,
                               b0: Long, b1: Long, b2: Long, b3: Long)
 
@@ -465,6 +508,7 @@ object Multimodal {
     "m06_shard_manifest"    -> ((s, d) => m06ShardManifest(T(s, d))),
     "m07_frame_dup_pairs"   -> ((s, d) => m07FrameDupPairs(T(s, d))),
     "m08_image_histogram"   -> ((s, d) => m08ImageHistogram(T(s, d))),
+    "m09_shards_per_source" -> ((s, d) => m09ShardManifestPerSource(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -476,5 +520,6 @@ object Multimodal {
     "m06_shard_manifest"    -> m06Oracle,
     "m07_frame_dup_pairs"   -> m07Oracle,
     "m08_image_histogram"   -> m08Oracle,
+    "m09_shards_per_source" -> m09Oracle,
   )
 }

@@ -1069,6 +1069,37 @@ object Pipeline {
                  // (n_docs * max_tokens))::BIGINT AS waste_bp
        FROM b ORDER BY source, batch_id"""
 
+  /** Passage chunking for retrieval indexing: fixed 256-char windows with
+    * 64-char overlap (stride 192) — the RAG-prep step that turns documents
+    * into embeddable passages. Pure map-side: one transform+posexplode per
+    * doc, no shuffle until the output sort; emitted columns are the chunk's
+    * digest and length, never the text twice. Chunk count = floor((len-1)/
+    * stride)+1, i.e. every char is covered and the tail chunk may be short. */
+  def p25PassageChunks(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .filter(length($"text") > 0)
+      .select($"doc_id", posexplode(expr(
+        """transform(sequence(0, CAST((length(text) - 1) DIV 192 AS INT)),
+             i -> substring(text, i * 192 + 1, 256))""")).as(Seq("chunk_idx", "chunk")))
+      .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+        length($"chunk").cast("long").as("n_chars"), md5($"chunk").as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Chunk starts enumerated to 1024 (196 KiB of text) with the m03-style
+    * hard-error cap guard: a longer doc fails the oracle loudly. */
+  val p25Oracle: String =
+    """SELECT doc_id, i::BIGINT AS chunk_idx,
+         length(sub)::BIGINT AS n_chars, md5(sub) AS chunk_md5
+       FROM (SELECT doc_id, i, substr(text, (i * 192 + 1)::INT, 256) AS sub
+             FROM documents, range(0, 1024) r(i)
+             WHERE length(text) > 0 AND i * 192 < length(text))
+       WHERE (SELECT CASE WHEN max(length(text)) > 196608
+                          THEN error('p25 oracle chunk cap exceeded')
+                          ELSE 1 END FROM documents) = 1
+       ORDER BY doc_id, chunk_idx"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -1094,6 +1125,7 @@ object Pipeline {
     "p22_source_waterfill"    -> ((s, d) => p22SourceWaterfill(T(s, d))),
     "p23_padding_waste"       -> ((s, d) => p23PaddingWaste(T(s, d))),
     "p24_padding_per_source"  -> ((s, d) => p24PaddingWastePerSource(T(s, d))),
+    "p25_passage_chunks"      -> ((s, d) => p25PassageChunks(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1121,5 +1153,6 @@ object Pipeline {
     "p22_source_waterfill"    -> p22Oracle,
     "p23_padding_waste"       -> p23Oracle,
     "p24_padding_per_source"  -> p24Oracle,
+    "p25_passage_chunks"      -> p25Oracle,
   )
 }

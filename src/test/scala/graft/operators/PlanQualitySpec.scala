@@ -72,6 +72,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(exact.isEmpty || recall >= 0.2, f"recall $recall%.2f below floor")
   }
 
+  test("m09: shard window partitions by source (no single-partition prefix sum)") {
+    val p = plan("m09_shards_per_source")
+    assert(p.contains("windowspecdefinition(source"), p)
+  }
+
   test("s12: knn graph candidates are bucket equi-joins, window keyed by src") {
     val p = plan("s12_knn_graph")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
