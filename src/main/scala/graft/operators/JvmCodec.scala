@@ -65,22 +65,39 @@ object JvmCodec {
     out.array()
   }
 
-  /** Decode any grayscale image container (PNG, BMP — sniffed by magic)
-    * back to its sample bytes, row-major, via the real ImageIO reader. */
-  def decodeImage(encoded: Array[Byte]): Array[Byte] = {
-    if (encoded.isEmpty) return Array.emptyByteArray
-    val img = ImageIO.read(new ByteArrayInputStream(encoded))
-    val (w, h) = (img.getWidth, img.getHeight)
-    val raster = img.getRaster
-    val out = new Array[Byte](w * h)
-    var y = 0; var k = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { out(k) = raster.getSample(x, y, 0).toByte; k += 1; x += 1 }
-      y += 1
+  /** Reusable image decoder — the "initialize the codec once per
+    * partition" object the mapPartitions stages hold: one ImageIO
+    * ImageReader per format, re-targeted per image, instead of the
+    * per-call reader lookup + stream sniffing `ImageIO.read` does. */
+  final class ImageDecoder {
+    private val bmp = ImageIO.getImageReadersByFormatName("bmp").next()
+    private val png = ImageIO.getImageReadersByFormatName("png").next()
+
+    def decode(encoded: Array[Byte]): Array[Byte] = {
+      if (encoded.isEmpty) return Array.emptyByteArray
+      val reader = if (encoded(0) == 'B'.toByte) bmp else png
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(encoded))
+      try {
+        reader.setInput(iis)
+        val img = reader.read(0)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val out = new Array[Byte](w * h)
+        var y = 0; var k = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { out(k) = raster.getSample(x, y, 0).toByte; k += 1; x += 1 }
+          y += 1
+        }
+        out
+      } finally iis.close()
     }
-    out
   }
+
+  /** One-shot decode of any grayscale image container (PNG, BMP). Hot
+    * loops should hold an [[ImageDecoder]] per partition instead. */
+  def decodeImage(encoded: Array[Byte]): Array[Byte] =
+    new ImageDecoder().decode(encoded)
 
   /** Back-compat alias for [[decodeImage]]. */
   def decodePng(png: Array[Byte]): Array[Byte] = decodeImage(png)

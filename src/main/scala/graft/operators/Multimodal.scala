@@ -90,12 +90,13 @@ object Multimodal {
   def decodeAssets(ds: Dataset[Asset]): Dataset[Asset] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
+      val dec = new JvmCodec.ImageDecoder // codec init: once per partition
       it.map { a =>
         a.kind match {
-          case "image" => a.copy(payload = JvmCodec.decodeImage(a.payload))
+          case "image" => a.copy(payload = dec.decode(a.payload))
           case "audio" => a.copy(payload = JvmCodec.decodeWav(a.payload))
           case _ => a.copy(payload =
-            JvmCodec.demuxFrames(a.payload).flatMap(JvmCodec.decodeImage).toArray)
+            JvmCodec.demuxFrames(a.payload).flatMap(dec.decode).toArray)
         }
       }
     }
@@ -196,10 +197,11 @@ object Multimodal {
   def sampleFramesReal(ds: Dataset[Asset], stride: Int = 4): Dataset[Frame] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
+      val dec = new JvmCodec.ImageDecoder // codec init: once per partition
       it.filter(_.kind == "video").flatMap { a =>
         JvmCodec.demuxFrames(a.payload).zipWithIndex.collect {
           case (png, i) if i % stride == 0 =>
-            val px = JvmCodec.decodeImage(png)
+            val px = dec.decode(png)
             var sum = 0L; var j = 0
             while (j < px.length) { sum = (sum * 31 + (px(j) & 0xff)) % 2147483647L; j += 1 }
             Frame(a.asset_id, i.toLong, px.length.toLong, sum)
@@ -472,8 +474,9 @@ object Multimodal {
   def m08ImageHistogram(t: T): DataFrame = {
     import t.spark.implicits._
     assetsEncoded(t, only = Some("image")).mapPartitions { it =>
+      val dec = new JvmCodec.ImageDecoder // codec init: once per partition
       it.map { a =>
-        val px = JvmCodec.decodeImage(a.payload)
+        val px = dec.decode(a.payload)
         val bins = new Array[Long](4)
         var s = 0L; var i = 0
         while (i < px.length) { val v = px(i) & 0xff; s += v; bins(v >> 6) += 1; i += 1 }
