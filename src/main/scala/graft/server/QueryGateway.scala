@@ -38,7 +38,8 @@ final class QueryGateway(
     sessionInit: SparkSession => Unit = _ => (),
     port: Int = 0,
     maxRows: Long = Long.MaxValue,
-    maxHintPriority: Int = 0) {
+    maxHintPriority: Int = 0,
+    batching: Option[graft.sharing.BatchWindow[Seq[String]]] = None) {
 
   private val server = new ServerSocket(port)
   private val connIds = new AtomicLong()
@@ -64,6 +65,7 @@ final class QueryGateway(
     val session = root.newSession()
     sessionInit(session)
     session.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-client-$id")
+    var stmtNo = 0L
     val in = new BufferedReader(new InputStreamReader(sock.getInputStream))
     // no autoflush: one flush per response, not one syscall per row
     val out = new PrintWriter(new java.io.BufferedWriter(
@@ -90,7 +92,32 @@ final class QueryGateway(
               if (effective.priority != 0) effective.pool
               else s"graft-client-$id"
             session.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
-            val it = session.sql(sql).toJSON.toLocalIterator()
+            // Optional work-sharing path: statements queue into the
+            // BatchWindow and execute as a shared window (the reference's
+            // DAGQueue -> WorksharingExecutor deployment shape: wire ->
+            // queue -> window -> shared scans -> results multiplexed back).
+            // Windowed statements run on the executor's root session, so
+            // connection-local temp views don't resolve there — the same
+            // trade the reference's shared executor made.
+            val it: java.util.Iterator[String] = batching match {
+              case Some(win) =>
+                stmtNo += 1
+                val cap = if (maxRows == Long.MaxValue) maxRows else maxRows + 1
+                val job = graft.sharing.QueryJob[Seq[String]](
+                  s"gw-$id-$stmtNo", s => s.sql(sql),
+                  df => {
+                    val li = df.toJSON.toLocalIterator()
+                    val buf = scala.collection.mutable.ListBuffer.empty[String]
+                    var k = 0L
+                    while (k < cap && li.hasNext) { buf += li.next(); k += 1 }
+                    buf.toSeq
+                  },
+                  effective)
+                val rows = scala.concurrent.Await.result(
+                  win.submit(job), scala.concurrent.duration.Duration(30, "min"))
+                java.util.Arrays.asList(rows: _*).iterator()
+              case None => session.sql(sql).toJSON.toLocalIterator()
+            }
             out.println("ok")
             var n = 0L
             while (n < maxRows && it.hasNext) { out.println(it.next()); n += 1 }

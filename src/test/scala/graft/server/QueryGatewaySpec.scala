@@ -79,6 +79,32 @@ class QueryGatewaySpec extends SparkSpec {
     } finally gw.close()
   }
 
+  test("batched mode: two connections share one window and its scan cache") {
+    import graft.sharing.{BatchWindow, WorkSharingExecutor}
+    val ex = new WorkSharingExecutor(spark)
+    val win = new BatchWindow[Seq[String]](ex, windowSize = 2, maxWaitMs = 5000)
+    Tables.register(spark, sfDir) // windowed jobs run on the root session
+    val gw = new QueryGateway(spark, s => Tables.register(s, sfDir), batching = Some(win))
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def ask(sql: String): Future[(String, Seq[String], String)] = Future {
+        val (sock, out, in) = connect(gw.boundPort)
+        try { out.println(sql); readResponse(in) } finally sock.close()
+      }
+      // two concurrent statements over the same table -> one window
+      val a = ask("SELECT count(*) AS n FROM lineitem")
+      val b = ask("SELECT count(DISTINCT l_linestatus) AS s FROM lineitem")
+      val (ha, ra, ta) = Await.result(a, 5.minutes)
+      val (hb, rb, _) = Await.result(b, 5.minutes)
+      assert(ha == "ok" && ra.size == 1 && ta == "done 1", (ha, ra, ta))
+      assert(hb == "ok" && rb.size == 1, (hb, rb))
+      // the shared lineitem scan was detected and cached by the window
+      assert(ex.cachedFingerprints.exists(_.contains("lineitem")), ex.cachedFingerprints)
+    } finally { gw.close(); win.close(); ex.shutdown(); spark.catalog.clearCache() }
+  }
+
   test("gateway executes SQL and streams JSON rows per connection") {
     val gw = new QueryGateway(spark, s => Tables.register(s, sfDir))
     try {
