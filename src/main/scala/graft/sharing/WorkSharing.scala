@@ -171,6 +171,51 @@ object ShareDetector {
           relation = r)
     }.toSeq
   }
+
+  /** A non-leaf subplan shared by >= 2 jobs: the subplan-granularity
+    * upgrade of [[detect]] for PURE plans (fragments that a build-time
+    * checkpoint has erased must be declared instead — see runBatch). */
+  final case class FragmentGroup(fingerprint: String, plan: LogicalPlan,
+                                 jobNames: Seq[String], nNodes: Int)
+
+  /** Canonically-equal expensive subtrees (Join / Aggregate / Window roots)
+    * appearing in >= 2 jobs' analyzed plans. Only deterministic, fully
+    * declarative subtrees qualify (no LogicalRDD leaves — those are
+    * per-build identities that can never match a sibling). Nested shared
+    * fragments are dropped in favor of the largest enclosing shared one. */
+  def fragments(jobs: Seq[(String, DataFrame)]): Seq[FragmentGroup] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Join => LJoin, Window => LWin}
+    def expensive(p: LogicalPlan): Boolean = p match {
+      case _: LJoin | _: LAgg | _: LWin => true
+      case _ => false
+    }
+    def pure(p: LogicalPlan): Boolean =
+      !p.exists(n => n.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD] ||
+        n.expressions.exists(e => e.exists(!_.deterministic)))
+    val byFp = mutable.LinkedHashMap.empty[String, (LogicalPlan, mutable.ListBuffer[String])]
+    jobs.foreach { case (name, df) =>
+      val subs = df.queryExecution.analyzed.collect {
+        case p if expensive(p) && pure(p) => (p.canonicalized.hashCode.toString, p)
+      }
+      subs.distinctBy(_._1).foreach { case (fp, p) =>
+        val entry = byFp.getOrElseUpdate(fp, (p, mutable.ListBuffer.empty[String]))
+        entry._2 += name
+      }
+    }
+    val shared = byFp.iterator.collect {
+      case (fp, (p, names)) if names.size >= 2 =>
+        FragmentGroup(fp, p, names.toSeq, p.collect { case _ => 1 }.size)
+    }.toSeq.sortBy(-_.nNodes)
+    // keep maximal fragments only: a subtree of an already-kept shared
+    // fragment is computed inside that fragment's cache anyway
+    val kept = mutable.ListBuffer.empty[FragmentGroup]
+    shared.foreach { g =>
+      val nested = kept.exists(k =>
+        k.plan.exists(_.canonicalized.hashCode.toString == g.fingerprint))
+      if (!nested) kept += g
+    }
+    kept.toSeq
+  }
 }
 
 /** Cache-or-not policy: stats-backed replacement for the reference's
@@ -201,7 +246,8 @@ final class WorkSharingExecutor(
     spark: SparkSession,
     budgetBytes: Long = 2L * 1024 * 1024 * 1024,
     maxConcurrency: Int = 8,
-    autoMerge: Boolean = false) {
+    autoMerge: Boolean = false,
+    subplanSharing: Boolean = false) {
 
   private val policy = new SharePolicy(budgetBytes)
   /** fingerprint -> (cached scan DF, size, last-used batch). */
@@ -248,6 +294,25 @@ final class WorkSharingExecutor(
     val (mergeGroups, unmergedNames) =
       if (autoMerge) AutoMerge.detect(built)
       else (Seq.empty[Seq[(String, AutoMerge.Shape)]], built.map(_._1))
+    // automatic subplan sharing (opt-in): canonically-equal Join/Aggregate/
+    // Window subtrees across >= 2 built plans are cached once; Catalyst's
+    // CacheManager substitutes them into every sibling at first execution.
+    // Complements declared fragments: this sees only PURE plans (a build-
+    // time checkpoint leaves LogicalRDDs nothing can match).
+    if (subplanSharing) {
+      ShareDetector.fragments(built).foreach { g =>
+        val fp = s"autofrag:${g.fingerprint}"
+        if (!cached.contains(fp)) {
+          val df = org.apache.spark.sql.GraftSqlShim.ofRows(spark, g.plan)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          df.count()
+          cached.put(fp, (df, df.queryExecution.optimizedPlan.stats.sizeInBytes, batchNo))
+        } else {
+          val (df, sz, _) = cached(fp)
+          cached.update(fp, (df, sz, batchNo))
+        }
+      }
+    }
     val groups = ShareDetector.detect(spark, built)
     val toShare = policy.choose(groups)
 

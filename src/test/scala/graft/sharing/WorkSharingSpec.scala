@@ -103,6 +103,32 @@ class WorkSharingSpec extends SparkSpec {
     } finally { ex.shutdown(); spark.catalog.clearCache() }
   }
 
+  test("automatic subplan sharing caches a shared aggregate subtree once") {
+    // two jobs whose plans contain the SAME aggregate subtree with
+    // different post-processing — scan sharing alone would re-aggregate
+    def baseAgg(s: SparkSession) =
+      T(s, sfDir).lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("q"), count(lit(1)).as("n"))
+    val fragJobs: Seq[QueryJob[Seq[String]]] = Seq(
+      QueryJob("hot_flags", s => baseAgg(s).filter(col("q") > 1000), snap),
+      QueryJob("flag_count", s => baseAgg(s).groupBy("l_returnflag")
+        .agg(sum(col("n")).as("rows")), snap))
+    val built = fragJobs.map(j => (j.name, j.build(spark)))
+    val groups = ShareDetector.fragments(built)
+    assert(groups.size == 1 && groups.head.jobNames.toSet == Set("hot_flags", "flag_count"),
+      groups.map(g => (g.jobNames, g.nNodes)))
+    val isolated = fragJobs.map(j => j.name -> j.action(j.build(spark))).toMap
+    val ex = new WorkSharingExecutor(spark, subplanSharing = true)
+    try {
+      val batched = ex.runBatch(fragJobs)
+      batched.foreach { case (name, rows) => assert(rows == isolated(name), s"job $name") }
+      assert(ex.cachedFingerprints.exists(_.startsWith("autofrag:")), ex.cachedFingerprints)
+      // a sibling built afterwards reads the fragment cache
+      val probe = baseAgg(spark).filter(col("n") > 5)
+      assert(probe.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    } finally { ex.shutdown(); spark.catalog.clearCache() }
+  }
+
   test("zero budget -> no caching, results still correct") {
     val isolated = jobs.map(j => j.name -> j.action(j.build(spark))).toMap
     val ex = new WorkSharingExecutor(spark, budgetBytes = 0L)
