@@ -958,6 +958,50 @@ object Dedup {
        FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
        ORDER BY jaccard_bp DESC, doc_a, doc_b LIMIT 20"""
 
+  /** Cross-method agreement audit: the d04 MinHash/Jaccard pair set vs the
+    * d06 SimHash/Hamming pair set, full-outer-joined on the pair key — the
+    * "do my two near-dup detectors agree" diagnostic that decides whether
+    * running both buys recall or only cost. Pairs found by both methods,
+    * by one only, and the basis-point Jaccard overlap of the two sets, per
+    * language of the pair's lower doc (blocking is same-lang in both
+    * methods, so one side's lang is the pair's lang). Both inputs are
+    * single-exchange shapes; the audit adds one full-outer equi-join. */
+  def d19MethodAgreement(t: T): DataFrame = {
+    import t.spark.implicits._
+    val mh = d04MinhashLshPairs(t).select($"doc_a", $"doc_b", lit(1L).as("mh"))
+    val sh = d06SimhashPairs(t).select($"doc_a", $"doc_b", lit(1L).as("sh"))
+    val lang = t.documents.select($"doc_id".as("doc_a"), $"lang")
+    mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+      .join(lang, "doc_a")
+      .groupBy($"lang")
+      .agg(
+        sum(when($"mh".isNotNull && $"sh".isNotNull, 1L).otherwise(0L)).as("n_both"),
+        sum(when($"sh".isNull, 1L).otherwise(0L)).as("n_minhash_only"),
+        sum(when($"mh".isNull, 1L).otherwise(0L)).as("n_simhash_only"))
+      .withColumn("agreement_bp", expr(
+        "CASE WHEN n_both + n_minhash_only + n_simhash_only = 0 THEN 0 " +
+        "ELSE n_both * 10000 DIV (n_both + n_minhash_only + n_simhash_only) END"))
+      .orderBy($"lang")
+  }
+
+  /** The d04 and d06 oracles verbatim as nested CTEs, outer-joined. */
+  val d19Oracle: String =
+    s"""WITH mh AS ($d04Oracle),
+       sh AS ($d06Oracle)
+       SELECT lang,
+              SUM(CASE WHEN mh_f IS NOT NULL AND sh_f IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_both,
+              SUM(CASE WHEN sh_f IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_minhash_only,
+              SUM(CASE WHEN mh_f IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_simhash_only,
+              (CASE WHEN COUNT(*) = 0 THEN 0
+                    ELSE SUM(CASE WHEN mh_f IS NOT NULL AND sh_f IS NOT NULL THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+               END)::BIGINT AS agreement_bp
+       FROM (SELECT COALESCE(mh.doc_a, sh.doc_a) AS doc_a,
+                    mh.doc_a AS mh_f, sh.doc_a AS sh_f
+             FROM mh FULL OUTER JOIN sh
+               ON mh.doc_a = sh.doc_a AND mh.doc_b = sh.doc_b) u
+       JOIN documents d ON d.doc_id = u.doc_a
+       GROUP BY lang ORDER BY lang"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"        -> ((s, d) => d01ExactDedup(T(s, d))),
     "d02_ngram_jaccard"      -> ((s, d) => d02NgramJaccardPairs(T(s, d))),
@@ -977,6 +1021,7 @@ object Dedup {
     "d16_cluster_audit"      -> ((s, d) => d16ClusterAudit(T(s, d))),
     "d17_survivorship"       -> ((s, d) => d17Survivorship(T(s, d))),
     "d18_topk_sim_join"      -> ((s, d) => d18TopkSimJoin(T(s, d))),
+    "d19_method_agreement"   -> ((s, d) => d19MethodAgreement(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -998,5 +1043,6 @@ object Dedup {
     "d16_cluster_audit"     -> d16Oracle,
     "d17_survivorship"      -> d17Oracle,
     "d18_topk_sim_join"     -> d18Oracle,
+    "d19_method_agreement"  -> d19Oracle,
   )
 }

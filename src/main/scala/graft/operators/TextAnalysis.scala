@@ -664,6 +664,56 @@ object TextAnalysis {
               (SUM(c * surp_p) * 1000 // MAX(ns))::BIGINT AS self_mbits
        FROM scored GROUP BY source ORDER BY source"""
 
+  /** Classifier evaluation over the t02 lang-ID confusion matrix: per-label
+    * true positives, precision, recall and F1, all in integer basis points
+    * (the metric rollup every production quality-classifier gate needs —
+    * here eval'd against the corpus's declared `lang` as ground truth).
+    * Labels are the union of actuals and predictions ('und' appears only
+    * as a prediction), via a full outer join of the row and column sums.
+    * Composes t02 verbatim; three tiny aggregates over the matrix. */
+  def t18LangIdMetrics(t: T): DataFrame = {
+    import t.spark.implicits._
+    val m = t02LangId(t) // (lang, pred, n)
+    val actual = m.groupBy($"lang".as("label")).agg(sum($"n").as("n_actual"))
+    val predicted = m.groupBy($"pred".as("label")).agg(sum($"n").as("n_predicted"))
+    val diag = m.filter($"lang" === $"pred").select($"lang".as("label"), $"n".as("tp"))
+    actual.join(predicted, Seq("label"), "full_outer")
+      .join(diag, Seq("label"), "left_outer")
+      .na.fill(0L, Seq("n_actual", "n_predicted", "tp"))
+      .withColumn("precision_bp",
+        when($"n_predicted" === 0, 0L).otherwise(expr("tp * 10000 DIV n_predicted")))
+      .withColumn("recall_bp",
+        when($"n_actual" === 0, 0L).otherwise(expr("tp * 10000 DIV n_actual")))
+      .withColumn("f1_bp",
+        when($"precision_bp" + $"recall_bp" === 0, 0L)
+          .otherwise(expr("2 * precision_bp * recall_bp DIV (precision_bp + recall_bp)")))
+      .orderBy($"label")
+  }
+
+  /** The t02 oracle verbatim as a nested CTE, rolled up per label. */
+  val t18Oracle: String =
+    s"""WITH m AS ($t02Oracle),
+       act AS (SELECT lang AS label, SUM(n) AS n_actual FROM m GROUP BY 1),
+       prd AS (SELECT pred AS label, SUM(n) AS n_predicted FROM m GROUP BY 1),
+       diag AS (SELECT lang AS label, n AS tp FROM m WHERE lang = pred)
+       SELECT label, n_actual, n_predicted, tp,
+              precision_bp::BIGINT AS precision_bp,
+              recall_bp::BIGINT AS recall_bp,
+              (CASE WHEN precision_bp + recall_bp = 0 THEN 0
+                    ELSE 2 * precision_bp * recall_bp // (precision_bp + recall_bp)
+               END)::BIGINT AS f1_bp
+       FROM (SELECT COALESCE(a.label, p.label) AS label,
+                    COALESCE(n_actual, 0)::BIGINT AS n_actual,
+                    COALESCE(n_predicted, 0)::BIGINT AS n_predicted,
+                    COALESCE(tp, 0)::BIGINT AS tp,
+                    CASE WHEN COALESCE(n_predicted, 0) = 0 THEN 0
+                         ELSE COALESCE(tp, 0) * 10000 // n_predicted END AS precision_bp,
+                    CASE WHEN COALESCE(n_actual, 0) = 0 THEN 0
+                         ELSE COALESCE(tp, 0) * 10000 // n_actual END AS recall_bp
+             FROM act a FULL OUTER JOIN prd p ON a.label = p.label
+             LEFT JOIN diag d ON COALESCE(a.label, p.label) = d.label)
+       ORDER BY label"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
     "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
@@ -682,6 +732,7 @@ object TextAnalysis {
     "t15_novelty"       -> ((s, d) => t15Novelty(T(s, d))),
     "t16_vocab_overlap" -> ((s, d) => t16VocabOverlap(T(s, d))),
     "t17_source_drift"  -> ((s, d) => t17SourceDrift(T(s, d))),
+    "t18_langid_metrics" -> ((s, d) => t18LangIdMetrics(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -702,5 +753,6 @@ object TextAnalysis {
     "t15_novelty"       -> t15Oracle,
     "t16_vocab_overlap" -> t16Oracle,
     "t17_source_drift"  -> t17Oracle,
+    "t18_langid_metrics" -> t18Oracle,
   )
 }

@@ -66,6 +66,20 @@ class MultimodalSpec extends SparkSpec {
     assert(JvmCodec.demuxFrames(JvmCodec.encodeFrameContainer(Array.emptyByteArray, 16)).isEmpty)
   }
 
+  test("property: every codec roundtrips arbitrary byte content bit-exactly") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val dec = new JvmCodec.ImageDecoder
+    val bytes = Gen.listOf(Gen.choose(0, 255).map(_.toByte)).map(_.toArray)
+    val prop = Prop.forAll(bytes) { bs =>
+      dec.decode(JvmCodec.encodeBmp(bs)).sameElements(bs) &&
+        dec.decode(JvmCodec.encodePng(bs)).sameElements(bs) &&
+        JvmCodec.decodeWav(JvmCodec.encodeWav(bs)).sameElements(bs) &&
+        JvmCodec.demuxFrames(JvmCodec.encodeFrameContainer(bs, 16))
+          .flatMap(dec.decode).toArray.sameElements(bs)
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
   test("real-codec path equals the codec-free twin on the whole corpus") {
     // features through real encode->decode == features over raw content
     val real = snap(Multimodal.extractFeatures(
