@@ -268,6 +268,36 @@ object StreamOps {
              FROM events)
        WHERE rk = 1 ORDER BY user_id, event_type"""
 
+  /** Streaming INGEST dedup for a document feed: key each arriving doc by
+    * its content hash and keep the first arrival — the de-duplicating front
+    * door of a streaming training-data pipeline (state = one row per
+    * distinct content key; at 100 TB the key set shards across executors
+    * like any streaming-agg state, and the WithinWatermark variant bounds
+    * it when near-real-time re-crawls dominate). */
+  def contentDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("key_hash", md5(substring(col("text"), 1, 64)))
+      .dropDuplicates("key_hash")
+
+  /** Batch twin of [[contentDedup]] for oracle coverage: the surviving
+    * (first-by-doc_id) document per content key plus how many arrivals the
+    * key absorbed — in-order delivery makes first-arrival == min doc_id,
+    * which is what the SynthSource parity spec feeds. */
+  def w11ContentDedup(t: graft.T): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .withColumn("key_hash", md5(substring($"text", 1, 64)))
+      .groupBy($"key_hash")
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_arrivals"))
+      .select($"keeper_id", $"key_hash", $"n_arrivals")
+      .orderBy($"keeper_id")
+  }
+
+  val w11Oracle: String =
+    """SELECT MIN(doc_id) AS keeper_id, md5(substr(text, 1, 64)) AS key_hash,
+              COUNT(*) AS n_arrivals
+       FROM documents GROUP BY 2 ORDER BY keeper_id"""
+
   /** Batch twin of [[enrichWithUsers]] for oracle coverage: the event
     * stream joined to a broadcast static dimension (nation keyed by
     * user_id mod 25 — the classic user->region lookup shape), rolled up
@@ -441,6 +471,7 @@ object StreamOps {
     "w08_top_types"            -> ((s, d) => w08TopTypes(graft.T(s, d))),
     "w09_user_type_counts"     -> ((s, d) => w09UserTypeCounts(graft.T(s, d))),
     "w10_anti_enrich"          -> ((s, d) => w10AntiEnrich(graft.T(s, d))),
+    "w11_content_dedup"        -> ((s, d) => w11ContentDedup(graft.T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -454,5 +485,6 @@ object StreamOps {
     "w08_top_types"            -> w08Oracle,
     "w09_user_type_counts"     -> w09Oracle,
     "w10_anti_enrich"          -> w10Oracle,
+    "w11_content_dedup"        -> w11Oracle,
   )
 }

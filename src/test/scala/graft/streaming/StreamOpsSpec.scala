@@ -154,6 +154,25 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("content dedup: later micro-batches drop already-seen content keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.contentDedup(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("content_dedup")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "alpha beta"), (2L, "gamma delta"))
+      q.processAllAvailable()
+      // batch 2: doc 3 re-crawls doc 1's content — state must drop it
+      stream.addData((3L, "alpha beta"), (4L, "epsilon"))
+      q.processAllAvailable()
+      val got = spark.table("content_dedup")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 4L), got)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: streaming result == batch join on same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
