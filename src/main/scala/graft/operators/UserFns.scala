@@ -128,15 +128,46 @@ object UserFns {
              FROM orders)
        WHERE rn = 1 ORDER BY cust_bucket"""
 
+  /** The Observation / CollectMetrics API: quality-gate metrics (row count,
+    * char total, short-doc count) piggybacked on a pass over the corpus —
+    * computed by the SAME job that does the work (here a noop write), not a
+    * second scan. This is how a production pipeline asserts "N rows in, M
+    * rows dropped" without doubling its I/O; the observed values come back
+    * on the driver through the listener bus. The query's output IS the
+    * metrics row, so the oracle can state it as plain aggregates. */
+  def u04ObservedMetrics(t: T): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.functions.{count, length, lit, sum, when}
+    val obs = new org.apache.spark.sql.Observation("graft_gate")
+    t.documents
+      .observe(obs, count(lit(1)).as("n_docs"),
+        sum(length($"text")).cast("long").as("total_chars"),
+        sum(when(length($"text") < 200, 1L).otherwise(0L)).as("n_short"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_docs").asInstanceOf[Long],
+      m("total_chars").asInstanceOf[Long],
+      m("n_short").asInstanceOf[Long]))
+      .toDF("n_docs", "total_chars", "n_short")
+  }
+
+  val u04Oracle: String =
+    """SELECT COUNT(*) AS n_docs,
+              SUM(length(text))::BIGINT AS total_chars,
+              SUM(CASE WHEN length(text) < 200 THEN 1 ELSE 0 END)::BIGINT AS n_short
+       FROM documents"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u01_udf_udaf" -> ((s, d) => u01UdfUdaf(T(s, d))),
     "u02_sql_udf"  -> ((s, d) => u02SqlUdf(T(s, d))),
     "u03_typed_reduce" -> ((s, d) => u03TypedReduce(T(s, d))),
+    "u04_observed_metrics" -> ((s, d) => u04ObservedMetrics(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
     "u01_udf_udaf" -> u01Oracle,
     "u02_sql_udf"  -> u02Oracle,
     "u03_typed_reduce" -> u03Oracle,
+    "u04_observed_metrics" -> u04Oracle,
   )
 }
