@@ -299,18 +299,50 @@ object Dedup {
     var cur = pairs
       .select($"doc_b".as("u"), $"doc_a".as("v")).distinct()
       .localCheckpoint()
-    var converged = false
-    while (!converged) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
-      // equal-size distinct sets with empty difference are equal — one tiny
-      // job on checkpointed blocks, not a second labels join
-      converged = next.count() == cur.count() && next.exceptAll(cur).isEmpty
-      cur.unpersist(blocking = false)
-      cur = next
+    // Size-gated local finish: the near-dup edge set is the corpus's
+    // DUPLICATES — orders of magnitude smaller than the corpus itself —
+    // so most real batches fit the driver with huge headroom. Below the
+    // threshold (2M edges ≈ 32 MB default; spark.graft.cc.localThreshold)
+    // one union-find pass replaces the O(log² n) star rounds and their
+    // ~12 Spark jobs; above it the distributed loop runs unchanged. The
+    // gate counts the materialized checkpoint first, so the choice itself
+    // is one cheap job, and both paths share the output contract: every
+    // doc in the edge set labeled with its component minimum.
+    val threshold = spark.conf.getOption("spark.graft.cc.localThreshold")
+      .map(_.toLong).getOrElse(2000000L)
+    if (cur.count() <= threshold) {
+      val edges = cur.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        // union by id: the smaller root stays root, so a component's final
+        // root is its minimum member — the same label the star loop emits
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val docs = edges.iterator.flatMap { case (a, b) => Iterator(a, b) }.toArray.distinct
+      spark.createDataset(docs.toSeq.map(d => (d, find(d))))
+        .toDF("doc_id", "cluster_id")
+    } else {
+      var converged = false
+      while (!converged) {
+        val next = smallStar(largeStar(cur)).localCheckpoint()
+        // equal-size distinct sets with empty difference are equal — one tiny
+        // job on checkpointed blocks, not a second labels join
+        converged = next.count() == cur.count() && next.exceptAll(cur).isEmpty
+        cur.unpersist(blocking = false)
+        cur = next
+      }
+      cur.select($"u".as("doc_id"), $"v".as("cluster_id"))
+        .union(cur.select($"v".as("doc_id"), $"v".as("cluster_id")))
+        .distinct()
     }
-    cur.select($"u".as("doc_id"), $"v".as("cluster_id"))
-      .union(cur.select($"v".as("doc_id"), $"v".as("cluster_id")))
-      .distinct()
   }
 
   /** Dedup clustering: connected components over the LSH near-dup pairs

@@ -306,6 +306,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: local union-find fast path == distributed star loop") {
+    import org.apache.spark.sql.functions.col
+    val t = T(spark, sfDir)
+    val pairs = Dedup.d04MinhashLshPairs(t).select(col("doc_a"), col("doc_b"))
+    val fast = snap(Dedup.connectedComponents(pairs))
+    spark.conf.set("spark.graft.cc.localThreshold", "0") // force the star loop
+    try {
+      val dist = snap(Dedup.connectedComponents(pairs))
+      assert(fast == dist && fast.nonEmpty)
+    } finally spark.conf.unset("spark.graft.cc.localThreshold")
+  }
+
   test("d13 bucketed variant: pairs are a subset of the exact definition; equi-join plan") {
     import spark.implicits._
     val t = T(spark, sfDir)
