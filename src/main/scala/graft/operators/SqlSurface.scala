@@ -1153,6 +1153,34 @@ object SqlSurface {
                 AS purchase_floor_sum
        FROM events GROUP BY user_id % 10 ORDER BY user_bucket"""
 
+  /** The `try_*` error-safe arithmetic family — NULL instead of a thrown
+    * error under ANSI mode: try_divide (zero divisor), try_cast (malformed
+    * string), try_element_at (index past the end), try_add (overflow — here
+    * exercised on in-range values to pin the pass-through). The pattern a
+    * pipeline uses to quarantine bad rows declaratively instead of failing
+    * a 1000-executor job on one of them. DuckDB twin states each as the
+    * explicit NULL-guard it desugars to. */
+  def q124TryArithmetic(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """SELECT o_orderkey,
+                CAST(FLOOR(try_divide(o_totalprice, o_orderkey % 3) * 100) AS BIGINT) AS div_cents,
+                try_cast(o_orderpriority AS INT) AS bad_cast,
+                try_cast(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_digit,
+                try_element_at(split(o_orderpriority, '-'), 3) AS past_end,
+                try_add(CAST(o_orderkey AS BIGINT), 1000000000) AS in_range_add
+         FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""")
+  }
+
+  val q124Oracle: String =
+    """SELECT o_orderkey,
+              FLOOR(o_totalprice / NULLIF(o_orderkey % 3, 0) * 100)::BIGINT AS div_cents,
+              TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+              TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_digit,
+              string_split(o_orderpriority, '-')[3] AS past_end,
+              (o_orderkey + 1000000000)::BIGINT AS in_range_add
+       FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -1196,6 +1224,7 @@ object SqlSurface {
     "q121_join_hints"     -> ((s, d) => q121JoinHints(T(s, d))),
     "q122_percent_of_total" -> ((s, d) => q122PercentOfTotal(T(s, d))),
     "q123_filter_clause"  -> ((s, d) => q123FilterClause(T(s, d))),
+    "q124_try_arithmetic" -> ((s, d) => q124TryArithmetic(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1241,5 +1270,6 @@ object SqlSurface {
     "q121_join_hints"     -> q121Oracle,
     "q122_percent_of_total" -> q122Oracle,
     "q123_filter_clause"  -> q123Oracle,
+    "q124_try_arithmetic" -> q124Oracle,
   )
 }
