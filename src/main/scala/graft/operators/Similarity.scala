@@ -709,6 +709,58 @@ object Similarity {
                         ORDER BY cosine DESC, dst) AS rk FROM scored)
        WHERE rk <= 3 ORDER BY src, rk"""
 
+  /** Cosine-band histogram over the LSH-candidate pair space — the
+    * threshold-tuning diagnostic for semantic dedup (d13) and ANN quality:
+    * how many candidate pairs fall in each 0.1-wide cosine band decides
+    * where the dedup threshold bites and how much the verify stage pays
+    * per band. Same bucket-join candidate stage as s12; the histogram is
+    * one integer-banded aggregate on top (band = floor(cosine*10) clamped
+    * to [-10, 9], exact in both engines on the 4-decimal-rounded cosine). */
+  def s13CosineBands(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val sigs = t.embeddings
+      .select($"vec_id", $"embedding", expr("hyperplane_sig(embedding, 32)").as("sig"))
+    val bands = sigs.select($"vec_id", $"embedding", expr(
+      "explode(transform(sequence(0, 3), t -> struct(t AS tbl, shiftright(sig, t * 8) & 255 AS bucket)))").as("bk"))
+      .select($"vec_id", $"embedding", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("a"), $"y.vec_id".as("b"),
+        $"x.embedding".as("ea"), $"y.embedding".as("eb"))
+      .dropDuplicates("a", "b")
+    cand
+      .select((round(expr("cosine_sim(ea, eb)"), 4) + lit(0.0)).as("cosine"))
+      .select(greatest(least(floor($"cosine" * 10), lit(9.0)), lit(-10.0))
+        .cast("long").as("band"))
+      .groupBy($"band").agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"band")
+  }
+
+  /** s12's candidate CTEs, banded and counted. */
+  val s13Oracle: String =
+    s"""WITH sigs AS (
+         SELECT vec_id, embedding,
+           list_sum(list_transform(range(0, 32), m ->
+             CASE WHEN list_sum(list_transform(range(1, 65), i ->
+               embedding[i]::DOUBLE * ((((m + 1) * 37 + i * 101) % 97 % 2) * 2 - 1))) > 0
+             THEN 1::BIGINT << m::INT ELSE 0::BIGINT END)) AS sig
+         FROM embeddings),
+       bands AS (
+         SELECT vec_id, t AS tbl, (sig >> (t * 8)::INT) & 255 AS bucket
+         FROM sigs, range(0, 4) r(t)),
+       cand AS (
+         SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         FROM bands x JOIN bands y
+           ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       scored AS (
+         SELECT ROUND(${duckCos("ea", "eb")}, 4) + 0.0 AS cosine
+         FROM cand JOIN embeddings ea ON ea.vec_id = a
+                   JOIN embeddings eb ON eb.vec_id = b)
+       SELECT GREATEST(LEAST(FLOOR(cosine * 10), 9), -10)::BIGINT AS band,
+              COUNT(*) AS n_pairs
+       FROM scored GROUP BY 1 ORDER BY band"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
@@ -722,6 +774,7 @@ object Similarity {
     "s10_label_purity"      -> ((s, d) => s10LabelPurity(T(s, d))),
     "s11_quant_recall"      -> ((s, d) => s11QuantRecall(T(s, d))),
     "s12_knn_graph"         -> ((s, d) => s12KnnGraph(T(s, d))),
+    "s13_cosine_bands"      -> ((s, d) => s13CosineBands(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -737,5 +790,6 @@ object Similarity {
     "s10_label_purity"      -> s10Oracle,
     "s11_quant_recall"      -> s11Oracle,
     "s12_knn_graph"         -> s12Oracle,
+    "s13_cosine_bands"      -> s13Oracle,
   )
 }
