@@ -462,6 +462,39 @@ object Multimodal {
               MIN(asset_id) AS first_asset, MAX(asset_id) AS last_asset
        FROM c GROUP BY 1, 2 ORDER BY source, shard_id"""
 
+  final case class AudioCorr(asset_id: Long, lag: Long, n_terms: Long,
+                             autocorr: Long)
+
+  /** Integer autocorrelation of the decoded PCM at lags 1/2/4 — the
+    * periodicity proxy a pitch/voice-activity screen uses, computed over
+    * REAL WAV decode (javax.sound) with pure int64 dot products so the
+    * oracle can restate it over the corpus char codes. One mapPartitions
+    * over audio assets; three narrow rows out per asset. */
+  def m10AudioAutocorr(t: T, lags: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    import t.spark.implicits._
+    assetsEncoded(t, only = Some("audio")).mapPartitions { it =>
+      it.flatMap { a =>
+        val pcm = JvmCodec.decodeWav(a.payload)
+        lags.iterator.map { lag =>
+          var s = 0L; var i = 0
+          val n = math.max(pcm.length - lag, 0)
+          while (i < n) { s += (pcm(i) & 0xff).toLong * (pcm(i + lag) & 0xff); i += 1 }
+          AudioCorr(a.asset_id, lag.toLong, n.toLong, s)
+        }
+      }
+    }.toDF().orderBy($"asset_id", $"lag")
+  }
+
+  val m10Oracle: String =
+    """SELECT doc_id AS asset_id, lag,
+         GREATEST(length(text) - lag, 0)::BIGINT AS n_terms,
+         COALESCE(list_sum(list_transform(range(1, GREATEST(length(text) - lag, 0) + 1),
+           i -> ascii(substr(text, i::INT, 1))::BIGINT
+                * ascii(substr(text, (i + lag)::INT, 1)))), 0)::BIGINT AS autocorr
+       FROM documents, (VALUES (1), (2), (4)) l(lag)
+       WHERE doc_id % 3 = 1
+       ORDER BY asset_id, lag"""
+
   final case class ImageStats(asset_id: Long, n_px: Long, px_sum: Long,
                               b0: Long, b1: Long, b2: Long, b3: Long)
 
@@ -512,6 +545,7 @@ object Multimodal {
     "m07_frame_dup_pairs"   -> ((s, d) => m07FrameDupPairs(T(s, d))),
     "m08_image_histogram"   -> ((s, d) => m08ImageHistogram(T(s, d))),
     "m09_shards_per_source" -> ((s, d) => m09ShardManifestPerSource(T(s, d))),
+    "m10_audio_autocorr"    -> ((s, d) => m10AudioAutocorr(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -524,5 +558,6 @@ object Multimodal {
     "m07_frame_dup_pairs"   -> m07Oracle,
     "m08_image_histogram"   -> m08Oracle,
     "m09_shards_per_source" -> m09Oracle,
+    "m10_audio_autocorr"    -> m10Oracle,
   )
 }
