@@ -368,6 +368,39 @@ object Graph {
        FROM deg d LEFT JOIN intra i USING (lang) CROSS JOIN m
        ORDER BY d.lang"""
 
+  /** Duplication blast radius — the one-row KPI a dedup pass is judged by:
+    * component count, docs involved in any duplicate cluster, the largest
+    * cluster's size, corpus coverage in basis points, and the docs a
+    * keep-one-per-cluster policy would drop. Composes d07's labels with one
+    * rollup + one scalar aggregate (broadcast to attach the corpus total). */
+  def g09BlastRadius(t: T): DataFrame = {
+    import t.spark.implicits._
+    val sizes = Dedup.d07DedupClusters(t)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+    val total = t.documents.select(count(lit(1)).as("n_corpus"))
+    sizes.agg(count(lit(1)).as("n_components"),
+        sum($"sz").as("n_dup_docs"),
+        max($"sz").as("largest"),
+        (sum($"sz") - count(lit(1))).as("n_droppable"))
+      .crossJoin(broadcast(total))
+      .select($"n_components", $"n_dup_docs", $"largest", $"n_droppable",
+        expr("n_dup_docs * 10000 DIV n_corpus").as("coverage_bp"),
+        $"n_corpus")
+  }
+
+  /** The d07 oracle verbatim, rolled up to the one-row KPI. */
+  val g09Oracle: String =
+    s"""WITH labels AS (${Dedup.d07Oracle}),
+       sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY 1),
+       tot AS (SELECT COUNT(*) AS n_corpus FROM documents)
+       SELECT COUNT(*)::BIGINT AS n_components,
+              SUM(sz)::BIGINT AS n_dup_docs,
+              MAX(sz)::BIGINT AS largest,
+              (SUM(sz) - COUNT(*))::BIGINT AS n_droppable,
+              (SUM(sz) * 10000 // n_corpus)::BIGINT AS coverage_bp,
+              n_corpus::BIGINT AS n_corpus
+       FROM sizes CROSS JOIN tot GROUP BY n_corpus"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank"  -> ((s, d) => g01PageRank(T(s, d))),
     "g02_triangles" -> ((s, d) => g02Triangles(T(s, d))),
@@ -377,6 +410,7 @@ object Graph {
     "g06_kcore"            -> ((s, d) => g06KCore(T(s, d))),
     "g07_assortativity"    -> ((s, d) => g07Assortativity(T(s, d))),
     "g08_modularity"       -> ((s, d) => g08Modularity(T(s, d))),
+    "g09_blast_radius"     -> ((s, d) => g09BlastRadius(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -388,5 +422,6 @@ object Graph {
     "g06_kcore"            -> g06Oracle,
     "g07_assortativity"    -> g07Oracle,
     "g08_modularity"       -> g08Oracle,
+    "g09_blast_radius"     -> g09Oracle,
   )
 }
