@@ -93,7 +93,7 @@ object ShareBench {
       spark.catalog.clearCache()
       s"""{"workload":"$wname","window":$win,"separate":$sep,"cached":$cachedT,"merged":$mergedT}"""
     }
-    lines.foreach(println)
+    val lines2 = scala.collection.mutable.ListBuffer.empty[String]
 
     // dedup family: five production dedup queries that all derive from the
     // LSH-pair subplan (d07/d12/d16 through the CC labels, d15 directly).
@@ -117,8 +117,16 @@ object ShareBench {
         val ex = new WorkSharingExecutor(spark)
         try ex.runBatch(dedupJobs, frag) finally ex.shutdown()
       }
-      println(s"""{"workload":"dedup_family","window":5,"separate":$sepD,"fragment_shared":$fragD}""")
+      lines2 += s"""{"workload":"dedup_family","window":5,"separate":$sepD,"fragment_shared":$fragD}"""
     }
+    (lines ++ lines2).foreach(println)
+    // file artifact, like Bench's BENCH_full.json: stdout of a manual run
+    // isn't captured anywhere durable
+    val out = sys.env.getOrElse("SPARK_GRAFT_SHAREBENCH_OUT", "SHAREBENCH.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      ((lines ++ lines2).mkString("", "\n", "\n"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[sharebench] write $out failed: $e") }
     spark.stop()
   }
 }
