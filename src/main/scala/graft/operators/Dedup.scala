@@ -1034,6 +1034,68 @@ object Dedup {
        JOIN documents d ON d.doc_id = u.doc_a
        GROUP BY lang ORDER BY lang"""
 
+  /** Threshold-sensitivity sweep — d14's banding diagnostic turned toward
+    * the VERIFY stage: pair and doc counts at Jaccard cutoffs 0.7/0.8/0.9
+    * from ONE candidate pass (the LSH band join scored unthresholded, each
+    * pair replicated to the thresholds it clears). How fast duplication
+    * mass shrinks as the cutoff rises is what picks d04's 0.8 — measured,
+    * not assumed. Costs one extra 3x fan-out over the candidate stream. */
+  def d20ThresholdSweep(t: T, thresholdsBp: Seq[Int] = Seq(7000, 8000, 9000)): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val sigs = t.documents
+      .withColumn("h", expr(shingleHashes))
+      .withColumn("sig", expr(minhashSig))
+      .withColumn("h", array_sort($"h"))
+      .select($"doc_id", $"h", $"sig")
+    val bands = sigs.select($"doc_id", expr(
+      """explode(transform(sequence(0, 3), b -> struct(b AS band,
+           concat_ws(',', transform(slice(sig, b * 8 + 1, 8), x -> cast(x AS string))) AS bkey)))""").as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+    val ha = sigs.select($"doc_id".as("doc_a"), $"h".as("ha"))
+    val hb = sigs.select($"doc_id".as("doc_b"), $"h".as("hb"))
+    val scored = cand.join(ha, "doc_a").join(hb, "doc_b")
+      .select($"doc_a", $"doc_b", expr("jaccard_bp_sorted(ha, hb)").as("jaccard_bp"))
+    val pairsTh = scored
+      .select(explode(array(thresholdsBp.map(v => lit(v.toLong)): _*)).as("threshold_bp"),
+        $"doc_a", $"doc_b", $"jaccard_bp")
+      .filter($"jaccard_bp" >= $"threshold_bp")
+    val pairCounts = pairsTh.groupBy($"threshold_bp")
+      .agg(count(lit(1)).as("n_pairs"))
+    val docCounts = pairsTh
+      .select($"threshold_bp", explode(array($"doc_a", $"doc_b")).as("doc"))
+      .groupBy($"threshold_bp").agg(countDistinct($"doc").as("n_docs"))
+    pairCounts.join(docCounts, "threshold_bp").orderBy($"threshold_bp")
+  }
+
+  /** The d04 candidate CTEs unthresholded, fanned out per cutoff. */
+  val d20Oracle: String =
+    s"""WITH hs AS (SELECT doc_id, $shingleHashesDuck AS h FROM documents),
+       sigs AS (SELECT doc_id, h, $minhashSigDuck AS sig FROM hs),
+       bands AS (
+         SELECT doc_id, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
+         FROM sigs, range(0, 4) t(b)),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       scored AS (
+         SELECT doc_a, doc_b,
+           len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) AS jaccard_bp
+         FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b),
+       th AS (SELECT unnest([7000, 8000, 9000])::BIGINT AS threshold_bp),
+       p AS (SELECT threshold_bp, doc_a, doc_b FROM scored CROSS JOIN th
+             WHERE jaccard_bp >= threshold_bp),
+       pc AS (SELECT threshold_bp, COUNT(*) AS n_pairs FROM p GROUP BY 1),
+       dc AS (SELECT threshold_bp, COUNT(DISTINCT doc) AS n_docs
+              FROM (SELECT threshold_bp, doc_a AS doc FROM p
+                    UNION ALL SELECT threshold_bp, doc_b FROM p)
+              GROUP BY 1)
+       SELECT threshold_bp, n_pairs, n_docs
+       FROM pc JOIN dc USING (threshold_bp) ORDER BY threshold_bp"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"        -> ((s, d) => d01ExactDedup(T(s, d))),
     "d02_ngram_jaccard"      -> ((s, d) => d02NgramJaccardPairs(T(s, d))),
@@ -1054,6 +1116,7 @@ object Dedup {
     "d17_survivorship"       -> ((s, d) => d17Survivorship(T(s, d))),
     "d18_topk_sim_join"      -> ((s, d) => d18TopkSimJoin(T(s, d))),
     "d19_method_agreement"   -> ((s, d) => d19MethodAgreement(T(s, d))),
+    "d20_threshold_sweep"    -> ((s, d) => d20ThresholdSweep(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1076,5 +1139,6 @@ object Dedup {
     "d17_survivorship"      -> d17Oracle,
     "d18_topk_sim_join"     -> d18Oracle,
     "d19_method_agreement"  -> d19Oracle,
+    "d20_threshold_sweep"   -> d20Oracle,
   )
 }
