@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.concurrent.{Await, Future, TimeoutException}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+/** Scale-cliff smoke for the quadratic-risk query families (VERDICT r5 §7).
+  *
+  * No sf1 corpus ships with the testdata, so this main synthesizes one at
+  * runtime: the sf0.1 `documents`/`embeddings` tables replicated `mult` times
+  * (default 20× → 100k docs / 40k vectors) with per-replica doc_id offsets and
+  * a short text/embedding perturbation, so each source row becomes a cluster
+  * of near-duplicates — the worst realistic shape for candidate generation.
+  *
+  * Only PRODUCTION paths run here (LSH / SimHash blocking / PPJoin prefix /
+  * gram-key / IVF). The declared all-pairs exact baselines (d02, s03) are
+  * excluded by design and named in the artifact: they are O(n²) oracles, not
+  * hot paths, and benching them at 20× would only prove arithmetic. Every
+  * query runs under a wall-clock ceiling enforced with a cancellable job
+  * group, so a quadratic stage accidentally introduced into a production path
+  * reads as a named breach, not a hung build.
+  *
+  * Output: one JSON line on stdout and in SCALESMOKE.json.
+  */
+object ScaleSmoke {
+
+  /** Replicate documents+embeddings `mult`× into `outDir` (parquet). Replica 0
+    * is byte-identical to the source; replica i>0 gets a 3–4 char text suffix
+    * (near-dup, Jaccard ≈ 1 - 1/shingles) and a 1e-4·i embedding shift.
+    */
+  def buildScaled(spark: SparkSession, baseDir: String, outDir: String, mult: Int): (Long, Long) = {
+    val reps = spark.range(mult.toLong).toDF("rep")
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") + col("rep") * lit(1000000L)).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" r"), col("rep"))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") + col("rep") * lit(1000000L)).as("vec_id"),
+        expr("transform(embedding, x -> float(x + rep * 0.0001d))").as("embedding"),
+        col("label"))
+    embs.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    (spark.read.parquet(s"$outDir/documents.parquet").count(),
+      spark.read.parquet(s"$outDir/embeddings.parquet").count())
+  }
+
+  /** Production-path queries over documents/embeddings; linear-ish by design. */
+  val productionKeys: Seq[String] = Seq(
+    "d01_exact_dedup", "d04_minhash_lsh_pairs", "d05_simhash",
+    "d06_simhash_pairs", "d07_dedup_clusters", "d08_prefix_jaccard",
+    "d09_substring_dup", "d13_semantic_clusters", "d18_topk_sim_join",
+    "d21_incremental_dedup", "s02_hyperplane_lsh", "s04_ivf_ann")
+
+  /** Exact/audit arms — broadcast-the-query-set brute force (s01-shaped) or
+    * declared all-pairs baselines. Excluded, named in the artifact. */
+  val excludedBaselines: Seq[String] =
+    Seq("d02_ngram_jaccard", "s03_embedding_neardup", "s05_knn_classify")
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(20)
+    val baseDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val ceiling = sys.env.getOrElse("SPARK_GRAFT_CEILING_SEC", "120").toDouble
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SMOKE_OUT", "SCALESMOKE.json")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = s"/tmp/graft-scale/x$mult"
+    val (nDocs, nVecs) = buildScaled(spark, baseDir, dir, mult)
+
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val results = productionKeys.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val fut = Future {
+        // job group is thread-local: set it on the thread that submits jobs
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+      }
+      val outcome =
+        try { Await.result(fut, ceiling.seconds); Right((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case _: TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            Left("ceiling")
+          case e: Throwable => Left(e.getClass.getSimpleName)
+        }
+      System.err.println(s"[smoke] $name -> $outcome")
+      name -> outcome
+    }
+    val qs = results.map {
+      case (k, Right(sec)) => "\"" + k + "\":" + fmt(sec)
+      case (k, Left(why))  => "\"" + k + "\":\"" + why + "\""
+    }.mkString("{", ",", "}")
+    val breaches = results.collect { case (k, Left(_)) => "\"" + k + "\"" }.mkString(",")
+    val excl = excludedBaselines.map("\"" + _ + "\"").mkString(",")
+    val total = results.collect { case (_, Right(s)) => s }.sum
+    val line =
+      s"""{"metric":"scale_smoke","multiplier":$mult,"docs":$nDocs,"vectors":$nVecs,""" +
+        s""""ceiling_sec":${fmt(ceiling)},"total_sec":${fmt(total)},"queries":$qs,""" +
+        s""""breaches":[$breaches],"excluded_baselines":[$excl],"base":"$baseDir"}"""
+    println(line)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[smoke] write $outPath failed: $e") }
+    spark.stop()
+  }
+}

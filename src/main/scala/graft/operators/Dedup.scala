@@ -785,16 +785,24 @@ object Dedup {
     val sigs = t.embeddings.select($"vec_id", $"embedding",
       expr("dot_d(embedding, embedding)").as("nrm"),
       expr("hyperplane_sig(embedding, 32)").as("sig"))
-    val bands = sigs.select($"vec_id", $"embedding", $"nrm", expr(
+    // candidate pairs carry IDS ONLY through the band join + distinct — the
+    // 512-byte embeddings rejoin AFTER dedup, so the wide rows never enter
+    // the (quadratic-in-bucket-size) pair shuffle. At 20x corpus scale this
+    // is the difference between a 12 GB and a ~200 MB exchange (SCALESMOKE).
+    val bands = sigs.select($"vec_id", expr(
       "explode(transform(sequence(0, 3), t -> struct(t AS tbl, shiftright(sig, t * 8) & 255 AS bucket)))").as("bk"))
-      .select($"vec_id", $"embedding", $"nrm", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
+      .select($"vec_id", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
     val cand = bands.as("x").join(bands.as("y"),
         $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
-      .select($"x.vec_id".as("doc_a"), $"y.vec_id".as("doc_b"),
-        $"x.embedding".as("ea"), $"x.nrm".as("na"),
-        $"y.embedding".as("eb"), $"y.nrm".as("nb"))
-      .dropDuplicates("doc_a", "doc_b")
-    val pairs = cand
+      .select($"x.vec_id".as("doc_a"), $"y.vec_id".as("doc_b")).distinct()
+    // broadcast the vector table into BOTH verify joins: the candidate
+    // stream (quadratic-in-bucket-size) then never carries an embedding
+    // through an exchange — without this the second join shuffles
+    // |candidates| x 512 B. At corpus sizes past broadcast range, replace
+    // with one repartition(doc_a) + co-bucketed sig tables.
+    val ea = sigs.select($"vec_id".as("doc_a"), $"embedding".as("ea"), $"nrm".as("na"))
+    val eb = sigs.select($"vec_id".as("doc_b"), $"embedding".as("eb"), $"nrm".as("nb"))
+    val pairs = cand.join(broadcast(ea), "doc_a").join(broadcast(eb), "doc_b")
       .filter(expr(s"dot_d(ea, eb) / sqrt(na * nb) >= $thresholdMilli / 1000.0"))
       .select($"doc_a", $"doc_b")
     connectedComponents(pairs)
@@ -1096,6 +1104,65 @@ object Dedup {
        SELECT threshold_bp, n_pairs, n_docs
        FROM pc JOIN dc USING (threshold_bp) ORDER BY threshold_bp"""
 
+  /** Incremental dedup — the production INGEST shape: a small incoming batch
+    * (doc_id % 5 == 0, ~20% of the corpus) is deduped AGAINST the accumulated
+    * index (the other 80%), not corpus-vs-corpus. The LSH band join is
+    * asymmetric: incoming bands probe index bands only, so per-ingest cost is
+    * O(|batch|) map work + a shuffle keyed on band buckets — re-running
+    * corpus-wide dedup per ingest (d04's shape) would be O(|corpus|) every
+    * batch. At 100 TB the index-side band table is a pre-computed, bucketed
+    * artifact; only the probe side is fresh work. Emits one row per incoming
+    * doc that duplicates the index: match count, earliest index keeper, and
+    * the best verified Jaccard. */
+  def d21IncrementalDedup(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val sigs = t.documents
+      .withColumn("h", expr(shingleHashes))
+      .withColumn("sig", expr(minhashSig))
+      .withColumn("h", array_sort($"h"))
+      .select($"doc_id", $"h", $"sig", pmod($"doc_id", lit(5)).as("m"))
+    val incoming = sigs.filter($"m" === 0)
+    val index = sigs.filter($"m" =!= 0)
+    def bandsOf(df: DataFrame, idName: String): DataFrame = df
+      .select(col("doc_id").as(idName), expr(
+        """explode(transform(sequence(0, 3), b -> struct(b AS band,
+             concat_ws(',', transform(slice(sig, b * 8 + 1, 8), x -> cast(x AS string))) AS bkey)))""").as("bk"))
+      .select(col(idName), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bandsOf(incoming, "doc_id")
+      .join(bandsOf(index, "idx_id"), Seq("band", "bkey"))
+      .select($"doc_id", $"idx_id").distinct()
+    val ha = incoming.select($"doc_id", $"h".as("ha"))
+    val hb = index.select($"doc_id".as("idx_id"), $"h".as("hb"))
+    cand.join(ha, "doc_id").join(hb, "idx_id")
+      .select($"doc_id", $"idx_id", expr("jaccard_bp_sorted(ha, hb)").as("jaccard_bp"))
+      .filter($"jaccard_bp" >= 8000)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_index_matches"),
+        min($"idx_id").as("dup_of"),
+        max($"jaccard_bp").as("max_jaccard_bp"))
+      .orderBy($"doc_id")
+  }
+
+  /** d04's CTEs with the band join restricted to incoming-probes-index. */
+  val d21Oracle: String =
+    s"""WITH hs AS (SELECT doc_id, doc_id % 5 AS m, $shingleHashesDuck AS h FROM documents),
+       sigs AS (SELECT doc_id, m, h, $minhashSigDuck AS sig FROM hs),
+       bands AS (
+         SELECT doc_id, m, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
+         FROM sigs, range(0, 4) t(b)),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS idx_id
+         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+         WHERE x.m = 0 AND y.m <> 0),
+       ver AS (
+         SELECT c.doc_id, c.idx_id,
+           len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) AS jaccard_bp
+         FROM cand c JOIN hs a ON a.doc_id = c.doc_id JOIN hs b ON b.doc_id = c.idx_id)
+       SELECT doc_id, COUNT(*) AS n_index_matches, MIN(idx_id) AS dup_of,
+              MAX(jaccard_bp) AS max_jaccard_bp
+       FROM ver WHERE jaccard_bp >= 8000 GROUP BY doc_id ORDER BY doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"        -> ((s, d) => d01ExactDedup(T(s, d))),
     "d02_ngram_jaccard"      -> ((s, d) => d02NgramJaccardPairs(T(s, d))),
@@ -1117,6 +1184,7 @@ object Dedup {
     "d18_topk_sim_join"      -> ((s, d) => d18TopkSimJoin(T(s, d))),
     "d19_method_agreement"   -> ((s, d) => d19MethodAgreement(T(s, d))),
     "d20_threshold_sweep"    -> ((s, d) => d20ThresholdSweep(T(s, d))),
+    "d21_incremental_dedup"  -> ((s, d) => d21IncrementalDedup(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1140,5 +1208,6 @@ object Dedup {
     "d18_topk_sim_join"     -> d18Oracle,
     "d19_method_agreement"  -> d19Oracle,
     "d20_threshold_sweep"   -> d20Oracle,
+    "d21_incremental_dedup" -> d21Oracle,
   )
 }

@@ -401,6 +401,41 @@ object Graph {
               n_corpus::BIGINT AS n_corpus
        FROM sizes CROSS JOIN tot GROUP BY n_corpus"""
 
+  /** Two-hop reach: |{nodes at distance <= 2}| per node on the symmetrized
+    * d04 pair graph — the "how far does a dup neighborhood spread" KPI one
+    * join deeper than degree (g04). One self-join on the edge list (shuffle
+    * keyed on the shared endpoint) + one distinct + one count; cache() so
+    * the two uses of edges reuse blocks with lineage intact. */
+  def g10TwoHopReach(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val pairs = Dedup.d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .distinct()
+      .cache() // reused by the direct arm and both sides of the self-join
+    val twoHop = edges.as("a").join(edges.as("b"),
+        $"a.dst" === $"b.src" && $"a.src" =!= $"b.dst")
+      .select($"a.src".as("src"), $"b.dst".as("dst"))
+    edges.union(twoHop).distinct()
+      .groupBy($"src").agg(count(lit(1)).as("n_within_2"))
+      .select($"src".as("doc_id"), $"n_within_2")
+      .orderBy($"doc_id")
+  }
+
+  /** d04's oracle as the edge CTE, one self-join deeper. */
+  val g10Oracle: String =
+    s"""WITH mh AS (${Dedup.d04Oracle}),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh
+                 UNION SELECT doc_b, doc_a FROM mh),
+       reach AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT a.src, b.dst FROM edges a JOIN edges b
+           ON a.dst = b.src AND a.src <> b.dst)
+       SELECT src AS doc_id, COUNT(*) AS n_within_2
+       FROM reach GROUP BY 1 ORDER BY doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank"  -> ((s, d) => g01PageRank(T(s, d))),
     "g02_triangles" -> ((s, d) => g02Triangles(T(s, d))),
@@ -411,6 +446,7 @@ object Graph {
     "g07_assortativity"    -> ((s, d) => g07Assortativity(T(s, d))),
     "g08_modularity"       -> ((s, d) => g08Modularity(T(s, d))),
     "g09_blast_radius"     -> ((s, d) => g09BlastRadius(T(s, d))),
+    "g10_two_hop_reach"    -> ((s, d) => g10TwoHopReach(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -423,5 +459,6 @@ object Graph {
     "g07_assortativity"    -> g07Oracle,
     "g08_modularity"       -> g08Oracle,
     "g09_blast_radius"     -> g09Oracle,
+    "g10_two_hop_reach"    -> g10Oracle,
   )
 }

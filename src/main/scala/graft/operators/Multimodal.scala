@@ -535,6 +535,89 @@ object Multimodal {
            i -> CASE WHEN ascii(substr(text, i::INT, 1)) // 64 = 3 THEN 1::BIGINT ELSE 0::BIGINT END)), 0)::BIGINT AS b3
        FROM documents WHERE doc_id % 3 = 0 ORDER BY asset_id"""
 
+  final case class AHashRow(asset_id: Long, ahash: Long)
+
+  /** Perceptual-hash (aHash) image near-dup pairs — d05/d06's SimHash plane
+    * re-expressed for PIXELS: decode each image (real ImageIO path), split the
+    * pixel stream into 64 strips, set bit s iff strip mean > global mean
+    * (exact integer cross-multiplication — no float means), then histogram
+    * the Hamming distances of candidate pairs found by d06's pigeonhole
+    * blocking (a shared 16-bit chunk — the join key is (chunk_idx,
+    * chunk_value); recall 1.0 for Hamming <= 3). Bands of 8 bits: band 0 =
+    * dup-grade. This corpus has no planted image dups, so the histogram IS
+    * the expected output — it audits how separated the candidate space is.
+    * 100 TB: hash is one map pass over the blobs; only 8-byte hashes enter
+    * the shuffle. */
+  def m11PerceptualHashPairs(t: T): DataFrame = {
+    import t.spark.implicits._
+    val hashes = assetsEncoded(t, only = Some("image")).mapPartitions { it =>
+      val dec = new JvmCodec.ImageDecoder // codec init: once per partition
+      it.map { a =>
+        val px = dec.decode(a.payload)
+        val n = px.length
+        val stripSum = new Array[Long](64); val stripLen = new Array[Long](64)
+        var total = 0L; var i = 0
+        while (i < n) {
+          val s = (i.toLong * 64 / n).toInt; val v = (px(i) & 0xff).toLong
+          stripSum(s) += v; stripLen(s) += 1; total += v; i += 1
+        }
+        var h = 0L; var s = 0
+        while (s < 64) {
+          if (stripLen(s) > 0 && stripSum(s) * n > total * stripLen(s)) h |= 1L << s
+          s += 1
+        }
+        AHashRow(a.asset_id, h)
+      }
+    }.toDF()
+    val chunks = hashes.select($"asset_id", $"ahash", explode(expr(
+      "transform(sequence(0, 3), c -> struct(c AS chunk, shiftright(ahash, c * 16) & 65535 AS cval))")).as("ck"))
+      .select($"asset_id", $"ahash", $"ck.chunk".as("chunk"), $"ck.cval".as("cval"))
+    chunks.as("x").join(chunks.as("y"),
+        $"x.chunk" === $"y.chunk" && $"x.cval" === $"y.cval" && $"x.asset_id" < $"y.asset_id")
+      .select($"x.asset_id".as("asset_a"), $"y.asset_id".as("asset_b"),
+        $"x.ahash".as("ha"), $"y.ahash".as("hb"))
+      .distinct()
+      .select(expr("cast(bit_count(ha ^ hb) AS bigint) DIV 8").as("hamming_band"))
+      .groupBy($"hamming_band").agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"hamming_band")
+  }
+
+  /** Same strip arithmetic over the corpus char codes (lossless BMP carrier),
+    * positions from a capped constant range (guarded, p25-style). */
+  val m11Oracle: String =
+    """WITH imgs AS (
+         SELECT doc_id, text, length(text) AS n FROM documents
+         WHERE doc_id % 3 = 0 AND length(text) > 0),
+       px AS (
+         SELECT doc_id, n, (i * 64) // n AS s,
+                ascii(substr(text, i::INT + 1, 1))::BIGINT AS v
+         FROM imgs, range(0, 1024) r(i) WHERE i < n),
+       strips AS (
+         SELECT doc_id, n, s, SUM(v)::BIGINT AS ssum, COUNT(*) AS slen
+         FROM px GROUP BY 1, 2, 3),
+       tot AS (SELECT doc_id, SUM(v)::BIGINT AS total FROM px GROUP BY 1),
+       ahash AS (
+         SELECT st.doc_id,
+                SUM(CASE WHEN st.ssum * st.n <= tt.total * st.slen THEN 0
+                         WHEN st.s = 63 THEN (-9223372036854775807 - 1)
+                         ELSE (1::BIGINT << st.s::INT) END)::BIGINT AS h
+         FROM strips st JOIN tot tt ON st.doc_id = tt.doc_id GROUP BY 1),
+       chunks AS (
+         SELECT doc_id, h, c, (h >> (c * 16)::INT) & 65535 AS cval
+         FROM ahash, range(0, 4) r(c)),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS asset_a, y.doc_id AS asset_b,
+                x.h AS ha, y.h AS hb
+         FROM chunks x JOIN chunks y
+           ON x.c = y.c AND x.cval = y.cval AND x.doc_id < y.doc_id)
+       SELECT bit_count(xor(ha, hb))::BIGINT // 8 AS hamming_band,
+              COUNT(*) AS n_pairs
+       FROM cand
+       WHERE (SELECT CASE WHEN max(length(text)) > 1024
+                          THEN error('m11 oracle position cap exceeded')
+                          ELSE 1 END FROM documents) = 1
+       GROUP BY 1 ORDER BY hamming_band"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> ((s, d) => m01MediaFeatures(T(s, d))),
     "m02_media_rollup"   -> ((s, d) => m02MediaRollup(T(s, d))),
@@ -546,6 +629,7 @@ object Multimodal {
     "m08_image_histogram"   -> ((s, d) => m08ImageHistogram(T(s, d))),
     "m09_shards_per_source" -> ((s, d) => m09ShardManifestPerSource(T(s, d))),
     "m10_audio_autocorr"    -> ((s, d) => m10AudioAutocorr(T(s, d))),
+    "m11_phash_pairs"       -> ((s, d) => m11PerceptualHashPairs(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -559,5 +643,6 @@ object Multimodal {
     "m08_image_histogram"   -> m08Oracle,
     "m09_shards_per_source" -> m09Oracle,
     "m10_audio_autocorr"    -> m10Oracle,
+    "m11_phash_pairs"       -> m11Oracle,
   )
 }

@@ -1100,6 +1100,47 @@ object Pipeline {
                           ELSE 1 END FROM documents) = 1
        ORDER BY doc_id, chunk_idx"""
 
+  /** Soft dedup (SemDeDup-style sampling reweight): instead of DROPPING
+    * near-duplicates, weight every doc by 1/|its d07 dedup cluster| so each
+    * duplicated item contributes one document's worth of sampling mass in
+    * total. Per source: raw docs, duplicated docs, effective doc mass (basis
+    * points — 10000 DIV cluster_size summed, integer-exact cross-engine) and
+    * the sampling-mass haircut the reweight applies. 100 TB: the cluster-size
+    * table is tiny (one row per dup cluster, broadcast); everything else is
+    * the one groupBy(source) exchange. */
+  def p26SoftDedupWeights(t: T): DataFrame = {
+    import t.spark.implicits._
+    val cl = Dedup.d07DedupClusters(t)
+    val sizes = cl.groupBy($"cluster_id").agg(count(lit(1)).as("csize"))
+    val weighted = t.documents.select($"doc_id", $"source")
+      .join(cl.join(broadcast(sizes), "cluster_id").select($"doc_id", $"csize"),
+        Seq("doc_id"), "left")
+      .withColumn("csize", coalesce($"csize", lit(1L)))
+      .withColumn("weight_bp", expr("10000 DIV csize"))
+    weighted.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"csize" > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum($"weight_bp").as("eff_docs_bp"))
+      .withColumn("haircut_bp", expr("10000 - eff_docs_bp DIV n_docs"))
+      .orderBy($"source")
+  }
+
+  /** d07's CC oracle verbatim as a CTE, reweighted per source. */
+  val p26Oracle: String =
+    s"""WITH cc AS (${Dedup.d07Oracle}),
+       sizes AS (SELECT cluster_id, COUNT(*) AS csize FROM cc GROUP BY 1),
+       weighted AS (
+         SELECT d.doc_id, d.source, COALESCE(s.csize, 1) AS csize
+         FROM documents d
+         LEFT JOIN (SELECT cc.doc_id, sizes.csize
+                    FROM cc JOIN sizes USING (cluster_id)) s
+           ON d.doc_id = s.doc_id)
+       SELECT source, COUNT(*) AS n_docs,
+              SUM(CASE WHEN csize > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+              SUM(10000 // csize)::BIGINT AS eff_docs_bp,
+              (10000 - SUM(10000 // csize) // COUNT(*))::BIGINT AS haircut_bp
+       FROM weighted GROUP BY source ORDER BY source"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -1126,6 +1167,7 @@ object Pipeline {
     "p23_padding_waste"       -> ((s, d) => p23PaddingWaste(T(s, d))),
     "p24_padding_per_source"  -> ((s, d) => p24PaddingWastePerSource(T(s, d))),
     "p25_passage_chunks"      -> ((s, d) => p25PassageChunks(T(s, d))),
+    "p26_soft_dedup"          -> ((s, d) => p26SoftDedupWeights(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1154,5 +1196,6 @@ object Pipeline {
     "p23_padding_waste"       -> p23Oracle,
     "p24_padding_per_source"  -> p24Oracle,
     "p25_passage_chunks"      -> p25Oracle,
+    "p26_soft_dedup"          -> p26Oracle,
   )
 }

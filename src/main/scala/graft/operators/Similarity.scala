@@ -64,16 +64,19 @@ object Similarity {
     graft.functions.Registry.ensure(t.spark)
     val sigs = t.embeddings
       .select($"vec_id", $"embedding", expr("hyperplane_sig(embedding, 32)").as("sig"))
-    val bands = sigs.select($"vec_id", $"embedding", expr(
+    // ids-only band join + distinct; embeddings rejoin after dedup so the
+    // candidate shuffle stays narrow (see d13 — 20x-scale smoke finding)
+    val bands = sigs.select($"vec_id", expr(
       "explode(transform(sequence(0, 3), t -> struct(t AS tbl, shiftright(sig, t * 8) & 255 AS bucket)))").as("bk"))
-      .select($"vec_id", $"embedding", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
+      .select($"vec_id", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
     val qb = bands.filter($"vec_id" % 25 === 0)
-      .select($"tbl".as("qt"), $"bucket".as("qb"), $"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      .select($"tbl".as("qt"), $"bucket".as("qb"), $"vec_id".as("query_id"))
     val cand = bands.join(qb,
         $"tbl" === $"qt" && $"bucket" === $"qb" && $"query_id" =!= $"vec_id")
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"q_emb", $"embedding".as("c_emb"))
-      .dropDuplicates("query_id", "neighbor_id")
-    cand
+      .select($"query_id", $"vec_id".as("neighbor_id")).distinct()
+    val qe = t.embeddings.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val ce = t.embeddings.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    cand.join(broadcast(qe), "query_id").join(broadcast(ce), "neighbor_id")
       .select($"query_id", $"neighbor_id",
         (round(expr("cosine_sim(q_emb, c_emb)"), 4) + lit(0.0)).as("cosine"))
       .orderBy($"query_id", $"neighbor_id")
@@ -761,6 +764,78 @@ object Similarity {
               COUNT(*) AS n_pairs
        FROM scored GROUP BY 1 ORDER BY band"""
 
+  /** Radius (range) search with a completeness audit: for each query vector
+    * (vec_id % 25 == 0), count ALL corpus neighbors with cosine >= 0.4 — the
+    * "fetch everything similar" shape (contamination sweeps, blocklist
+    * expansion) where top-k is the wrong API. Production path: s02's
+    * hyperplane-LSH buckets generate candidates (shuffle keyed on
+    * (table,bucket)); the exact count comes from broadcasting the tiny query
+    * set against the corpus (|Q| ~= 4% of rows — linear, same shape as s01).
+    * Per query: exact count, LSH-found count, recall in basis points — the
+    * query emits its own quality gate, s06-style. 100 TB: the exact arm is
+    * the audit (run on a sample); the LSH arm is the product. */
+  def s14RadiusSearch(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val q = t.embeddings.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val c = t.embeddings.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val exact = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
+      .filter(round(expr("cosine_sim(q_emb, c_emb)"), 4) >= 0.4)
+      .groupBy($"query_id").agg(count(lit(1)).as("n_exact"))
+    val sigs = t.embeddings
+      .select($"vec_id", expr("hyperplane_sig(embedding, 32)").as("sig"))
+    val bands = sigs.select($"vec_id", expr(
+      "explode(transform(sequence(0, 3), t -> struct(t AS tbl, shiftright(sig, t * 8) & 255 AS bucket)))").as("bk"))
+      .select($"vec_id", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
+    val qb = bands.filter($"vec_id" % 25 === 0)
+      .select($"tbl".as("qt"), $"bucket".as("qb"), $"vec_id".as("query_id"))
+    val found = bands.join(qb,
+        $"tbl" === $"qt" && $"bucket" === $"qb" && $"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id".as("neighbor_id")).distinct()
+      .join(q.select($"query_id", $"q_emb"), "query_id")
+      .join(c, "neighbor_id")
+      .filter(round(expr("cosine_sim(q_emb, c_emb)"), 4) >= 0.4)
+      .groupBy($"query_id").agg(count(lit(1)).as("n_lsh"))
+    exact.join(found, Seq("query_id"), "left")
+      .withColumn("n_lsh", coalesce($"n_lsh", lit(0L)))
+      .withColumn("recall_bp", expr("n_lsh * 10000 DIV n_exact"))
+      .orderBy($"query_id")
+  }
+
+  /** s01's broadcast-exact arm and s02's bucket arm, thresholded and joined. */
+  val s14Oracle: String =
+    s"""WITH exact AS (
+         SELECT a.vec_id AS query_id, COUNT(*) AS n_exact
+         FROM embeddings a JOIN embeddings b
+           ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id
+         WHERE ROUND(${duckCos("a", "b")}, 4) >= 0.4
+         GROUP BY 1),
+       sigs AS (
+         SELECT vec_id, embedding,
+           list_sum(list_transform(range(0, 32), m ->
+             CASE WHEN list_sum(list_transform(range(1, 65), i ->
+               embedding[i]::DOUBLE * ((((m + 1) * 37 + i * 101) % 97 % 2) * 2 - 1))) > 0
+             THEN 1::BIGINT << m::INT ELSE 0::BIGINT END)) AS sig
+         FROM embeddings),
+       bands AS (
+         SELECT vec_id, embedding, t AS tbl, (sig >> (t * 8)::INT) & 255 AS bucket
+         FROM sigs, range(0, 4) r(t)),
+       cand AS (
+         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM bands q JOIN bands c
+           ON q.tbl = c.tbl AND q.bucket = c.bucket
+          AND q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id),
+       found AS (
+         SELECT query_id, COUNT(*) AS n_lsh
+         FROM cand JOIN embeddings a ON a.vec_id = query_id
+                   JOIN embeddings b ON b.vec_id = neighbor_id
+         WHERE ROUND(${duckCos("a", "b")}, 4) >= 0.4
+         GROUP BY 1)
+       SELECT query_id, n_exact, COALESCE(n_lsh, 0) AS n_lsh,
+              COALESCE(n_lsh, 0) * 10000 // n_exact AS recall_bp
+       FROM exact LEFT JOIN found USING (query_id) ORDER BY query_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
@@ -775,6 +850,7 @@ object Similarity {
     "s11_quant_recall"      -> ((s, d) => s11QuantRecall(T(s, d))),
     "s12_knn_graph"         -> ((s, d) => s12KnnGraph(T(s, d))),
     "s13_cosine_bands"      -> ((s, d) => s13CosineBands(T(s, d))),
+    "s14_radius_search"     -> ((s, d) => s14RadiusSearch(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -791,5 +867,6 @@ object Similarity {
     "s11_quant_recall"      -> s11Oracle,
     "s12_knn_graph"         -> s12Oracle,
     "s13_cosine_bands"      -> s13Oracle,
+    "s14_radius_search"     -> s14Oracle,
   )
 }

@@ -1181,6 +1181,94 @@ object SqlSurface {
               (o_orderkey + 1000000000)::BIGINT AS in_range_add
        FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey"""
 
+  /** Native session-window aggregation (Spark's SessionWindow operator —
+    * merging gap-based windows inside the aggregate, the batch twin of the
+    * streaming w02): one shuffle on user_id, sessions merged engine-side.
+    * q101 computes the same sessions with manual gaps-and-islands windowing;
+    * this declares them and lets the engine own the merge. Oracle: the
+    * gaps-and-islands formulation (session end = last event + gap). */
+  def q125SessionWindow(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.events
+      .groupBy(session_window($"ts", "10 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"sw.start".as("session_start"),
+        $"sw.end".as("session_end"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val q125Oracle: String =
+    """WITH ev AS (
+         SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+       flagged AS (
+         SELECT user_id, ts_us,
+                CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > 600000000
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       sess AS (
+         SELECT user_id, ts_us,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+         FROM flagged)
+       SELECT user_id, make_timestamp(MIN(ts_us)) AS session_start,
+              make_timestamp(MAX(ts_us) + 600000000) AS session_end,
+              COUNT(*) AS n_events
+       FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
+  /** Approximate-distinct with a self-measuring error gate: HyperLogLog++
+    * (approx_count_distinct) and the Apache DataSketches HLL aggregate
+    * (hll_sketch_agg/hll_sketch_estimate) against the exact count, each
+    * emitting a boolean "within 10%" verdict. The sketches are
+    * implementation-specific so the NUMBERS aren't cross-engine — the GATE
+    * is (s06's recall-gate pattern applied to cardinality sketches). At
+    * 100 TB approximate-distinct is the production path; exact is the audit. */
+  def q126ApproxDistinctGate(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.orders.groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("n_exact"),
+        approx_count_distinct($"o_custkey").as("hllpp"),
+        expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").as("ds_hll"))
+      .select($"o_orderstatus", $"n_exact",
+        ($"hllpp" >= $"n_exact" * 0.9 && $"hllpp" <= $"n_exact" * 1.1).as("hllpp_within_10pct"),
+        ($"ds_hll" >= $"n_exact" * 0.9 && $"ds_hll" <= $"n_exact" * 1.1).as("ds_within_10pct"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q126Oracle: String =
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_exact,
+              TRUE AS hllpp_within_10pct, TRUE AS ds_within_10pct
+       FROM orders GROUP BY 1 ORDER BY o_orderstatus"""
+
+  /** Higher-order array predicates — exists / forall / zip_with (the three
+    * lambda forms q42/q60 don't touch), all codegen-free Catalyst lambda
+    * evaluation over split() tokens; weighted = aggregate(zip_with(lengths,
+    * 1..n, *)) in exact integers. */
+  def q127HofPredicates(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.part
+      .withColumn("words", split($"p_name", " "))
+      .select($"p_partkey",
+        size($"words").cast("long").as("n_words"),
+        expr("exists(words, w -> length(w) >= 8)").as("has_long"),
+        expr("forall(words, w -> length(w) >= 3)").as("all_ge3"),
+        expr("""aggregate(
+                  zip_with(transform(words, w -> cast(length(w) AS bigint)),
+                           sequence(1L, cast(size(words) AS bigint)),
+                           (l, i) -> l * i),
+                  0L, (acc, x) -> acc + x)""").as("weighted"))
+      .orderBy($"p_partkey")
+  }
+
+  val q127Oracle: String =
+    """SELECT p_partkey,
+              len(string_split(p_name, ' '))::BIGINT AS n_words,
+              len(list_filter(string_split(p_name, ' '), w -> length(w) >= 8)) > 0 AS has_long,
+              len(list_filter(string_split(p_name, ' '), w -> length(w) < 3)) = 0 AS all_ge3,
+              COALESCE(list_sum(list_transform(range(1, len(string_split(p_name, ' ')) + 1),
+                i -> length(string_split(p_name, ' ')[i::INT]) * i)), 0)::BIGINT AS weighted
+       FROM part ORDER BY p_partkey"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -1225,6 +1313,9 @@ object SqlSurface {
     "q122_percent_of_total" -> ((s, d) => q122PercentOfTotal(T(s, d))),
     "q123_filter_clause"  -> ((s, d) => q123FilterClause(T(s, d))),
     "q124_try_arithmetic" -> ((s, d) => q124TryArithmetic(T(s, d))),
+    "q125_session_window" -> ((s, d) => q125SessionWindow(T(s, d))),
+    "q126_approx_gate"    -> ((s, d) => q126ApproxDistinctGate(T(s, d))),
+    "q127_hof_predicates" -> ((s, d) => q127HofPredicates(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1271,5 +1362,8 @@ object SqlSurface {
     "q122_percent_of_total" -> q122Oracle,
     "q123_filter_clause"  -> q123Oracle,
     "q124_try_arithmetic" -> q124Oracle,
+    "q125_session_window" -> q125Oracle,
+    "q126_approx_gate"    -> q126Oracle,
+    "q127_hof_predicates" -> q127Oracle,
   )
 }

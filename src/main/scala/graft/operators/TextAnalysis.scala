@@ -714,6 +714,48 @@ object TextAnalysis {
              LEFT JOIN diag d ON COALESCE(a.label, p.label) = d.label)
        ORDER BY label"""
 
+  /** Heaps-law vocabulary-growth curve: distinct-token count as the corpus
+    * grows in doc_id order, sampled at 10 decile checkpoints. Linear, not
+    * quadratic-in-checkpoints: each token's FIRST appearance (min doc_id) is
+    * computed once, then every checkpoint is a filtered count over that tiny
+    * (vocab-sized) table — the corpus is scanned once no matter how many
+    * checkpoints. 100 TB: vocab table << corpus; the exchange is one
+    * groupBy(token). */
+  def t19VocabGrowth(t: T): DataFrame = {
+    import t.spark.implicits._
+    val firstSeen = t.documents
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
+      .filter(length($"tok") > 0)
+      .groupBy($"tok").agg(min($"doc_id").as("first_doc"))
+    val mx = t.documents.agg(max($"doc_id").as("max_id"))
+    val cps = t.spark.range(1, 11).toDF("decile")
+      .crossJoin(broadcast(mx)) // scalar broadcast, not a real cross product
+      .select($"decile", expr("max_id * decile DIV 10").as("thr"))
+    val vocabAt = firstSeen.join(broadcast(cps), $"first_doc" <= $"thr")
+      .groupBy($"decile", $"thr").agg(count(lit(1)).as("vocab"))
+    val docsAt = t.documents.join(broadcast(cps), $"doc_id" <= $"thr")
+      .groupBy($"decile", $"thr").agg(count(lit(1)).as("n_docs"))
+    vocabAt.join(docsAt, Seq("decile", "thr"))
+      .select($"decile", $"thr", $"n_docs", $"vocab")
+      .orderBy($"decile")
+  }
+
+  val t19Oracle: String =
+    """WITH fs AS (
+         SELECT tok, MIN(doc_id) AS first_doc
+         FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+               FROM documents)
+         WHERE length(tok) > 0 GROUP BY tok),
+       mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+       cps AS (SELECT d AS decile, (max_id * d) // 10 AS thr
+               FROM mx, range(1, 11) r(d)),
+       v AS (SELECT decile, thr, COUNT(*) AS vocab
+             FROM cps JOIN fs ON first_doc <= thr GROUP BY 1, 2),
+       dd AS (SELECT decile, thr, COUNT(*) AS n_docs
+              FROM cps JOIN documents ON doc_id <= thr GROUP BY 1, 2)
+       SELECT decile, thr, n_docs, vocab
+       FROM v JOIN dd USING (decile, thr) ORDER BY decile"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
     "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
@@ -733,6 +775,7 @@ object TextAnalysis {
     "t16_vocab_overlap" -> ((s, d) => t16VocabOverlap(T(s, d))),
     "t17_source_drift"  -> ((s, d) => t17SourceDrift(T(s, d))),
     "t18_langid_metrics" -> ((s, d) => t18LangIdMetrics(T(s, d))),
+    "t19_vocab_growth"   -> ((s, d) => t19VocabGrowth(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -754,5 +797,6 @@ object TextAnalysis {
     "t16_vocab_overlap" -> t16Oracle,
     "t17_source_drift"  -> t17Oracle,
     "t18_langid_metrics" -> t18Oracle,
+    "t19_vocab_growth"   -> t19Oracle,
   )
 }

@@ -157,11 +157,43 @@ object UserFns {
               SUM(CASE WHEN length(text) < 200 THEN 1 ELSE 0 END)::BIGINT AS n_short
        FROM documents"""
 
+  /** SQL TABLE function (Spark 4 `CREATE FUNCTION ... RETURNS TABLE`): a
+    * parameterized relation — the declarative successor to the reference's
+    * shipped-jar table generators. The body is a full aggregate query, so
+    * each invocation plans/optimizes like any view; two widths invoked and
+    * unioned to show the parameterization is real. */
+  def u05SqlTableFn(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION price_buckets(width BIGINT)
+         RETURNS TABLE(bucket BIGINT, n_orders BIGINT, max_cents BIGINT)
+         RETURN SELECT CAST(FLOOR(o_totalprice) AS BIGINT) DIV width AS bucket,
+                       COUNT(*) AS n_orders,
+                       MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS max_cents
+                FROM orders GROUP BY 1""")
+    t.spark.sql(
+      """SELECT * FROM (
+           SELECT CAST(50000 AS BIGINT) AS width, * FROM price_buckets(50000)
+           UNION ALL
+           SELECT CAST(100000 AS BIGINT) AS width, * FROM price_buckets(100000))
+         ORDER BY width, bucket""")
+  }
+
+  val u05Oracle: String =
+    """WITH b AS (
+         SELECT w.width, FLOOR(o_totalprice)::BIGINT // w.width AS bucket,
+                COUNT(*) AS n_orders,
+                MAX(FLOOR(o_totalprice * 100)::BIGINT) AS max_cents
+         FROM orders, (SELECT unnest([50000, 100000])::BIGINT AS width) w
+         GROUP BY 1, 2)
+       SELECT width, bucket, n_orders, max_cents FROM b ORDER BY width, bucket"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u01_udf_udaf" -> ((s, d) => u01UdfUdaf(T(s, d))),
     "u02_sql_udf"  -> ((s, d) => u02SqlUdf(T(s, d))),
     "u03_typed_reduce" -> ((s, d) => u03TypedReduce(T(s, d))),
     "u04_observed_metrics" -> ((s, d) => u04ObservedMetrics(T(s, d))),
+    "u05_sql_table_fn" -> ((s, d) => u05SqlTableFn(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -169,5 +201,6 @@ object UserFns {
     "u02_sql_udf"  -> u02Oracle,
     "u03_typed_reduce" -> u03Oracle,
     "u04_observed_metrics" -> u04Oracle,
+    "u05_sql_table_fn" -> u05Oracle,
   )
 }

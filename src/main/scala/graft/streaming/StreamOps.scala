@@ -460,6 +460,47 @@ object StreamOps {
          (SELECT n_nationkey FROM nation WHERE n_nationkey < 10)
        GROUP BY event_type ORDER BY event_type"""
 
+  /** NATIVE streaming session windows — `session_window` inside the
+    * aggregate, the engine-owned merge (SessionWindowStateStore path) that
+    * w02 hand-rolls with flatMapGroupsWithState. Works unchanged on a
+    * stream (with a watermark + append mode; spec asserts parity) and on a
+    * batch frame, which is what the oracle checks. */
+  def sessionAgg(evts: DataFrame): DataFrame =
+    evts
+      .groupBy(session_window(col("ts"), "10 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value"))).cast("long").as("value_floor_sum"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("value_floor_sum"))
+
+  /** Batch registration of [[sessionAgg]] (10-min gap, per-session rows with
+    * value mass — q125 covers the window-bounds surface; this one is the
+    * stream-capable aggregate). */
+  def w12SessionAgg(t: graft.T): DataFrame = {
+    import t.spark.implicits._
+    sessionAgg(t.events).orderBy($"user_id", $"session_start")
+  }
+
+  val w12Oracle: String =
+    """WITH ev AS (
+         SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                FLOOR(value)::BIGINT AS vf
+         FROM events),
+       flagged AS (
+         SELECT user_id, ts_us, vf,
+                CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > 600000000
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       sess AS (
+         SELECT user_id, ts_us, vf,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+         FROM flagged)
+       SELECT user_id, make_timestamp(MIN(ts_us)) AS session_start,
+              COUNT(*) AS n_events, SUM(vf)::BIGINT AS value_floor_sum
+       FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_windowed_type_counts" -> ((s, d) => w01WindowedTypeCounts(graft.T(s, d))),
     "w02_session_windows"      -> ((s, d) => w02SessionWindows(graft.T(s, d))),
@@ -472,6 +513,7 @@ object StreamOps {
     "w09_user_type_counts"     -> ((s, d) => w09UserTypeCounts(graft.T(s, d))),
     "w10_anti_enrich"          -> ((s, d) => w10AntiEnrich(graft.T(s, d))),
     "w11_content_dedup"        -> ((s, d) => w11ContentDedup(graft.T(s, d))),
+    "w12_session_agg"          -> ((s, d) => w12SessionAgg(graft.T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -486,5 +528,6 @@ object StreamOps {
     "w09_user_type_counts"     -> w09Oracle,
     "w10_anti_enrich"          -> w10Oracle,
     "w11_content_dedup"        -> w11Oracle,
+    "w12_session_agg"          -> w12Oracle,
   )
 }

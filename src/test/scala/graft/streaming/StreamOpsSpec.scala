@@ -110,6 +110,31 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window: streaming append (after watermark) == batch sessionAgg") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // exclude the watermark-advancer user from the batch twin
+    val batch = snap(StreamOps.sessionAgg(sample.toDF()))
+
+    val stream = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.sessionAgg(stream.toDF().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append")
+      .start()
+    try {
+      stream.addData(sample: _*)
+      q.processAllAvailable()
+      // sessions for users 1-3 are still open until the watermark passes
+      stream.addData(StreamOps.Evt(900, ts(59), 999, "click", 0.0))
+      q.processAllAvailable()
+      stream.addData(StreamOps.Evt(901, ts(59, 30), 999, "click", 0.0))
+      q.processAllAvailable()
+      val emitted = snap(spark.table("native_sessions")
+        .filter($"user_id" =!= 999))
+      assert(emitted == batch)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicatesWithinWatermark suppresses replays") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
