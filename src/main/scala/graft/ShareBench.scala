@@ -95,8 +95,9 @@ object ShareBench {
     }
     val lines2 = scala.collection.mutable.ListBuffer.empty[String]
 
-    // dedup family: five production dedup queries that all derive from the
-    // LSH-pair subplan (d07/d12/d16 through the CC labels, d15 directly).
+    // dedup family: seven production dedup queries that derive from the
+    // LSH-pair subplan (d07/d12/d16 through the CC labels, d15 directly,
+    // p26 through d07; d21 shares the signature stage via auto-detection).
     // Fragment sharing materializes that subplan once per window — the
     // subplan-granularity version of the reference's scan-share scenario.
     if (only("dedup_family")) {
@@ -108,7 +109,9 @@ object ShareBench {
         "d12" -> (s => Dedup.d12ClusterKeeper(T(s, sfDir))),
         "d15" -> (s => Dedup.d15DupProvenance(T(s, sfDir))),
         "d16" -> (s => Dedup.d16ClusterAudit(T(s, sfDir))),
-        "d17" -> (s => Dedup.d17Survivorship(T(s, sfDir)))
+        "d17" -> (s => Dedup.d17Survivorship(T(s, sfDir))),
+        "d21" -> (s => Dedup.d21IncrementalDedup(T(s, sfDir))),
+        "p26" -> (s => graft.operators.Pipeline.p26SoftDedupWeights(T(s, sfDir)))
       ).map { case (n, b) => QueryJob[Unit](n, b, noop) }
       val frag = Seq("lsh_pairs" ->
         ((s: SparkSession) => Dedup.d04MinhashLshPairs(T(s, sfDir))))

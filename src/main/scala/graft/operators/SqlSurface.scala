@@ -1269,6 +1269,29 @@ object SqlSurface {
                 i -> length(string_split(p_name, ' ')[i::INT]) * i)), 0)::BIGINT AS weighted
        FROM part ORDER BY p_partkey"""
 
+  /** Parameterized SQL — named parameter markers (`:name`, Spark 4
+    * `spark.sql(text, args)`) plus the IDENTIFIER() clause binding a table
+    * name from a parameter: the injection-safe front-door a SQL gateway
+    * needs (values bound as literals by the parser, identifiers resolved
+    * through a typed clause, never string-spliced). */
+  def q128NamedParams(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+                SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS cents
+         FROM IDENTIFIER(:tbl)
+         WHERE l_quantity <= :qmax AND l_shipdate >= CAST(:minday AS TIMESTAMP)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+      Map("tbl" -> "lineitem", "qmax" -> 25, "minday" -> "1996-01-01"))
+  }
+
+  val q128Oracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+              SUM(FLOOR(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+       FROM lineitem
+       WHERE l_quantity <= 25 AND l_shipdate >= TIMESTAMP '1996-01-01'
+       GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -1316,6 +1339,7 @@ object SqlSurface {
     "q125_session_window" -> ((s, d) => q125SessionWindow(T(s, d))),
     "q126_approx_gate"    -> ((s, d) => q126ApproxDistinctGate(T(s, d))),
     "q127_hof_predicates" -> ((s, d) => q127HofPredicates(T(s, d))),
+    "q128_named_params"   -> ((s, d) => q128NamedParams(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1365,5 +1389,6 @@ object SqlSurface {
     "q125_session_window" -> q125Oracle,
     "q126_approx_gate"    -> q126Oracle,
     "q127_hof_predicates" -> q127Oracle,
+    "q128_named_params"   -> q128Oracle,
   )
 }

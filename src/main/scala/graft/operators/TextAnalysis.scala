@@ -756,6 +756,35 @@ object TextAnalysis {
        SELECT decile, thr, n_docs, vocab
        FROM v JOIN dd USING (decile, thr) ORDER BY decile"""
 
+  /** Token-count burstiness per language: variance-to-mean ratio of per-doc
+    * token counts, in basis points, computed ENTIRELY in exact integers —
+    * VMR = (n*Σx² - (Σx)²) / (n*Σx), so no float aggregation order can
+    * diverge across engines. High VMR = length distribution is bursty
+    * (mixed short/long docs), the signal that drives p15-style packing
+    * decisions. One narrow projection + one groupBy(lang) exchange. */
+  def t20TokenBurstiness(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .select($"lang", size(split($"text", " ")).cast("long").as("x"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"))
+      .select($"lang", $"n_docs",
+        expr("sx DIV n_docs").as("mean_tokens"),
+        expr("(n_docs * sxx - sx * sx) * 10000 DIV (n_docs * sx)").as("vmr_bp"))
+      .orderBy($"lang")
+  }
+
+  val t20Oracle: String =
+    """WITH x AS (SELECT lang, len(string_split(text, ' '))::BIGINT AS x
+                  FROM documents),
+       agg AS (SELECT lang, COUNT(*) AS n_docs, SUM(x)::BIGINT AS sx,
+                      SUM(x * x)::BIGINT AS sxx
+               FROM x GROUP BY lang)
+       SELECT lang, n_docs, sx // n_docs AS mean_tokens,
+              (n_docs * sxx - sx * sx) * 10000 // (n_docs * sx) AS vmr_bp
+       FROM agg ORDER BY lang"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
     "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
@@ -776,6 +805,7 @@ object TextAnalysis {
     "t17_source_drift"  -> ((s, d) => t17SourceDrift(T(s, d))),
     "t18_langid_metrics" -> ((s, d) => t18LangIdMetrics(T(s, d))),
     "t19_vocab_growth"   -> ((s, d) => t19VocabGrowth(T(s, d))),
+    "t20_burstiness"     -> ((s, d) => t20TokenBurstiness(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -798,5 +828,6 @@ object TextAnalysis {
     "t17_source_drift"  -> t17Oracle,
     "t18_langid_metrics" -> t18Oracle,
     "t19_vocab_growth"   -> t19Oracle,
+    "t20_burstiness"     -> t20Oracle,
   )
 }

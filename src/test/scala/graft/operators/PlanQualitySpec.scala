@@ -427,6 +427,48 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s02/s14: vector rejoin is broadcast — candidates never shuffle embeddings") {
+    // the 20x scale smoke caught these carrying 512-byte vectors through
+    // the (quadratic-in-bucket-size) candidate exchange; the fix is ids-only
+    // distinct + broadcast rejoin, and this pins it (d13 shares the same
+    // template but its declared plan ends in the CC local fast path's
+    // LocalTableScan, so its joins aren't visible in the final plan)
+    for (name <- Seq("s02_hyperplane_lsh", "s14_radius_search")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
+  test("d21: incremental dedup probes index bands with an equi-join, no corpus re-pair") {
+    val p = plan("d21_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // band-key equi-join present
+    assert(p.contains("bkey"), p)
+  }
+
+  test("m11: only 8-byte hashes enter the pair shuffle (blobs pruned before join)") {
+    val p = plan("m11_phash_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    // the exchange rows carry ahash/chunk keys, never the payload column
+    val exchangeIdx = p.linesIterator.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exchangeIdx >= 0, p)
+    assert(!p.contains("payload#" ) || p.linesIterator
+      .filter(_.contains("Exchange")).forall(!_.contains("payload")), p)
+  }
+
+  test("t19: vocab growth scans the corpus once — checkpoints come from broadcast joins") {
+    val p = plan("t19_vocab_growth")
+    // two corpus scans max (first-seen + doc counts); checkpoint table joins broadcast
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q126: sketch aggregates run partial-then-final like any agg") {
+    val p = plan("q126_approx_gate")
+    assert(p.contains("partial"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline") {
     // "*(n)" prefixes mark operators fused into whole-stage codegen; AQE
     // only shows them after the stages actually run

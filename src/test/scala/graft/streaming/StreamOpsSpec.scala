@@ -135,6 +135,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window parity holds on the RocksDB state store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = snap(StreamOps.sessionAgg(sample.toDF()))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // the 100 TB posture: state off-heap in RocksDB, not executor heap
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.sessionAgg(stream.toDF().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("rocksdb_sessions")
+      .outputMode("append")
+      .start()
+    try {
+      stream.addData(sample: _*)
+      q.processAllAvailable()
+      stream.addData(StreamOps.Evt(900, ts(59), 999, "click", 0.0))
+      q.processAllAvailable()
+      stream.addData(StreamOps.Evt(901, ts(59, 30), 999, "click", 0.0))
+      q.processAllAvailable()
+      assert(snap(spark.table("rocksdb_sessions").filter($"user_id" =!= 999)) == batch)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming exact dedup: dropDuplicatesWithinWatermark suppresses replays") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
