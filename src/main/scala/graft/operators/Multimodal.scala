@@ -495,6 +495,38 @@ object Multimodal {
        WHERE doc_id % 3 = 1
        ORDER BY asset_id, lag"""
 
+  final case class Decimated(asset_id: Long, n_out: Long, wsum: Long)
+
+  /** PCM decimation (resample by 2) over REAL WAV decode: each output
+    * sample is the truncating mean of an input pair — the cheap anti-alias
+    * downsample of an audio-curation pipeline — and the result is
+    * fingerprinted with a position-weighted integer sum so the oracle can
+    * hash it without carrying arrays. Map-only until the final sort. */
+  def m12PcmDecimate(t: T): DataFrame = {
+    import t.spark.implicits._
+    assetsEncoded(t, only = Some("audio")).mapPartitions { it =>
+      it.map { a =>
+        val pcm = JvmCodec.decodeWav(a.payload)
+        val nOut = pcm.length / 2
+        var w = 0L; var i = 0
+        while (i < nOut) {
+          val y = ((pcm(2 * i) & 0xff) + (pcm(2 * i + 1) & 0xff)) / 2
+          w += (i + 1).toLong * y; i += 1
+        }
+        Decimated(a.asset_id, nOut.toLong, w)
+      }
+    }.toDF().orderBy($"asset_id")
+  }
+
+  /** Same pair arithmetic over the corpus char codes (lossless WAV carrier),
+    * positions from a capped constant range (guarded, p25-style). */
+  val m12Oracle: String =
+    """SELECT doc_id AS asset_id, (length(text) // 2)::BIGINT AS n_out,
+         COALESCE(list_sum(list_transform(range(1, length(text) // 2 + 1),
+           i -> i * ((ascii(substr(text, (2 * i - 1)::INT, 1))
+                      + ascii(substr(text, (2 * i)::INT, 1))) // 2))), 0)::BIGINT AS wsum
+       FROM documents WHERE doc_id % 3 = 1 ORDER BY asset_id"""
+
   final case class ImageStats(asset_id: Long, n_px: Long, px_sum: Long,
                               b0: Long, b1: Long, b2: Long, b3: Long)
 
@@ -630,6 +662,7 @@ object Multimodal {
     "m09_shards_per_source" -> ((s, d) => m09ShardManifestPerSource(T(s, d))),
     "m10_audio_autocorr"    -> ((s, d) => m10AudioAutocorr(T(s, d))),
     "m11_phash_pairs"       -> ((s, d) => m11PerceptualHashPairs(T(s, d))),
+    "m12_pcm_decimate"      -> ((s, d) => m12PcmDecimate(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -644,5 +677,6 @@ object Multimodal {
     "m09_shards_per_source" -> m09Oracle,
     "m10_audio_autocorr"    -> m10Oracle,
     "m11_phash_pairs"       -> m11Oracle,
+    "m12_pcm_decimate"      -> m12Oracle,
   )
 }

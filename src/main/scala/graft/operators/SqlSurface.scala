@@ -1292,6 +1292,84 @@ object SqlSurface {
        WHERE l_quantity <= 25 AND l_shipdate >= TIMESTAMP '1996-01-01'
        GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** SCD type-2 dimension build from an event stream: compress each user's
+    * event history into state intervals (one row per run of equal
+    * event_type), with valid_from / valid_to (next change, null while
+    * current) and a current flag — the canonical warehouse-maintenance op a
+    * CDC pipeline runs after ingest. Gaps-and-islands + lead(); all
+    * exchanges keyed on user_id. */
+  def q129Scd2Build(t: T): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = t.events
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+      .withColumn("chg",
+        when(lag($"event_type", 1).over(wOrd).isNull
+          || lag($"event_type", 1).over(wOrd) =!= $"event_type", 1L).otherwise(0L))
+      .withColumn("run_id", sum($"chg").over(wRun))
+      .groupBy($"user_id", $"run_id", $"event_type")
+      .agg(min($"ts_us").as("from_us"), count(lit(1)).as("n_events"))
+    val wNext = Window.partitionBy($"user_id").orderBy($"run_id")
+    runs
+      .withColumn("to_us", lead($"from_us", 1).over(wNext))
+      .select($"user_id", $"run_id", $"event_type",
+        timestamp_micros($"from_us").as("valid_from"),
+        timestamp_micros($"to_us").as("valid_to"),
+        $"to_us".isNull.as("is_current"), $"n_events")
+      .orderBy($"user_id", $"run_id")
+  }
+
+  val q129Oracle: String =
+    """WITH ev AS (
+         SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+         FROM events),
+       flagged AS (
+         SELECT user_id, event_type, ts_us,
+                CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                     THEN 1 ELSE 0 END AS chg
+         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       runs0 AS (
+         SELECT user_id, event_type, ts_us,
+                SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING)::BIGINT AS run_id
+         FROM flagged),
+       runs AS (
+         SELECT user_id, run_id, event_type, MIN(ts_us) AS from_us,
+                COUNT(*) AS n_events
+         FROM runs0 GROUP BY 1, 2, 3)
+       SELECT user_id, run_id, event_type,
+              make_timestamp(from_us) AS valid_from,
+              make_timestamp(lead(from_us) OVER w2) AS valid_to,
+              lead(from_us) OVER w2 IS NULL AS is_current, n_events
+       FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+       ORDER BY user_id, run_id"""
+
+  /** Approximate-percentile error gate (q126's pattern for quantile
+    * sketches): approx_percentile's p50/p90 must land within +-2 quantity
+    * units of the exact percentile_disc per group — booleans out, no float
+    * hashing. The sketch path is what a 100 TB profile query runs; the
+    * exact arm is the audit. */
+  def q130QuantileGate(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.lineitem.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("approx_percentile(l_quantity, array(0.5, 0.9), 10000)").as("ap"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90"))
+      .select($"l_returnflag", $"n_rows",
+        (abs(expr("ap[0]") - $"p50") <= 2.0).as("p50_within_2"),
+        (abs(expr("ap[1]") - $"p90") <= 2.0).as("p90_within_2"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q130Oracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+              TRUE AS p50_within_2, TRUE AS p90_within_2
+       FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -1340,6 +1418,8 @@ object SqlSurface {
     "q126_approx_gate"    -> ((s, d) => q126ApproxDistinctGate(T(s, d))),
     "q127_hof_predicates" -> ((s, d) => q127HofPredicates(T(s, d))),
     "q128_named_params"   -> ((s, d) => q128NamedParams(T(s, d))),
+    "q129_scd2_build"     -> ((s, d) => q129Scd2Build(T(s, d))),
+    "q130_quantile_gate"  -> ((s, d) => q130QuantileGate(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1390,5 +1470,7 @@ object SqlSurface {
     "q126_approx_gate"    -> q126Oracle,
     "q127_hof_predicates" -> q127Oracle,
     "q128_named_params"   -> q128Oracle,
+    "q129_scd2_build"     -> q129Oracle,
+    "q130_quantile_gate"  -> q130Oracle,
   )
 }

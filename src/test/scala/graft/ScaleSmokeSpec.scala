@@ -1,0 +1,26 @@
+package graft
+
+/** The scale-smoke corpus builder must produce exactly mult x rows, unique
+  * doc_ids, and NEAR-duplicate (not identical) replica text — if replicas
+  * were byte-identical the smoke would measure exact-dup collapse, not
+  * candidate-generation pressure.
+  */
+class ScaleSmokeSpec extends SparkSpec {
+
+  test("buildScaled replicates rows with unique ids and near-dup (not equal) text") {
+    val out = java.nio.file.Files.createTempDirectory("graft-smoke-spec").toString
+    val (nDocs, nVecs) = ScaleSmoke.buildScaled(spark, "/root/testdata/sf0.001", out, 3)
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    val baseV = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert(nDocs == base * 3 && nVecs == baseV * 3)
+
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    assert(docs.select("doc_id").distinct().count() == nDocs) // ids unique
+    // replica texts are perturbed, so exact-dup of a full text never crosses
+    // replica boundaries: every distinct text appears exactly once
+    assert(docs.select("text").distinct().count() == nDocs)
+    // and n_chars is consistent with the perturbed text
+    import org.apache.spark.sql.functions._
+    assert(docs.filter(length(col("text")).cast("long") =!= col("n_chars")).count() == 0)
+  }
+}
