@@ -1163,6 +1163,61 @@ object Dedup {
               MAX(jaccard_bp) AS max_jaccard_bp
        FROM ver WHERE jaccard_bp >= 8000 GROUP BY doc_id ORDER BY doc_id"""
 
+  /** b-bit MinHash audit (Li & Koenig, 2010): keep only the low 8 bits of
+    * each of the 32 permutation minima — a 4x signature compression — and
+    * score every d04 candidate pair with BOTH the exact Jaccard and the
+    * b-bit match-fraction estimate. Output is the integer error of the
+    * compressed sketch per pair, the measurement that licenses shipping
+    * 32-byte instead of 256-byte signatures at 100 TB (the index-side
+    * band table shrinks 4x; collision inflation is (1-J)/256 per perm,
+    * visible in err_bp). Entirely integer arithmetic. */
+  def d22BbitMinhash(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val sigs = t.documents
+      .withColumn("h", expr(shingleHashes))
+      .withColumn("sig", expr(minhashSig))
+      .withColumn("h", array_sort($"h"))
+      .select($"doc_id", $"h", $"sig")
+    val bands = sigs.select($"doc_id", expr(
+      """explode(transform(sequence(0, 3), b -> struct(b AS band,
+           concat_ws(',', transform(slice(sig, b * 8 + 1, 8), x -> cast(x AS string))) AS bkey)))""").as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+    val ha = sigs.select($"doc_id".as("doc_a"), $"h".as("ha"), $"sig".as("sa"))
+    val hb = sigs.select($"doc_id".as("doc_b"), $"h".as("hb"), $"sig".as("sb"))
+    cand.join(ha, "doc_a").join(hb, "doc_b")
+      .select($"doc_a", $"doc_b",
+        expr("jaccard_bp_sorted(ha, hb)").as("jaccard_bp"),
+        expr("""aggregate(zip_with(sa, sb,
+                  (x, y) -> CASE WHEN pmod(x, 256) = pmod(y, 256) THEN 1L ELSE 0L END),
+                0L, (acc, v) -> acc + v) * 10000 DIV 32""").as("bbit_est_bp"))
+      .withColumn("err_bp", abs($"jaccard_bp" - $"bbit_est_bp"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** d04's candidate CTEs; the b-bit estimate in DuckDB list primitives. */
+  val d22Oracle: String =
+    s"""WITH hs AS (SELECT doc_id, $shingleHashesDuck AS h FROM documents),
+       sigs AS (SELECT doc_id, h, $minhashSigDuck AS sig FROM hs),
+       bands AS (
+         SELECT doc_id, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
+         FROM sigs, range(0, 4) t(b)),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       scored AS (
+         SELECT doc_a, doc_b,
+           len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) AS jaccard_bp,
+           list_sum(list_transform(range(1, 33), j ->
+             CASE WHEN a.sig[j::INT] % 256 = b.sig[j::INT] % 256 THEN 1 ELSE 0 END)) * 10000 // 32 AS bbit_est_bp
+         FROM cand JOIN sigs a ON a.doc_id = doc_a JOIN sigs b ON b.doc_id = doc_b)
+       SELECT doc_a, doc_b, jaccard_bp, bbit_est_bp::BIGINT AS bbit_est_bp,
+              abs(jaccard_bp - bbit_est_bp)::BIGINT AS err_bp
+       FROM scored ORDER BY doc_a, doc_b"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"        -> ((s, d) => d01ExactDedup(T(s, d))),
     "d02_ngram_jaccard"      -> ((s, d) => d02NgramJaccardPairs(T(s, d))),
@@ -1185,6 +1240,7 @@ object Dedup {
     "d19_method_agreement"   -> ((s, d) => d19MethodAgreement(T(s, d))),
     "d20_threshold_sweep"    -> ((s, d) => d20ThresholdSweep(T(s, d))),
     "d21_incremental_dedup"  -> ((s, d) => d21IncrementalDedup(T(s, d))),
+    "d22_bbit_minhash"       -> ((s, d) => d22BbitMinhash(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1209,5 +1265,6 @@ object Dedup {
     "d19_method_agreement"  -> d19Oracle,
     "d20_threshold_sweep"   -> d20Oracle,
     "d21_incremental_dedup" -> d21Oracle,
+    "d22_bbit_minhash"      -> d22Oracle,
   )
 }

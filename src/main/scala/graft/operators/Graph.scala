@@ -436,6 +436,36 @@ object Graph {
        SELECT src AS doc_id, COUNT(*) AS n_within_2
        FROM reach GROUP BY 1 ORDER BY doc_id"""
 
+  /** Per-cluster edge density: verified near-dup edges over possible pairs
+    * within each d07 cluster, in basis points — density 10000 = clique
+    * (pure replica group), low density = chained/bridged cluster that a
+    * keeper policy should NOT collapse to one survivor. Two equi-joins to
+    * label edge endpoints + two tiny aggregates. */
+  def g11ClusterDensity(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val pairs = Dedup.d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
+    val cl = Dedup.d07DedupClusters(t)
+    val la = cl.select($"doc_id".as("doc_a"), $"cluster_id")
+    val edgeCount = pairs.join(la, "doc_a") // CC of these edges => both ends share the cluster
+      .groupBy($"cluster_id").agg(count(lit(1)).as("n_edges"))
+    val docCount = cl.groupBy($"cluster_id").agg(count(lit(1)).as("n_docs"))
+    docCount.join(edgeCount, "cluster_id")
+      .withColumn("density_bp", expr("n_edges * 20000 DIV (n_docs * (n_docs - 1))"))
+      .orderBy($"cluster_id")
+  }
+
+  /** d04 + d07 oracles as CTEs; density from the same integer arithmetic. */
+  val g11Oracle: String =
+    s"""WITH mh AS (${Dedup.d04Oracle}),
+       cc AS (${Dedup.d07Oracle}),
+       ec AS (SELECT cc.cluster_id, COUNT(*) AS n_edges
+              FROM mh JOIN cc ON cc.doc_id = mh.doc_a GROUP BY 1),
+       dc AS (SELECT cluster_id, COUNT(*) AS n_docs FROM cc GROUP BY 1)
+       SELECT cluster_id, n_docs, n_edges,
+              n_edges * 20000 // (n_docs * (n_docs - 1)) AS density_bp
+       FROM dc JOIN ec USING (cluster_id) ORDER BY cluster_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank"  -> ((s, d) => g01PageRank(T(s, d))),
     "g02_triangles" -> ((s, d) => g02Triangles(T(s, d))),
@@ -447,6 +477,7 @@ object Graph {
     "g08_modularity"       -> ((s, d) => g08Modularity(T(s, d))),
     "g09_blast_radius"     -> ((s, d) => g09BlastRadius(T(s, d))),
     "g10_two_hop_reach"    -> ((s, d) => g10TwoHopReach(T(s, d))),
+    "g11_cluster_density"  -> ((s, d) => g11ClusterDensity(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -460,5 +491,6 @@ object Graph {
     "g08_modularity"       -> g08Oracle,
     "g09_blast_radius"     -> g09Oracle,
     "g10_two_hop_reach"    -> g10Oracle,
+    "g11_cluster_density"  -> g11Oracle,
   )
 }

@@ -1141,6 +1141,66 @@ object Pipeline {
               (10000 - SUM(10000 // csize) // COUNT(*))::BIGINT AS haircut_bp
        FROM weighted GROUP BY source ORDER BY source"""
 
+  /** SEMANTIC contamination screen — the embedding-space sibling of p04
+    * (exact n-gram) and p12 (Bloom): an eval vector is contaminated if some
+    * TRAIN vector sits within cosine 0.3, found via s02's hyperplane-LSH
+    * buckets probed asymmetrically (eval side only, d21's ingest shape).
+    * Candidates carry ids only; vectors rejoin by broadcast; exact cosine
+    * verifies. Per contaminated eval vector: hit count and the max
+    * (rounded) cosine — max over doubles is order-independent, so the
+    * float is safe cross-engine. */
+  def p27SemanticContam(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val bands = t.embeddings
+      .select($"vec_id", expr("hyperplane_sig(embedding, 32)").as("sig"))
+      .select($"vec_id", expr(
+        "explode(transform(sequence(0, 3), t -> struct(t AS tbl, shiftright(sig, t * 8) & 255 AS bucket)))").as("bk"))
+      .select($"vec_id", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
+    val evalB = bands.filter($"vec_id" % 10 === 0)
+      .select($"tbl".as("qt"), $"bucket".as("qb"), $"vec_id".as("eval_id"))
+    val trainB = bands.filter($"vec_id" % 10 =!= 0)
+      .select($"tbl", $"bucket", $"vec_id".as("train_id"))
+    val cand = trainB.join(evalB, $"tbl" === $"qt" && $"bucket" === $"qb")
+      .select($"eval_id", $"train_id").distinct()
+    val ee = t.embeddings.select($"vec_id".as("eval_id"), $"embedding".as("qe"))
+    val te = t.embeddings.select($"vec_id".as("train_id"), $"embedding".as("ce"))
+    cand.join(broadcast(ee), "eval_id").join(broadcast(te), "train_id")
+      .select($"eval_id", $"train_id",
+        (round(expr("cosine_sim(qe, ce)"), 4) + lit(0.0)).as("cos"))
+      .filter($"cos" >= 0.3)
+      .groupBy($"eval_id")
+      .agg(count(lit(1)).as("n_hits"), max($"cos").as("max_cosine"))
+      .orderBy($"eval_id")
+  }
+
+  /** s02's banding CTEs, asymmetric probe, thresholded + aggregated. */
+  val p27Oracle: String =
+    """WITH sigs AS (
+         SELECT vec_id, embedding,
+           list_sum(list_transform(range(0, 32), m ->
+             CASE WHEN list_sum(list_transform(range(1, 65), i ->
+               embedding[i]::DOUBLE * ((((m + 1) * 37 + i * 101) % 97 % 2) * 2 - 1))) > 0
+             THEN 1::BIGINT << m::INT ELSE 0::BIGINT END)) AS sig
+         FROM embeddings),
+       bands AS (
+         SELECT vec_id, t AS tbl, (sig >> (t * 8)::INT) & 255 AS bucket
+         FROM sigs, range(0, 4) r(t)),
+       cand AS (
+         SELECT DISTINCT q.vec_id AS eval_id, c.vec_id AS train_id
+         FROM bands q JOIN bands c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         WHERE q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0),
+       ver AS (
+         SELECT eval_id, train_id,
+           ROUND(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                 / sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))
+                      * list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))), 4)
+           + 0.0 AS cos
+         FROM cand JOIN embeddings a ON a.vec_id = eval_id
+                   JOIN embeddings b ON b.vec_id = train_id)
+       SELECT eval_id, COUNT(*) AS n_hits, MAX(cos) AS max_cosine
+       FROM ver WHERE cos >= 0.3 GROUP BY 1 ORDER BY eval_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -1168,6 +1228,7 @@ object Pipeline {
     "p24_padding_per_source"  -> ((s, d) => p24PaddingWastePerSource(T(s, d))),
     "p25_passage_chunks"      -> ((s, d) => p25PassageChunks(T(s, d))),
     "p26_soft_dedup"          -> ((s, d) => p26SoftDedupWeights(T(s, d))),
+    "p27_semantic_contam"     -> ((s, d) => p27SemanticContam(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1197,5 +1258,6 @@ object Pipeline {
     "p24_padding_per_source"  -> p24Oracle,
     "p25_passage_chunks"      -> p25Oracle,
     "p26_soft_dedup"          -> p26Oracle,
+    "p27_semantic_contam"     -> p27Oracle,
   )
 }

@@ -836,6 +836,176 @@ object Similarity {
               COALESCE(n_lsh, 0) * 10000 // n_exact AS recall_bp
        FROM exact LEFT JOIN found USING (query_id) ORDER BY query_id"""
 
+  /** Product quantization (Jegou et al., PAMI 2011) with an ADC audit: the
+    * 64-dim vectors split into 8 blocks of 8 dims; each block gets a
+    * 16-centroid codebook trained by the same deterministic INTEGER
+    * k-means-lite as s04 (bp quantization, truncating means, seeds =
+    * vectors 0..15, 2 Lloyd iterations), so every engine derives the
+    * identical codebook. A vector's code is 8x4 bits (4 bytes vs 256 — the
+    * compression that makes a 10^11-vector scan RAM-resident). Asymmetric
+    * distance (ADC): per query, per block, the 16 query-to-centroid
+    * distances are table lookups; the estimated L2 of any db vector is 8
+    * adds. The audit: top-1 by ADC vs top-1 by exact L2 per query, with
+    * both integer distances — the measured error that licenses the 64x
+    * shrink. All arithmetic exact integers; codebooks are bounded
+    * driver-side model state (8x16x8 longs) broadcast into the plan. */
+  val PqM = 8
+  val PqK = 16
+  val PqIters = 2
+
+  private def pqSlices(t: T): DataFrame = {
+    import t.spark.implicits._
+    quantized(t).select($"vec_id", explode(expr(
+      s"transform(sequence(0, ${PqM - 1}), b -> struct(b AS blk, slice(qe, b * 8 + 1, 8) AS sl))")).as("x"))
+      .select($"vec_id", $"x.blk".as("blk"), $"x.sl".as("sl"))
+  }
+
+  /** The trained codebook as a broadcastable relation (blk, k, cent). */
+  private def pqBookDf(spark: SparkSession, books: Array[Array[Array[Long]]]): DataFrame = {
+    import spark.implicits._
+    (for (b <- 0 until PqM; k <- 0 until PqK)
+      yield (b, k, books(b)(k).map(_.toFloat))).toDF("blk", "k", "cent")
+  }
+
+  /** Per-block argmin code (ties by centroid index, like s04's assign) — a
+    * broadcast join against the codebook + min_by, NOT a 128-branch inline
+    * expression: one codegen'd l2_sq per (row, centroid) row, which keeps
+    * the generated code small and the work proportional to rows actually
+    * assigned (an element_at(array(...)) form evaluated every block's 16
+    * distances on every row and blew the bench ceiling). */
+  private def pqAssign(slices: DataFrame, books: Array[Array[Array[Long]]]): DataFrame =
+    slices.join(broadcast(pqBookDf(slices.sparkSession, books)), Seq("blk"))
+      .select(col("vec_id"), col("blk"), col("sl"), col("k"),
+        call_function("l2_sq", col("sl"), col("cent")).as("d"))
+      .groupBy(col("vec_id"), col("blk"))
+      .agg(expr("min_by(k, struct(d, k))").as("code"), first(col("sl")).as("sl"))
+
+  /** Deterministic integer k-means per block; [block][k][dim] longs. */
+  def trainPqCodebook(t: T): Array[Array[Array[Long]]] = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val slices = pqSlices(t)
+    var books: Array[Array[Array[Long]]] = {
+      val arr = Array.ofDim[Array[Long]](PqM, PqK)
+      slices.filter($"vec_id" < PqK)
+        .select($"blk", $"vec_id", $"sl").as[(Int, Long, Array[Float])]
+        .collect()
+        .foreach { case (b, v, s) => arr(b)(v.toInt) = s.map(_.toLong) }
+      arr
+    }
+    for (_ <- 1 to PqIters) {
+      val stats = pqAssign(slices, books)
+        .select($"blk", $"code", posexplode($"sl").as(Seq("pos", "v")))
+        .groupBy($"blk", $"code", $"pos")
+        .agg(sum($"v".cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3) / r.getLong(4)
+      }
+      books = next
+    }
+    books
+  }
+
+  def s15PqAdcAudit(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val books = trainPqCodebook(t)
+    val codes = pqAssign(pqSlices(t), books).select($"vec_id", $"blk", $"code")
+    // per (query, block, centroid): the ADC lookup-table entries, joined to
+    // codes on (blk, centroid) — no per-row arrays, one narrow broadcast
+    val qtab = pqSlices(t).filter($"vec_id" % 25 === 0)
+      .join(broadcast(pqBookDf(t.spark, books)), Seq("blk"))
+      .select($"vec_id".as("query_id"), $"blk", $"k",
+        call_function("l2_sq", $"sl", $"cent").as("d"))
+    val est = codes.join(broadcast(qtab),
+        codes("blk") === qtab("blk") && codes("code") === qtab("k"))
+      .filter($"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id", $"d")
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"d").cast("long").as("est_l2"))
+    val wEst = Window.partitionBy($"query_id").orderBy($"est_l2", $"vec_id")
+    val adcTop = est.withColumn("rn", row_number().over(wEst)).filter($"rn" === 1)
+      .select($"query_id", $"vec_id".as("nn_adc"), $"est_l2")
+    val qe = quantized(t).filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("query_id"), $"qe".as("qq"))
+    val xe = quantized(t).select($"vec_id", $"qe".as("xq"))
+    val wEx = Window.partitionBy($"query_id").orderBy($"exact_l2", $"vec_id")
+    val exTop = xe.join(broadcast(qe), $"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id",
+        call_function("l2_sq", $"qq", $"xq").cast("long").as("exact_l2"))
+      .withColumn("rn", row_number().over(wEx)).filter($"rn" === 1)
+      .select($"query_id", $"vec_id".as("nn_exact"), $"exact_l2")
+    exTop.join(adcTop, "query_id")
+      .select($"query_id", $"nn_exact", $"nn_adc",
+        ($"nn_exact" === $"nn_adc").as("agree"), $"exact_l2", $"est_l2")
+      .orderBy($"query_id")
+  }
+
+  /** Per-block twin of s04's k-means CTEs, then codes, lookup tables, and
+    * the two argmin arms. */
+  private def pqDuckAssign(cents: String): String =
+    s"""(SELECT vec_id, blk, sl, k AS code FROM (
+          SELECT s.vec_id, s.blk, s.sl, c.k,
+                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.blk ORDER BY
+                   list_sum(list_transform(range(1, 9), i ->
+                     (s.sl[i] - c.c[i]) * (s.sl[i] - c.c[i]))) ASC, c.k ASC) AS rn
+          FROM sl s JOIN $cents c ON c.blk = s.blk)
+        WHERE rn = 1)"""
+
+  private def pqDuckUpdate(assigned: String, prev: String): String =
+    s"""(SELECT p.blk, p.k, COALESCE(m.c, p.c) AS c
+        FROM $prev p LEFT JOIN (
+          SELECT blk, code AS k, list(v ORDER BY i) AS c FROM (
+            SELECT blk, code, i, SUM(sl[i::INT])::BIGINT // COUNT(*)::BIGINT AS v
+            FROM $assigned, range(1, 9) r(i) GROUP BY blk, code, i)
+          GROUP BY blk, k) m ON p.blk = m.blk AND p.k = m.k)"""
+
+  val s15Oracle: String =
+    s"""WITH ebp AS (
+         SELECT vec_id,
+                list_transform(range(1, 65), i -> floor(embedding[i]::DOUBLE * 10000)::BIGINT) AS qe
+         FROM embeddings),
+       sl AS (
+         SELECT vec_id, b AS blk, qe[b * 8 + 1 : b * 8 + 8] AS sl
+         FROM ebp, range(0, $PqM) r(b)),
+       c0 AS (SELECT blk, vec_id AS k, sl AS c FROM sl WHERE vec_id < $PqK),
+       a0 AS ${pqDuckAssign("c0")},
+       c1 AS ${pqDuckUpdate("a0", "c0")},
+       a1 AS ${pqDuckAssign("c1")},
+       c2 AS ${pqDuckUpdate("a1", "c1")},
+       codes AS ${pqDuckAssign("c2")},
+       qtab AS (
+         SELECT s.vec_id AS query_id, s.blk, c.k,
+                list_sum(list_transform(range(1, 9), i ->
+                  (s.sl[i] - c.c[i]) * (s.sl[i] - c.c[i]))) AS d
+         FROM sl s JOIN c2 c ON c.blk = s.blk
+         WHERE s.vec_id % 25 = 0),
+       est AS (
+         SELECT q.query_id, x.vec_id, SUM(q.d)::BIGINT AS est_l2
+         FROM codes x JOIN qtab q ON q.blk = x.blk AND q.k = x.code
+         WHERE q.query_id <> x.vec_id
+         GROUP BY 1, 2),
+       adc_top AS (
+         SELECT query_id, vec_id AS nn_adc, est_l2 FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY est_l2 ASC, vec_id ASC) AS rn FROM est)
+         WHERE rn = 1),
+       exact AS (
+         SELECT a.vec_id AS query_id, b.vec_id,
+                list_sum(list_transform(range(1, 65), i ->
+                  (a.qe[i] - b.qe[i]) * (a.qe[i] - b.qe[i])))::BIGINT AS exact_l2
+         FROM ebp a JOIN ebp b ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+       ex_top AS (
+         SELECT query_id, vec_id AS nn_exact, exact_l2 FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY exact_l2 ASC, vec_id ASC) AS rn FROM exact)
+         WHERE rn = 1)
+       SELECT query_id, nn_exact, nn_adc, nn_exact = nn_adc AS agree,
+              exact_l2, est_l2
+       FROM ex_top JOIN adc_top USING (query_id) ORDER BY query_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
@@ -851,6 +1021,7 @@ object Similarity {
     "s12_knn_graph"         -> ((s, d) => s12KnnGraph(T(s, d))),
     "s13_cosine_bands"      -> ((s, d) => s13CosineBands(T(s, d))),
     "s14_radius_search"     -> ((s, d) => s14RadiusSearch(T(s, d))),
+    "s15_pq_adc_audit"      -> ((s, d) => s15PqAdcAudit(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -868,5 +1039,6 @@ object Similarity {
     "s12_knn_graph"         -> s12Oracle,
     "s13_cosine_bands"      -> s13Oracle,
     "s14_radius_search"     -> s14Oracle,
+    "s15_pq_adc_audit"      -> s15Oracle,
   )
 }

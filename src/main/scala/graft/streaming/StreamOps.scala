@@ -501,6 +501,39 @@ object StreamOps {
               COUNT(*) AS n_events, SUM(vf)::BIGINT AS value_floor_sum
        FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""
 
+  /** CHAINED windowed aggregation (Spark 3.4+ multiple-stateful-operators
+    * surface): minute-grain counts re-aggregated into 10-minute buckets by
+    * passing the window STRUCT itself to the outer window() — on a stream
+    * both levels run stateful in one query; here the batch form is
+    * oracle-checked. Emits total + peak-minute per (type, bucket). */
+  def twoLevelWindows(evts: DataFrame): DataFrame =
+    evts
+      .groupBy(window(col("ts"), "1 minute").as("w1"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(col("w1"), "10 minutes").as("w10"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"), max(col("n")).as("peak_minute"))
+      .select(col("event_type"), col("w10.start").as("bucket_start"),
+        col("n_events"), col("peak_minute"))
+
+  def w13TwoLevelWindows(t: graft.T): DataFrame = {
+    import t.spark.implicits._
+    twoLevelWindows(t.events).orderBy($"event_type", $"bucket_start")
+  }
+
+  val w13Oracle: String =
+    """WITH ev AS (
+         SELECT event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+       minute AS (
+         SELECT event_type, ts_us // 60000000 AS m, COUNT(*) AS n
+         FROM ev GROUP BY 1, 2),
+       bucket AS (
+         SELECT event_type, (m * 60000000) // 600000000 AS b,
+                SUM(n)::BIGINT AS n_events, MAX(n) AS peak_minute
+         FROM minute GROUP BY 1, 2)
+       SELECT event_type, make_timestamp(b * 600000000) AS bucket_start,
+              n_events, peak_minute
+       FROM bucket ORDER BY event_type, bucket_start"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_windowed_type_counts" -> ((s, d) => w01WindowedTypeCounts(graft.T(s, d))),
     "w02_session_windows"      -> ((s, d) => w02SessionWindows(graft.T(s, d))),
@@ -514,6 +547,7 @@ object StreamOps {
     "w10_anti_enrich"          -> ((s, d) => w10AntiEnrich(graft.T(s, d))),
     "w11_content_dedup"        -> ((s, d) => w11ContentDedup(graft.T(s, d))),
     "w12_session_agg"          -> ((s, d) => w12SessionAgg(graft.T(s, d))),
+    "w13_two_level_windows"    -> ((s, d) => w13TwoLevelWindows(graft.T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -529,5 +563,6 @@ object StreamOps {
     "w10_anti_enrich"          -> w10Oracle,
     "w11_content_dedup"        -> w11Oracle,
     "w12_session_agg"          -> w12Oracle,
+    "w13_two_level_windows"    -> w13Oracle,
   )
 }

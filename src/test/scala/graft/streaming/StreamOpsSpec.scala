@@ -165,6 +165,28 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("chained window aggs: two stateful levels run in one streaming query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = snap(StreamOps.twoLevelWindows(sample.toDF()))
+
+    val stream = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.twoLevelWindows(stream.toDF().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("two_level")
+      .outputMode("append")
+      .start()
+    try {
+      stream.addData(sample: _*)
+      q.processAllAvailable()
+      stream.addData(StreamOps.Evt(900, ts(59), 999, "flush", 0.0))
+      q.processAllAvailable()
+      stream.addData(StreamOps.Evt(901, ts(59, 30), 999, "flush", 0.0))
+      q.processAllAvailable()
+      val emitted = snap(spark.table("two_level").filter($"event_type" =!= "flush"))
+      assert(emitted == batch)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicatesWithinWatermark suppresses replays") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
