@@ -527,6 +527,57 @@ object Multimodal {
                       + ascii(substr(text, (2 * i)::INT, 1))) // 2))), 0)::BIGINT AS wsum
        FROM documents WHERE doc_id % 3 = 1 ORDER BY asset_id"""
 
+  final case class SceneStats(asset_id: Long, n_frames: Long,
+                              total_delta: Long, max_delta: Long)
+
+  /** Scene-change score over REAL video decode: demux the frame container,
+    * decode every frame (per-partition ImageIO reader), and sum per-pixel
+    * absolute deltas between adjacent frames — total motion plus the
+    * sharpest cut per asset, the shot-boundary signal a video curation
+    * pipeline keys frame sampling on. Map-only; blobs never shuffle. */
+  def m13SceneChange(t: T): DataFrame = {
+    import t.spark.implicits._
+    assetsEncoded(t, only = Some("video")).mapPartitions { it =>
+      val dec = new JvmCodec.ImageDecoder // codec init: once per partition
+      it.map { a =>
+        val frames = JvmCodec.demuxFrames(a.payload).map(dec.decode).toArray
+        var total = 0L; var mx = 0L; var i = 1
+        while (i < frames.length) {
+          val p = frames(i - 1); val q = frames(i)
+          val n = math.min(p.length, q.length); var s = 0L; var j = 0
+          while (j < n) { s += math.abs((p(j) & 0xff) - (q(j) & 0xff)); j += 1 }
+          total += s; if (s > mx) mx = s
+          i += 1
+        }
+        SceneStats(a.asset_id, frames.length.toLong, total, mx)
+      }
+    }.toDF().orderBy($"asset_id")
+  }
+
+  /** Frames are 16-char chunks of the corpus text (lossless BMP frames);
+    * the oracle states the same adjacent-chunk delta arithmetic over char
+    * codes, offsets bounded by both chunk lengths. */
+  val m13Oracle: String =
+    """WITH vids AS (
+         SELECT doc_id, text, length(text) AS len,
+                (length(text) + 15) // 16 AS nf
+         FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+       deltas AS (
+         SELECT doc_id, f,
+                SUM(abs(ascii(substr(text, (f * 16 + o + 1)::INT, 1))
+                        - ascii(substr(text, ((f + 1) * 16 + o + 1)::INT, 1))))::BIGINT AS s
+         FROM vids, range(0, 4096) rf(f), range(0, 16) ro(o)
+         WHERE f < nf - 1 AND (f + 1) * 16 + o + 1 <= len
+         GROUP BY 1, 2)
+       SELECT v.doc_id AS asset_id, v.nf::BIGINT AS n_frames,
+              COALESCE(SUM(d.s), 0)::BIGINT AS total_delta,
+              COALESCE(MAX(d.s), 0)::BIGINT AS max_delta
+       FROM vids v LEFT JOIN deltas d ON d.doc_id = v.doc_id
+       WHERE (SELECT CASE WHEN max(length(text)) > 65536
+                          THEN error('m13 oracle frame cap exceeded')
+                          ELSE 1 END FROM documents) = 1
+       GROUP BY 1, 2 ORDER BY asset_id"""
+
   final case class ImageStats(asset_id: Long, n_px: Long, px_sum: Long,
                               b0: Long, b1: Long, b2: Long, b3: Long)
 
@@ -663,6 +714,7 @@ object Multimodal {
     "m10_audio_autocorr"    -> ((s, d) => m10AudioAutocorr(T(s, d))),
     "m11_phash_pairs"       -> ((s, d) => m11PerceptualHashPairs(T(s, d))),
     "m12_pcm_decimate"      -> ((s, d) => m12PcmDecimate(T(s, d))),
+    "m13_scene_change"      -> ((s, d) => m13SceneChange(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -678,5 +730,6 @@ object Multimodal {
     "m10_audio_autocorr"    -> m10Oracle,
     "m11_phash_pairs"       -> m11Oracle,
     "m12_pcm_decimate"      -> m12Oracle,
+    "m13_scene_change"      -> m13Oracle,
   )
 }

@@ -785,6 +785,46 @@ object TextAnalysis {
               (n_docs * sxx - sx * sx) * 10000 // (n_docs * sx) AS vmr_bp
        FROM agg ORDER BY lang"""
 
+  /** Source-level similarity matrix: exact Jaccard between each pair of
+    * sources over their UNION shingle sets — the corpus-redundancy KPI that
+    * says which feeds are re-crawls of each other. The per-source set is a
+    * groupBy(source, shingle) distinct (vocab-sized, tiny); the pair join
+    * keys on shingle, so the shuffle is |vocab x sources|, never |docs|².
+    * 20 sources -> 190 pairs out. */
+  def t21SourceSimilarity(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val ss = t.documents
+      .select($"source", explode(expr("shingle_hashes(text, 4, true)")).as("h"))
+      .distinct()
+    val sizes = ss.groupBy($"source").agg(count(lit(1)).as("n"))
+    val inter = ss.as("a").join(ss.as("b"),
+        $"a.h" === $"b.h" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select($"source".as("src_a"), $"n".as("na"))), "src_a")
+      .join(broadcast(sizes.select($"source".as("src_b"), $"n".as("nb"))), "src_b")
+      .select($"src_a", $"src_b",
+        expr("n_inter * 10000 DIV (na + nb - n_inter)").as("jaccard_bp"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val t21Oracle: String =
+    s"""WITH ss AS (
+         SELECT DISTINCT source, unnest(${Dedup.shingleHashesDuck}) AS h
+         FROM documents),
+       sizes AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY 1),
+       inter AS (
+         SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+         FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT src_a, src_b,
+              n_inter * 10000 // (na.n + nb.n - n_inter) AS jaccard_bp
+       FROM inter JOIN sizes na ON na.source = src_a
+                  JOIN sizes nb ON nb.source = src_b
+       ORDER BY src_a, src_b"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
     "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
@@ -806,6 +846,7 @@ object TextAnalysis {
     "t18_langid_metrics" -> ((s, d) => t18LangIdMetrics(T(s, d))),
     "t19_vocab_growth"   -> ((s, d) => t19VocabGrowth(T(s, d))),
     "t20_burstiness"     -> ((s, d) => t20TokenBurstiness(T(s, d))),
+    "t21_source_simmatrix" -> ((s, d) => t21SourceSimilarity(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -829,5 +870,6 @@ object TextAnalysis {
     "t18_langid_metrics" -> t18Oracle,
     "t19_vocab_growth"   -> t19Oracle,
     "t20_burstiness"     -> t20Oracle,
+    "t21_source_simmatrix" -> t21Oracle,
   )
 }
