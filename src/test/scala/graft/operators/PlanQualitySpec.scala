@@ -469,6 +469,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("shuffle budgets: headline queries never grow a new exchange") {
+    // measured by graft.ExchangeAudit at sf0.01 — any INCREASE means a
+    // change added a shuffle to a headline path; lower is fine
+    val budgets = Map(
+      "q01_pricing_summary" -> 2, "q05_region_revenue" -> 2,
+      "q103_market_share" -> 2, "d04_minhash_lsh_pairs" -> 2,
+      "d13_semantic_clusters" -> 1, "d18_topk_sim_join" -> 1,
+      "d21_incremental_dedup" -> 3, "s01_cosine_topk" -> 2,
+      "s04_ivf_ann" -> 2, "s12_knn_graph" -> 3, "s14_radius_search" -> 4,
+      "m02_media_rollup" -> 2, "p03_sequence_packing" -> 2,
+      "p26_soft_dedup" -> 3, "t11_tfidf_topterms" -> 6,
+      "q100_asof_exec" -> 4, "q110_interval_exec" -> 3,
+      "q125_session_window" -> 2)
+    for ((name, budget) <- budgets) {
+      val p = plan(name)
+      val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning")) +
+        p.linesIterator.count(_.contains("Exchange rangepartitioning")) +
+        p.linesIterator.count(_.contains("Exchange SinglePartition"))
+      assert(shuffles <= budget, s"$name grew to $shuffles shuffles (budget $budget):\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline") {
     // "*(n)" prefixes mark operators fused into whole-stage codegen; AQE
     // only shows them after the stages actually run
