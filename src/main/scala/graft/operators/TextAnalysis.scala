@@ -437,6 +437,11 @@ object TextAnalysis {
   def t11TfidfTopTerms(t: T): DataFrame = {
     import t.spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // NOTE a repartition(doc_id)-and-reuse shape (fewer exchanges) was
+    // measured SLOWER here: groupBy's map-side partial aggregation shrinks
+    // each exchange to ~distinct (doc, word) pairs, which beats shuffling
+    // the raw exploded tokens once — exchange BYTES, not exchange count,
+    // is what matters on this data shape
     val words = t.documents.select($"doc_id", explode(split($"text", " ")).as("word"))
     val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
