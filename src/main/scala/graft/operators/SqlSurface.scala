@@ -1370,6 +1370,31 @@ object SqlSurface {
               TRUE AS p50_within_2, TRUE AS p90_within_2
        FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
 
+  /** Mergeable-sketch rollup — the 100 TB distinct-count pattern: each
+    * shard (order status here) builds its own HLL sketch; the global
+    * cardinality comes from hll_union_agg over the PARTIAL SKETCHES, never
+    * re-reading rows. The gate checks the merged estimate lands within 10%
+    * of the exact global distinct (q126's self-measuring pattern, one
+    * level up the rollup). */
+  def q131SketchMerge(t: T): DataFrame = {
+    import t.spark.implicits._
+    val shards = t.orders.groupBy($"o_orderstatus")
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+    val merged = shards.agg(
+      count(lit(1)).as("n_shards"),
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = t.orders.agg(countDistinct($"o_custkey").as("n_exact"))
+    merged.crossJoin(exact) // two single-row frames
+      .select($"n_shards", $"n_exact",
+        ($"est" >= $"n_exact" * 0.9 && $"est" <= $"n_exact" * 1.1).as("merged_within_10pct"))
+  }
+
+  val q131Oracle: String =
+    """SELECT COUNT(DISTINCT o_orderstatus) AS n_shards,
+              COUNT(DISTINCT o_custkey) AS n_exact,
+              TRUE AS merged_within_10pct
+       FROM orders"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -1420,6 +1445,7 @@ object SqlSurface {
     "q128_named_params"   -> ((s, d) => q128NamedParams(T(s, d))),
     "q129_scd2_build"     -> ((s, d) => q129Scd2Build(T(s, d))),
     "q130_quantile_gate"  -> ((s, d) => q130QuantileGate(T(s, d))),
+    "q131_sketch_merge"   -> ((s, d) => q131SketchMerge(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1472,5 +1498,6 @@ object SqlSurface {
     "q128_named_params"   -> q128Oracle,
     "q129_scd2_build"     -> q129Oracle,
     "q130_quantile_gate"  -> q130Oracle,
+    "q131_sketch_merge"   -> q131Oracle,
   )
 }

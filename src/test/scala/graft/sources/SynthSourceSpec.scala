@@ -100,6 +100,33 @@ class SynthSourceSpec extends SparkSpec {
     assert(all.select(col("doc_id")).distinct().count() == 120)
   }
 
+  test("stateful dedup state survives a checkpoint restart") {
+    val ckpt = java.nio.file.Files.createTempDirectory("synth-state-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("synth-state-out").toString
+    def run(rows: Int): Unit = {
+      val q = spark.readStream.format("graft.sources.SynthSource")
+        .option("rows", rows.toString).option("partitions", "2")
+        .option("rowsPerBatch", "40")
+        .load()
+        .dropDuplicates("lang")
+        .select(col("doc_id"), col("lang"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(rows = 80)
+    val first = spark.read.parquet(out).count()
+    // restart with more data over the SAME checkpoint: the recovered dedup
+    // state must remember every lang already emitted — a fresh state would
+    // re-emit one row per lang here
+    run(rows = 120)
+    val all = spark.read.parquet(out)
+    val expected = synth(120).select(col("lang")).distinct().count()
+    assert(all.count() == expected, s"state lost: ${all.count()} rows vs $expected langs")
+    assert(first <= expected && all.select(col("lang")).distinct().count() == expected)
+  }
+
   test("streaming read prunes columns and pushes the doc_id range") {
     val df = spark.readStream.format("graft.sources.SynthSource")
       .option("rows", "1000").option("partitions", "2")
