@@ -1395,6 +1395,22 @@ object SqlSurface {
               TRUE AS merged_within_10pct
        FROM orders"""
 
+  /** Keyset-free pagination — ORDER BY unique key + LIMIT/OFFSET (Spark's
+    * GlobalLimit-with-offset path, SQL standard form): page 3 of the order
+    * book, 20 rows per page. At scale OFFSET is a driver-side skip after a
+    * TakeOrdered of offset+limit rows — fine for UI pages, documented as
+    * NOT the bulk-export path (that's keyset pagination on the sort key). */
+  def q132Pagination(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 40""")
+  }
+
+  val q132Oracle: String =
+    """SELECT o_orderkey, FLOOR(o_totalprice * 100)::BIGINT AS cents
+       FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 40"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -1446,6 +1462,7 @@ object SqlSurface {
     "q129_scd2_build"     -> ((s, d) => q129Scd2Build(T(s, d))),
     "q130_quantile_gate"  -> ((s, d) => q130QuantileGate(T(s, d))),
     "q131_sketch_merge"   -> ((s, d) => q131SketchMerge(T(s, d))),
+    "q132_pagination"     -> ((s, d) => q132Pagination(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1499,5 +1516,6 @@ object SqlSurface {
     "q129_scd2_build"     -> q129Oracle,
     "q130_quantile_gate"  -> q130Oracle,
     "q131_sketch_merge"   -> q131Oracle,
+    "q132_pagination"     -> q132Oracle,
   )
 }
