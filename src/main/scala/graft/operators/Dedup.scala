@@ -1218,6 +1218,86 @@ object Dedup {
               abs(jaccard_bp - bbit_est_bp)::BIGINT AS err_bp
        FROM scored ORDER BY doc_a, doc_b"""
 
+  /** Content-defined chunking (CDC) dedup — the rsync/LBFS family: chunk
+    * boundaries are picked by CONTENT (a token whose hash ≡ 0 mod 8 closes
+    * the current chunk), not by fixed offsets, so an insertion early in a
+    * document shifts only the one chunk it lands in and every later chunk
+    * still hashes identically — the property that lets chunk-level dedup
+    * catch partially-overlapping documents that whole-doc hashing (d01)
+    * misses and shingle-Jaccard (d02/d04) only scores, never localizes.
+    *
+    * Scale shape: tokenize via `posexplode` (narrow), per-token polynomial
+    * hash in codegen, chunk ids by a running boundary count windowed
+    * PARTITION BY doc_id (per-doc state only — no global ordering), chunk
+    * hashes by an ordered integer fold per (doc, chunk) group, then ONE
+    * census shuffle on chunk_hash. Expected chunk length is 8 tokens
+    * (P(boundary) = 1/8), the knob that trades dedup granularity against
+    * census size. All arithmetic is exact integers mod 1e9+7 / 2^31-1, so
+    * the DuckDB list-land replica folds to identical hashes. */
+  def d23CdcChunks(t: T): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import t.spark.implicits._
+    val toks = t.documents
+      .select($"doc_id",
+        posexplode(expr("filter(split(text, ' '), x -> x <> '')")).as(Seq("pos", "tok")))
+      .withColumn("h", expr(
+        """aggregate(transform(sequence(1, length(tok)),
+             i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT)),
+           7L, (a, x) -> (a * 31 + x) % 1000000007)"""))
+    // boundary tokens CLOSE their chunk: chunk id = # boundaries strictly
+    // before this position (exclusive-prefix running sum, per-doc window)
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("cid", coalesce(
+        sum(when($"h" % 8 === 0, 1L).otherwise(0L)).over(w), lit(0L)))
+      .groupBy($"doc_id", $"cid")
+      .agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(pos, h))), s -> s.h),
+           0L, (a, x) -> (a * 131 + x) % 2147483647)""").as("chunk_hash"))
+    val census = chunks.groupBy($"chunk_hash").agg(count(lit(1)).as("n_copies"))
+    chunks.join(census, "chunk_hash")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"n_copies" > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .withColumn("shared_bp", expr("n_shared_chunks * 10000 DIV n_chunks"))
+      .orderBy($"doc_id")
+  }
+
+  /** List-land replica: same token hashes, boundary-prefix chunk ids, and
+    * ordered (a*131+x) mod 2^31-1 folds, via list_reduce with a prepended
+    * init (DuckDB's reduce seeds from the first element). */
+  val d23Oracle: String =
+    """WITH base AS (
+         SELECT doc_id,
+                list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                  tok -> list_reduce(list_prepend(7::BIGINT,
+                           list_transform(range(1, length(tok) + 1),
+                             i -> ascii(substr(tok, i::INT, 1))::BIGINT)),
+                         (a, x) -> (a * 31 + x) % 1000000007)) AS hs
+         FROM documents),
+       cids AS (
+         SELECT doc_id, hs,
+                list_transform(range(0, len(hs)), i ->
+                  len(list_filter(range(0, len(hs)),
+                    b -> b < i AND hs[b + 1] % 8 = 0))) AS cid
+         FROM base WHERE len(hs) > 0),
+       chunks AS (
+         SELECT doc_id,
+                unnest(list_transform(list_sort(list_distinct(cid)), c ->
+                  list_reduce(list_prepend(0::BIGINT,
+                    list_transform(list_filter(range(0, len(hs)), i -> cid[i + 1] = c),
+                      i -> hs[i + 1])),
+                  (a, x) -> (a * 131 + x) % 2147483647))) AS chunk_hash
+         FROM cids),
+       census AS (SELECT chunk_hash, COUNT(*) AS n_copies FROM chunks GROUP BY 1)
+       SELECT doc_id, COUNT(*)::BIGINT AS n_chunks,
+              SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared_chunks,
+              SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)::BIGINT * 10000
+                // COUNT(*)::BIGINT AS shared_bp
+       FROM chunks JOIN census USING (chunk_hash)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"        -> ((s, d) => d01ExactDedup(T(s, d))),
     "d02_ngram_jaccard"      -> ((s, d) => d02NgramJaccardPairs(T(s, d))),
@@ -1241,6 +1321,7 @@ object Dedup {
     "d20_threshold_sweep"    -> ((s, d) => d20ThresholdSweep(T(s, d))),
     "d21_incremental_dedup"  -> ((s, d) => d21IncrementalDedup(T(s, d))),
     "d22_bbit_minhash"       -> ((s, d) => d22BbitMinhash(T(s, d))),
+    "d23_cdc_chunks"         -> ((s, d) => d23CdcChunks(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1266,5 +1347,6 @@ object Dedup {
     "d20_threshold_sweep"   -> d20Oracle,
     "d21_incremental_dedup" -> d21Oracle,
     "d22_bbit_minhash"      -> d22Oracle,
+    "d23_cdc_chunks"        -> d23Oracle,
   )
 }

@@ -466,6 +466,67 @@ object Graph {
               n_edges * 20000 // (n_docs * (n_docs - 1)) AS density_bp
        FROM dc JOIN ec USING (cluster_id) ORDER BY cluster_id"""
 
+  /** Synchronous label propagation (3 rounds) — community detection on the
+    * near-dup graph. Every node starts labeled with its own id; each round
+    * it adopts the MOST COMMON label among its neighbors (ties broken by
+    * smallest label, making the sync schedule fully deterministic — the
+    * property async LPA famously lacks). Communities are fuzzier than d07's
+    * connected components: CC fuses everything reachable, LPA keeps weakly
+    * bridged groups apart — the distinction g11 measures as density.
+    *
+    * Scale shape: per round, one equi-join of the edge list against the
+    * (node, label) table shuffled on node id + one vote aggregation + one
+    * per-node window on the (node, candidate-label) vote table — all keyed
+    * shuffles, no all-pairs anywhere; rounds reuse localCheckpoint'ed edge
+    * blocks exactly like g01 (executor-loss caveat documented there). */
+  def g12LabelPropagation(t: T): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val pairs = Dedup.d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .distinct()
+      .localCheckpoint() // 3 rounds reuse blocks, not the LSH lineage
+    var labels = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+    for (_ <- 1 to 3) {
+      labels = edges.join(labels, $"node" === $"dst")
+        .groupBy($"src", $"label").agg(count(lit(1)).as("votes"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"src").orderBy($"votes".desc, $"label")))
+        .filter($"rk" === 1)
+        .select($"src".as("node"), $"label")
+    }
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "label")
+      .select($"node".as("doc_id"), $"label".as("community"), $"community_size")
+      .orderBy($"doc_id")
+  }
+
+  /** One sync-LPA round against label CTE `prev`. */
+  private def lpaStep(prev: String): String =
+    s"""(SELECT node, label FROM (
+          SELECT node, label,
+                 ROW_NUMBER() OVER (PARTITION BY node
+                   ORDER BY votes DESC, label) AS rk
+          FROM (SELECT e.s AS node, l.label, COUNT(*) AS votes
+                FROM edges e JOIN $prev l ON l.node = e.d
+                GROUP BY 1, 2)) WHERE rk = 1)"""
+
+  val g12Oracle: String =
+    s"""WITH $pairsCte,
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       l0 AS (SELECT DISTINCT s AS node, s AS label FROM edges),
+       l1 AS ${lpaStep("l0")},
+       l2 AS ${lpaStep("l1")},
+       l3 AS ${lpaStep("l2")},
+       sizes AS (SELECT label, COUNT(*)::BIGINT AS community_size
+                 FROM l3 GROUP BY 1)
+       SELECT node AS doc_id, label AS community, community_size
+       FROM l3 JOIN sizes USING (label) ORDER BY doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank"  -> ((s, d) => g01PageRank(T(s, d))),
     "g02_triangles" -> ((s, d) => g02Triangles(T(s, d))),
@@ -478,6 +539,7 @@ object Graph {
     "g09_blast_radius"     -> ((s, d) => g09BlastRadius(T(s, d))),
     "g10_two_hop_reach"    -> ((s, d) => g10TwoHopReach(T(s, d))),
     "g11_cluster_density"  -> ((s, d) => g11ClusterDensity(T(s, d))),
+    "g12_label_propagation" -> ((s, d) => g12LabelPropagation(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -492,5 +554,6 @@ object Graph {
     "g09_blast_radius"     -> g09Oracle,
     "g10_two_hop_reach"    -> g10Oracle,
     "g11_cluster_density"  -> g11Oracle,
+    "g12_label_propagation" -> g12Oracle,
   )
 }

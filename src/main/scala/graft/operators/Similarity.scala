@@ -1006,6 +1006,85 @@ object Similarity {
               exact_l2, est_l2
        FROM ex_top JOIN adc_top USING (query_id) ORDER BY query_id"""
 
+  /** Two-stage retrieve-then-rerank — the production ANN serving shape:
+    * stage 1 scores EVERY candidate with the cheap int8 dot product (s09's
+    * per-vector min/max codes; integer SIMD, 4x less memory bandwidth than
+    * float32) and keeps a generous top-40; stage 2 reranks only those 40
+    * with the exact float cosine and returns the top-5. The coarse pass is
+    * where the corpus-sized work happens, the exact pass touches a
+    * constant-per-query candidate set — so the expensive arithmetic never
+    * scales with corpus size.
+    *
+    * Scale shape: probes broadcast twice; both window shuffles carry
+    * ids+score only (codes dropped before the top-40 exchange, embeddings
+    * re-joined by broadcast after it — the d13/s02 smoke rule). Int dot of
+    * 64 dims of 0..255 codes maxes at 64*255² ≈ 4.2M — no overflow on
+    * either engine. */
+  def s16TwoStageRerank(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val coded = t.embeddings
+      .selectExpr("vec_id", "transform(embedding, v -> CAST(v AS DOUBLE)) AS e")
+      .selectExpr("vec_id", "e", "array_min(e) AS mn", "array_max(e) AS mx")
+      .selectExpr("vec_id",
+        """CASE WHEN mx > mn
+             THEN transform(e, v -> CAST(floor((v - mn) * 255.0 / (mx - mn)) AS BIGINT))
+             ELSE transform(e, v -> CAST(0 AS BIGINT)) END AS codes""")
+    val qCodes = coded.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("query_id"), $"codes".as("q_codes"))
+    val coarseW = Window.partitionBy($"query_id").orderBy($"coarse".desc, $"neighbor_id")
+    val top40 = coded.select($"vec_id".as("neighbor_id"), $"codes".as("c_codes"))
+      .join(broadcast(qCodes), $"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        expr("aggregate(zip_with(q_codes, c_codes, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+          .as("coarse"))
+      .withColumn("crk", row_number().over(coarseW))
+      .filter($"crk" <= 40)
+      .select($"query_id", $"neighbor_id")
+    val qe = t.embeddings.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val ce = t.embeddings.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val exactW = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    top40.join(broadcast(qe), "query_id").join(broadcast(ce), "neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        (round(expr("cosine_sim(q_emb, c_emb)"), 4) + lit(0.0)).as("cosine"))
+      .withColumn("rk", row_number().over(exactW))
+      .filter($"rk" <= 5)
+      .select($"query_id", $"rk".cast("long").as("rk"), $"neighbor_id", $"cosine")
+      .orderBy($"query_id", $"rk")
+  }
+
+  val s16Oracle: String =
+    s"""WITH e AS (
+         SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e
+         FROM embeddings),
+       mm AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM e),
+       coded AS (
+         SELECT vec_id,
+                CASE WHEN mx > mn
+                  THEN list_transform(e, v -> floor((v - mn) * 255.0 / (mx - mn))::BIGINT)
+                  ELSE list_transform(e, v -> 0::BIGINT) END AS codes
+         FROM mm),
+       coarse AS (
+         SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_sum(list_transform(range(1, 65), i -> p.codes[i] * c.codes[i]))::BIGINT AS coarse
+         FROM coded p JOIN coded c ON p.vec_id % 25 = 0 AND p.vec_id <> c.vec_id),
+       top40 AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY coarse DESC, neighbor_id) AS crk
+           FROM coarse) WHERE crk <= 40),
+       exact AS (
+         SELECT query_id, neighbor_id,
+                ROUND(${duckCos("a", "b")}, 4) + 0.0 AS cosine
+         FROM top40 JOIN embeddings a ON a.vec_id = query_id
+                    JOIN embeddings b ON b.vec_id = neighbor_id)
+       SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, cosine FROM (
+         SELECT query_id, neighbor_id, cosine,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS rk
+         FROM exact) WHERE rk <= 5 ORDER BY query_id, rk"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
@@ -1022,6 +1101,7 @@ object Similarity {
     "s13_cosine_bands"      -> ((s, d) => s13CosineBands(T(s, d))),
     "s14_radius_search"     -> ((s, d) => s14RadiusSearch(T(s, d))),
     "s15_pq_adc_audit"      -> ((s, d) => s15PqAdcAudit(T(s, d))),
+    "s16_two_stage_rerank"  -> ((s, d) => s16TwoStageRerank(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1040,5 +1120,6 @@ object Similarity {
     "s13_cosine_bands"      -> s13Oracle,
     "s14_radius_search"     -> s14Oracle,
     "s15_pq_adc_audit"      -> s15Oracle,
+    "s16_two_stage_rerank"  -> s16Oracle,
   )
 }

@@ -1411,6 +1411,51 @@ object SqlSurface {
     """SELECT o_orderkey, FLOOR(o_totalprice * 100)::BIGINT AS cents
        FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 40"""
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE, SPARK-24497) generating a
+    * month spine from min to max order date, LEFT JOINed against monthly
+    * order counts — the gap-filling idiom that makes time series dense
+    * (a month with zero orders still gets a row). The recursion depth is
+    * the number of months in the data (~80), far under Spark's default
+    * 100-row-per-level / 1M-row recursion guards; the spine is tiny and
+    * broadcast, the monthly aggregate is the only real shuffle. */
+  def q133RecursiveSpine(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """WITH RECURSIVE bounds AS (
+           SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+                  CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+           FROM orders),
+         spine AS (
+           SELECT lo AS m, hi FROM bounds
+           UNION ALL
+           SELECT CAST(add_months(m, 1) AS DATE) AS m, hi FROM spine WHERE m < hi),
+         monthly AS (
+           SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                  COUNT(*) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT CAST(s.m AS TIMESTAMP) AS month_start,
+                COALESCE(n.n_orders, CAST(0 AS BIGINT)) AS n_orders
+         FROM spine s LEFT JOIN monthly n ON n.m = s.m
+         ORDER BY s.m""")
+  }
+
+  val q133Oracle: String =
+    """WITH RECURSIVE bounds AS (
+         SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+                date_trunc('month', MAX(o_orderdate)) AS hi
+         FROM orders),
+       spine AS (
+         SELECT lo AS m, hi FROM bounds
+         UNION ALL
+         SELECT (m + INTERVAL 1 MONTH)::DATE AS m, hi FROM spine WHERE m < hi),
+       monthly AS (
+         SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS n_orders
+         FROM orders GROUP BY 1)
+       SELECT s.m::TIMESTAMP AS month_start,
+              COALESCE(n.n_orders, 0)::BIGINT AS n_orders
+       FROM spine s LEFT JOIN monthly n ON n.m = s.m
+       ORDER BY s.m"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -1463,6 +1508,7 @@ object SqlSurface {
     "q130_quantile_gate"  -> ((s, d) => q130QuantileGate(T(s, d))),
     "q131_sketch_merge"   -> ((s, d) => q131SketchMerge(T(s, d))),
     "q132_pagination"     -> ((s, d) => q132Pagination(T(s, d))),
+    "q133_recursive_spine" -> ((s, d) => q133RecursiveSpine(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1517,5 +1563,6 @@ object SqlSurface {
     "q130_quantile_gate"  -> q130Oracle,
     "q131_sketch_merge"   -> q131Oracle,
     "q132_pagination"     -> q132Oracle,
+    "q133_recursive_spine" -> q133Oracle,
   )
 }

@@ -469,6 +469,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("s16: rerank windows shuffle ids+scores only; vectors arrive by broadcast") {
+    val p = plan("s16_two_stage_rerank")
+    // coarse stage is the s01-shaped broadcast-probe scan; everything after
+    // the top-40 cut is broadcast equi-joins — no shuffled vector payloads
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.filter(_.contains("Exchange"))
+      .forall(l => !l.contains("embedding") && !l.contains("codes")),
+      s"an exchange carries a vector payload:\n$p")
+  }
+
+  test("d23: CDC chunking is per-doc windows + one census — no pair joins") {
+    val p = plan("d23_cdc_chunks")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // window partitioned by doc_id; its exchange is reused by the
+    // (doc_id, cid) groupBy (subset-key partitioning satisfies it)
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 4, s"CDC chunking grew to $shuffles hash exchanges:\n$p")
+  }
+
+  test("g12: label propagation rounds are keyed joins, never all-pairs") {
+    val p = plan("g12_label_propagation")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("shuffle budgets: headline queries never grow a new exchange") {
     // measured by graft.ExchangeAudit at sf0.01 — any INCREASE means a
     // change added a shuffle to a headline path; lower is fine
