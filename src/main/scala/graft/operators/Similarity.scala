@@ -1085,6 +1085,75 @@ object Similarity {
                   ORDER BY cosine DESC, neighbor_id) AS rk
          FROM exact) WHERE rk <= 5 ORDER BY query_id, rk"""
 
+  /** Filtered vector search — top-k constrained by a metadata predicate
+    * (here: neighbors sharing the query's label), the production question
+    * every vector store answers one of two ways. PRE-filter applies the
+    * predicate before scoring (exact recall within the class; at scale the
+    * predicate prunes label-partitioned scans before any arithmetic).
+    * POST-filter takes the unfiltered top-10 and then applies the gate —
+    * cheaper against a monolithic index but can under-fill k, which is
+    * exactly what `fill_bp` measures per query (selective labels starve it).
+    *
+    * Scale shape: both arms are broadcast-probe scans (s01's audit shape);
+    * the window shuffles carry ids, labels and the rounded score only. */
+  def s17FilteredAnn(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val q = t.embeddings.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"label".as("q_label"))
+    val c = t.embeddings
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"), $"label".as("c_label"))
+    val preW = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    val pre = c.join(broadcast(q),
+        $"c_label" === $"q_label" && $"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"q_label", $"neighbor_id",
+        (round(expr("cosine_sim(q_emb, c_emb)"), 4) + lit(0.0)).as("cosine"))
+      .withColumn("rk", row_number().over(preW))
+      .filter($"rk" === 1)
+      .select($"query_id", $"q_label",
+        $"neighbor_id".as("pre_top1_id"), $"cosine".as("pre_top1_cosine"))
+    val post = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id", $"c_label", $"q_label",
+        (round(expr("cosine_sim(q_emb, c_emb)"), 4) + lit(0.0)).as("cosine"))
+      .withColumn("rk", row_number().over(preW))
+      .filter($"rk" <= 10)
+      .groupBy($"query_id")
+      .agg(sum(when($"c_label" === $"q_label", 1L).otherwise(0L)).as("post_kept"))
+      .withColumn("fill_bp", expr("least(post_kept, 3L) * 10000 DIV 3"))
+    pre.join(post, "query_id")
+      .select($"query_id", $"q_label".cast("long").as("q_label"),
+        $"pre_top1_id", $"pre_top1_cosine", $"post_kept", $"fill_bp")
+      .orderBy($"query_id")
+  }
+
+  val s17Oracle: String =
+    s"""WITH q AS (
+         SELECT vec_id AS query_id, embedding, label AS q_label
+         FROM embeddings WHERE vec_id % 25 = 0),
+       pre AS (
+         SELECT query_id, q_label, neighbor_id AS pre_top1_id,
+                cosine AS pre_top1_cosine FROM (
+           SELECT a.query_id, a.q_label, b.vec_id AS neighbor_id,
+                  ROUND(${duckCos("a", "b")}, 4) + 0.0 AS cosine,
+                  ROW_NUMBER() OVER (PARTITION BY a.query_id
+                    ORDER BY ROUND(${duckCos("a", "b")}, 4) + 0.0 DESC, b.vec_id) AS rk
+           FROM q a JOIN embeddings b
+             ON b.label = a.q_label AND a.query_id <> b.vec_id)
+         WHERE rk = 1),
+       post AS (
+         SELECT query_id,
+                SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)::BIGINT AS post_kept
+         FROM (
+           SELECT a.query_id, a.q_label, b.label AS c_label,
+                  ROW_NUMBER() OVER (PARTITION BY a.query_id
+                    ORDER BY ROUND(${duckCos("a", "b")}, 4) + 0.0 DESC, b.vec_id) AS rk
+           FROM q a JOIN embeddings b ON a.query_id <> b.vec_id)
+         WHERE rk <= 10 GROUP BY query_id)
+       SELECT query_id, q_label::BIGINT AS q_label, pre_top1_id,
+              pre_top1_cosine, post_kept,
+              LEAST(post_kept, 3) * 10000 // 3 AS fill_bp
+       FROM pre JOIN post USING (query_id) ORDER BY query_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
@@ -1102,6 +1171,7 @@ object Similarity {
     "s14_radius_search"     -> ((s, d) => s14RadiusSearch(T(s, d))),
     "s15_pq_adc_audit"      -> ((s, d) => s15PqAdcAudit(T(s, d))),
     "s16_two_stage_rerank"  -> ((s, d) => s16TwoStageRerank(T(s, d))),
+    "s17_filtered_ann"      -> ((s, d) => s17FilteredAnn(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1121,5 +1191,6 @@ object Similarity {
     "s14_radius_search"     -> s14Oracle,
     "s15_pq_adc_audit"      -> s15Oracle,
     "s16_two_stage_rerank"  -> s16Oracle,
+    "s17_filtered_ann"      -> s17Oracle,
   )
 }

@@ -830,6 +830,114 @@ object TextAnalysis {
                   JOIN sizes nb ON nb.source = src_b
        ORDER BY src_a, src_b"""
 
+  /** RAKE phrase boundaries: the UNION of all four stop lists, language-
+    * agnostic — the synthetic corpus mixes function words across langs (and
+    * zh has no list), so per-lang boundaries would leave most languages as
+    * one unsplittable phrase. Sorted for a deterministic literal. */
+  private val stopUnion: Seq[String] = stop.values.flatten.toSeq.distinct.sorted
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are the
+    * maximal stopword-free token runs; each word scores deg/freq where
+    * freq = corpus occurrences and deg = Σ length of the phrases it appears
+    * in (a word that keeps company in long phrases outranks one that occurs
+    * alone); a phrase scores the sum of its words. Scores are integer
+    * milli-units (deg*1000 DIV freq) so both engines agree bit-for-bit.
+    *
+    * Scale shape: phrase extraction is a per-row array fold (codegen, no
+    * shuffle); word stats are one vocab-sized groupBy(lang, word); scoring
+    * re-joins the word table onto exploded phrase words — broadcast-sized
+    * (vocab × langs); final top-5-per-lang is a window over the phrase
+    * census. Nothing here scales with docs² — only with vocab and distinct
+    * phrases. */
+  def t22RakeKeywords(t: T): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import t.spark.implicits._
+    val empty = "CAST(array() AS array<string>)"
+    val phrases = t.documents
+      .select($"lang", explode(expr(
+        s"""aggregate(
+              filter(split(text, ' '), x -> x <> ''),
+              named_struct('ph', CAST(array() AS array<array<string>>), 'cur', $empty),
+              (a, x) -> CASE WHEN x IN ${inList(stopUnion)}
+                THEN named_struct('ph',
+                       CASE WHEN size(a.cur) > 0 THEN array_append(a.ph, a.cur) ELSE a.ph END,
+                     'cur', $empty)
+                ELSE named_struct('ph', a.ph, 'cur', array_append(a.cur, x)) END,
+              a -> CASE WHEN size(a.cur) > 0 THEN array_append(a.ph, a.cur) ELSE a.ph END)"""))
+        .as("phrase"))
+      .filter(size($"phrase").between(1, 4))
+    val words = phrases
+      .select($"lang", size($"phrase").as("phlen"), explode($"phrase").as("w"))
+    val scores = words.groupBy($"lang", $"w")
+      .agg(count(lit(1)).as("freq"), sum($"phlen").as("deg"))
+      .select($"lang", $"w", expr("deg * 1000 DIV freq").as("w_milli"))
+    val census = phrases
+      .select($"lang", array_join($"phrase", " ").as("phrase_str"), $"phrase")
+      .groupBy($"lang", $"phrase_str")
+      .agg(count(lit(1)).as("n_occ"), first($"phrase").as("phrase"))
+    val scored = census
+      .select($"lang", $"phrase_str", $"n_occ", explode($"phrase").as("w"))
+      .join(scores, Seq("lang", "w"))
+      .groupBy($"lang", $"phrase_str")
+      .agg(first($"n_occ").as("n_occ"), sum($"w_milli").as("score_milli"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy($"score_milli".desc, $"phrase_str")))
+      .filter($"rk" <= 5)
+      .select($"lang", $"rk".cast("long").as("rk"), $"phrase_str", $"n_occ",
+        $"score_milli")
+      .orderBy($"lang", $"rk")
+  }
+
+  /** Same phrase semantics, linear formulation: positional parallel unnest,
+    * a running stopword count as the phrase id, and an ordered list() per
+    * (doc, phrase) group — maximal non-stop runs, identical to the Spark
+    * fold (a struct-accumulator list_reduce replica was measured minutes-
+    * slow in DuckDB from O(n²) immutable list copying; this is the same
+    * result in one window + one group-by). */
+  val t22Oracle: String = {
+    val isStop = s"tok IN ${inList(stopUnion)}"
+    s"""WITH toks AS (
+         SELECT doc_id, lang,
+                unnest(ts) AS tok,
+                unnest(range(1, len(ts) + 1)) AS pos
+         FROM (SELECT doc_id, lang,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS ts
+               FROM documents)),
+       pid AS (
+         SELECT doc_id, lang, tok, pos,
+                ($isStop) AS is_stop,
+                SUM(CASE WHEN $isStop THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+         FROM toks),
+       phrases AS (
+         SELECT lang, list(tok ORDER BY pos) AS phrase
+         FROM pid WHERE NOT is_stop
+         GROUP BY doc_id, lang, phrase_id),
+       kept AS (SELECT lang, phrase FROM phrases
+                WHERE len(phrase) BETWEEN 1 AND 4),
+       words AS (
+         SELECT lang, len(phrase)::BIGINT AS phlen, unnest(phrase) AS w
+         FROM kept),
+       scores AS (
+         SELECT lang, w, SUM(phlen)::BIGINT * 1000 // COUNT(*)::BIGINT AS w_milli
+         FROM words GROUP BY lang, w),
+       census AS (
+         SELECT lang, array_to_string(phrase, ' ') AS phrase_str,
+                ANY_VALUE(phrase) AS phrase, COUNT(*)::BIGINT AS n_occ
+         FROM kept GROUP BY lang, array_to_string(phrase, ' ')),
+       scored AS (
+         SELECT c.lang, c.phrase_str, ANY_VALUE(c.n_occ)::BIGINT AS n_occ,
+                SUM(s.w_milli)::BIGINT AS score_milli
+         FROM (SELECT lang, phrase_str, n_occ, unnest(phrase) AS w FROM census) c
+         JOIN scores s ON s.lang = c.lang AND s.w = c.w
+         GROUP BY c.lang, c.phrase_str)
+       SELECT lang, CAST(rk AS BIGINT) AS rk, phrase_str, n_occ, score_milli
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY score_milli DESC, phrase_str) AS rk FROM scored)
+       WHERE rk <= 5 ORDER BY lang, rk"""
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
     "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
@@ -852,6 +960,7 @@ object TextAnalysis {
     "t19_vocab_growth"   -> ((s, d) => t19VocabGrowth(T(s, d))),
     "t20_burstiness"     -> ((s, d) => t20TokenBurstiness(T(s, d))),
     "t21_source_simmatrix" -> ((s, d) => t21SourceSimilarity(T(s, d))),
+    "t22_rake_keywords"    -> ((s, d) => t22RakeKeywords(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -876,5 +985,6 @@ object TextAnalysis {
     "t19_vocab_growth"   -> t19Oracle,
     "t20_burstiness"     -> t20Oracle,
     "t21_source_simmatrix" -> t21Oracle,
+    "t22_rake_keywords"    -> t22Oracle,
   )
 }
