@@ -527,6 +527,55 @@ object Graph {
        SELECT node AS doc_id, label AS community, community_size
        FROM l3 JOIN sizes USING (label) ORDER BY doc_id"""
 
+  /** Bridge-edge audit: edges whose endpoints connected components (d07)
+    * FUSED into one cluster but label propagation (g12) keeps in DIFFERENT
+    * communities — the weak links where transitive chaining glued otherwise
+    * distinct near-dup groups. Per cluster: edge count, bridge count, and
+    * bridge share in bp. A keeper policy (d12) that collapses a cluster to
+    * one survivor is unsafe exactly where bridge_bp is high — the cluster
+    * is chained, not a replica clique (g11 measures the same risk as
+    * density; this names the specific cutting edges' mass).
+    *
+    * Scale shape: three equi-joins labeling edge endpoints with (cluster,
+    * community) + one groupBy(cluster) — all keyed on doc ids, reusing the
+    * edge list both parents already computed. */
+  def g13BridgeEdges(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val pairs = Dedup.d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
+    val cl = Dedup.d07DedupClusters(t).select($"doc_id", $"cluster_id")
+    val lpa = g12LabelPropagation(t).select($"doc_id", $"community")
+    pairs
+      .join(cl.select($"doc_id".as("doc_a"), $"cluster_id"), "doc_a")
+      .join(lpa.select($"doc_id".as("doc_a"), $"community".as("com_a")), "doc_a")
+      .join(lpa.select($"doc_id".as("doc_b"), $"community".as("com_b")), "doc_b")
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when($"com_a" =!= $"com_b", 1L).otherwise(0L)).as("n_bridges"))
+      .withColumn("bridge_bp", expr("n_bridges * 10000 DIV n_edges"))
+      .orderBy($"cluster_id")
+  }
+
+  val g13Oracle: String =
+    s"""WITH $pairsCte,
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       l0 AS (SELECT DISTINCT s AS node, s AS label FROM edges),
+       l1 AS ${lpaStep("l0")},
+       l2 AS ${lpaStep("l1")},
+       l3 AS ${lpaStep("l2")},
+       cc AS (${Dedup.d07Oracle})
+       SELECT cc_a.cluster_id, COUNT(*)::BIGINT AS n_edges,
+              SUM(CASE WHEN la.label <> lb.label THEN 1 ELSE 0 END)::BIGINT
+                AS n_bridges,
+              SUM(CASE WHEN la.label <> lb.label THEN 1 ELSE 0 END)::BIGINT
+                * 10000 // COUNT(*)::BIGINT AS bridge_bp
+       FROM pairs p
+       JOIN cc cc_a ON cc_a.doc_id = p.doc_a
+       JOIN l3 la ON la.node = p.doc_a
+       JOIN l3 lb ON lb.node = p.doc_b
+       GROUP BY cc_a.cluster_id ORDER BY cc_a.cluster_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank"  -> ((s, d) => g01PageRank(T(s, d))),
     "g02_triangles" -> ((s, d) => g02Triangles(T(s, d))),
@@ -540,6 +589,7 @@ object Graph {
     "g10_two_hop_reach"    -> ((s, d) => g10TwoHopReach(T(s, d))),
     "g11_cluster_density"  -> ((s, d) => g11ClusterDensity(T(s, d))),
     "g12_label_propagation" -> ((s, d) => g12LabelPropagation(T(s, d))),
+    "g13_bridge_edges"      -> ((s, d) => g13BridgeEdges(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -555,5 +605,6 @@ object Graph {
     "g10_two_hop_reach"    -> g10Oracle,
     "g11_cluster_density"  -> g11Oracle,
     "g12_label_propagation" -> g12Oracle,
+    "g13_bridge_edges"      -> g13Oracle,
   )
 }
