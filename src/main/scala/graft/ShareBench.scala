@@ -95,9 +95,10 @@ object ShareBench {
     }
     val lines2 = scala.collection.mutable.ListBuffer.empty[String]
 
-    // dedup family: seven production dedup queries that derive from the
-    // LSH-pair subplan (d07/d12/d16 through the CC labels, d15 directly,
-    // p26 through d07; d21 shares the signature stage via auto-detection).
+    // dedup family: nine production dedup/graph queries that derive from
+    // the LSH-pair subplan (d07/d12/d16 through the CC labels, d15
+    // directly, p26 through d07, g12/g13 through the symmetrized edge
+    // list; d21 shares the signature stage via auto-detection).
     // Fragment sharing materializes that subplan once per window — the
     // subplan-granularity version of the reference's scan-share scenario.
     if (only("dedup_family")) {
@@ -111,7 +112,9 @@ object ShareBench {
         "d16" -> (s => Dedup.d16ClusterAudit(T(s, sfDir))),
         "d17" -> (s => Dedup.d17Survivorship(T(s, sfDir))),
         "d21" -> (s => Dedup.d21IncrementalDedup(T(s, sfDir))),
-        "p26" -> (s => graft.operators.Pipeline.p26SoftDedupWeights(T(s, sfDir)))
+        "p26" -> (s => graft.operators.Pipeline.p26SoftDedupWeights(T(s, sfDir))),
+        "g12" -> (s => graft.operators.Graph.g12LabelPropagation(T(s, sfDir))),
+        "g13" -> (s => graft.operators.Graph.g13BridgeEdges(T(s, sfDir)))
       ).map { case (n, b) => QueryJob[Unit](n, b, noop) }
       val frag = Seq("lsh_pairs" ->
         ((s: SparkSession) => Dedup.d04MinhashLshPairs(T(s, sfDir))))
