@@ -1154,6 +1154,109 @@ object Similarity {
               LEAST(post_kept, 3) * 10000 // 3 AS fill_bp
        FROM pre JOIN post USING (query_id) ORDER BY query_id"""
 
+  /** MMR diversified retrieval (Carbonell & Goldstein 1998): greedy top-3
+    * where each pick maximizes λ·relevance − (1−λ)·max-similarity-to-
+    * already-picked (λ=0.7) — the re-ranker that stops a result list from
+    * being three copies of the same near-dup. The greedy recursion is
+    * unrolled into three deterministic rounds (argmax ties broken by id);
+    * candidate pool is the exact top-8, so the pairwise-similarity matrix
+    * is 8×8 PER QUERY — constant work per query regardless of corpus size,
+    * shuffled on query_id only. */
+  def s18MmrRerank(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val q = t.embeddings.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val c = t.embeddings.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val relW = Window.partitionBy($"query_id").orderBy($"rel".desc, $"neighbor_id")
+    val pool = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id", $"c_emb",
+        (round(expr("cosine_sim(q_emb, c_emb)"), 4) + lit(0.0)).as("rel"))
+      .withColumn("rk", row_number().over(relW))
+      .filter($"rk" <= 8)
+      .localCheckpoint() // three greedy rounds + the sim matrix reuse it
+    // pairwise sims within each query's pool (8x8 per query, keyed join)
+    val sims = pool.select($"query_id", $"neighbor_id".as("id_a"), $"c_emb".as("ea"))
+      .join(pool.select($"query_id", $"neighbor_id".as("id_b"), $"c_emb".as("eb")),
+        Seq("query_id"))
+      .filter($"id_a" =!= $"id_b")
+      .select($"query_id", $"id_a", $"id_b",
+        (round(expr("cosine_sim(ea, eb)"), 4) + lit(0.0)).as("sim"))
+    val slim = pool.select($"query_id", $"neighbor_id", $"rel")
+    val sel1 = slim.withColumn("rn", row_number().over(relW)).filter($"rn" === 1)
+      .select($"query_id", $"neighbor_id", $"rel".as("mmr"))
+    def pick(selected: DataFrame): DataFrame = {
+      val selIds = selected.select($"query_id", $"neighbor_id".as("sel_id"))
+      val remaining = slim.join(selIds,
+          slim("query_id") === selIds("query_id") &&
+            slim("neighbor_id") === selIds("sel_id"), "left_anti")
+      val maxSim = sims.join(selIds.withColumnRenamed("sel_id", "id_b"),
+          Seq("query_id", "id_b"))
+        .groupBy($"query_id", $"id_a".as("neighbor_id"))
+        .agg(max($"sim").as("max_sim"))
+      val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id")
+      remaining.join(maxSim, Seq("query_id", "neighbor_id"))
+        .withColumn("score", (round($"rel" * 0.7 - $"max_sim" * 0.3, 4) + lit(0.0)))
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"query_id", $"neighbor_id", $"score".as("mmr"))
+    }
+    val sel2 = pick(sel1)
+    val sel3 = pick(sel1.unionByName(sel2))
+    sel1.withColumn("rk", lit(1L))
+      .unionByName(sel2.withColumn("rk", lit(2L)))
+      .unionByName(sel3.withColumn("rk", lit(3L)))
+      .select($"query_id", $"rk", $"neighbor_id", $"mmr")
+      .orderBy($"query_id", $"rk")
+  }
+
+  val s18Oracle: String = {
+    def pickCte(sel: String, name: String) =
+      s"""$name AS (
+           SELECT query_id, neighbor_id, score AS mmr FROM (
+             SELECT p.query_id, p.neighbor_id,
+                    ROUND(p.rel * 0.7 - ms.max_sim * 0.3, 4) + 0.0 AS score,
+                    ROW_NUMBER() OVER (PARTITION BY p.query_id
+                      ORDER BY ROUND(p.rel * 0.7 - ms.max_sim * 0.3, 4) + 0.0 DESC,
+                               p.neighbor_id) AS rn
+             FROM pool p
+             JOIN (SELECT s.query_id, s.id_a AS neighbor_id, MAX(s.sim) AS max_sim
+                   FROM sims s JOIN $sel t
+                     ON t.query_id = s.query_id AND t.neighbor_id = s.id_b
+                   GROUP BY s.query_id, s.id_a) ms
+               ON ms.query_id = p.query_id AND ms.neighbor_id = p.neighbor_id
+             WHERE NOT EXISTS (SELECT 1 FROM $sel t2
+               WHERE t2.query_id = p.query_id AND t2.neighbor_id = p.neighbor_id))
+           WHERE rn = 1)"""
+    s"""WITH ranked AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                ROUND(${duckCos("a", "b")}, 4) + 0.0 AS rel,
+                ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                  ORDER BY ROUND(${duckCos("a", "b")}, 4) + 0.0 DESC, b.vec_id) AS rk
+         FROM embeddings a JOIN embeddings b
+           ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+       pool AS (SELECT query_id, neighbor_id, rel FROM ranked WHERE rk <= 8),
+       sims AS (
+         SELECT x.query_id, x.neighbor_id AS id_a, y.neighbor_id AS id_b,
+                ROUND(${duckCos("a", "b")}, 4) + 0.0 AS sim
+         FROM pool x JOIN pool y
+           ON x.query_id = y.query_id AND x.neighbor_id <> y.neighbor_id
+         JOIN embeddings a ON a.vec_id = x.neighbor_id
+         JOIN embeddings b ON b.vec_id = y.neighbor_id),
+       sel1 AS (
+         SELECT query_id, neighbor_id, rel AS mmr FROM (
+           SELECT query_id, neighbor_id, rel,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, neighbor_id) AS rn FROM pool)
+         WHERE rn = 1),
+       ${pickCte("sel1", "sel2")},
+       sel12 AS (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2),
+       ${pickCte("sel12", "sel3")}
+       SELECT query_id, 1::BIGINT AS rk, neighbor_id, mmr FROM sel1
+       UNION ALL SELECT query_id, 2::BIGINT, neighbor_id, mmr FROM sel2
+       UNION ALL SELECT query_id, 3::BIGINT, neighbor_id, mmr FROM sel3
+       ORDER BY query_id, rk"""
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
@@ -1172,6 +1275,7 @@ object Similarity {
     "s15_pq_adc_audit"      -> ((s, d) => s15PqAdcAudit(T(s, d))),
     "s16_two_stage_rerank"  -> ((s, d) => s16TwoStageRerank(T(s, d))),
     "s17_filtered_ann"      -> ((s, d) => s17FilteredAnn(T(s, d))),
+    "s18_mmr_rerank"        -> ((s, d) => s18MmrRerank(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1192,5 +1296,6 @@ object Similarity {
     "s15_pq_adc_audit"      -> s15Oracle,
     "s16_two_stage_rerank"  -> s16Oracle,
     "s17_filtered_ann"      -> s17Oracle,
+    "s18_mmr_rerank"        -> s18Oracle,
   )
 }

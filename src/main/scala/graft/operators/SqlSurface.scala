@@ -1456,6 +1456,30 @@ object SqlSurface {
        FROM spine s LEFT JOIN monthly n ON n.m = s.m
        ORDER BY s.m"""
 
+  /** Explicit NULLS FIRST / NULLS LAST ordering — the cross-engine trap
+    * made a contract: Spark's default is NULLS FIRST ascending, DuckDB's is
+    * NULLS LAST, so every sort on a nullable key MUST spell the placement
+    * out (as this engine's oracle twins always do). Nullable key synthesized
+    * with NULLIF; both directions exercised in one ordering. */
+  def q134NullsOrdering(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """SELECT o_orderkey,
+              NULLIF(o_orderpriority, '3-MEDIUM') AS pri,
+              CAST(FLOOR(o_totalprice) AS BIGINT) AS dollars
+         FROM orders
+         ORDER BY pri ASC NULLS FIRST, dollars DESC, o_orderkey
+         LIMIT 50""")
+  }
+
+  val q134Oracle: String =
+    """SELECT o_orderkey,
+            NULLIF(o_orderpriority, '3-MEDIUM') AS pri,
+            FLOOR(o_totalprice)::BIGINT AS dollars
+       FROM orders
+       ORDER BY pri ASC NULLS FIRST, dollars DESC, o_orderkey
+       LIMIT 50"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -1509,6 +1533,7 @@ object SqlSurface {
     "q131_sketch_merge"   -> ((s, d) => q131SketchMerge(T(s, d))),
     "q132_pagination"     -> ((s, d) => q132Pagination(T(s, d))),
     "q133_recursive_spine" -> ((s, d) => q133RecursiveSpine(T(s, d))),
+    "q134_nulls_ordering"  -> ((s, d) => q134NullsOrdering(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1564,5 +1589,6 @@ object SqlSurface {
     "q131_sketch_merge"   -> q131Oracle,
     "q132_pagination"     -> q132Oracle,
     "q133_recursive_spine" -> q133Oracle,
+    "q134_nulls_ordering"  -> q134Oracle,
   )
 }
