@@ -506,7 +506,8 @@ class PlanQualitySpec extends SparkSpec {
       "m02_media_rollup" -> 2, "p03_sequence_packing" -> 2,
       "p26_soft_dedup" -> 3, "t11_tfidf_topterms" -> 6,
       "q100_asof_exec" -> 4, "q110_interval_exec" -> 3,
-      "q125_session_window" -> 2)
+      "q125_session_window" -> 2, "d23_cdc_chunks" -> 4,
+      "s16_two_stage_rerank" -> 2)
     for ((name, budget) <- budgets) {
       val p = plan(name)
       val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning")) +
