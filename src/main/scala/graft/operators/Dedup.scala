@@ -1234,10 +1234,13 @@ object Dedup {
     * (P(boundary) = 1/8), the knob that trades dedup granularity against
     * census size. All arithmetic is exact integers mod 1e9+7 / 2^31-1, so
     * the DuckDB list-land replica folds to identical hashes. */
-  def d23CdcChunks(t: T): DataFrame = {
+  /** The CDC chunk pipeline on any (doc_id, text) frame → (doc_id, cid,
+    * chunk_hash). Factored out so specs can feed synthetic edits and assert
+    * the content-defined locality property directly. */
+  def cdcChunkHashes(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import t.spark.implicits._
-    val toks = t.documents
+    import docs.sparkSession.implicits._
+    val toks = docs
       .select($"doc_id",
         posexplode(expr("filter(split(text, ' '), x -> x <> '')")).as(Seq("pos", "tok")))
       .withColumn("h", expr(
@@ -1248,13 +1251,18 @@ object Dedup {
     // before this position (exclusive-prefix running sum, per-doc window)
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = toks
+    toks
       .withColumn("cid", coalesce(
         sum(when($"h" % 8 === 0, 1L).otherwise(0L)).over(w), lit(0L)))
       .groupBy($"doc_id", $"cid")
       .agg(expr(
         """aggregate(transform(array_sort(collect_list(struct(pos, h))), s -> s.h),
            0L, (a, x) -> (a * 131 + x) % 2147483647)""").as("chunk_hash"))
+  }
+
+  def d23CdcChunks(t: T): DataFrame = {
+    import t.spark.implicits._
+    val chunks = cdcChunkHashes(t.documents.select($"doc_id", $"text"))
     val census = chunks.groupBy($"chunk_hash").agg(count(lit(1)).as("n_copies"))
     chunks.join(census, "chunk_hash")
       .groupBy($"doc_id")

@@ -1007,28 +1007,35 @@ object Similarity {
        FROM ex_top JOIN adc_top USING (query_id) ORDER BY query_id"""
 
   /** Two-stage retrieve-then-rerank — the production ANN serving shape:
-    * stage 1 scores EVERY candidate with the cheap int8 dot product (s09's
-    * per-vector min/max codes; integer SIMD, 4x less memory bandwidth than
-    * float32) and keeps a generous top-40; stage 2 reranks only those 40
-    * with the exact float cosine and returns the top-5. The coarse pass is
-    * where the corpus-sized work happens, the exact pass touches a
-    * constant-per-query candidate set — so the expensive arithmetic never
-    * scales with corpus size.
+    * stage 1 scores EVERY candidate with a cheap signed-int8 dot product
+    * and keeps a generous top-40; stage 2 reranks only those 40 with the
+    * exact float cosine and returns the top-5. The coarse pass is where
+    * the corpus-sized work happens, the exact pass touches a constant-per-
+    * query candidate set — so the expensive arithmetic never scales with
+    * corpus size.
+    *
+    * Quantization is fixed-scale over the UNIT-NORMALIZED vector
+    * (code = floor(127·v/‖v‖) ∈ [-127,127]) so integer dots are directly
+    * cosine-comparable ACROSS vectors — a per-vector min/max affine code
+    * (s09's storage-audit scheme) is NOT: the offset term wrecks the
+    * ranking (measured recall@5 0.15 vs 1.00 here; spec pins the floor).
     *
     * Scale shape: probes broadcast twice; both window shuffles carry
     * ids+score only (codes dropped before the top-40 exchange, embeddings
     * re-joined by broadcast after it — the d13/s02 smoke rule). Int dot of
-    * 64 dims of 0..255 codes maxes at 64*255² ≈ 4.2M — no overflow on
-    * either engine. */
+    * 64 dims of ±127 codes maxes at ~1.03M — no overflow on either
+    * engine. */
   def s16TwoStageRerank(t: T): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
     val coded = t.embeddings
       .selectExpr("vec_id", "transform(embedding, v -> CAST(v AS DOUBLE)) AS e")
-      .selectExpr("vec_id", "e", "array_min(e) AS mn", "array_max(e) AS mx")
       .selectExpr("vec_id",
-        """CASE WHEN mx > mn
-             THEN transform(e, v -> CAST(floor((v - mn) * 255.0 / (mx - mn)) AS BIGINT))
+        "sqrt(aggregate(transform(e, v -> v * v), CAST(0.0 AS DOUBLE), (a, x) -> a + x)) AS nrm",
+        "e")
+      .selectExpr("vec_id",
+        """CASE WHEN nrm > 0
+             THEN transform(e, v -> CAST(floor(v * 127.0 / nrm) AS BIGINT))
              ELSE transform(e, v -> CAST(0 AS BIGINT)) END AS codes""")
     val qCodes = coded.filter($"vec_id" % 25 === 0)
       .select($"vec_id".as("query_id"), $"codes".as("q_codes"))
@@ -1057,13 +1064,15 @@ object Similarity {
     s"""WITH e AS (
          SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e
          FROM embeddings),
-       mm AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM e),
+       nm AS (SELECT vec_id, e,
+                     sqrt(list_sum(list_transform(e, v -> v * v))) AS nrm
+              FROM e),
        coded AS (
          SELECT vec_id,
-                CASE WHEN mx > mn
-                  THEN list_transform(e, v -> floor((v - mn) * 255.0 / (mx - mn))::BIGINT)
+                CASE WHEN nrm > 0
+                  THEN list_transform(e, v -> floor(v * 127.0 / nrm)::BIGINT)
                   ELSE list_transform(e, v -> 0::BIGINT) END AS codes
-         FROM mm),
+         FROM nm),
        coarse AS (
          SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
                 list_sum(list_transform(range(1, 65), i -> p.codes[i] * c.codes[i]))::BIGINT AS coarse
