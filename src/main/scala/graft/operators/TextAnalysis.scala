@@ -938,6 +938,59 @@ object TextAnalysis {
        WHERE rk <= 5 ORDER BY lang, rk"""
   }
 
+  /** Boilerplate-prefix census: crawl pipelines inject repeated headers
+    * ("subscribe to our newsletter…") that whole-doc dedup never catches —
+    * the tell is many docs of one SOURCE sharing their first-k-token
+    * prefix. Per source: docs, distinct prefixes, docs in shared-prefix
+    * groups, and the boilerplate share in bp (the cleanup trigger).
+    * Prefix key is an integer fold of the first 6 token hashes — a narrow
+    * per-row projection, one (source, prefix) census shuffle, one
+    * per-source rollup. On this synthetic corpus the signal is thin (one
+    * shared-prefix pair) — the zeros are the assertion that the generator
+    * injects no boilerplate. */
+  def t23BoilerplatePrefixes(t: T): DataFrame = {
+    import t.spark.implicits._
+    val pre = t.documents.select($"source", $"doc_id",
+      expr("""aggregate(
+           transform(slice(filter(split(text, ' '), x -> x <> ''), 1, 6),
+             tok -> aggregate(transform(sequence(1, length(tok)),
+                      i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT)),
+                    7L, (a, x) -> (a * 31 + x) % 1000000007)),
+           0L, (a, x) -> (a * 131 + x) % 2147483647)""").as("prefix_hash"))
+    val groups = pre.groupBy($"source", $"prefix_hash").agg(count(lit(1)).as("n"))
+    pre.join(groups, Seq("source", "prefix_hash"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"prefix_hash").as("n_prefixes"),
+        sum(when($"n" >= 2, 1L).otherwise(0L)).as("n_boiler_docs"))
+      .withColumn("boiler_bp", expr("n_boiler_docs * 10000 DIV n_docs"))
+      .orderBy($"source")
+  }
+
+  val t23Oracle: String =
+    """WITH toks AS (
+         SELECT source, doc_id,
+                list_filter(string_split(text, ' '), x -> x <> '')[1:6] AS ts
+         FROM documents),
+       pre AS (
+         SELECT source, doc_id,
+                list_reduce(list_prepend(0::BIGINT, list_transform(ts, tok ->
+                  list_reduce(list_prepend(7::BIGINT,
+                    list_transform(range(1, length(tok) + 1),
+                      i -> ascii(substr(tok, i::INT, 1))::BIGINT)),
+                  (a, x) -> (a * 31 + x) % 1000000007))),
+                (a, x) -> (a * 131 + x) % 2147483647) AS prefix_hash
+         FROM toks),
+       g AS (SELECT source, prefix_hash, COUNT(*) AS n
+             FROM pre GROUP BY 1, 2)
+       SELECT source, COUNT(*)::BIGINT AS n_docs,
+              COUNT(DISTINCT p.prefix_hash)::BIGINT AS n_prefixes,
+              SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_boiler_docs,
+              SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT * 10000
+                // COUNT(*)::BIGINT AS boiler_bp
+       FROM pre p JOIN g USING (source, prefix_hash)
+       GROUP BY source ORDER BY source"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
     "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
@@ -961,6 +1014,7 @@ object TextAnalysis {
     "t20_burstiness"     -> ((s, d) => t20TokenBurstiness(T(s, d))),
     "t21_source_simmatrix" -> ((s, d) => t21SourceSimilarity(T(s, d))),
     "t22_rake_keywords"    -> ((s, d) => t22RakeKeywords(T(s, d))),
+    "t23_boilerplate"      -> ((s, d) => t23BoilerplatePrefixes(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -986,5 +1040,6 @@ object TextAnalysis {
     "t20_burstiness"     -> t20Oracle,
     "t21_source_simmatrix" -> t21Oracle,
     "t22_rake_keywords"    -> t22Oracle,
+    "t23_boilerplate"      -> t23Oracle,
   )
 }
