@@ -1234,6 +1234,30 @@ object Dedup {
     * (P(boundary) = 1/8), the knob that trades dedup granularity against
     * census size. All arithmetic is exact integers mod 1e9+7 / 2^31-1, so
     * the DuckDB list-land replica folds to identical hashes. */
+  /** ONE definition of the token/prefix hash contract shared by d23 (CDC
+    * chunks) and t23 (boilerplate prefixes), Spark + DuckDB sides: token
+    * hash = char fold (seed 7, base 31, mod 1e9+7); sequence hash = token-
+    * hash fold (seed 0, base 131, mod 2^31−1). Identical prefixes/chunks
+    * hash identically ACROSS queries only while all four fragments agree —
+    * hence one definition. */
+  private[operators] def tokHashSpark(tok: String): String =
+    s"""aggregate(transform(sequence(1, length($tok)),
+          i -> CAST(ascii(substr($tok, i, 1)) AS BIGINT)),
+        7L, (a, x) -> (a * 31 + x) % 1000000007)"""
+
+  private[operators] def tokHashDuck(tok: String): String =
+    s"""list_reduce(list_prepend(7::BIGINT,
+          list_transform(range(1, length($tok) + 1),
+            i -> ascii(substr($tok, i::INT, 1))::BIGINT)),
+        (a, x) -> (a * 31 + x) % 1000000007)"""
+
+  private[operators] def hashFoldSpark(list: String): String =
+    s"aggregate($list, 0L, (a, x) -> (a * 131 + x) % 2147483647)"
+
+  private[operators] def hashFoldDuck(list: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT, $list),
+        (a, x) -> (a * 131 + x) % 2147483647)"""
+
   /** The CDC chunk pipeline on any (doc_id, text) frame → (doc_id, cid,
     * chunk_hash). Factored out so specs can feed synthetic edits and assert
     * the content-defined locality property directly. */
@@ -1243,10 +1267,7 @@ object Dedup {
     val toks = docs
       .select($"doc_id",
         posexplode(expr("filter(split(text, ' '), x -> x <> '')")).as(Seq("pos", "tok")))
-      .withColumn("h", expr(
-        """aggregate(transform(sequence(1, length(tok)),
-             i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT)),
-           7L, (a, x) -> (a * 31 + x) % 1000000007)"""))
+      .withColumn("h", expr(tokHashSpark("tok")))
     // boundary tokens CLOSE their chunk: chunk id = # boundaries strictly
     // before this position (exclusive-prefix running sum, per-doc window)
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
@@ -1255,9 +1276,9 @@ object Dedup {
       .withColumn("cid", coalesce(
         sum(when($"h" % 8 === 0, 1L).otherwise(0L)).over(w), lit(0L)))
       .groupBy($"doc_id", $"cid")
-      .agg(expr(
-        """aggregate(transform(array_sort(collect_list(struct(pos, h))), s -> s.h),
-           0L, (a, x) -> (a * 131 + x) % 2147483647)""").as("chunk_hash"))
+      .agg(expr(hashFoldSpark(
+        "transform(array_sort(collect_list(struct(pos, h))), s -> s.h)"))
+        .as("chunk_hash"))
   }
 
   def d23CdcChunks(t: T): DataFrame = {
@@ -1276,13 +1297,10 @@ object Dedup {
     * ordered (a*131+x) mod 2^31-1 folds, via list_reduce with a prepended
     * init (DuckDB's reduce seeds from the first element). */
   val d23Oracle: String =
-    """WITH base AS (
+    s"""WITH base AS (
          SELECT doc_id,
                 list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
-                  tok -> list_reduce(list_prepend(7::BIGINT,
-                           list_transform(range(1, length(tok) + 1),
-                             i -> ascii(substr(tok, i::INT, 1))::BIGINT)),
-                         (a, x) -> (a * 31 + x) % 1000000007)) AS hs
+                  tok -> ${tokHashDuck("tok")}) AS hs
          FROM documents),
        cids AS (
          SELECT doc_id, hs,
@@ -1293,10 +1311,8 @@ object Dedup {
        chunks AS (
          SELECT doc_id,
                 unnest(list_transform(list_sort(list_distinct(cid)), c ->
-                  list_reduce(list_prepend(0::BIGINT,
-                    list_transform(list_filter(range(0, len(hs)), i -> cid[i + 1] = c),
-                      i -> hs[i + 1])),
-                  (a, x) -> (a * 131 + x) % 2147483647))) AS chunk_hash
+                  ${hashFoldDuck(
+                    "list_transform(list_filter(range(0, len(hs)), i -> cid[i + 1] = c), i -> hs[i + 1])")})) AS chunk_hash
          FROM cids),
        census AS (SELECT chunk_hash, COUNT(*) AS n_copies FROM chunks GROUP BY 1)
        SELECT doc_id, COUNT(*)::BIGINT AS n_chunks,

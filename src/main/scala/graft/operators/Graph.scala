@@ -479,15 +479,16 @@ object Graph {
     * per-node window on the (node, candidate-label) vote table — all keyed
     * shuffles, no all-pairs anywhere; rounds reuse localCheckpoint'ed edge
     * blocks exactly like g01 (executor-loss caveat documented there). */
-  def g12LabelPropagation(t: T): DataFrame = {
+  /** The 3-round sync-LPA core on a precomputed symmetrized edge list —
+    * factored so g13 can thread ONE pair computation into both parents
+    * instead of re-deriving the LSH subplan per consumer. */
+  def lpaCommunities(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import t.spark.implicits._
-    graft.functions.Registry.ensure(t.spark)
-    val pairs = Dedup.d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
+    import pairs.sparkSession.implicits._
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .distinct()
-      .localCheckpoint() // 3 rounds reuse blocks, not the LSH lineage
+      .localCheckpoint() // 3 rounds reuse blocks, not the pair lineage
     var labels = edges.select($"src".as("node")).distinct()
       .select($"node", $"node".as("label"))
     for (_ <- 1 to 3) {
@@ -498,9 +499,16 @@ object Graph {
         .filter($"rk" === 1)
         .select($"src".as("node"), $"label")
     }
-    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("community_size"))
-    labels.join(sizes, "label")
-      .select($"node".as("doc_id"), $"label".as("community"), $"community_size")
+    labels.select($"node".as("doc_id"), $"label".as("community"))
+  }
+
+  def g12LabelPropagation(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val labels = lpaCommunities(Dedup.d04MinhashLshPairs(t).select($"doc_a", $"doc_b"))
+    val sizes = labels.groupBy($"community").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "community")
+      .select($"doc_id", $"community", $"community_size")
       .orderBy($"doc_id")
   }
 
@@ -542,9 +550,12 @@ object Graph {
   def g13BridgeEdges(t: T): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
+    // ONE pair computation feeds the edge audit and both labelings (the
+    // LSH subplan is the expensive part; localCheckpoint shares its blocks)
     val pairs = Dedup.d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
-    val cl = Dedup.d07DedupClusters(t).select($"doc_id", $"cluster_id")
-    val lpa = g12LabelPropagation(t).select($"doc_id", $"community")
+      .localCheckpoint()
+    val cl = Dedup.connectedComponents(pairs).select($"doc_id", $"cluster_id")
+    val lpa = lpaCommunities(pairs)
     pairs
       .join(cl.select($"doc_id".as("doc_a"), $"cluster_id"), "doc_a")
       .join(lpa.select($"doc_id".as("doc_a"), $"community".as("com_a")), "doc_a")

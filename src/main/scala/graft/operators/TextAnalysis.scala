@@ -951,12 +951,9 @@ object TextAnalysis {
   def t23BoilerplatePrefixes(t: T): DataFrame = {
     import t.spark.implicits._
     val pre = t.documents.select($"source", $"doc_id",
-      expr("""aggregate(
-           transform(slice(filter(split(text, ' '), x -> x <> ''), 1, 6),
-             tok -> aggregate(transform(sequence(1, length(tok)),
-                      i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT)),
-                    7L, (a, x) -> (a * 31 + x) % 1000000007)),
-           0L, (a, x) -> (a * 131 + x) % 2147483647)""").as("prefix_hash"))
+      expr(Dedup.hashFoldSpark(
+        s"""transform(slice(filter(split(text, ' '), x -> x <> ''), 1, 6),
+             tok -> ${Dedup.tokHashSpark("tok")})""")).as("prefix_hash"))
     val groups = pre.groupBy($"source", $"prefix_hash").agg(count(lit(1)).as("n"))
     pre.join(groups, Seq("source", "prefix_hash"))
       .groupBy($"source")
@@ -968,18 +965,14 @@ object TextAnalysis {
   }
 
   val t23Oracle: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
          SELECT source, doc_id,
                 list_filter(string_split(text, ' '), x -> x <> '')[1:6] AS ts
          FROM documents),
        pre AS (
          SELECT source, doc_id,
-                list_reduce(list_prepend(0::BIGINT, list_transform(ts, tok ->
-                  list_reduce(list_prepend(7::BIGINT,
-                    list_transform(range(1, length(tok) + 1),
-                      i -> ascii(substr(tok, i::INT, 1))::BIGINT)),
-                  (a, x) -> (a * 31 + x) % 1000000007))),
-                (a, x) -> (a * 131 + x) % 2147483647) AS prefix_hash
+                ${Dedup.hashFoldDuck(
+                  s"list_transform(ts, tok -> ${Dedup.tokHashDuck("tok")})")} AS prefix_hash
          FROM toks),
        g AS (SELECT source, prefix_hash, COUNT(*) AS n
              FROM pre GROUP BY 1, 2)

@@ -470,14 +470,25 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("s16: rerank windows shuffle ids+scores only; vectors arrive by broadcast") {
-    val p = plan("s16_two_stage_rerank")
+    val df = graft.SparkEntry.queries("s16_two_stage_rerank")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
     // coarse stage is the s01-shaped broadcast-probe scan; everything after
     // the top-40 cut is broadcast equi-joins — no shuffled vector payloads
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.linesIterator.filter(_.contains("Exchange"))
-      .forall(l => !l.contains("embedding") && !l.contains("codes")),
-      s"an exchange carries a vector payload:\n$p")
+    // tree-format Exchange lines only print partition keys, so inspect the
+    // FORMATTED plan: each shuffle Exchange block's Input column list must
+    // be free of vector payloads (BroadcastExchange carries them by design)
+    val fm = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffleInputs = fm.split("\n\n").toSeq
+      .filter(_.linesIterator.nextOption().exists(_.matches("""\(\d+\) Exchange.*""")))
+      .flatMap(_.linesIterator.filter(_.trim.startsWith("Input")))
+    assert(shuffleInputs.nonEmpty, fm)
+    shuffleInputs.foreach { in =>
+      assert(!in.contains("embedding") && !in.contains("codes") &&
+        !in.contains("_emb"), s"a shuffle exchange carries a vector payload: $in")
+    }
   }
 
   test("d23: CDC chunking is per-doc windows + one census — no pair joins") {
