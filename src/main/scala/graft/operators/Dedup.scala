@@ -1278,7 +1278,8 @@ object Dedup {
       .groupBy($"doc_id", $"cid")
       .agg(expr(hashFoldSpark(
         "transform(array_sort(collect_list(struct(pos, h))), s -> s.h)"))
-        .as("chunk_hash"))
+        .as("chunk_hash"),
+        count(lit(1)).as("n_toks"))
   }
 
   def d23CdcChunks(t: T): DataFrame = {
@@ -1322,6 +1323,71 @@ object Dedup {
        FROM chunks JOIN census USING (chunk_hash)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Chunk-level dedup REWRITE — d23's census turned into the actual
+    * cleanup transform: every duplicated chunk elects one keeper occurrence
+    * (smallest doc_id, then earliest chunk position — deterministic), all
+    * other occurrences are dropped, and the report says what survives of
+    * each document in tokens (the quantity a training-data budget is priced
+    * in). This is the CDC promise end-to-end: shared boilerplate/quoted
+    * passages deduplicate at CHUNK granularity while the hosts' unique
+    * chunks keep their full token mass — whole-doc dedup (d01) would keep
+    * or drop all-or-nothing.
+    *
+    * Scale shape: the chunk pipeline's per-doc windows + ONE keeper window
+    * partitioned by chunk_hash + one per-doc rollup — all keyed shuffles on
+    * ids/hashes, never pairs. */
+  def d24ChunkDedupRewrite(t: T): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import t.spark.implicits._
+    val chunks = cdcChunkHashes(t.documents.select($"doc_id", $"text"))
+    val keeperW = Window.partitionBy($"chunk_hash").orderBy($"doc_id", $"cid")
+    chunks
+      .withColumn("keep", row_number().over(keeperW) === 1)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        sum($"n_toks").as("toks_total"),
+        sum(when($"keep", $"n_toks").otherwise(0L)).as("toks_kept"))
+      .withColumn("kept_bp", expr("toks_kept * 10000 DIV toks_total"))
+      .orderBy($"doc_id")
+  }
+
+  /** d23's chunk CTEs extended with per-chunk token counts (parallel
+    * unnest zips the three per-chunk lists), then the same keeper window. */
+  val d24Oracle: String =
+    s"""WITH base AS (
+         SELECT doc_id,
+                list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                  tok -> ${tokHashDuck("tok")}) AS hs
+         FROM documents),
+       cids AS (
+         SELECT doc_id, hs,
+                list_transform(range(0, len(hs)), i ->
+                  len(list_filter(range(0, len(hs)),
+                    b -> b < i AND hs[b + 1] % 8 = 0))) AS cid
+         FROM base WHERE len(hs) > 0),
+       chunks AS (
+         SELECT doc_id,
+                unnest(list_sort(list_distinct(cid))) AS cid2,
+                unnest(list_transform(list_sort(list_distinct(cid)), c ->
+                  ${hashFoldDuck(
+                    "list_transform(list_filter(range(0, len(hs)), i -> cid[i + 1] = c), i -> hs[i + 1])")})) AS chunk_hash,
+                unnest(list_transform(list_sort(list_distinct(cid)), c ->
+                  len(list_filter(range(0, len(hs)), i -> cid[i + 1] = c))::BIGINT)) AS n_toks
+         FROM cids),
+       kept AS (
+         SELECT doc_id, chunk_hash, n_toks,
+                ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                  ORDER BY doc_id, cid2) = 1 AS keep
+         FROM chunks)
+       SELECT doc_id, COUNT(*)::BIGINT AS n_chunks,
+              SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+              SUM(n_toks)::BIGINT AS toks_total,
+              SUM(CASE WHEN keep THEN n_toks ELSE 0 END)::BIGINT AS toks_kept,
+              SUM(CASE WHEN keep THEN n_toks ELSE 0 END)::BIGINT * 10000
+                // SUM(n_toks)::BIGINT AS kept_bp
+       FROM kept GROUP BY doc_id ORDER BY doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"        -> ((s, d) => d01ExactDedup(T(s, d))),
     "d02_ngram_jaccard"      -> ((s, d) => d02NgramJaccardPairs(T(s, d))),
@@ -1346,6 +1412,7 @@ object Dedup {
     "d21_incremental_dedup"  -> ((s, d) => d21IncrementalDedup(T(s, d))),
     "d22_bbit_minhash"       -> ((s, d) => d22BbitMinhash(T(s, d))),
     "d23_cdc_chunks"         -> ((s, d) => d23CdcChunks(T(s, d))),
+    "d24_chunk_dedup"        -> ((s, d) => d24ChunkDedupRewrite(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1372,5 +1439,6 @@ object Dedup {
     "d21_incremental_dedup" -> d21Oracle,
     "d22_bbit_minhash"      -> d22Oracle,
     "d23_cdc_chunks"        -> d23Oracle,
+    "d24_chunk_dedup"       -> d24Oracle,
   )
 }
