@@ -1266,6 +1266,103 @@ object Similarity {
        ORDER BY query_id, rk"""
   }
 
+  /** The nprobe frontier — the table an IVF deployment is actually tuned
+    * from: for nprobe ∈ {1,2,3}, mean recall@3 against the exact top-3
+    * next to mean candidates scanned per query (the cost axis). Recall
+    * rises with probed clusters while cost grows ~linearly; the elbow is
+    * the sizing decision (s07 reports the chosen point per query, this
+    * reports the curve). One centroid training + one assignment feed all
+    * three arms (localCheckpoint'ed); each arm is the s04 probe join with
+    * a different slice width. */
+  def s19NprobeSweep(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val cents = trainIvfCentroids(t)
+    val assigned = assignCluster(quantized(t), cents)
+      .select($"vec_id", $"embedding", $"cluster")
+      .localCheckpoint() // three sweep arms reuse the assignment blocks
+    val truth = s01CosineTopK(t).filter($"rk" <= 3)
+      .select($"query_id", $"neighbor_id")
+      .localCheckpoint()
+    val nqDf = truth.select($"query_id").distinct().agg(count(lit(1)).as("nq"))
+    val arms = (1 to 3).map { np =>
+      val q = probeClusters(quantized(t).filter($"vec_id" % 25 === 0), cents, np)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+          explode($"probes").as("qc"))
+      val pairs = assigned.join(broadcast(q),
+          $"cluster" === $"qc" && $"query_id" =!= $"vec_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          (round(expr("cosine_sim(q_emb, embedding)"), 4) + lit(0.0)).as("cosine"))
+      val ann = pairs
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")))
+        .filter($"rk" <= 3).select($"query_id", $"neighbor_id")
+      val hits = truth.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("total_hits"))
+      val cost = pairs.agg(count(lit(1)).as("total_pairs"))
+      hits.crossJoin(cost).crossJoin(nqDf)
+        .select(lit(np.toLong).as("nprobe"),
+          expr("total_hits * 10000 DIV (nq * 3)").as("mean_recall_bp"),
+          expr("total_pairs DIV nq").as("mean_candidates"))
+    }
+    arms.reduce(_.unionByName(_)).orderBy($"nprobe")
+  }
+
+  val s19Oracle: String = {
+    def arm(np: Int): String =
+      s"""SELECT $np::BIGINT AS nprobe,
+            (SELECT COUNT(*) FROM truth t
+             JOIN (SELECT query_id, neighbor_id FROM (
+                     SELECT query_id, neighbor_id,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rk
+                     FROM pairs_$np) WHERE rk <= 3) a
+               ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+            )::BIGINT * 10000 // ((SELECT nq FROM nqc) * 3) AS mean_recall_bp,
+            (SELECT COUNT(*) FROM pairs_$np)::BIGINT
+              // (SELECT nq FROM nqc) AS mean_candidates"""
+    def pairsCteN(np: Int): String =
+      s"""pairs_$np AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(${duckCos("a", "b")}, 4) + 0.0 AS cosine
+           FROM (SELECT vec_id, cluster FROM dists WHERE rn <= $np) q
+           JOIN af c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+           JOIN embeddings a ON a.vec_id = q.vec_id
+           JOIN embeddings b ON b.vec_id = c.vec_id)"""
+    s"""WITH ebp AS (
+         SELECT vec_id, embedding,
+                list_transform(range(1, 65), i -> floor(embedding[i]::DOUBLE * 10000)::BIGINT) AS qe
+         FROM embeddings),
+       c0 AS (SELECT vec_id AS k, qe AS c FROM ebp WHERE vec_id < $IvfK),
+       a0 AS ${duckAssign("c0")},
+       c1 AS ${duckUpdate("a0", "c0")},
+       a1 AS ${duckAssign("c1")},
+       c2 AS ${duckUpdate("a1", "c1")},
+       af AS ${duckAssign("c2")},
+       dists AS (
+         SELECT vec_id, k AS cluster, rn FROM (
+           SELECT e.vec_id, c.k,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                    list_sum(list_transform(range(1, 65), i ->
+                      (e.qe[i] - c.c[i]) * (e.qe[i] - c.c[i]))) ASC, c.k ASC) AS rn
+           FROM ebp e CROSS JOIN c2 c WHERE e.vec_id % 25 = 0)),
+       sims AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                ROUND(${duckCos("a", "b")}, 4) + 0.0 AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+       truth AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+           FROM sims) WHERE rk <= 3),
+       nqc AS (SELECT COUNT(DISTINCT query_id)::BIGINT AS nq FROM truth),
+       ${pairsCteN(1)},
+       ${pairsCteN(2)},
+       ${pairsCteN(3)}
+       ${arm(1)} UNION ALL ${arm(2)} UNION ALL ${arm(3)} ORDER BY nprobe"""
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
@@ -1285,6 +1382,7 @@ object Similarity {
     "s16_two_stage_rerank"  -> ((s, d) => s16TwoStageRerank(T(s, d))),
     "s17_filtered_ann"      -> ((s, d) => s17FilteredAnn(T(s, d))),
     "s18_mmr_rerank"        -> ((s, d) => s18MmrRerank(T(s, d))),
+    "s19_nprobe_sweep"      -> ((s, d) => s19NprobeSweep(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1306,5 +1404,6 @@ object Similarity {
     "s16_two_stage_rerank"  -> s16Oracle,
     "s17_filtered_ann"      -> s17Oracle,
     "s18_mmr_rerank"        -> s18Oracle,
+    "s19_nprobe_sweep"      -> s19Oracle,
   )
 }
