@@ -1201,6 +1201,65 @@ object Pipeline {
        SELECT eval_id, COUNT(*) AS n_hits, MAX(cos) AS max_cosine
        FROM ver WHERE cos >= 0.3 GROUP BY 1 ORDER BY eval_id"""
 
+  /** Context-length frontier for sequence packing — the pretraining sizing
+    * decision s19 makes for ANN, made for the packer: at context length
+    * L ∈ {512, 2048, 8192}, how many sequences does the corpus pack into
+    * (p15's gapless start-bin assignment), how full are they, how many
+    * docs share a sequence, and how many bins overflow their budget
+    * (fill_bp > 10000 = the long-doc overflow share p15 documents). Longer
+    * contexts pack denser but concentrate long-doc overflow; the elbow
+    * prices the context-extension decision in wasted FLOPs. One token
+    * census, one running-sum window per arm, three single-row aggregates. */
+  def p28ContextSweep(t: T): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = t.documents
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("tokens"))
+      .withColumn("cum", sum($"tokens").over(
+        Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint() // three sweep arms reuse the census
+    val arms = Seq(512, 2048, 8192).map { budget =>
+      toks
+        .withColumn("batch_id", expr(s"(cum - tokens) DIV $budget"))
+        .groupBy($"batch_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("batch_tokens"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum($"n_docs").as("total_docs"),
+          sum($"batch_tokens").as("total_tokens"),
+          sum(when($"batch_tokens" > budget, 1L).otherwise(0L)).as("overflow_seqs"))
+        .select(lit(budget.toLong).as("context_len"),
+          $"n_seqs",
+          expr("total_docs DIV n_seqs").as("docs_per_seq"),
+          expr(s"total_tokens * 10000 DIV (n_seqs * $budget)").as("fill_bp"),
+          $"overflow_seqs")
+    }
+    arms.reduce(_.unionByName(_)).orderBy($"context_len")
+  }
+
+  val p28Oracle: String = {
+    def arm(budget: Int): String =
+      s"""SELECT $budget::BIGINT AS context_len,
+            COUNT(*)::BIGINT AS n_seqs,
+            SUM(n_docs)::BIGINT // COUNT(*)::BIGINT AS docs_per_seq,
+            SUM(batch_tokens)::BIGINT * 10000
+              // (COUNT(*)::BIGINT * $budget) AS fill_bp,
+            SUM(CASE WHEN batch_tokens > $budget THEN 1 ELSE 0 END)::BIGINT
+              AS overflow_seqs
+          FROM (SELECT (cum - tokens) // $budget AS batch_id,
+                       COUNT(*) AS n_docs, SUM(tokens)::BIGINT AS batch_tokens
+                FROM cum GROUP BY 1)"""
+    s"""WITH toks AS (
+         SELECT doc_id, len(string_split(text, ' '))::BIGINT AS tokens
+         FROM documents),
+       cum AS (
+         SELECT doc_id, tokens,
+                SUM(tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         FROM toks)
+       ${arm(512)} UNION ALL ${arm(2048)} UNION ALL ${arm(8192)}
+       ORDER BY context_len"""
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -1229,6 +1288,7 @@ object Pipeline {
     "p25_passage_chunks"      -> ((s, d) => p25PassageChunks(T(s, d))),
     "p26_soft_dedup"          -> ((s, d) => p26SoftDedupWeights(T(s, d))),
     "p27_semantic_contam"     -> ((s, d) => p27SemanticContam(T(s, d))),
+    "p28_context_sweep"       -> ((s, d) => p28ContextSweep(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1259,5 +1319,6 @@ object Pipeline {
     "p25_passage_chunks"      -> p25Oracle,
     "p26_soft_dedup"          -> p26Oracle,
     "p27_semantic_contam"     -> p27Oracle,
+    "p28_context_sweep"       -> p28Oracle,
   )
 }
