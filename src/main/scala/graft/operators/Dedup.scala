@@ -1297,8 +1297,11 @@ object Dedup {
   /** List-land replica: same token hashes, boundary-prefix chunk ids, and
     * ordered (a*131+x) mod 2^31-1 folds, via list_reduce with a prepended
     * init (DuckDB's reduce seeds from the first element). */
-  val d23Oracle: String =
-    s"""WITH base AS (
+  /** Shared DuckDB CTEs for the CDC chunk pipeline (token hashes + chunk
+    * ids, boundary rule h % 8 = 0) — ONE definition for d23 and d24, like
+    * tokHashDuck/hashFoldDuck above. */
+  private val cdcCidsCte: String =
+    s"""base AS (
          SELECT doc_id,
                 list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
                   tok -> ${tokHashDuck("tok")}) AS hs
@@ -1308,7 +1311,10 @@ object Dedup {
                 list_transform(range(0, len(hs)), i ->
                   len(list_filter(range(0, len(hs)),
                     b -> b < i AND hs[b + 1] % 8 = 0))) AS cid
-         FROM base WHERE len(hs) > 0),
+         FROM base WHERE len(hs) > 0)"""
+
+  val d23Oracle: String =
+    s"""WITH $cdcCidsCte,
        chunks AS (
          SELECT doc_id,
                 unnest(list_transform(list_sort(list_distinct(cid)), c ->
@@ -1355,17 +1361,7 @@ object Dedup {
   /** d23's chunk CTEs extended with per-chunk token counts (parallel
     * unnest zips the three per-chunk lists), then the same keeper window. */
   val d24Oracle: String =
-    s"""WITH base AS (
-         SELECT doc_id,
-                list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
-                  tok -> ${tokHashDuck("tok")}) AS hs
-         FROM documents),
-       cids AS (
-         SELECT doc_id, hs,
-                list_transform(range(0, len(hs)), i ->
-                  len(list_filter(range(0, len(hs)),
-                    b -> b < i AND hs[b + 1] % 8 = 0))) AS cid
-         FROM base WHERE len(hs) > 0),
+    s"""WITH $cdcCidsCte,
        chunks AS (
          SELECT doc_id,
                 unnest(list_sort(list_distinct(cid))) AS cid2,

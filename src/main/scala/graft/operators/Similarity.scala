@@ -236,8 +236,12 @@ object Similarity {
             FROM $assigned, range(1, 65) r(i) GROUP BY cluster, i)
           GROUP BY cluster) m ON p.k = m.k)"""
 
-  val s04Oracle: String =
-    s"""WITH ebp AS (
+  /** Shared DuckDB CTE chain replicating trainIvfCentroids (fixed-point
+    * embeddings, seed centroids, 2 Lloyd rounds → c2) — ONE definition for
+    * every IVF oracle (s04/s07/s19 add `af`, s08 reads c2 directly), so a
+    * training-recipe change is a single edit on each engine's side. */
+  private val ivfTrainCte: String =
+    s"""ebp AS (
          SELECT vec_id, embedding,
                 list_transform(range(1, 65), i -> floor(embedding[i]::DOUBLE * 10000)::BIGINT) AS qe
          FROM embeddings),
@@ -245,7 +249,10 @@ object Similarity {
        a0 AS ${duckAssign("c0")},
        c1 AS ${duckUpdate("a0", "c0")},
        a1 AS ${duckAssign("c1")},
-       c2 AS ${duckUpdate("a1", "c1")},
+       c2 AS ${duckUpdate("a1", "c1")}"""
+
+  val s04Oracle: String =
+    s"""WITH $ivfTrainCte,
        af AS ${duckAssign("c2")},
        probes AS (
          SELECT vec_id, k AS cluster FROM (
@@ -399,15 +406,7 @@ object Similarity {
   }
 
   val s07Oracle: String =
-    s"""WITH ebp AS (
-         SELECT vec_id, embedding,
-                list_transform(range(1, 65), i -> floor(embedding[i]::DOUBLE * 10000)::BIGINT) AS qe
-         FROM embeddings),
-       c0 AS (SELECT vec_id AS k, qe AS c FROM ebp WHERE vec_id < $IvfK),
-       a0 AS ${duckAssign("c0")},
-       c1 AS ${duckUpdate("a0", "c0")},
-       a1 AS ${duckAssign("c1")},
-       c2 AS ${duckUpdate("a1", "c1")},
+    s"""WITH $ivfTrainCte,
        af AS ${duckAssign("c2")},
        probes AS (
          SELECT vec_id, k AS cluster FROM (
@@ -472,15 +471,7 @@ object Similarity {
   }
 
   val s08Oracle: String =
-    s"""WITH ebp AS (
-         SELECT vec_id, embedding,
-                list_transform(range(1, 65), i -> floor(embedding[i]::DOUBLE * 10000)::BIGINT) AS qe
-         FROM embeddings),
-       c0 AS (SELECT vec_id AS k, qe AS c FROM ebp WHERE vec_id < $IvfK),
-       a0 AS ${duckAssign("c0")},
-       c1 AS ${duckUpdate("a0", "c0")},
-       a1 AS ${duckAssign("c1")},
-       c2 AS ${duckUpdate("a1", "c1")},
+    s"""WITH $ivfTrainCte,
        best AS (
          SELECT vec_id, k, dist FROM (
            SELECT e.vec_id, c.k,
@@ -1281,14 +1272,20 @@ object Similarity {
     val assigned = assignCluster(quantized(t), cents)
       .select($"vec_id", $"embedding", $"cluster")
       .localCheckpoint() // three sweep arms reuse the assignment blocks
+    // truth reuses s01's exact ranking (requires s01's K >= 3; the oracle
+    // derives the same truth set independently, so an s01 retune surfaces
+    // here as a verify mismatch — intentional single definition Spark-side)
     val truth = s01CosineTopK(t).filter($"rk" <= 3)
       .select($"query_id", $"neighbor_id")
       .localCheckpoint()
     val nqDf = truth.select($"query_id").distinct().agg(count(lit(1)).as("nq"))
+    // one centroid-distance pass at the widest nprobe; arms slice it
+    val q3 = probeClusters(quantized(t).filter($"vec_id" % 25 === 0), cents, 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"probes")
+      .localCheckpoint()
     val arms = (1 to 3).map { np =>
-      val q = probeClusters(quantized(t).filter($"vec_id" % 25 === 0), cents, np)
-        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
-          explode($"probes").as("qc"))
+      val q = q3.select($"query_id", $"q_emb",
+        explode(expr(s"slice(probes, 1, $np)")).as("qc"))
       val pairs = assigned.join(broadcast(q),
           $"cluster" === $"qc" && $"query_id" =!= $"vec_id")
         .select($"query_id", $"vec_id".as("neighbor_id"),
@@ -1329,15 +1326,7 @@ object Similarity {
            JOIN af c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
            JOIN embeddings a ON a.vec_id = q.vec_id
            JOIN embeddings b ON b.vec_id = c.vec_id)"""
-    s"""WITH ebp AS (
-         SELECT vec_id, embedding,
-                list_transform(range(1, 65), i -> floor(embedding[i]::DOUBLE * 10000)::BIGINT) AS qe
-         FROM embeddings),
-       c0 AS (SELECT vec_id AS k, qe AS c FROM ebp WHERE vec_id < $IvfK),
-       a0 AS ${duckAssign("c0")},
-       c1 AS ${duckUpdate("a0", "c0")},
-       a1 AS ${duckAssign("c1")},
-       c2 AS ${duckUpdate("a1", "c1")},
+    s"""WITH $ivfTrainCte,
        af AS ${duckAssign("c2")},
        dists AS (
          SELECT vec_id, k AS cluster, rn FROM (
