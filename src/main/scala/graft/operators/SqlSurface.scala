@@ -1480,6 +1480,88 @@ object SqlSurface {
        ORDER BY pri ASC NULLS FIRST, dollars DESC, o_orderkey
        LIMIT 50"""
 
+  /** Z-order layout audit — the lakehouse file-clustering decision
+    * (Delta/Iceberg OPTIMIZE ZORDER) made measurable: interleave the low
+    * 16 bits of customer key and order-date day into a space-filling-curve
+    * key, split the table into 64 equal files by that key vs by date alone,
+    * and report each layout's mean per-file span in BOTH dimensions. Date-
+    * sorted files have a ~0 date span but full customer span (customer
+    * predicates prune nothing); z-ordered files have moderate spans in
+    * both — the property that lets min/max file skipping serve two
+    * predicate dimensions at once. Pure integer bit arithmetic + two NTILE
+    * windows + one rollup per layout; at scale the NTILE becomes the range
+    * partitioner of the actual rewrite job. */
+  def q135ZorderLayout(t: T): DataFrame = {
+    graft.Tables.register(t.spark, t.dir)
+    t.spark.sql(
+      """WITH base AS (
+           SELECT o_orderkey,
+                  CAST(o_custkey % 65536 AS BIGINT) AS x,
+                  CAST(datediff(o_orderdate, DATE '1992-01-01') % 65536 AS BIGINT) AS y
+           FROM orders),
+         zed AS (
+           SELECT o_orderkey, x, y,
+                  aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) ->
+                    acc + ((x >> i) & 1) * shiftleft(CAST(1 AS BIGINT), 2 * i)
+                        + ((y >> i) & 1) * shiftleft(CAST(1 AS BIGINT), 2 * i + 1)) AS z
+           FROM base),
+         buckets AS (
+           SELECT x, y,
+                  NTILE(64) OVER (ORDER BY z, o_orderkey) AS z_file,
+                  NTILE(64) OVER (ORDER BY y, o_orderkey) AS d_file
+           FROM zed),
+         zspans AS (
+           SELECT z_file, MAX(x) - MIN(x) AS span_x, MAX(y) - MIN(y) AS span_y
+           FROM buckets GROUP BY z_file),
+         dspans AS (
+           SELECT d_file, MAX(x) - MIN(x) AS span_x, MAX(y) - MIN(y) AS span_y
+           FROM buckets GROUP BY d_file)
+         SELECT 'date_sorted' AS layout, COUNT(*) AS n_files,
+                CAST(SUM(span_x) AS BIGINT) DIV COUNT(*) AS mean_cust_span,
+                CAST(SUM(span_y) AS BIGINT) DIV COUNT(*) AS mean_date_span
+         FROM dspans
+         UNION ALL
+         SELECT 'z_ordered', COUNT(*),
+                CAST(SUM(span_x) AS BIGINT) DIV COUNT(*),
+                CAST(SUM(span_y) AS BIGINT) DIV COUNT(*)
+         FROM zspans
+         ORDER BY layout""")
+  }
+
+  val q135Oracle: String =
+    """WITH base AS (
+         SELECT o_orderkey,
+                (o_custkey % 65536)::BIGINT AS x,
+                (datediff('day', DATE '1992-01-01', o_orderdate) % 65536)::BIGINT AS y
+         FROM orders),
+       zed AS (
+         SELECT o_orderkey, x, y,
+                list_sum(list_transform(range(0, 16), i ->
+                  ((x >> i::INT) & 1) * (1::BIGINT << (2 * i)::INT)
+                + ((y >> i::INT) & 1) * (1::BIGINT << (2 * i + 1)::INT)))::BIGINT AS z
+         FROM base),
+       buckets AS (
+         SELECT x, y,
+                NTILE(64) OVER (ORDER BY z, o_orderkey) AS z_file,
+                NTILE(64) OVER (ORDER BY y, o_orderkey) AS d_file
+         FROM zed),
+       zspans AS (
+         SELECT z_file, MAX(x) - MIN(x) AS span_x, MAX(y) - MIN(y) AS span_y
+         FROM buckets GROUP BY z_file),
+       dspans AS (
+         SELECT d_file, MAX(x) - MIN(x) AS span_x, MAX(y) - MIN(y) AS span_y
+         FROM buckets GROUP BY d_file)
+       SELECT 'date_sorted' AS layout, COUNT(*)::BIGINT AS n_files,
+              SUM(span_x)::BIGINT // COUNT(*)::BIGINT AS mean_cust_span,
+              SUM(span_y)::BIGINT // COUNT(*)::BIGINT AS mean_date_span
+       FROM dspans
+       UNION ALL
+       SELECT 'z_ordered', COUNT(*)::BIGINT,
+              SUM(span_x)::BIGINT // COUNT(*)::BIGINT,
+              SUM(span_y)::BIGINT // COUNT(*)::BIGINT
+       FROM zspans
+       ORDER BY layout"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -1534,6 +1616,7 @@ object SqlSurface {
     "q132_pagination"     -> ((s, d) => q132Pagination(T(s, d))),
     "q133_recursive_spine" -> ((s, d) => q133RecursiveSpine(T(s, d))),
     "q134_nulls_ordering"  -> ((s, d) => q134NullsOrdering(T(s, d))),
+    "q135_zorder_layout"   -> ((s, d) => q135ZorderLayout(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1590,5 +1673,6 @@ object SqlSurface {
     "q132_pagination"     -> q132Oracle,
     "q133_recursive_spine" -> q133Oracle,
     "q134_nulls_ordering"  -> q134Oracle,
+    "q135_zorder_layout"   -> q135Oracle,
   )
 }
