@@ -984,6 +984,56 @@ object TextAnalysis {
        FROM pre p JOIN g USING (source, prefix_hash)
        GROUP BY source ORDER BY source"""
 
+  /** KWIC concordance (keyword-in-context) — the corpus-linguistics probe:
+    * find the corpus's most frequent content token (stopwords excluded,
+    * count-then-lexicographic argmax = deterministic), then render its
+    * first occurrence per document inside a ±3-token window. The corpus
+    * eyeball a curation reviewer actually asks for ("show me how this
+    * word is used"), kept scalable: one vocab census, the term broadcast
+    * back, first-occurrence min per doc, windows sliced from the per-row
+    * token array — no position self-joins. First 50 docs by id. */
+  def t24KwicConcordance(t: T): DataFrame = {
+    import t.spark.implicits._
+    val docs = t.documents
+      .select($"doc_id", expr("filter(split(text, ' '), x -> x <> '')").as("ts"))
+    val toks = docs.select($"doc_id", $"ts", posexplode($"ts").as(Seq("pos", "tok")))
+    val target = toks.filter(!$"tok".isin(stopUnion: _*))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok").limit(1)
+      .select($"tok".as("term"))
+    toks.join(broadcast(target), $"tok" === $"term")
+      .groupBy($"doc_id")
+      .agg(min($"pos").as("pos"), first($"term").as("term"), first($"ts").as("ts"))
+      .select($"doc_id", $"term", $"pos".cast("long").as("pos"),
+        expr("""array_join(slice(ts, greatest(1, pos + 1 - 3),
+                 least(size(ts), pos + 1 + 3) - greatest(1, pos + 1 - 3) + 1), ' ')""")
+          .as("kwic"))
+      .orderBy($"doc_id").limit(50)
+  }
+
+  val t24Oracle: String =
+    s"""WITH docs AS (
+         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+         FROM documents),
+       toks AS (
+         SELECT doc_id, ts,
+                unnest(ts) AS tok,
+                unnest(range(0, len(ts))) AS pos
+         FROM docs),
+       target AS (
+         SELECT tok AS term FROM toks
+         WHERE tok NOT IN ${inList(stopUnion)}
+         GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 1),
+       occ AS (
+         SELECT doc_id, ANY_VALUE(term) AS term, MIN(pos)::BIGINT AS pos,
+                ANY_VALUE(ts) AS ts
+         FROM toks JOIN target ON tok = term
+         GROUP BY doc_id)
+       SELECT doc_id, term, pos,
+              array_to_string(ts[GREATEST(1, pos + 1 - 3)::INT :
+                LEAST(len(ts), pos + 1 + 3)::INT], ' ') AS kwic
+       FROM occ ORDER BY doc_id LIMIT 50"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
     "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
@@ -1008,6 +1058,7 @@ object TextAnalysis {
     "t21_source_simmatrix" -> ((s, d) => t21SourceSimilarity(T(s, d))),
     "t22_rake_keywords"    -> ((s, d) => t22RakeKeywords(T(s, d))),
     "t23_boilerplate"      -> ((s, d) => t23BoilerplatePrefixes(T(s, d))),
+    "t24_kwic"             -> ((s, d) => t24KwicConcordance(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1034,5 +1085,6 @@ object TextAnalysis {
     "t21_source_simmatrix" -> t21Oracle,
     "t22_rake_keywords"    -> t22Oracle,
     "t23_boilerplate"      -> t23Oracle,
+    "t24_kwic"             -> t24Oracle,
   )
 }
