@@ -1352,6 +1352,82 @@ object Similarity {
        ${arm(1)} UNION ALL ${arm(2)} UNION ALL ${arm(3)} ORDER BY nprobe"""
   }
 
+  /** Binary (sign-bit) retrieval recall — the 1-bit end of the precision
+    * ladder (float32 s01 → int8 s11/s16 → 1 bit here): each vector
+    * compresses to TWO 32-bit words (sign of each coordinate; 256× smaller
+    * than float32), candidate ranking is Hamming distance via xor +
+    * popcount — the cheapest possible scan, and the recall@5-in-top-10
+    * gate says what that compression costs on this corpus. Bits are split
+    * into two 32-bit words because DuckDB's BIGINT << 63 overflows
+    * (checked arithmetic) where the JVM wraps — the cross-engine-safe
+    * packing. Probes broadcast; the ranking shuffle carries two longs per
+    * row. */
+  def s20BinaryRecall(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    def word(off: Int) =
+      s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (a, i) ->
+            a + CASE WHEN element_at(embedding, i + ${off + 1}) > 0
+                THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"""
+    val sigs = t.embeddings.selectExpr("vec_id",
+      s"${word(0)} AS lo", s"${word(32)} AS hi")
+    val q = sigs.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("query_id"), $"lo".as("qlo"), $"hi".as("qhi"))
+    val hamW = Window.partitionBy($"query_id").orderBy($"hamming", $"neighbor_id")
+    val ann = sigs.select($"vec_id".as("neighbor_id"), $"lo", $"hi")
+      .join(broadcast(q), $"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)").cast("long").as("hamming"))
+      .withColumn("rk", row_number().over(hamW))
+      .filter($"rk" <= 10)
+      .select($"query_id", $"neighbor_id")
+    val truth = s01CosineTopK(t) // exact top-5 on the same probe set
+      .select($"query_id", $"neighbor_id")
+    truth.join(ann.withColumnRenamed("neighbor_id", "hit"),
+        truth("query_id") === ann("query_id") && $"neighbor_id" === $"hit", "left")
+      .groupBy(truth("query_id"))
+      .agg(count($"hit").as("n_hits"))
+      .withColumn("recall_bp", expr("n_hits * 10000 DIV 5"))
+      .orderBy($"query_id")
+  }
+
+  val s20Oracle: String = {
+    def word(off: Int) =
+      s"""list_sum(list_transform(range(0, 32), i ->
+            CASE WHEN embedding[(i + ${off + 1})::INT] > 0
+            THEN (1::BIGINT << i::INT) ELSE 0::BIGINT END))::BIGINT"""
+    s"""WITH sigs AS (
+         SELECT vec_id, ${word(0)} AS lo, ${word(32)} AS hi
+         FROM embeddings),
+       q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+             FROM sigs WHERE vec_id % 25 = 0),
+       ann AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT q.query_id, s.vec_id AS neighbor_id,
+                  bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi)) AS hamming,
+                  ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                    bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi)),
+                    s.vec_id) AS rk
+           FROM sigs s JOIN q ON q.query_id <> s.vec_id)
+         WHERE rk <= 10),
+       sims AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                ROUND(${duckCos("a", "b")}, 4) + 0.0 AS cosine
+         FROM embeddings a JOIN embeddings b
+           ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+       truth AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rk
+           FROM sims) WHERE rk <= 5)
+       SELECT t.query_id, COUNT(a.neighbor_id)::BIGINT AS n_hits,
+              (COUNT(a.neighbor_id) * 10000 // 5)::BIGINT AS recall_bp
+       FROM truth t LEFT JOIN ann a
+         ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+       GROUP BY t.query_id ORDER BY t.query_id"""
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
@@ -1372,6 +1448,7 @@ object Similarity {
     "s17_filtered_ann"      -> ((s, d) => s17FilteredAnn(T(s, d))),
     "s18_mmr_rerank"        -> ((s, d) => s18MmrRerank(T(s, d))),
     "s19_nprobe_sweep"      -> ((s, d) => s19NprobeSweep(T(s, d))),
+    "s20_binary_recall"     -> ((s, d) => s20BinaryRecall(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1394,5 +1471,6 @@ object Similarity {
     "s17_filtered_ann"      -> s17Oracle,
     "s18_mmr_rerank"        -> s18Oracle,
     "s19_nprobe_sweep"      -> s19Oracle,
+    "s20_binary_recall"     -> s20Oracle,
   )
 }
