@@ -701,6 +701,53 @@ object Multimodal {
                           ELSE 1 END FROM documents) = 1
        GROUP BY 1 ORDER BY hamming_band"""
 
+  final case class Loudness(asset_id: Long, n_samples: Long, peak: Long,
+                            rms_micro: Long, gain_bp: Long)
+
+  /** Loudness-normalization report over REAL WAV decode: per audio asset,
+    * peak sample, RMS in floored micro-units, and the linear gain (bp) to
+    * reach a target RMS of 64 — the numbers an audio-ingest pipeline
+    * writes next to each clip so training-time normalization is a column
+    * multiply, not a second decode pass. Integer peak/sum-of-squares, one
+    * sqrt + one division per asset (identical IEEE ops both engines —
+    * deliberately NO dB log: cross-libm log10 is not bit-stable, a ratio
+    * is). Map-only over the decode stage; payloads never shuffle. */
+  def m14AudioLoudness(t: T): DataFrame = {
+    import t.spark.implicits._
+    assetsEncoded(t, only = Some("audio")).mapPartitions { it =>
+      it.map { a =>
+        val pcm = JvmCodec.decodeWav(a.payload)
+        var peak = 0L; var sumSq = 0L; var i = 0
+        while (i < pcm.length) {
+          val v = (pcm(i) & 0xff).toLong
+          if (v > peak) peak = v
+          sumSq += v * v; i += 1
+        }
+        val n = pcm.length.toLong
+        val rms = if (n > 0) math.sqrt(sumSq.toDouble / n) else 0.0
+        Loudness(a.asset_id, n, peak,
+          if (n > 0) math.floor(rms * 1e6).toLong else 0L,
+          if (rms > 0) math.floor(64.0 * 10000.0 / rms).toLong else 0L)
+      }
+    }.toDF().orderBy($"asset_id")
+  }
+
+  val m14Oracle: String =
+    """WITH pcm AS (
+         SELECT doc_id AS asset_id, length(text)::BIGINT AS n,
+                list_max(list_transform(range(1, length(text) + 1),
+                  i -> ascii(substr(text, i::INT, 1))::BIGINT)) AS peak,
+                list_sum(list_transform(range(1, length(text) + 1),
+                  i -> ascii(substr(text, i::INT, 1))::BIGINT
+                     * ascii(substr(text, i::INT, 1))::BIGINT))::BIGINT AS sum_sq
+         FROM documents WHERE doc_id % 3 = 1)
+       SELECT asset_id, n AS n_samples, peak,
+              CASE WHEN n > 0
+                THEN floor(sqrt(sum_sq / n) * 1000000.0)::BIGINT ELSE 0 END AS rms_micro,
+              CASE WHEN n > 0 AND sum_sq > 0
+                THEN floor(64.0 * 10000.0 / sqrt(sum_sq / n))::BIGINT ELSE 0 END AS gain_bp
+       FROM pcm ORDER BY asset_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> ((s, d) => m01MediaFeatures(T(s, d))),
     "m02_media_rollup"   -> ((s, d) => m02MediaRollup(T(s, d))),
@@ -715,6 +762,7 @@ object Multimodal {
     "m11_phash_pairs"       -> ((s, d) => m11PerceptualHashPairs(T(s, d))),
     "m12_pcm_decimate"      -> ((s, d) => m12PcmDecimate(T(s, d))),
     "m13_scene_change"      -> ((s, d) => m13SceneChange(T(s, d))),
+    "m14_audio_loudness"    -> ((s, d) => m14AudioLoudness(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -731,5 +779,6 @@ object Multimodal {
     "m11_phash_pairs"       -> m11Oracle,
     "m12_pcm_decimate"      -> m12Oracle,
     "m13_scene_change"      -> m13Oracle,
+    "m14_audio_loudness"    -> m14Oracle,
   )
 }
