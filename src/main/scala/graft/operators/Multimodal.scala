@@ -735,8 +735,8 @@ object Multimodal {
   val m14Oracle: String =
     """WITH pcm AS (
          SELECT doc_id AS asset_id, length(text)::BIGINT AS n,
-                list_max(list_transform(range(1, length(text) + 1),
-                  i -> ascii(substr(text, i::INT, 1))::BIGINT)) AS peak,
+                COALESCE(list_max(list_transform(range(1, length(text) + 1),
+                  i -> ascii(substr(text, i::INT, 1))::BIGINT)), 0) AS peak,
                 list_sum(list_transform(range(1, length(text) + 1),
                   i -> ascii(substr(text, i::INT, 1))::BIGINT
                      * ascii(substr(text, i::INT, 1))::BIGINT))::BIGINT AS sum_sq
