@@ -63,9 +63,13 @@ object ScaleSmoke {
     "g01_pagerank", "t11_tfidf_topterms", "p03_sequence_packing")
 
   /** Exact/audit arms — broadcast-the-query-set brute force (s01-shaped) or
-    * declared all-pairs baselines. Excluded, named in the artifact. */
+    * declared all-pairs baselines. Excluded, named in the artifact. s16's
+    * coarse stage, s18's pool build and s20's Hamming scan are the same
+    * probe-set×corpus shape (their production front would be the IVF/LSH
+    * candidate generators benched above). */
   val excludedBaselines: Seq[String] =
-    Seq("d02_ngram_jaccard", "s03_embedding_neardup", "s05_knn_classify")
+    Seq("d02_ngram_jaccard", "s03_embedding_neardup", "s05_knn_classify",
+      "s16_two_stage_rerank", "s18_mmr_rerank", "s20_binary_recall")
 
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(20)
