@@ -147,9 +147,15 @@ object Dedup {
     * sharing >=1 band bucket (shuffle on band key — scales to any corpus);
     * then exact-Jaccard verify >= 0.8 on candidates only. */
   def d04MinhashLshPairs(t: T): DataFrame = {
-    import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val sigs = t.documents
+    lshPairs(t.documents)
+  }
+
+  /** The d04 pipeline on any (doc_id, text) frame — factored so d25 can
+    * re-pair a keeper-collapsed subset with the identical index. */
+  def lshPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sigs = docs
       .withColumn("h", expr(shingleHashes))
       .withColumn("sig", expr(minhashSig))
       .withColumn("h", array_sort($"h"))
@@ -1329,6 +1335,93 @@ object Dedup {
        FROM chunks JOIN census USING (chunk_hash)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Collapse-then-repair — the m² mitigation the 30× smoke probe points
+    * at (SCALESMOKE_30x.json), made executable and measurable: elect d12's
+    * keepers (longest doc per d04/d07 cluster, every unclustered doc keeps
+    * itself), RE-RUN the identical LSH index on the collapsed corpus, and
+    * report how much pair-enumeration work the collapse removed. On a
+    * replica-heavy corpus the true-pair count grows quadratically in
+    * replica multiplicity, so collapsing replica mass BEFORE the next
+    * pairing stage is what keeps downstream pair operators linear — this
+    * query is that claim with numbers attached (and pairs_after ≈ 0 is
+    * the fixed-point check that one collapse round suffices here). */
+  def d25CollapseRepair(t: T): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val pairsBefore = d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
+      .localCheckpoint() // feeds clustering AND the before-count
+    val clusters = connectedComponents(pairsBefore)
+    val keeperW = Window.partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")
+    val clusterKeepers = clusters
+      .join(t.documents.select($"doc_id", $"n_chars"), "doc_id")
+      .withColumn("rk", row_number().over(keeperW))
+      .filter($"rk" === 1).select($"doc_id")
+    val keepers = t.documents.select($"doc_id")
+      .join(clusters.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(clusterKeepers)
+    val pairsAfter = lshPairs(t.documents.join(keepers, "doc_id"))
+    val nb = t.documents.agg(count(lit(1)).as("n_docs_before"))
+    val na = keepers.agg(count(lit(1)).as("n_docs_after"))
+    val pb = pairsBefore.agg(count(lit(1)).as("n_pairs_before"))
+    val pa = pairsAfter.agg(count(lit(1)).as("n_pairs_after"))
+    nb.crossJoin(na).crossJoin(pb).crossJoin(pa)
+      .withColumn("pair_reduction_bp", expr(
+        """CASE WHEN n_pairs_before > 0
+             THEN (n_pairs_before - n_pairs_after) * 10000 DIV n_pairs_before
+             ELSE 0 END"""))
+  }
+
+  /** d04 chain for the before-state, d07's CC nested for keepers, then the
+    * identical index chain re-run on the keeper subset. */
+  val d25Oracle: String =
+    s"""WITH hs AS (SELECT doc_id, $shingleHashesDuck AS h FROM documents),
+       sigs AS (SELECT doc_id, h, $minhashSigDuck AS sig FROM hs),
+       bands AS (
+         SELECT doc_id, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
+         FROM sigs, range(0, 4) t(b)),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       pairs AS (
+         SELECT doc_a, doc_b
+         FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
+         WHERE len(list_intersect(a.h, b.h)) * 10000
+               // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 8000),
+       cc AS ($d07Oracle),
+       ck AS (
+         SELECT doc_id FROM (
+           SELECT cc.doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY cluster_id
+                    ORDER BY d.n_chars DESC, cc.doc_id) AS rk
+           FROM cc JOIN documents d USING (doc_id)) WHERE rk = 1),
+       keepers AS (
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM cc)
+         UNION ALL SELECT doc_id FROM ck),
+       hs2 AS (SELECT doc_id, $shingleHashesDuck AS h
+               FROM documents JOIN keepers USING (doc_id)),
+       sigs2 AS (SELECT doc_id, h, $minhashSigDuck AS sig FROM hs2),
+       bands2 AS (
+         SELECT doc_id, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
+         FROM sigs2, range(0, 4) t(b)),
+       cand2 AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands2 x JOIN bands2 y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       pairs2 AS (
+         SELECT doc_a, doc_b
+         FROM cand2 JOIN hs2 a ON a.doc_id = doc_a JOIN hs2 b ON b.doc_id = doc_b
+         WHERE len(list_intersect(a.h, b.h)) * 10000
+               // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 8000)
+       SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs_before,
+              (SELECT COUNT(*) FROM keepers)::BIGINT AS n_docs_after,
+              (SELECT COUNT(*) FROM pairs)::BIGINT AS n_pairs_before,
+              (SELECT COUNT(*) FROM pairs2)::BIGINT AS n_pairs_after,
+              CASE WHEN (SELECT COUNT(*) FROM pairs) > 0
+                THEN ((SELECT COUNT(*) FROM pairs) - (SELECT COUNT(*) FROM pairs2))
+                     * 10000 // (SELECT COUNT(*) FROM pairs)
+                ELSE 0 END::BIGINT AS pair_reduction_bp"""
+
   /** Chunk-level dedup REWRITE — d23's census turned into the actual
     * cleanup transform: every duplicated chunk elects one keeper occurrence
     * (smallest doc_id, then earliest chunk position — deterministic), all
@@ -1409,6 +1502,7 @@ object Dedup {
     "d22_bbit_minhash"       -> ((s, d) => d22BbitMinhash(T(s, d))),
     "d23_cdc_chunks"         -> ((s, d) => d23CdcChunks(T(s, d))),
     "d24_chunk_dedup"        -> ((s, d) => d24ChunkDedupRewrite(T(s, d))),
+    "d25_collapse_repair"    -> ((s, d) => d25CollapseRepair(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1436,5 +1530,6 @@ object Dedup {
     "d22_bbit_minhash"      -> d22Oracle,
     "d23_cdc_chunks"        -> d23Oracle,
     "d24_chunk_dedup"       -> d24Oracle,
+    "d25_collapse_repair"   -> d25Oracle,
   )
 }
