@@ -59,8 +59,9 @@ object ScaleSmoke {
     "d06_simhash_pairs", "d07_dedup_clusters", "d08_prefix_jaccard",
     "d09_substring_dup", "d13_semantic_clusters", "d18_topk_sim_join",
     "d21_incremental_dedup", "d22_bbit_minhash", "d23_cdc_chunks",
-    "d24_chunk_dedup", "s02_hyperplane_lsh", "s04_ivf_ann",
-    "g01_pagerank", "t11_tfidf_topterms", "p03_sequence_packing")
+    "d24_chunk_dedup", "d25_collapse_repair", "s02_hyperplane_lsh",
+    "s04_ivf_ann", "g01_pagerank", "t11_tfidf_topterms",
+    "p03_sequence_packing")
 
   /** Exact/audit arms — broadcast-the-query-set brute force (s01-shaped) or
     * declared all-pairs baselines. Excluded, named in the artifact. s16's
