@@ -42,6 +42,30 @@ object TextHashOps {
     new GenericArrayData(if (distinct) dedupe(out) else out)
   }
 
+  /** Strided char-k-gram hashes with MODULAR arithmetic (base 31, mod
+    * 1e9+7, seed 0) at 0-based positions ≡ 0 (mod stride). The oracle-safe
+    * twin of [[shingleHashes]] for long grams: a 40-term base-31 polynomial
+    * wraps int64, which DuckDB BIGINT arithmetic raises on rather than
+    * wrapping, so the production gram census (d09) reduces mod 1_000_000_007
+    * at every step on both engines. */
+  def gramHashesMod(s: UTF8String, k: Int, stride: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long]((n + stride - 1) / stride)
+    var o = 0
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * 31 + str.charAt(i + j)) % 1000000007L; j += 1 }
+      out(o) = h
+      o += 1
+      i += stride
+    }
+    new GenericArrayData(out)
+  }
+
   private def dedupe(a: Array[Long]): Array[Long] = {
     // preserves first-occurrence order (= array_distinct / list_distinct)
     val seen = new java.util.HashSet[Long](a.length * 2)
@@ -372,6 +396,19 @@ case class ShingleHashes(child: Expression, k: Int, distinct: Boolean)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** string -> array<long>: strided modular k-gram hashes (d09's census key). */
+case class GramHashesMod(child: Expression, k: Int, stride: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.gramHashesMod(input.asInstanceOf[UTF8String], k, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.gramHashesMod($c, $k, $stride)")
+  override protected def withNewChildInternal(c: Expression): GramHashesMod = copy(child = c)
+  override def prettyName: String = "gram_hashes_mod"
+}
+
 /** array<long> -> array<long> MinHash signature. */
 case class MinHashSig(child: Expression, numPerms: Int) extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -539,6 +576,7 @@ object Registry {
   private[functions] val fnSpecs: Seq[(String, Seq[Expression] => Expression)] = fns
   private lazy val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "shingle_hashes" -> (es => ShingleHashes(es.head, intLit(es(1)), boolLit(es(2)))),
+    "gram_hashes_mod" -> (es => GramHashesMod(es.head, intLit(es(1)), intLit(es(2)))),
     "minhash_sig"    -> (es => MinHashSig(es.head, intLit(es(1)))),
     "simhash48"      -> (es => SimHash48(es.head)),
     "jaccard_bp"     -> (es => JaccardBp(es.head, es(1))),

@@ -48,6 +48,48 @@ object Dedup {
           list_min(list_transform(h, x ->
             (((1103515245 * j + 12345) % $P) * x + (1103515245 * (j + 101) + 54321) % $P) % $P)))"""
 
+  /** ONE DuckDB definition of the hs → sigs → bands → cand CTE chain, the
+    * twin of [[minhashSigTable]]/[[bandRows]]/[[bandCandidates]] (ADVICE r6:
+    * previously ~8 copy-pasted fragments; a banding retune now edits the two
+    * shared definitions or the oracles silently diverge — by construction it
+    * can't). `hsCols`/`bandCols` widen the chain with blocking columns
+    * (d21's ingest-vs-index split); `cand` overrides the candidate join. */
+  private[operators] def lshBandsDuckCtes(
+      hsCols: String = "doc_id",
+      bandCols: String = "doc_id",
+      cand: String =
+        """cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"""): String =
+    s"""hs AS (SELECT $hsCols, $shingleHashesDuck AS h FROM documents),
+       sigs AS (SELECT $bandCols, h, $minhashSigDuck AS sig FROM hs),
+       bands AS (
+         SELECT $bandCols, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
+         FROM sigs, range(0, 4) t(b)),
+       $cand"""
+
+  /** Exact Jaccard in basis points between `a.h` and `b.h` (DuckDB). */
+  private[operators] def jaccardBpDuck(a: String = "a", b: String = "b"): String =
+    s"len(list_intersect($a.h, $b.h)) * 10000 // (len($a.h) + len($b.h) - len(list_intersect($a.h, $b.h)))"
+
+  /** Verified ≥0.8 pair CTE over `cand` (needs [[lshBandsDuckCtes]] upstream). */
+  private[operators] def lshPairsDuckCte: String =
+    s"""pairs AS (
+         SELECT doc_a, doc_b
+         FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
+         WHERE ${jaccardBpDuck()} >= 8000)"""
+
+  /** Connected components over a pair CTE → reach(doc, cluster_id). */
+  private[operators] def ccDuckCtes(pairs: String = "pairs"): String =
+    s"""edges AS (SELECT doc_a AS s, doc_b AS d FROM $pairs
+                 UNION ALL SELECT doc_b, doc_a FROM $pairs),
+       reach AS (
+         WITH RECURSIVE r(doc, label) AS (
+           SELECT s, s FROM edges
+           UNION
+           SELECT ed.d, r.label FROM r JOIN edges ed ON ed.s = r.doc
+         ) SELECT doc, MIN(label) AS cluster_id FROM r GROUP BY doc)"""
+
   /** Exact dedup by normalized key (64-char prefix), the hash-groupBy plane:
     * one shuffle on the md5 key; emits groups with >1 member + the keeper
     * (min doc_id) a dedup pass would retain. */
@@ -151,22 +193,41 @@ object Dedup {
     lshPairs(t.documents)
   }
 
-  /** The d04 pipeline on any (doc_id, text) frame — factored so d25 can
-    * re-pair a keeper-collapsed subset with the identical index. */
-  def lshPairs(docs: DataFrame): DataFrame = {
+  /** ONE Spark-side definition of the MinHash sig → 4×8 band → candidate
+    * pipeline (ADVICE r6: the same three stages were copy-pasted across
+    * d04/d18/d20/d21/d22 — a banding retune now edits exactly here and in
+    * [[lshBandsDuckCtes]], nowhere else). Emits (doc_id, h sorted, sig). */
+  private[operators] def minhashSigTable(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val sigs = docs
+    docs
       .withColumn("h", expr(shingleHashes))
       .withColumn("sig", expr(minhashSig))
       .withColumn("h", array_sort($"h"))
       .select($"doc_id", $"h", $"sig")
-    val bands = sigs.select($"doc_id", expr(
+  }
+
+  /** 4 bands × 8 rows of a 32-slot `sig` column → (idName, band, bkey). */
+  private[operators] def bandRows(sigs: DataFrame, idName: String = "doc_id"): DataFrame =
+    sigs.select(col("doc_id").as(idName), expr(
       """explode(transform(sequence(0, 3), b -> struct(b AS band,
            concat_ws(',', transform(slice(sig, b * 8 + 1, 8), x -> cast(x AS string))) AS bkey)))""").as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
-    val cand = bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+      .select(col(idName), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+  /** Distinct candidate pairs (doc_a < doc_b) sharing ≥1 band bucket. */
+  private[operators] def bandCandidates(sigs: DataFrame): DataFrame = {
+    val bands = bandRows(sigs)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+  }
+
+  /** The d04 pipeline on any (doc_id, text) frame — factored so d25/d26 can
+    * re-pair a keeper-collapsed subset with the identical index. */
+  def lshPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sigs = minhashSigTable(docs)
+    val cand = bandCandidates(sigs)
     val ha = sigs.select($"doc_id".as("doc_a"), $"h".as("ha"))
     val hb = sigs.select($"doc_id".as("doc_b"), $"h".as("hb"))
     cand.join(ha, "doc_a").join(hb, "doc_b")
@@ -176,18 +237,10 @@ object Dedup {
   }
 
   val d04Oracle: String =
-    s"""WITH hs AS (SELECT doc_id, $shingleHashesDuck AS h FROM documents),
-       sigs AS (SELECT doc_id, h, $minhashSigDuck AS sig FROM hs),
-       bands AS (
-         SELECT doc_id, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
-         FROM sigs, range(0, 4) t(b)),
-       cand AS (
-         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-       SELECT doc_a, doc_b,
-         len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) AS jaccard_bp
+    s"""WITH ${lshBandsDuckCtes()}
+       SELECT doc_a, doc_b, ${jaccardBpDuck()} AS jaccard_bp
        FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
-       WHERE len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 8000
+       WHERE ${jaccardBpDuck()} >= 8000
        ORDER BY doc_a, doc_b"""
 
   /** 48-bit SimHash over the char-4-gram *multiset* (frequency-weighted).
@@ -363,26 +416,9 @@ object Dedup {
   }
 
   val d07Oracle: String =
-    s"""WITH hs AS (SELECT doc_id, $shingleHashesDuck AS h FROM documents),
-       sigs AS (SELECT doc_id, h, $minhashSigDuck AS sig FROM hs),
-       bands AS (
-         SELECT doc_id, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
-         FROM sigs, range(0, 4) t(b)),
-       cand AS (
-         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       pairs AS (
-         SELECT doc_a, doc_b
-         FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
-         WHERE len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 8000),
-       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-                 UNION ALL SELECT doc_b, doc_a FROM pairs),
-       reach AS (
-         WITH RECURSIVE r(doc, label) AS (
-           SELECT s, s FROM edges
-           UNION
-           SELECT e.d, r.label FROM r JOIN edges e ON e.s = r.doc
-         ) SELECT doc, MIN(label) AS cluster_id FROM r GROUP BY doc)
+    s"""WITH ${lshBandsDuckCtes()},
+       $lshPairsDuckCte,
+       ${ccDuckCtes()}
        SELECT doc AS doc_id, cluster_id FROM reach ORDER BY doc_id"""
 
   /** Exact Jaccard similarity join >= 0.8 via prefix filtering (Bayardo et
@@ -716,26 +752,9 @@ object Dedup {
   }
 
   val d12Oracle: String =
-    s"""WITH hs AS (SELECT doc_id, $shingleHashesDuck AS h FROM documents),
-       sigs AS (SELECT doc_id, h, $minhashSigDuck AS sig FROM hs),
-       bands AS (
-         SELECT doc_id, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
-         FROM sigs, range(0, 4) t(b)),
-       cand AS (
-         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       pairs AS (
-         SELECT doc_a, doc_b
-         FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
-         WHERE len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 8000),
-       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-                 UNION ALL SELECT doc_b, doc_a FROM pairs),
-       reach AS (
-         WITH RECURSIVE r(doc, label) AS (
-           SELECT s, s FROM edges
-           UNION
-           SELECT e.d, r.label FROM r JOIN edges e ON e.s = r.doc
-         ) SELECT doc, MIN(label) AS cluster_id FROM r GROUP BY doc),
+    s"""WITH ${lshBandsDuckCtes()},
+       $lshPairsDuckCte,
+       ${ccDuckCtes()},
        sized AS (
          SELECT cluster_id, doc AS doc_id, n_chars,
                 row_number() OVER (PARTITION BY cluster_id
