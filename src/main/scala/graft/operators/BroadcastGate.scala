@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Size-gated broadcast hints for the vector verify joins (ADVICE r6).
+  *
+  * d13/d27/s02/s16/p27 rejoin embedding payloads to an ids-only candidate
+  * stream; broadcasting that vector table is the right plan while it fits
+  * (the 20× smoke's s02 finding: 46.6 s → 7.2 s), but an UNCONDITIONAL
+  * `broadcast()` hint fails outright past `spark.sql.maxBroadcastTableSize`
+  * / driver memory — at odds with the 10^11-vector framing. This gate makes
+  * the declared path degrade instead of error: count the base table once
+  * (a parquet metadata-cheap job), and above the ceiling return the frame
+  * un-hinted so Catalyst plans the shuffled equi-join the size calls for
+  * (co-partitioned on the join key; at cluster scale the base table would
+  * additionally be bucketed on vec_id so the exchange is one-sided).
+  *
+  * Ceiling: `spark.graft.vector.broadcastMaxRows` (default 2M rows ≈ 600 MB
+  * of 64-dim float rows with overhead — deliberate headroom above the
+  * executor autoBroadcast threshold, because these joins are hinted on
+  * purpose; the config exists so a deployment can lower it to its real
+  * driver budget).
+  */
+object BroadcastGate {
+
+  /** One decision per pipeline: returns the broadcast hint or identity,
+    * from ONE count of `base` (pass the narrowest stable proxy — the
+    * underlying embeddings table — not the derived per-side projection,
+    * so sibling verify joins share the decision). */
+  def vectorHint(base: DataFrame): DataFrame => DataFrame = {
+    val limit = base.sparkSession.conf.getOption("spark.graft.vector.broadcastMaxRows")
+      .map(_.toLong).getOrElse(2000000L)
+    if (base.count() <= limit) broadcast(_) else identity
+  }
+}

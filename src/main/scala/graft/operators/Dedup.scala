@@ -431,11 +431,24 @@ object Dedup {
     * first ordering keeps every token bucket small, which is what makes this
     * the exact-dedup path that survives 100 TB. All arithmetic is integer
     * (prefix length via DIV), so the DuckDB twin is bit-identical. */
-  def d08PrefixJaccardJoin(t: T): DataFrame = {
-    import t.spark.implicits._
+  def d08PrefixJaccardJoin(t: T): DataFrame =
+    prefixJaccardPairs(t.documents, 8000)
+
+  /** [[d08PrefixJaccardJoin]]'s body on any (doc_id, text) frame at any
+    * integer basis-point threshold t: probe prefix n - ceil(t·n) + 1, index
+    * prefix with the tighter 2t/(1+t) bound, PPJoin length + positional
+    * filters derived from the same t. At t = 8000 every integer expression
+    * reduces to the d08 constants (ceil(8n/9) == ceil(16000n/18000), proven
+    * in spec by d08's oracle hash); d26 runs it at a lower threshold on the
+    * keeper-collapsed corpus. */
+  private[operators] def prefixJaccardPairs(documents: DataFrame, thresholdBp: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    graft.functions.Registry.ensure(t.spark)
-    val hs = t.documents.select($"doc_id", array_sort(expr(shingleHashes)).as("h"))
+    graft.functions.Registry.ensure(spark)
+    val tBp = thresholdBp
+    val d = 10000 + tBp // denominator of the 2t/(1+t) and t/(1+t) bounds
+    val hs = documents.select($"doc_id", array_sort(expr(shingleHashes)).as("h"))
       .localCheckpoint() // feeds both the dictionary build and the doc relabel
     val toks = hs.select($"doc_id", explode($"h").as("tok"))
     // Global token dictionary, dense ids in (document-frequency, tok) order:
@@ -476,25 +489,25 @@ object Dedup {
     // verify joins shipping the full arrays to every candidate.
     val pre = docs
       .select($"doc_id", $"n", $"payload",
-        posexplode(expr("slice(bits, 1, n - ((8000 * n + 9999) DIV 10000) + 1)"))
+        posexplode(expr(s"slice(bits, 1, n - (($tBp * n + 9999) DIV 10000) + 1)"))
           .as(Seq("p", "bit")))
       .select($"doc_id", $"n", $"payload", ($"p" + 1).as("rn"), $"bit",
-        ($"p" + 1 <= expr("n - ((8 * n + 8) DIV 9) + 1")).as("indexable"))
+        ($"p" + 1 <= expr(s"n - ((2 * $tBp * n + ${d - 1}) DIV $d) + 1")).as("indexable"))
       .localCheckpoint() // self-joined below; materialize once
     val simFn = if (dense) "jaccard_bp_words" else "jaccard_bp_sorted"
-    // plus PPJoin's LENGTH filter (0.8|a| <= |b| else Jaccard < 0.8
+    // plus PPJoin's LENGTH filter (t|a| <= |b| else Jaccard < t
     // regardless of overlap) and POSITIONAL filter (a token at prefix
     // position rn leaves at most n - rn + 1 matchable tokens, so the
-    // overlap can never reach ceil(0.8/1.8 * (na + nb)))
+    // overlap can never reach ceil(t/(1+t) * (na + nb)))
     pre.as("a").join(pre.as("b"), expr(
-        """a.bit = b.bit AND b.indexable
+        s"""a.bit = b.bit AND b.indexable
            AND (b.n < a.n OR (b.n = a.n AND b.doc_id < a.doc_id))
-           AND b.n * 10000 >= a.n * 8000
-           AND 1 + least(a.n - a.rn, b.n - b.rn) >= (4 * (a.n + b.n) + 8) DIV 9"""))
+           AND b.n * 10000 >= a.n * $tBp
+           AND 1 + least(a.n - a.rn, b.n - b.rn) >= ($tBp * (a.n + b.n) + ${d - 1}) DIV $d"""))
       .select(least($"a.doc_id", $"b.doc_id").as("doc_a"),
         greatest($"a.doc_id", $"b.doc_id").as("doc_b"),
         expr(s"$simFn(a.payload, b.payload)").as("jaccard_bp"))
-      .filter($"jaccard_bp" >= 8000)
+      .filter($"jaccard_bp" >= tBp)
       .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
@@ -820,14 +833,15 @@ object Dedup {
     val cand = bands.as("x").join(bands.as("y"),
         $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
       .select($"x.vec_id".as("doc_a"), $"y.vec_id".as("doc_b")).distinct()
-    // broadcast the vector table into BOTH verify joins: the candidate
-    // stream (quadratic-in-bucket-size) then never carries an embedding
-    // through an exchange — without this the second join shuffles
-    // |candidates| x 512 B. At corpus sizes past broadcast range, replace
-    // with one repartition(doc_a) + co-bucketed sig tables.
+    // broadcast the vector table into BOTH verify joins while it fits: the
+    // candidate stream (quadratic-in-bucket-size) then never carries an
+    // embedding through an exchange — without this the second join shuffles
+    // |candidates| x 512 B. Past the BroadcastGate ceiling the hint drops
+    // away and both verifies run as shuffled equi-joins instead of erroring.
+    val hint = BroadcastGate.vectorHint(t.embeddings)
     val ea = sigs.select($"vec_id".as("doc_a"), $"embedding".as("ea"), $"nrm".as("na"))
     val eb = sigs.select($"vec_id".as("doc_b"), $"embedding".as("eb"), $"nrm".as("nb"))
-    val pairs = cand.join(broadcast(ea), "doc_a").join(broadcast(eb), "doc_b")
+    val pairs = cand.join(hint(ea), "doc_a").join(hint(eb), "doc_b")
       .filter(expr(s"dot_d(ea, eb) / sqrt(na * nb) >= $thresholdMilli / 1000.0"))
       .select($"doc_a", $"doc_b")
     connectedComponents(pairs)
@@ -988,18 +1002,8 @@ object Dedup {
   def d18TopkSimJoin(t: T, k: Int = 20): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val sigs = t.documents
-      .withColumn("h", expr(shingleHashes))
-      .withColumn("sig", expr(minhashSig))
-      .withColumn("h", array_sort($"h"))
-      .select($"doc_id", $"h", $"sig")
-    val bands = sigs.select($"doc_id", expr(
-      """explode(transform(sequence(0, 3), b -> struct(b AS band,
-           concat_ws(',', transform(slice(sig, b * 8 + 1, 8), x -> cast(x AS string))) AS bkey)))""").as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
-    val cand = bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+    val sigs = minhashSigTable(t.documents)
+    val cand = bandCandidates(sigs)
     val ha = sigs.select($"doc_id".as("doc_a"), $"h".as("ha"))
     val hb = sigs.select($"doc_id".as("doc_b"), $"h".as("hb"))
     cand.join(ha, "doc_a").join(hb, "doc_b")
@@ -1010,16 +1014,8 @@ object Dedup {
 
   /** The d04 oracle's candidate stage, unthresholded, top-20 by score. */
   val d18Oracle: String =
-    s"""WITH hs AS (SELECT doc_id, $shingleHashesDuck AS h FROM documents),
-       sigs AS (SELECT doc_id, h, $minhashSigDuck AS sig FROM hs),
-       bands AS (
-         SELECT doc_id, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
-         FROM sigs, range(0, 4) t(b)),
-       cand AS (
-         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-       SELECT doc_a, doc_b,
-         len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) AS jaccard_bp
+    s"""WITH ${lshBandsDuckCtes()}
+       SELECT doc_a, doc_b, ${jaccardBpDuck()} AS jaccard_bp
        FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
        ORDER BY jaccard_bp DESC, doc_a, doc_b LIMIT 20"""
 
@@ -1076,18 +1072,8 @@ object Dedup {
   def d20ThresholdSweep(t: T, thresholdsBp: Seq[Int] = Seq(7000, 8000, 9000)): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val sigs = t.documents
-      .withColumn("h", expr(shingleHashes))
-      .withColumn("sig", expr(minhashSig))
-      .withColumn("h", array_sort($"h"))
-      .select($"doc_id", $"h", $"sig")
-    val bands = sigs.select($"doc_id", expr(
-      """explode(transform(sequence(0, 3), b -> struct(b AS band,
-           concat_ws(',', transform(slice(sig, b * 8 + 1, 8), x -> cast(x AS string))) AS bkey)))""").as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
-    val cand = bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+    val sigs = minhashSigTable(t.documents)
+    val cand = bandCandidates(sigs)
     val ha = sigs.select($"doc_id".as("doc_a"), $"h".as("ha"))
     val hb = sigs.select($"doc_id".as("doc_b"), $"h".as("hb"))
     val scored = cand.join(ha, "doc_a").join(hb, "doc_b")
@@ -1106,17 +1092,9 @@ object Dedup {
 
   /** The d04 candidate CTEs unthresholded, fanned out per cutoff. */
   val d20Oracle: String =
-    s"""WITH hs AS (SELECT doc_id, $shingleHashesDuck AS h FROM documents),
-       sigs AS (SELECT doc_id, h, $minhashSigDuck AS sig FROM hs),
-       bands AS (
-         SELECT doc_id, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
-         FROM sigs, range(0, 4) t(b)),
-       cand AS (
-         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+    s"""WITH ${lshBandsDuckCtes()},
        scored AS (
-         SELECT doc_a, doc_b,
-           len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) AS jaccard_bp
+         SELECT doc_a, doc_b, ${jaccardBpDuck()} AS jaccard_bp
          FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b),
        th AS (SELECT unnest([7000, 8000, 9000])::BIGINT AS threshold_bp),
        p AS (SELECT threshold_bp, doc_a, doc_b FROM scored CROSS JOIN th
@@ -1142,20 +1120,12 @@ object Dedup {
   def d21IncrementalDedup(t: T): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val sigs = t.documents
-      .withColumn("h", expr(shingleHashes))
-      .withColumn("sig", expr(minhashSig))
-      .withColumn("h", array_sort($"h"))
-      .select($"doc_id", $"h", $"sig", pmod($"doc_id", lit(5)).as("m"))
+    val sigs = minhashSigTable(t.documents)
+      .withColumn("m", pmod($"doc_id", lit(5)))
     val incoming = sigs.filter($"m" === 0)
     val index = sigs.filter($"m" =!= 0)
-    def bandsOf(df: DataFrame, idName: String): DataFrame = df
-      .select(col("doc_id").as(idName), expr(
-        """explode(transform(sequence(0, 3), b -> struct(b AS band,
-             concat_ws(',', transform(slice(sig, b * 8 + 1, 8), x -> cast(x AS string))) AS bkey)))""").as("bk"))
-      .select(col(idName), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = bandsOf(incoming, "doc_id")
-      .join(bandsOf(index, "idx_id"), Seq("band", "bkey"))
+    val cand = bandRows(incoming, "doc_id")
+      .join(bandRows(index, "idx_id"), Seq("band", "bkey"))
       .select($"doc_id", $"idx_id").distinct()
     val ha = incoming.select($"doc_id", $"h".as("ha"))
     val hb = index.select($"doc_id".as("idx_id"), $"h".as("hb"))
@@ -1169,20 +1139,18 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** d04's CTEs with the band join restricted to incoming-probes-index. */
+  /** The shared band CTEs widened with the m blocking column, candidate
+    * join overridden to incoming-probes-index (the helper's knobs). */
   val d21Oracle: String =
-    s"""WITH hs AS (SELECT doc_id, doc_id % 5 AS m, $shingleHashesDuck AS h FROM documents),
-       sigs AS (SELECT doc_id, m, h, $minhashSigDuck AS sig FROM hs),
-       bands AS (
-         SELECT doc_id, m, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
-         FROM sigs, range(0, 4) t(b)),
-       cand AS (
+    s"""WITH ${lshBandsDuckCtes(
+         hsCols = "doc_id, doc_id % 5 AS m",
+         bandCols = "doc_id, m",
+         cand = """cand AS (
          SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS idx_id
          FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
-         WHERE x.m = 0 AND y.m <> 0),
+         WHERE x.m = 0 AND y.m <> 0)""")},
        ver AS (
-         SELECT c.doc_id, c.idx_id,
-           len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) AS jaccard_bp
+         SELECT c.doc_id, c.idx_id, ${jaccardBpDuck()} AS jaccard_bp
          FROM cand c JOIN hs a ON a.doc_id = c.doc_id JOIN hs b ON b.doc_id = c.idx_id)
        SELECT doc_id, COUNT(*) AS n_index_matches, MIN(idx_id) AS dup_of,
               MAX(jaccard_bp) AS max_jaccard_bp
@@ -1199,18 +1167,8 @@ object Dedup {
   def d22BbitMinhash(t: T): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val sigs = t.documents
-      .withColumn("h", expr(shingleHashes))
-      .withColumn("sig", expr(minhashSig))
-      .withColumn("h", array_sort($"h"))
-      .select($"doc_id", $"h", $"sig")
-    val bands = sigs.select($"doc_id", expr(
-      """explode(transform(sequence(0, 3), b -> struct(b AS band,
-           concat_ws(',', transform(slice(sig, b * 8 + 1, 8), x -> cast(x AS string))) AS bkey)))""").as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
-    val cand = bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+    val sigs = minhashSigTable(t.documents)
+    val cand = bandCandidates(sigs)
     val ha = sigs.select($"doc_id".as("doc_a"), $"h".as("ha"), $"sig".as("sa"))
     val hb = sigs.select($"doc_id".as("doc_b"), $"h".as("hb"), $"sig".as("sb"))
     cand.join(ha, "doc_a").join(hb, "doc_b")
@@ -1223,19 +1181,11 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** d04's candidate CTEs; the b-bit estimate in DuckDB list primitives. */
+  /** The shared band CTEs; the b-bit estimate in DuckDB list primitives. */
   val d22Oracle: String =
-    s"""WITH hs AS (SELECT doc_id, $shingleHashesDuck AS h FROM documents),
-       sigs AS (SELECT doc_id, h, $minhashSigDuck AS sig FROM hs),
-       bands AS (
-         SELECT doc_id, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
-         FROM sigs, range(0, 4) t(b)),
-       cand AS (
-         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+    s"""WITH ${lshBandsDuckCtes()},
        scored AS (
-         SELECT doc_a, doc_b,
-           len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) AS jaccard_bp,
+         SELECT doc_a, doc_b, ${jaccardBpDuck()} AS jaccard_bp,
            list_sum(list_transform(range(1, 33), j ->
              CASE WHEN a.sig[j::INT] % 256 = b.sig[j::INT] % 256 THEN 1 ELSE 0 END)) * 10000 // 32 AS bbit_est_bp
          FROM cand JOIN sigs a ON a.doc_id = doc_a JOIN sigs b ON b.doc_id = doc_b)
@@ -1354,6 +1304,40 @@ object Dedup {
        FROM chunks JOIN census USING (chunk_hash)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** d12's keeper election over a verified near-dup pair frame: longest doc
+    * (n_chars desc, doc_id tiebreak) per connected component survives, every
+    * unclustered doc keeps itself. Returns a one-column (doc_id) frame — ONE
+    * definition for d25 (collapse-then-repair measurement) and d26 (the
+    * composed collapse→pair production pipeline). */
+  private[operators] def keeperIds(t: T, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import t.spark.implicits._
+    val clusters = connectedComponents(pairs)
+    val keeperW = Window.partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")
+    val clusterKeepers = clusters
+      .join(t.documents.select($"doc_id", $"n_chars"), "doc_id")
+      .withColumn("rk", row_number().over(keeperW))
+      .filter($"rk" === 1).select($"doc_id")
+    t.documents.select($"doc_id")
+      .join(clusters.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(clusterKeepers)
+  }
+
+  /** The keeper CTE chain (DuckDB): d07's CC nested, longest-doc keeper per
+    * cluster, unclustered docs keep themselves → `keepers(doc_id)`. */
+  private[operators] def keepersDuckCtes: String =
+    s"""cc AS ($d07Oracle),
+       ck AS (
+         SELECT doc_id FROM (
+           SELECT cc.doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY cluster_id
+                    ORDER BY d.n_chars DESC, cc.doc_id) AS rk
+           FROM cc JOIN documents d USING (doc_id)) WHERE rk = 1),
+       keepers AS (
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM cc)
+         UNION ALL SELECT doc_id FROM ck)"""
+
   /** Collapse-then-repair — the m² mitigation the 30× smoke probe points
     * at (SCALESMOKE_30x.json), made executable and measurable: elect d12's
     * keepers (longest doc per d04/d07 cluster, every unclustered doc keeps
@@ -1365,20 +1349,11 @@ object Dedup {
     * query is that claim with numbers attached (and pairs_after ≈ 0 is
     * the fixed-point check that one collapse round suffices here). */
   def d25CollapseRepair(t: T): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
     val pairsBefore = d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
       .localCheckpoint() // feeds clustering AND the before-count
-    val clusters = connectedComponents(pairsBefore)
-    val keeperW = Window.partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")
-    val clusterKeepers = clusters
-      .join(t.documents.select($"doc_id", $"n_chars"), "doc_id")
-      .withColumn("rk", row_number().over(keeperW))
-      .filter($"rk" === 1).select($"doc_id")
-    val keepers = t.documents.select($"doc_id")
-      .join(clusters.select($"doc_id"), Seq("doc_id"), "left_anti")
-      .unionByName(clusterKeepers)
+    val keepers = keeperIds(t, pairsBefore)
     val pairsAfter = lshPairs(t.documents.join(keepers, "doc_id"))
     val nb = t.documents.agg(count(lit(1)).as("n_docs_before"))
     val na = keepers.agg(count(lit(1)).as("n_docs_after"))
@@ -1440,6 +1415,190 @@ object Dedup {
                 THEN ((SELECT COUNT(*) FROM pairs) - (SELECT COUNT(*) FROM pairs2))
                      * 10000 // (SELECT COUNT(*) FROM pairs)
                 ELSE 0 END::BIGINT AS pair_reduction_bp"""
+
+  /** Collapse→pair — the composed PRODUCTION pipeline the 30× smoke probe
+    * argues for (SCALESMOKE_30x.json: d08's true-pair output grows m² on a
+    * replica-heavy corpus, so raw exact pairing is output-bound there; one
+    * keeper collapse removes the replica mass and the pair count stays
+    * linear). Stage 1 collapses d04/d07's LSH near-dup clusters to their
+    * longest member (d12's keeper rule); stage 2 runs d08's exact PPJoin on
+    * the keeper corpus at a LOWER threshold (0.42, inside the corpus's
+    * template-similarity band) — the residual cross-cluster structure
+    * report: moderately-similar keeper pairs the ≥0.8 collapse deliberately
+    * left distinct, exactly what a curation pass reviews next (soft-dedup
+    * reweighting, p26) after hard dedup. Recall on
+    * keepers is exactly 1.0 (prefix-filter pigeonhole — the oracle's naive
+    * all-pairs proves it), so nothing the collapse kept is missed.
+    *
+    * Scale shape: signatures and banding shuffle once (d04), CC is
+    * star-contraction, the keeper window keys on cluster_id, and the PPJoin
+    * runs on the COLLAPSED corpus — the m² pair enumeration that ceilings
+    * raw d08 at the 30× probe never happens. */
+  def d26CollapsePairs(t: T, thresholdBp: Int = 4200): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val pairs = d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
+    prefixJaccardPairs(t.documents.join(keeperIds(t, pairs), "doc_id"), thresholdBp)
+  }
+
+  /** Keeper chain (shared CTEs), then the implementation-independent
+    * DEFINITION of stage 2 — naive all-pairs exact Jaccard ≥ 0.42 over the
+    * keeper corpus — so the hash match also proves the generalized prefix
+    * filter's recall is 1.0 at the non-default threshold. */
+  val d26Oracle: String =
+    s"""WITH $keepersDuckCtes,
+       hs2 AS (SELECT doc_id, $shingleHashesDuck AS h
+               FROM documents JOIN keepers USING (doc_id))
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${jaccardBpDuck()} AS jaccard_bp
+       FROM hs2 a JOIN hs2 b ON a.doc_id < b.doc_id
+       WHERE ${jaccardBpDuck()} >= 4200
+       ORDER BY doc_a, doc_b"""
+
+  /** Semantic collapse→cluster — d13's composed production shape (the other
+    * 30× ceiling breach, same m² output-bound cause as d08). Stage 1
+    * collapses vectors by their FULL 32-bit hyperplane signature (identical
+    * sig ⇒ near-identical direction; each group elects rep = min vec_id —
+    * one shuffle on the sig key, the semantic analog of d01's exact-key
+    * collapse). Stage 2 runs d13's bucketed pairing + exact-cosine verify on
+    * REPRESENTATIVES only, then CC. Stage 3 expands membership back: every
+    * vector inherits its rep's cluster; a multi-member sig group whose rep
+    * stayed unclustered is its own cluster (labeled by the rep, which is the
+    * group minimum — the same min-label convention as d07/d13). On a
+    * replica-heavy corpus the rep set is ~the distinct-direction count, so
+    * the quadratic-in-bucket-size candidate stage — what ceilings raw d13 at
+    * 30× — runs on m-fold fewer rows while every vector still lands in a
+    * cluster. The whole pipeline is deterministic, so the DuckDB twin
+    * replicates it stage for stage and the gate is an exact hash. */
+  def d27SemanticCollapse(t: T, thresholdMilli: Int = 400): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val sigs = t.embeddings.select($"vec_id", $"embedding",
+      expr("dot_d(embedding, embedding)").as("nrm"),
+      expr("hyperplane_sig(embedding, 32)").as("sig"))
+    val groups = sigs.groupBy($"sig")
+      .agg(min($"vec_id").as("rep"), count(lit(1)).as("n"))
+    val reps = sigs.join(groups.select($"sig", $"rep"), "sig")
+      .filter($"vec_id" === $"rep")
+      .select($"vec_id", $"embedding", $"nrm", $"sig")
+    // d13Bucketed's candidate stage, on reps only: ids-only band join,
+    // broadcast vector rejoin for the exact-cosine verify
+    val bands = reps.select($"vec_id", expr(
+      "explode(transform(sequence(0, 3), t -> struct(t AS tbl, shiftright(sig, t * 8) & 255 AS bucket)))").as("bk"))
+      .select($"vec_id", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("doc_a"), $"y.vec_id".as("doc_b")).distinct()
+    val hint = BroadcastGate.vectorHint(t.embeddings)
+    val ea = reps.select($"vec_id".as("doc_a"), $"embedding".as("ea"), $"nrm".as("na"))
+    val eb = reps.select($"vec_id".as("doc_b"), $"embedding".as("eb"), $"nrm".as("nb"))
+    val repPairs = cand.join(hint(ea), "doc_a").join(hint(eb), "doc_b")
+      .filter(expr(s"dot_d(ea, eb) / sqrt(na * nb) >= $thresholdMilli / 1000.0"))
+      .select($"doc_a", $"doc_b")
+    val cc = connectedComponents(repPairs).withColumnRenamed("doc_id", "rep")
+    sigs.select($"vec_id", $"sig").join(groups, "sig")
+      .join(cc, Seq("rep"), "left")
+      .select($"vec_id",
+        coalesce($"cluster_id", when($"n" >= 2, $"rep")).as("cluster_id"))
+      .filter($"cluster_id".isNotNull)
+      .orderBy($"vec_id")
+  }
+
+  /** Stage-for-stage DuckDB twin of [[d27SemanticCollapse]]: the same
+    * hyperplane signature SQL as [[d13BucketedOracle]], sig-group collapse,
+    * rep-only banding + exact cosine, recursive CC, membership expansion. */
+  val d27Oracle: String =
+    """WITH sigs AS (
+         SELECT vec_id, embedding,
+           list_sum(list_transform(range(0, 32), m ->
+             CASE WHEN list_sum(list_transform(range(1, 65), i ->
+               embedding[i]::DOUBLE * ((((m + 1) * 37 + i * 101) % 97 % 2) * 2 - 1))) > 0
+             THEN 1::BIGINT << m::INT ELSE 0::BIGINT END)) AS sig
+         FROM embeddings),
+       groups AS (SELECT sig, MIN(vec_id) AS rep, COUNT(*) AS n FROM sigs GROUP BY sig),
+       reps AS (
+         SELECT s.vec_id, s.embedding, s.sig
+         FROM sigs s JOIN groups g ON s.sig = g.sig AND s.vec_id = g.rep),
+       bands AS (
+         SELECT vec_id, embedding, t AS tbl, (sig >> (t * 8)::INT) & 255 AS bucket
+         FROM reps, range(0, 4) r(t)),
+       cand AS (
+         SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                a.embedding AS ea, b.embedding AS eb
+         FROM bands a JOIN bands b
+           ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       pairs AS (
+         SELECT doc_a, doc_b FROM cand
+         WHERE list_sum(list_transform(range(1, 65), i -> ea[i]::DOUBLE * eb[i]::DOUBLE))
+               / sqrt(list_sum(list_transform(range(1, 65), i -> ea[i]::DOUBLE * ea[i]::DOUBLE))
+                    * list_sum(list_transform(range(1, 65), i -> eb[i]::DOUBLE * eb[i]::DOUBLE)))
+               >= 400 / 1000.0),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+       reach AS (
+         WITH RECURSIVE r(doc, label) AS (
+           SELECT s, s FROM edges
+           UNION
+           SELECT e2.d, r.label FROM r JOIN edges e2 ON e2.s = r.doc
+         ) SELECT doc, MIN(label) AS cluster_id FROM r GROUP BY doc)
+       SELECT vec_id, cluster_id FROM (
+         SELECT s.vec_id,
+                COALESCE(reach.cluster_id,
+                         CASE WHEN g.n >= 2 THEN g.rep END) AS cluster_id
+         FROM sigs s JOIN groups g ON s.sig = g.sig
+         LEFT JOIN reach ON reach.doc = g.rep)
+       WHERE cluster_id IS NOT NULL ORDER BY vec_id"""
+
+  /** d09's production census, DECLARED and oracle-gated: gram keys are
+    * strided int64 polynomial hashes (the codegen'd `gram_hashes_mod`
+    * expression) instead of 40-char substrings — ~5× narrower shuffle rows
+    * and stride-4 cuts the exploded row count 4× again (SCALESMOKE_30x: the
+    * exact string census is linear but 65 s of its cost is shuffling wide
+    * gram strings). Hashing is mod 1e9+7 at every step so DuckDB BIGINT
+    * arithmetic computes the IDENTICAL key (a raw base-31 polynomial over 40
+    * chars wraps int64, which DuckDB raises on rather than wraps) — hash
+    * collisions, if any, affect both engines identically, so the gate stays
+    * an exact hash at any corpus size. Stride trades recall of duplicate
+    * runs shorter than k + stride for 4× less shuffle volume; dup_bp remains
+    * a per-doc coverage estimate over the SAMPLED gram positions. */
+  def d28StridedGramCensus(t: T, k: Int = 40, stride: Int = 4): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Registry.ensure(t.spark)
+    val grams = t.documents
+      .select($"doc_id", explode(expr(s"gram_hashes_mod(text, $k, $stride)")).as("gh"))
+    val w = Window.partitionBy($"gh")
+    grams
+      .withColumn("dup", min($"doc_id").over(w) =!= max($"doc_id").over(w))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when($"dup", 1L).otherwise(0L)).as("n_dup_grams"))
+      .select($"doc_id", $"n_grams", $"n_dup_grams",
+        expr("n_dup_grams * 10000 DIV n_grams").as("dup_bp"))
+      .orderBy($"doc_id")
+  }
+
+  /** Same modular polynomial per 40-gram at 0-based positions ≡ 0 (mod 4):
+    * list_reduce seeds with the first char code (== Spark's h = 0 then
+    * h*31+c), every step reduces mod 1e9+7 on both engines. Docs shorter
+    * than 40 chars emit no grams on either side. */
+  val d28Oracle: String =
+    """WITH grams AS (
+         SELECT doc_id,
+           unnest(list_transform(range(0, (length(text) - 40) // 4 + 1), j ->
+             list_reduce(
+               list_transform(range(1, 41), i ->
+                 ascii(substr(text, (j * 4 + i)::INT, 1))::BIGINT),
+               (h, c) -> (h * 31 + c) % 1000000007))) AS gh
+         FROM documents),
+       by_gram AS (SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gh),
+       per_doc AS (
+         SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+           SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams
+         FROM grams JOIN by_gram USING (gh) GROUP BY doc_id)
+       SELECT doc_id, n_grams, n_dup_grams,
+              (n_dup_grams * 10000 // n_grams)::BIGINT AS dup_bp
+       FROM per_doc ORDER BY doc_id"""
 
   /** Chunk-level dedup REWRITE — d23's census turned into the actual
     * cleanup transform: every duplicated chunk elects one keeper occurrence
@@ -1522,6 +1681,9 @@ object Dedup {
     "d23_cdc_chunks"         -> ((s, d) => d23CdcChunks(T(s, d))),
     "d24_chunk_dedup"        -> ((s, d) => d24ChunkDedupRewrite(T(s, d))),
     "d25_collapse_repair"    -> ((s, d) => d25CollapseRepair(T(s, d))),
+    "d26_collapse_pairs"     -> ((s, d) => d26CollapsePairs(T(s, d))),
+    "d27_semantic_collapse"  -> ((s, d) => d27SemanticCollapse(T(s, d))),
+    "d28_strided_census"     -> ((s, d) => d28StridedGramCensus(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1550,5 +1712,8 @@ object Dedup {
     "d23_cdc_chunks"        -> d23Oracle,
     "d24_chunk_dedup"       -> d24Oracle,
     "d25_collapse_repair"   -> d25Oracle,
+    "d26_collapse_pairs"    -> d26Oracle,
+    "d27_semantic_collapse" -> d27Oracle,
+    "d28_strided_census"    -> d28Oracle,
   )
 }

@@ -539,7 +539,9 @@ object Multimodal {
     import t.spark.implicits._
     assetsEncoded(t, only = Some("video")).mapPartitions { it =>
       val dec = new JvmCodec.ImageDecoder // codec init: once per partition
-      it.map { a =>
+      // empty assets emit no report row — the same domain the oracle's
+      // length(text) > 0 states (an empty video has no frames to diff)
+      it.filter(_.payload.nonEmpty).map { a =>
         val frames = JvmCodec.demuxFrames(a.payload).map(dec.decode).toArray
         var total = 0L; var mx = 0L; var i = 1
         while (i < frames.length) {
@@ -635,7 +637,9 @@ object Multimodal {
     import t.spark.implicits._
     val hashes = assetsEncoded(t, only = Some("image")).mapPartitions { it =>
       val dec = new JvmCodec.ImageDecoder // codec init: once per partition
-      it.map { a =>
+      // skip empty images: no pixels → no strips → no hash (h=0 would be a
+      // fake band-0 key); the oracle drops them structurally (no px rows)
+      it.filter(_.payload.nonEmpty).map { a =>
         val px = dec.decode(a.payload)
         val n = px.length
         val stripSum = new Array[Long](64); val stripLen = new Array[Long](64)

@@ -1163,9 +1163,10 @@ object Pipeline {
       .select($"tbl", $"bucket", $"vec_id".as("train_id"))
     val cand = trainB.join(evalB, $"tbl" === $"qt" && $"bucket" === $"qb")
       .select($"eval_id", $"train_id").distinct()
+    val hint = BroadcastGate.vectorHint(t.embeddings)
     val ee = t.embeddings.select($"vec_id".as("eval_id"), $"embedding".as("qe"))
     val te = t.embeddings.select($"vec_id".as("train_id"), $"embedding".as("ce"))
-    cand.join(broadcast(ee), "eval_id").join(broadcast(te), "train_id")
+    cand.join(hint(ee), "eval_id").join(hint(te), "train_id")
       .select($"eval_id", $"train_id",
         (round(expr("cosine_sim(qe, ce)"), 4) + lit(0.0)).as("cos"))
       .filter($"cos" >= 0.3)

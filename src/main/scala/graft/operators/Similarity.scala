@@ -74,9 +74,10 @@ object Similarity {
     val cand = bands.join(qb,
         $"tbl" === $"qt" && $"bucket" === $"qb" && $"query_id" =!= $"vec_id")
       .select($"query_id", $"vec_id".as("neighbor_id")).distinct()
+    val hint = BroadcastGate.vectorHint(t.embeddings)
     val qe = t.embeddings.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     val ce = t.embeddings.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
-    cand.join(broadcast(qe), "query_id").join(broadcast(ce), "neighbor_id")
+    cand.join(hint(qe), "query_id").join(hint(ce), "neighbor_id")
       .select($"query_id", $"neighbor_id",
         (round(expr("cosine_sim(q_emb, c_emb)"), 4) + lit(0.0)).as("cosine"))
       .orderBy($"query_id", $"neighbor_id")
@@ -1039,10 +1040,11 @@ object Similarity {
       .withColumn("crk", row_number().over(coarseW))
       .filter($"crk" <= 40)
       .select($"query_id", $"neighbor_id")
+    val hint = BroadcastGate.vectorHint(t.embeddings)
     val qe = t.embeddings.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     val ce = t.embeddings.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
     val exactW = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
-    top40.join(broadcast(qe), "query_id").join(broadcast(ce), "neighbor_id")
+    top40.join(hint(qe), "query_id").join(hint(ce), "neighbor_id")
       .select($"query_id", $"neighbor_id",
         (round(expr("cosine_sim(q_emb, c_emb)"), 4) + lit(0.0)).as("cosine"))
       .withColumn("rk", row_number().over(exactW))

@@ -39,7 +39,16 @@ final class QueryGateway(
     port: Int = 0,
     maxRows: Long = Long.MaxValue,
     maxHintPriority: Int = 0,
-    batching: Option[graft.sharing.BatchWindow[Seq[String]]] = None) {
+    batching: Option[graft.sharing.BatchWindow[Seq[String]]] = None,
+    maxBatchRows: Long = 1000000L) {
+
+  // The windowed path materializes each statement's rows on the driver (a
+  // shared window's results multiplex back through its future), so unlike
+  // the streaming toLocalIterator path it MUST be finitely bounded — an
+  // unbounded SELECT through a batching gateway would otherwise buffer the
+  // whole result set in driver memory. Effective cap = min(maxRows,
+  // maxBatchRows); the "+1" sentinel row preserves the truncated trailer.
+  private val batchCap: Long = math.min(maxRows, maxBatchRows)
 
   private val server = new ServerSocket(port)
   private val connIds = new AtomicLong()
@@ -102,7 +111,7 @@ final class QueryGateway(
             val it: java.util.Iterator[String] = batching match {
               case Some(win) =>
                 stmtNo += 1
-                val cap = if (maxRows == Long.MaxValue) maxRows else maxRows + 1
+                val cap = batchCap + 1
                 val job = graft.sharing.QueryJob[Seq[String]](
                   s"gw-$id-$stmtNo", s => s.sql(sql),
                   df => {
@@ -119,8 +128,9 @@ final class QueryGateway(
               case None => session.sql(sql).toJSON.toLocalIterator()
             }
             out.println("ok")
+            val printCap = if (batching.isDefined) batchCap else maxRows
             var n = 0L
-            while (n < maxRows && it.hasNext) { out.println(it.next()); n += 1 }
+            while (n < printCap && it.hasNext) { out.println(it.next()); n += 1 }
             out.println(if (it.hasNext) s"done $n truncated" else s"done $n")
           } catch {
             case e: Throwable =>

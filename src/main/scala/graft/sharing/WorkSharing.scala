@@ -192,26 +192,44 @@ object ShareDetector {
     def pure(p: LogicalPlan): Boolean =
       !p.exists(n => n.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD] ||
         n.expressions.exists(e => e.exists(!_.deterministic)))
-    val byFp = mutable.LinkedHashMap.empty[String, (LogicalPlan, mutable.ListBuffer[String])]
+    // Group by semantic hash BUT confirm with canonicalized-plan equality
+    // (sameResult) before merging (ADVICE r6): a bare hashCode key would
+    // conflate two distinct subplans on collision — the second plan would
+    // silently never be cached and its jobs would be attributed to the
+    // wrong group. Result correctness was never at stake (substitution
+    // goes through CacheManager plan equality), but the sharing DECISION
+    // must not be collision-dependent. Colliding-but-different plans get
+    // "-k" suffixed fingerprints so downstream cache keys stay distinct.
+    final case class Entry(plan: LogicalPlan, names: mutable.ListBuffer[String])
+    val byHash = mutable.LinkedHashMap.empty[Int, mutable.ListBuffer[Entry]]
     jobs.foreach { case (name, df) =>
       val subs = df.queryExecution.analyzed.collect {
-        case p if expensive(p) && pure(p) => (p.canonicalized.hashCode.toString, p)
+        case p if expensive(p) && pure(p) => p
       }
-      subs.distinctBy(_._1).foreach { case (fp, p) =>
-        val entry = byFp.getOrElseUpdate(fp, (p, mutable.ListBuffer.empty[String]))
-        entry._2 += name
+      val seen = mutable.ListBuffer.empty[LogicalPlan] // per-job dedup, exact
+      subs.foreach { p =>
+        if (!seen.exists(_.sameResult(p))) {
+          seen += p
+          val bucket = byHash.getOrElseUpdate(p.semanticHash(), mutable.ListBuffer.empty)
+          bucket.find(_.plan.sameResult(p)) match {
+            case Some(e) => e.names += name
+            case None    => bucket += Entry(p, mutable.ListBuffer(name))
+          }
+        }
       }
     }
-    val shared = byFp.iterator.collect {
-      case (fp, (p, names)) if names.size >= 2 =>
-        FragmentGroup(fp, p, names.toSeq, p.collect { case _ => 1 }.size)
+    val shared = byHash.iterator.flatMap { case (h, entries) =>
+      entries.zipWithIndex.collect {
+        case (e, i) if e.names.size >= 2 =>
+          val fp = if (entries.size == 1) h.toString else s"$h-$i"
+          FragmentGroup(fp, e.plan, e.names.toSeq, e.plan.collect { case _ => 1 }.size)
+      }
     }.toSeq.sortBy(-_.nNodes)
     // keep maximal fragments only: a subtree of an already-kept shared
     // fragment is computed inside that fragment's cache anyway
     val kept = mutable.ListBuffer.empty[FragmentGroup]
     shared.foreach { g =>
-      val nested = kept.exists(k =>
-        k.plan.exists(_.canonicalized.hashCode.toString == g.fingerprint))
+      val nested = kept.exists(k => k.plan.exists(_.sameResult(g.plan)))
       if (!nested) kept += g
     }
     kept.toSeq

@@ -228,6 +228,120 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("skew: AQE OptimizeSkewedJoin splits a Zipfian-key shuffle join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The 100 TB posture claims AQE absorbs key skew; this forces the rule
+    // to actually fire. The fixture is the windowed-dedup-keeper shape:
+    // cluster_id is Zipfian by construction (one giant near-dup cluster),
+    // so the join partition for the hot key dwarfs the median. Thresholds
+    // are scaled down to test size; the assertion is the real one — the
+    // executed SMJ reports skew=true after AQE re-planning.
+    val keys = Seq("spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 90% of left-side rows share cluster 0; 64-byte payload makes the
+      // hot partition dwarf the byte thresholds above
+      val left = spark.range(200000).select(
+        when($"id" % 10 =!= 0, lit(0L)).otherwise($"id").as("cluster_id"),
+        $"id".as("doc_id"), lpad(lit("x"), 64, "x").as("payload"))
+      val right = spark.range(1000).select($"id".as("cluster_id"), ($"id" * 2).as("keeper"))
+      val j = left.join(right, "cluster_id")
+      // collect() drives THIS DataFrame's QueryExecution (count() would plan
+      // a different query and leave this AdaptiveSparkPlan unfinalized);
+      // 180000 hot-key rows + id=0 (also cluster 0) + ids 10..990 step 10
+      assert(j.collect().length == 180001 + 99)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"OptimizeSkewedJoin did not fire:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("d26: collapse→pair composition — keepers only, equi-joins, d08-consistent at 0.8") {
+    val p = plan("d26_collapse_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val t = T(spark, sfDir)
+    val lshPairs = Dedup.d04MinhashLshPairs(t).select("doc_a", "doc_b")
+    val keepers = Dedup.keeperIds(t, lshPairs).collect().map(_.getLong(0)).toSet
+    // every emitted pair is keeper×keeper at or above the declared threshold
+    Dedup.d26CollapsePairs(t).collect().foreach { r =>
+      assert(keepers(r.getLong(0)) && keepers(r.getLong(1)), r.toString)
+      assert(r.getLong(2) >= 4200, r.toString)
+    }
+    // at the d08 threshold the composition is exactly d08's pair set
+    // restricted to keepers (generalized prefix math == the hard-coded d08
+    // constants, and the collapse drops only non-keeper endpoints)
+    val composed = snap(Dedup.d26CollapsePairs(t, thresholdBp = 8000))
+    val restricted = snap(Dedup.d08PrefixJaccardJoin(t)
+      .filter(r => keepers(r.getLong(0)) && keepers(r.getLong(1))))
+    assert(composed == restricted)
+  }
+
+  test("d27: semantic collapse — same-sig vectors share a cluster; equi-joins only") {
+    val p = plan("d27_semantic_collapse")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    import org.apache.spark.sql.functions._
+    val t = T(spark, sfDir)
+    graft.functions.Registry.ensure(spark)
+    val sigGroups = t.embeddings
+      .select(col("vec_id"), expr("hyperplane_sig(embedding, 32)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._2)
+    val cluster = Dedup.d27SemanticCollapse(t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigGroups.values.filter(_.length >= 2).foreach { g =>
+      val cs = g.map(m => cluster.get(m._1)).toSet
+      assert(cs.size == 1 && cs.head.nonEmpty,
+        s"sig group ${g.map(_._1).mkString(",")} split across clusters $cs")
+    }
+  }
+
+  test("d28: modular census error vs exact is one-sided and at the birthday bound") {
+    val t = T(spark, sfDir)
+    // mod-1e9+7 hashing COLLIDES at corpus scale (birthday: ~150k grams →
+    // ~10 colliding pairs here) — unlike the int64 variant, stride-1 output
+    // is NOT identical to the exact census. The error is strictly
+    // one-sided (a collision can only invent a dup, never lose one) and
+    // bounded; the d28 oracle is immune because DuckDB computes the same
+    // modular hash, so collisions are shared, not divergent.
+    def census(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.select("doc_id", "n_grams", "n_dup_grams").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = census(Dedup.d09SubstringDupCoverage(t))
+    val mod1 = census(Dedup.d28StridedGramCensus(t, stride = 1))
+    assert(mod1.keySet == exact.keySet)
+    var excess = 0L
+    exact.foreach { case (id, (n, dup)) =>
+      val (nM, dupM) = mod1(id)
+      assert(nM == n, s"doc $id: n_grams $nM != $n")
+      assert(dupM >= dup, s"doc $id: modular census LOST a dup ($dupM < $dup)")
+      excess += dupM - dup
+    }
+    val totalGrams = exact.values.map(_._1).sum
+    assert(excess <= totalGrams / 1000, s"excess $excess over $totalGrams grams")
+    // declared stride 4: same docs (all >= 40 chars here), counts ~4x lower
+    val strided = Dedup.d28StridedGramCensus(t)
+      .select("doc_id", "n_grams").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.d28StridedGramCensus(t, stride = 1)
+      .select("doc_id", "n_grams").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    full.foreach { case (id, n) =>
+      assert(strided(id) == (n + 3) / 4, s"doc $id: strided=${strided(id)} full=$n")
+    }
+  }
+
   test("q78/t10/d11: census and funnel joins stay equi-joins, no cartesian") {
     Seq("q78_funnel", "t10_bigram_lm", "d11_containment_pairs").foreach { q =>
       val p = plan(q)

@@ -105,6 +105,67 @@ class QueryGatewaySpec extends SparkSpec {
     } finally { gw.close(); win.close(); ex.shutdown(); spark.catalog.clearCache() }
   }
 
+  test("soak: 8 concurrent clients through gateway -> BatchWindow -> FAIR pools, metamorphic") {
+    import graft.sharing.{BatchWindow, WorkSharingExecutor}
+    // the reference's actual deployment scenario (PROJECT-INTERNALS: many
+    // clients, one sharing server): N real sockets, each issuing a
+    // statement stream, windows forming across connections under load.
+    // Metamorphic oracle: every response equals the same statement run
+    // isolated on the session — sharing must never change answers.
+    val ex = new WorkSharingExecutor(spark)
+    val win = new BatchWindow[Seq[String]](ex, windowSize = 4, maxWaitMs = 1000)
+    Tables.register(spark, sfDir) // windowed jobs run on the root session
+    val gw = new QueryGateway(spark, s => Tables.register(s, sfDir),
+      maxHintPriority = 9, batching = Some(win))
+    val stmts = Seq(
+      "SELECT count(*) AS n FROM lineitem",
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+      "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+      "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang")
+    val expected = stmts.map(s => s -> spark.sql(s).toJSON.collect().toList).toMap
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val nClients = 8
+      val latencies = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val clients = (0 until nClients).map { c =>
+        Future {
+          val (sock, out, in) = connect(gw.boundPort)
+          try {
+            // rotate the statement order per client so windows mix
+            // statements; alternate scheduling-class hints for pool coverage
+            (0 until stmts.size).foreach { k =>
+              val sql = stmts((c + k) % stmts.size)
+              val hint = (c % 3) match {
+                case 0 => "/*+ graft(priority=5) */ "  // urgent pool
+                case 1 => "/*+ graft(priority=-1) */ " // bulk pool
+                case _ => ""                           // connection pool
+              }
+              val t0 = System.nanoTime()
+              out.println(hint + sql)
+              val (head, rows, trailer) = readResponse(in)
+              latencies.add(System.nanoTime() - t0)
+              assert(head == "ok", s"client $c stmt $k: $head")
+              assert(trailer.startsWith("done"), s"client $c stmt $k: $trailer")
+              assert(rows == expected(sql),
+                s"client $c stmt $k diverged from isolated run: $rows")
+            }
+          } finally sock.close()
+        }
+      }
+      clients.foreach(Await.result(_, 5.minutes))
+      val ls = latencies.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+      assert(ls.length == nClients * stmts.size)
+      def msAt(q: Double): Double = ls(((ls.length - 1) * q).toInt) / 1e6
+      val line = f"""{"metric":"gateway_soak","clients":$nClients,"statements":${ls.length},""" +
+        f""""p50_ms":${msAt(0.5)}%.1f,"p95_ms":${msAt(0.95)}%.1f,"max_ms":${ls.last / 1e6}%.1f}"""
+      info(line)
+      java.nio.file.Files.write(java.nio.file.Paths.get("GWSOAK.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally { gw.close(); win.close(); ex.shutdown(); spark.catalog.clearCache() }
+  }
+
   test("gateway executes SQL and streams JSON rows per connection") {
     val gw = new QueryGateway(spark, s => Tables.register(s, sfDir))
     try {
