@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.concurrent.{Await, Future, TimeoutException}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+/** One sf≈1 lane for the PLANS.md headline queries (VERDICT r6 §3): the
+  * per-round 2× gate runs at sf0.1 only, and the scale smoke replicates only
+  * documents/embeddings — so a real-data cliff in the relational/stream plane
+  * (a join whose output grows quadratically, a window that stops partitioning)
+  * had no lane to get caught in. No sf1 corpus ships with the testdata, so
+  * this main synthesizes one: every FACT table of sf0.1 replicated 10× with
+  * per-replica key offsets (orders/lineitem share the orderkey offset so join
+  * cardinalities scale linearly, events offset event_id, documents/embeddings
+  * reuse the scale-smoke's near-dup replication), dimension tables copied
+  * as-is — the realistic shape of 10× more business over the same reference
+  * data. Each headline query runs under a cancellable wall-clock ceiling
+  * (ScaleSmoke's harness), so a cliff reads as a named breach.
+  *
+  * Output: one JSON line on stdout and in BENCH_sf1.json.
+  */
+object BenchSf1 {
+
+  private val REP_KEY = 100000000L // per-replica key offset, beyond any sf0.1 key
+
+  /** The 20 PLANS.md headline queries (§ headers, same order). */
+  val headlineKeys: Seq[String] = Seq(
+    "q01_pricing_summary", "q05_region_revenue", "q103_market_share",
+    "d04_minhash_lsh_pairs", "d13_semantic_clusters", "d18_topk_sim_join",
+    "d21_incremental_dedup", "s01_cosine_topk", "s04_ivf_ann",
+    "s12_knn_graph", "s14_radius_search", "m02_media_rollup",
+    "p03_sequence_packing", "p26_soft_dedup", "t11_tfidf_topterms",
+    "q100_asof_exec", "q110_interval_exec", "q125_session_window",
+    "d23_cdc_chunks", "s16_two_stage_rerank")
+
+  def buildSf1(spark: SparkSession, baseDir: String, outDir: String, mult: Int): Unit = {
+    val marker = java.nio.file.Paths.get(s"$outDir/_GRAFT_SF1_READY")
+    if (java.nio.file.Files.exists(marker)) return
+    val reps = spark.range(mult.toLong).toDF("rep")
+    def t(n: String): DataFrame = spark.read.parquet(s"$baseDir/$n.parquet")
+    // dimensions copy as-is: 10× more business over the same reference data
+    Seq("region", "nation", "customer", "supplier", "part").foreach { n =>
+      t(n).write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+    }
+    // orders/lineitem share the orderkey offset so every join key still
+    // resolves and cardinalities scale linearly, not quadratically
+    t("orders").crossJoin(broadcast(reps))
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * REP_KEY)
+      .drop("rep").write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    t("lineitem").crossJoin(broadcast(reps))
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * REP_KEY)
+      .drop("rep").write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    // events: fresh ids, same users/timestamps — 10× denser sessions
+    t("events").crossJoin(broadcast(reps))
+      .withColumn("event_id", col("event_id") + col("rep") * REP_KEY)
+      .drop("rep").write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    ScaleSmoke.buildScaled(spark, baseDir, outDir, mult)
+    java.nio.file.Files.createFile(marker)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val baseDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val ceiling = sys.env.getOrElse("SPARK_GRAFT_CEILING_SEC", "120").toDouble
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SF1_OUT", "BENCH_sf1.json")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = s"/tmp/graft-sf1/x$mult"
+    buildSf1(spark, baseDir, dir, mult)
+
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val results = headlineKeys.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val fut = Future {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+      }
+      val outcome =
+        try { Await.result(fut, ceiling.seconds); Right((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case _: TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            Left("ceiling")
+          case e: Throwable => Left(e.getClass.getSimpleName)
+        }
+      System.err.println(s"[sf1] $name -> $outcome")
+      name -> outcome
+    }
+    val qs = results.map {
+      case (k, Right(sec)) => "\"" + k + "\":" + fmt(sec)
+      case (k, Left(why))  => "\"" + k + "\":\"" + why + "\""
+    }.mkString("{", ",", "}")
+    val breaches = results.collect { case (k, Left(_)) => "\"" + k + "\"" }.mkString(",")
+    val total = results.collect { case (_, Right(s)) => s }.sum
+    val line =
+      s"""{"metric":"bench_sf1","multiplier":$mult,"ceiling_sec":${fmt(ceiling)},""" +
+        s""""total_sec":${fmt(total)},"queries":$qs,"breaches":[$breaches],"base":"$baseDir"}"""
+    println(line)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[sf1] write $outPath failed: $e") }
+    spark.stop()
+  }
+}

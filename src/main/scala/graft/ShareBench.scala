@@ -125,6 +125,36 @@ object ShareBench {
       }
       lines2 += s"""{"workload":"dedup_family","window":5,"separate":$sepD,"fragment_shared":$fragD}"""
     }
+    // similarity family: six production queries that all derive from the
+    // hyperplane-signature plane (Similarity.hyperplaneSigs / idBands /
+    // embBands are each ONE definition since r7, so the fragments match
+    // canonically across every member). Declared fragments materialize the
+    // sig table and both band projections once per window; each job's
+    // map-side signature/band stage then reads the InMemoryRelation.
+    if (only("similarity_family")) {
+      import graft.operators.{Dedup, Pipeline, Similarity}
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+      def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+      def simJobs: Seq[QueryJob[Unit]] = Seq[(String, SparkSession => DataFrame)](
+        "s02" -> (s => Similarity.s02HyperplaneLsh(T(s, sfDir))),
+        "s12" -> (s => Similarity.s12KnnGraph(T(s, sfDir))),
+        "s13" -> (s => Similarity.s13CosineBands(T(s, sfDir))),
+        "s14" -> (s => Similarity.s14RadiusSearch(T(s, sfDir))),
+        "p27" -> (s => Pipeline.p27SemanticContam(T(s, sfDir))),
+        "d13" -> (s => Dedup.d13SemanticClustersBucketed(T(s, sfDir)))
+      ).map { case (n, b) => QueryJob[Unit](n, b, noop) }
+      // sigs first so the band materializations themselves read its cache
+      val simFrags = Seq[(String, SparkSession => DataFrame)](
+        "hyperplane_sigs" -> (s => Similarity.hyperplaneSigs(T(s, sfDir))),
+        "id_bands"        -> (s => Similarity.idBands(T(s, sfDir))),
+        "emb_bands"       -> (s => Similarity.embBands(T(s, sfDir))))
+      val sepS = best(new WorkSharingExecutor(spark, budgetBytes = 0L).runBatch(simJobs))
+      val fragS = best {
+        val ex = new WorkSharingExecutor(spark)
+        try ex.runBatch(simJobs, simFrags) finally ex.shutdown()
+      }
+      lines2 += s"""{"workload":"similarity_family","window":6,"separate":$sepS,"fragment_shared":$fragS}"""
+    }
     (lines ++ lines2).foreach(println)
     // file artifact, like Bench's BENCH_full.json: stdout of a manual run
     // isn't captured anywhere durable

@@ -820,16 +820,12 @@ object Dedup {
   def d13SemanticClustersBucketed(t: T, thresholdMilli: Int = 400): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val sigs = t.embeddings.select($"vec_id", $"embedding",
-      expr("dot_d(embedding, embedding)").as("nrm"),
-      expr("hyperplane_sig(embedding, 32)").as("sig"))
     // candidate pairs carry IDS ONLY through the band join + distinct — the
     // 512-byte embeddings rejoin AFTER dedup, so the wide rows never enter
     // the (quadratic-in-bucket-size) pair shuffle. At 20x corpus scale this
     // is the difference between a 12 GB and a ~200 MB exchange (SCALESMOKE).
-    val bands = sigs.select($"vec_id", expr(
-      "explode(transform(sequence(0, 3), t -> struct(t AS tbl, shiftright(sig, t * 8) & 255 AS bucket)))").as("bk"))
-      .select($"vec_id", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
+    // Bands come from the family-shared fragment (Similarity.idBands).
+    val bands = Similarity.idBands(t)
     val cand = bands.as("x").join(bands.as("y"),
         $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
       .select($"x.vec_id".as("doc_a"), $"y.vec_id".as("doc_b")).distinct()
@@ -839,8 +835,10 @@ object Dedup {
     // |candidates| x 512 B. Past the BroadcastGate ceiling the hint drops
     // away and both verifies run as shuffled equi-joins instead of erroring.
     val hint = BroadcastGate.vectorHint(t.embeddings)
-    val ea = sigs.select($"vec_id".as("doc_a"), $"embedding".as("ea"), $"nrm".as("na"))
-    val eb = sigs.select($"vec_id".as("doc_b"), $"embedding".as("eb"), $"nrm".as("nb"))
+    val e = t.embeddings.select($"vec_id", $"embedding",
+      expr("dot_d(embedding, embedding)").as("nrm"))
+    val ea = e.select($"vec_id".as("doc_a"), $"embedding".as("ea"), $"nrm".as("na"))
+    val eb = e.select($"vec_id".as("doc_b"), $"embedding".as("eb"), $"nrm".as("nb"))
     val pairs = cand.join(hint(ea), "doc_a").join(hint(eb), "doc_b")
       .filter(expr(s"dot_d(ea, eb) / sqrt(na * nb) >= $thresholdMilli / 1000.0"))
       .select($"doc_a", $"doc_b")
@@ -1472,9 +1470,8 @@ object Dedup {
   def d27SemanticCollapse(t: T, thresholdMilli: Int = 400): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val sigs = t.embeddings.select($"vec_id", $"embedding",
-      expr("dot_d(embedding, embedding)").as("nrm"),
-      expr("hyperplane_sig(embedding, 32)").as("sig"))
+    val sigs = Similarity.hyperplaneSigs(t)
+      .withColumn("nrm", expr("dot_d(embedding, embedding)"))
     val groups = sigs.groupBy($"sig")
       .agg(min($"vec_id").as("rep"), count(lit(1)).as("n"))
     val reps = sigs.join(groups.select($"sig", $"rep"), "sig")

@@ -1152,11 +1152,7 @@ object Pipeline {
   def p27SemanticContam(t: T): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val bands = t.embeddings
-      .select($"vec_id", expr("hyperplane_sig(embedding, 32)").as("sig"))
-      .select($"vec_id", expr(
-        "explode(transform(sequence(0, 3), t -> struct(t AS tbl, shiftright(sig, t * 8) & 255 AS bucket)))").as("bk"))
-      .select($"vec_id", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
+    val bands = Similarity.idBands(t)
     val evalB = bands.filter($"vec_id" % 10 === 0)
       .select($"tbl".as("qt"), $"bucket".as("qb"), $"vec_id".as("eval_id"))
     val trainB = bands.filter($"vec_id" % 10 =!= 0)

@@ -56,19 +56,49 @@ object Similarity {
        SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, cosine
        FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""
 
+  /** ONE definition of the hyperplane-signature table (vec_id, embedding,
+    * sig) — the map-side plane the whole similarity family derives from.
+    * Centralized so (a) a signature retune edits one place, and (b) every
+    * family member's analyzed plan contains this CANONICALLY-EQUAL subtree,
+    * which is what lets `runBatch(sharedFragments)` materialize it once per
+    * window and substitute the InMemoryRelation into every sibling (the
+    * reference's scan-share scenario at subplan granularity). */
+  private[graft] def hyperplaneSigs(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    t.embeddings
+      .select($"vec_id", $"embedding", expr("hyperplane_sig(embedding, 32)").as("sig"))
+  }
+
+  private[graft] val bandExpr =
+    "explode(transform(sequence(0, 3), t -> struct(t AS tbl, shiftright(sig, t * 8) & 255 AS bucket)))"
+
+  /** 4×8-bit band rows, ids-only — s02/s14/p27/d13's candidate-generation
+    * input (narrow rows, the 20× smoke's shape). Shared-fragment twin of
+    * [[embBands]]. */
+  private[graft] def idBands(t: T): DataFrame = {
+    import t.spark.implicits._
+    hyperplaneSigs(t).select($"vec_id", expr(bandExpr).as("bk"))
+      .select($"vec_id", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
+  }
+
+  /** Band rows carrying the embedding — s12/s13's all-pairs-in-bucket input
+    * (they verify inline, so the payload rides the band rows by design). */
+  private[graft] def embBands(t: T): DataFrame = {
+    import t.spark.implicits._
+    hyperplaneSigs(t).select($"vec_id", $"embedding", expr(bandExpr).as("bk"))
+      .select($"vec_id", $"embedding", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
+  }
+
   /** LSH-bucketed ANN: 32-bit random-hyperplane signature split into 4 tables
     * of 8 bits; candidates = same-bucket pairs in any table (shuffle on
     * (table, bucket) — the 100 TB path), then exact cosine on candidates. */
   def s02HyperplaneLsh(t: T): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val sigs = t.embeddings
-      .select($"vec_id", $"embedding", expr("hyperplane_sig(embedding, 32)").as("sig"))
     // ids-only band join + distinct; embeddings rejoin after dedup so the
     // candidate shuffle stays narrow (see d13 — 20x-scale smoke finding)
-    val bands = sigs.select($"vec_id", expr(
-      "explode(transform(sequence(0, 3), t -> struct(t AS tbl, shiftright(sig, t * 8) & 255 AS bucket)))").as("bk"))
-      .select($"vec_id", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
+    val bands = idBands(t)
     val qb = bands.filter($"vec_id" % 25 === 0)
       .select($"tbl".as("qt"), $"bucket".as("qb"), $"vec_id".as("query_id"))
     val cand = bands.join(qb,
@@ -660,11 +690,7 @@ object Similarity {
     import t.spark.implicits._
     import org.apache.spark.sql.expressions.Window
     graft.functions.Registry.ensure(t.spark)
-    val sigs = t.embeddings
-      .select($"vec_id", $"embedding", expr("hyperplane_sig(embedding, 32)").as("sig"))
-    val bands = sigs.select($"vec_id", $"embedding", expr(
-      "explode(transform(sequence(0, 3), t -> struct(t AS tbl, shiftright(sig, t * 8) & 255 AS bucket)))").as("bk"))
-      .select($"vec_id", $"embedding", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
+    val bands = embBands(t)
     val cand = bands.as("x").join(bands.as("y"),
         $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" && $"x.vec_id" =!= $"y.vec_id")
       .select($"x.vec_id".as("src"), $"y.vec_id".as("dst"),
@@ -714,11 +740,7 @@ object Similarity {
   def s13CosineBands(t: T): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val sigs = t.embeddings
-      .select($"vec_id", $"embedding", expr("hyperplane_sig(embedding, 32)").as("sig"))
-    val bands = sigs.select($"vec_id", $"embedding", expr(
-      "explode(transform(sequence(0, 3), t -> struct(t AS tbl, shiftright(sig, t * 8) & 255 AS bucket)))").as("bk"))
-      .select($"vec_id", $"embedding", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
+    val bands = embBands(t)
     val cand = bands.as("x").join(bands.as("y"),
         $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
       .select($"x.vec_id".as("a"), $"y.vec_id".as("b"),
@@ -775,11 +797,7 @@ object Similarity {
     val exact = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
       .filter(round(expr("cosine_sim(q_emb, c_emb)"), 4) >= 0.4)
       .groupBy($"query_id").agg(count(lit(1)).as("n_exact"))
-    val sigs = t.embeddings
-      .select($"vec_id", expr("hyperplane_sig(embedding, 32)").as("sig"))
-    val bands = sigs.select($"vec_id", expr(
-      "explode(transform(sequence(0, 3), t -> struct(t AS tbl, shiftright(sig, t * 8) & 255 AS bucket)))").as("bk"))
-      .select($"vec_id", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
+    val bands = idBands(t)
     val qb = bands.filter($"vec_id" % 25 === 0)
       .select($"tbl".as("qt"), $"bucket".as("qb"), $"vec_id".as("query_id"))
     val found = bands.join(qb,

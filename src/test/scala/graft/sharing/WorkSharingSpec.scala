@@ -103,6 +103,38 @@ class WorkSharingSpec extends SparkSpec {
     } finally { ex.shutdown(); spark.catalog.clearCache() }
   }
 
+  test("similarity family batches with the signature/band fragments computed once") {
+    import graft.operators.{Dedup, Pipeline, Similarity}
+    val family: Seq[QueryJob[Seq[String]]] = Seq(
+      QueryJob("s02", s => Similarity.s02HyperplaneLsh(T(s, sfDir)), snap),
+      QueryJob("s12", s => Similarity.s12KnnGraph(T(s, sfDir)), snap),
+      QueryJob("s13", s => Similarity.s13CosineBands(T(s, sfDir)), snap),
+      QueryJob("s14", s => Similarity.s14RadiusSearch(T(s, sfDir)), snap),
+      QueryJob("p27", s => Pipeline.p27SemanticContam(T(s, sfDir)), snap),
+      QueryJob("d13", s => Dedup.d13SemanticClustersBucketed(T(s, sfDir)), snap))
+    val isolated = family.map(j => j.name -> j.action(j.build(spark))).toMap
+    val ex = new WorkSharingExecutor(spark)
+    try {
+      val batched = ex.runBatch(family, sharedFragments = Seq[(String,
+          org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)](
+        "hyperplane_sigs" -> (s => Similarity.hyperplaneSigs(T(s, sfDir))),
+        "id_bands"        -> (s => Similarity.idBands(T(s, sfDir))),
+        "emb_bands"       -> (s => Similarity.embBands(T(s, sfDir)))))
+      // metamorphic: shared-fragment batching never changes any answer
+      batched.foreach { case (name, rows) => assert(rows == isolated(name), s"job $name") }
+      assert(ex.cachedFingerprints.contains("frag:hyperplane_sigs"), ex.cachedFingerprints)
+      // siblings built AFTER the batch read the fragment caches, proving
+      // canonical substitution across BOTH band projections (idBands is the
+      // band stage of s02/s14/p27/d13; embBands of s12/s13). d13 itself
+      // can't be the probe: its CC stage collapses to a LocalTableScan at
+      // spec scale, erasing the upstream plan from the FINAL frame.
+      val probeId = Similarity.s02HyperplaneLsh(T(spark, sfDir))
+      assert(probeId.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+      val probeEmb = Similarity.s13CosineBands(T(spark, sfDir))
+      assert(probeEmb.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    } finally { ex.shutdown(); spark.catalog.clearCache() }
+  }
+
   test("automatic subplan sharing caches a shared aggregate subtree once") {
     // two jobs whose plans contain the SAME aggregate subtree with
     // different post-processing — scan sharing alone would re-aggregate
