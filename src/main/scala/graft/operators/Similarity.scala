@@ -82,12 +82,36 @@ object Similarity {
       .select($"vec_id", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
   }
 
-  /** Band rows carrying the embedding — s12/s13's all-pairs-in-bucket input
-    * (they verify inline, so the payload rides the band rows by design). */
-  private[graft] def embBands(t: T): DataFrame = {
+  /** Probe-side candidate ids (query = vec_id % 25 == 0 probing every
+    * bucket member) — ONE definition of the stage s02 and s14's LSH arm
+    * (and s06, which embeds s02 whole) previously each rebuilt. Narrow
+    * (two longs per row): cheap to cache, so a shared window materializes
+    * the candidate JOIN once — r7's measured lesson that wide
+    * embedding-carrying fragments cost more to cache-scan than to
+    * recompute, while narrow ones pay off. */
+  private[graft] def probeCandIds(t: T): DataFrame = {
     import t.spark.implicits._
-    hyperplaneSigs(t).select($"vec_id", $"embedding", expr(bandExpr).as("bk"))
-      .select($"vec_id", $"embedding", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
+    val bands = idBands(t)
+    val qb = bands.filter($"vec_id" % 25 === 0)
+      .select($"tbl".as("qt"), $"bucket".as("qb"), $"vec_id".as("query_id"))
+    bands.join(qb,
+        $"tbl" === $"qt" && $"bucket" === $"qb" && $"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id".as("neighbor_id")).distinct()
+  }
+
+  /** Symmetric all-pairs-in-bucket candidate ids (src, dst), both
+    * orientations — s12's candidate stage and (filtered to src < dst,
+    * which is exactly the oriented pair set) s13's. Ids-only by design:
+    * the embeddings rejoin AFTER the distinct, behind the BroadcastGate,
+    * so the quadratic-in-bucket-size stage never carries a 256-byte
+    * payload (the 20× smoke's s02/d13 finding, now applied to the graph
+    * queries too). */
+  private[graft] def symCandIds(t: T): DataFrame = {
+    import t.spark.implicits._
+    val bands = idBands(t)
+    bands.as("x").join(bands.as("y"),
+        $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" && $"x.vec_id" =!= $"y.vec_id")
+      .select($"x.vec_id".as("src"), $"y.vec_id".as("dst")).distinct()
   }
 
   /** LSH-bucketed ANN: 32-bit random-hyperplane signature split into 4 tables
@@ -98,12 +122,7 @@ object Similarity {
     graft.functions.Registry.ensure(t.spark)
     // ids-only band join + distinct; embeddings rejoin after dedup so the
     // candidate shuffle stays narrow (see d13 — 20x-scale smoke finding)
-    val bands = idBands(t)
-    val qb = bands.filter($"vec_id" % 25 === 0)
-      .select($"tbl".as("qt"), $"bucket".as("qb"), $"vec_id".as("query_id"))
-    val cand = bands.join(qb,
-        $"tbl" === $"qt" && $"bucket" === $"qb" && $"query_id" =!= $"vec_id")
-      .select($"query_id", $"vec_id".as("neighbor_id")).distinct()
+    val cand = probeCandIds(t)
     val hint = BroadcastGate.vectorHint(t.embeddings)
     val qe = t.embeddings.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     val ce = t.embeddings.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
@@ -686,19 +705,27 @@ object Similarity {
     * per-source window keeps k — shuffle keys are (table, bucket) and src;
     * no all-pairs stage anywhere. Deterministic LSH makes the whole graph
     * oracle-hashable, like d13/s02. */
+  /** The scored symmetric candidate graph (src, dst, cosine) — candidate
+    * ids from [[symCandIds]], embeddings rejoined behind the gate, exact
+    * rounded cosine per pair. ONE definition: s12 ranks it per source,
+    * s13 histograms its src < dst half — so a shared window materializes
+    * the candidate JOIN AND the verify once, and the fragment stays
+    * narrow (two longs + one double). */
+  private[graft] def symScored(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val hint = BroadcastGate.vectorHint(t.embeddings)
+    val ea = t.embeddings.select($"vec_id".as("src"), $"embedding".as("ea"))
+    val eb = t.embeddings.select($"vec_id".as("dst"), $"embedding".as("eb"))
+    symCandIds(t).join(hint(ea), "src").join(hint(eb), "dst")
+      .select($"src", $"dst", (round(expr("cosine_sim(ea, eb)"), 4) + lit(0.0)).as("cosine"))
+  }
+
   def s12KnnGraph(t: T, k: Int = 3): DataFrame = {
     import t.spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    graft.functions.Registry.ensure(t.spark)
-    val bands = embBands(t)
-    val cand = bands.as("x").join(bands.as("y"),
-        $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" && $"x.vec_id" =!= $"y.vec_id")
-      .select($"x.vec_id".as("src"), $"y.vec_id".as("dst"),
-        $"x.embedding".as("ea"), $"y.embedding".as("eb"))
-      .dropDuplicates("src", "dst")
     val w = Window.partitionBy($"src").orderBy($"cosine".desc, $"dst")
-    cand
-      .select($"src", $"dst", (round(expr("cosine_sim(ea, eb)"), 4) + lit(0.0)).as("cosine"))
+    symScored(t)
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
       .select($"src", $"rk".cast("long").as("rk"), $"dst", $"cosine")
@@ -740,14 +767,10 @@ object Similarity {
   def s13CosineBands(t: T): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val bands = embBands(t)
-    val cand = bands.as("x").join(bands.as("y"),
-        $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
-      .select($"x.vec_id".as("a"), $"y.vec_id".as("b"),
-        $"x.embedding".as("ea"), $"y.embedding".as("eb"))
-      .dropDuplicates("a", "b")
-    cand
-      .select((round(expr("cosine_sim(ea, eb)"), 4) + lit(0.0)).as("cosine"))
+    // the family-shared scored candidate graph restricted to one
+    // orientation (src < dst is exactly the unordered pair set)
+    symScored(t).filter($"src" < $"dst")
+      .select($"cosine")
       .select(greatest(least(floor($"cosine" * 10), lit(9.0)), lit(-10.0))
         .cast("long").as("band"))
       .groupBy($"band").agg(count(lit(1)).as("n_pairs"))
@@ -797,15 +820,11 @@ object Similarity {
     val exact = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
       .filter(round(expr("cosine_sim(q_emb, c_emb)"), 4) >= 0.4)
       .groupBy($"query_id").agg(count(lit(1)).as("n_exact"))
-    val bands = idBands(t)
-    val qb = bands.filter($"vec_id" % 25 === 0)
-      .select($"tbl".as("qt"), $"bucket".as("qb"), $"vec_id".as("query_id"))
-    val found = bands.join(qb,
-        $"tbl" === $"qt" && $"bucket" === $"qb" && $"query_id" =!= $"vec_id")
-      .select($"query_id", $"vec_id".as("neighbor_id")).distinct()
-      .join(q.select($"query_id", $"q_emb"), "query_id")
-      .join(c, "neighbor_id")
-      .filter(round(expr("cosine_sim(q_emb, c_emb)"), 4) >= 0.4)
+    // the LSH arm IS s02's output thresholded — one definition (the scored
+    // probe-candidate frame), so a shared window pays s02's pipeline once
+    // for s02, s06 and this audit
+    val found = s02HyperplaneLsh(t)
+      .filter($"cosine" >= 0.4)
       .groupBy($"query_id").agg(count(lit(1)).as("n_lsh"))
     exact.join(found, Seq("query_id"), "left")
       .withColumn("n_lsh", coalesce($"n_lsh", lit(0L)))

@@ -389,8 +389,16 @@ final class WorkSharingExecutor(
     * across windows is strictly better. */
   private def evictOverBudget(): Unit = {
     var total = cached.values.map(_._2).sum
-    while (total > budgetBytes && cached.nonEmpty) {
-      val (fp, (df, sz, _)) = cached.minBy(_._2._3)
+    // entries touched THIS batch (declared fragments, chosen scans) are in
+    // use by the jobs about to run — evicting them here would silently undo
+    // the sharing decision the batch was built around (found the hard way:
+    // a zero-budget executor unpersisted freshly declared fragments before
+    // the first job ran, so every "shared" job recomputed its fragment on
+    // top of paying the materialization). The budget bounds CROSS-batch
+    // retention; current-batch entries are evictable from the next batch on.
+    def evictable = cached.filter(_._2._3 < batchNo)
+    while (total > budgetBytes && evictable.nonEmpty) {
+      val (fp, (df, sz, _)) = evictable.minBy(_._2._3)
       df.unpersist(blocking = false)
       cached.remove(fp)
       total -= sz

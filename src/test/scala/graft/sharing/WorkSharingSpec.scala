@@ -106,7 +106,9 @@ class WorkSharingSpec extends SparkSpec {
   test("similarity family batches with the signature/band fragments computed once") {
     import graft.operators.{Dedup, Pipeline, Similarity}
     val family: Seq[QueryJob[Seq[String]]] = Seq(
+      QueryJob("s01", s => Similarity.s01CosineTopK(T(s, sfDir)), snap),
       QueryJob("s02", s => Similarity.s02HyperplaneLsh(T(s, sfDir)), snap),
+      QueryJob("s06", s => Similarity.s06AnnRecall(T(s, sfDir)), snap),
       QueryJob("s12", s => Similarity.s12KnnGraph(T(s, sfDir)), snap),
       QueryJob("s13", s => Similarity.s13CosineBands(T(s, sfDir)), snap),
       QueryJob("s14", s => Similarity.s14RadiusSearch(T(s, sfDir)), snap),
@@ -117,21 +119,22 @@ class WorkSharingSpec extends SparkSpec {
     try {
       val batched = ex.runBatch(family, sharedFragments = Seq[(String,
           org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)](
-        "hyperplane_sigs" -> (s => Similarity.hyperplaneSigs(T(s, sfDir))),
         "id_bands"        -> (s => Similarity.idBands(T(s, sfDir))),
-        "emb_bands"       -> (s => Similarity.embBands(T(s, sfDir)))))
+        "s01_topk"        -> (s => Similarity.s01CosineTopK(T(s, sfDir))),
+        "s02_ann"         -> (s => Similarity.s02HyperplaneLsh(T(s, sfDir))),
+        "sym_scored"      -> (s => Similarity.symScored(T(s, sfDir)))))
       // metamorphic: shared-fragment batching never changes any answer
       batched.foreach { case (name, rows) => assert(rows == isolated(name), s"job $name") }
-      assert(ex.cachedFingerprints.contains("frag:hyperplane_sigs"), ex.cachedFingerprints)
+      assert(ex.cachedFingerprints.contains("frag:sym_scored"), ex.cachedFingerprints)
       // siblings built AFTER the batch read the fragment caches, proving
-      // canonical substitution across BOTH band projections (idBands is the
-      // band stage of s02/s14/p27/d13; embBands of s12/s13). d13 itself
-      // can't be the probe: its CC stage collapses to a LocalTableScan at
-      // spec scale, erasing the upstream plan from the FINAL frame.
+      // canonical substitution across BOTH candidate fragments (probe_cands
+      // is the stage of s02/s14 — and s06 via s02; sym_cands of s12/s13).
+      // d13 itself can't be the probe: its CC stage collapses to a
+      // LocalTableScan at spec scale, erasing the upstream plan.
       val probeId = Similarity.s02HyperplaneLsh(T(spark, sfDir))
       assert(probeId.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
-      val probeEmb = Similarity.s13CosineBands(T(spark, sfDir))
-      assert(probeEmb.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+      val probeSym = Similarity.s13CosineBands(T(spark, sfDir))
+      assert(probeSym.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
     } finally { ex.shutdown(); spark.catalog.clearCache() }
   }
 
