@@ -132,8 +132,11 @@ object Similarity {
       .orderBy($"query_id", $"neighbor_id")
   }
 
-  val s02Oracle: String =
-    s"""WITH sigs AS (
+  /** DuckDB twin of [[probeCandIds]]: sigs → bands → probe candidates —
+    * ONE definition, reused by the s02 and s16 oracles (the same
+    * one-banding-contract rule the dedup oracles follow). */
+  private[operators] val probeCandDuckCtes: String =
+    """sigs AS (
          SELECT vec_id, embedding,
            list_sum(list_transform(range(0, 32), m ->
              CASE WHEN list_sum(list_transform(range(1, 65), i ->
@@ -147,7 +150,10 @@ object Similarity {
          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
          FROM bands q JOIN bands c
            ON q.tbl = c.tbl AND q.bucket = c.bucket
-          AND q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id)
+          AND q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id)"""
+
+  val s02Oracle: String =
+    s"""WITH $probeCandDuckCtes
        SELECT query_id, neighbor_id, ROUND(${duckCos("a", "b")}, 4) + 0.0 AS cosine
        FROM cand JOIN embeddings a ON a.vec_id = query_id
                  JOIN embeddings b ON b.vec_id = neighbor_id
@@ -1068,16 +1074,22 @@ object Similarity {
              ELSE transform(e, v -> CAST(0 AS BIGINT)) END AS codes""")
     val qCodes = coded.filter($"vec_id" % 25 === 0)
       .select($"vec_id".as("query_id"), $"codes".as("q_codes"))
+    val hint = BroadcastGate.vectorHint(t.embeddings)
+    // Stage 0 since r7: LSH bucket candidates, not probe-set × corpus — the
+    // sf1 lane caught the coarse stage's broadcast scan at the 120 s
+    // ceiling on the 10× corpus (BENCH_sf1 r7), the same cliff d13's pair
+    // stage hit at the 30× smoke, with the same fix: candidates from the
+    // shared hyperplane banding, coarse int8 scoring only on candidates.
+    val cCodes = coded.select($"vec_id".as("neighbor_id"), $"codes".as("c_codes"))
     val coarseW = Window.partitionBy($"query_id").orderBy($"coarse".desc, $"neighbor_id")
-    val top40 = coded.select($"vec_id".as("neighbor_id"), $"codes".as("c_codes"))
-      .join(broadcast(qCodes), $"query_id" =!= $"neighbor_id")
+    val top40 = probeCandIds(t)
+      .join(hint(qCodes), "query_id").join(hint(cCodes), "neighbor_id")
       .select($"query_id", $"neighbor_id",
         expr("aggregate(zip_with(q_codes, c_codes, (a, b) -> a * b), 0L, (a, x) -> a + x)")
           .as("coarse"))
       .withColumn("crk", row_number().over(coarseW))
       .filter($"crk" <= 40)
       .select($"query_id", $"neighbor_id")
-    val hint = BroadcastGate.vectorHint(t.embeddings)
     val qe = t.embeddings.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     val ce = t.embeddings.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
     val exactW = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
@@ -1090,8 +1102,11 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** The shared probe-candidate CTEs, the int8 coding, coarse scoring on
+    * candidates only, then the exact rerank — stage for stage. */
   val s16Oracle: String =
-    s"""WITH e AS (
+    s"""WITH $probeCandDuckCtes,
+       e AS (
          SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e
          FROM embeddings),
        nm AS (SELECT vec_id, e,
@@ -1104,9 +1119,10 @@ object Similarity {
                   ELSE list_transform(e, v -> 0::BIGINT) END AS codes
          FROM nm),
        coarse AS (
-         SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SELECT query_id, neighbor_id,
                 list_sum(list_transform(range(1, 65), i -> p.codes[i] * c.codes[i]))::BIGINT AS coarse
-         FROM coded p JOIN coded c ON p.vec_id % 25 = 0 AND p.vec_id <> c.vec_id),
+         FROM cand JOIN coded p ON p.vec_id = query_id
+                   JOIN coded c ON c.vec_id = neighbor_id),
        top40 AS (
          SELECT query_id, neighbor_id FROM (
            SELECT query_id, neighbor_id,

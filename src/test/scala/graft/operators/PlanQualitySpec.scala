@@ -632,7 +632,9 @@ class PlanQualitySpec extends SparkSpec {
       "p26_soft_dedup" -> 3, "t11_tfidf_topterms" -> 6,
       "q100_asof_exec" -> 4, "q110_interval_exec" -> 3,
       "q125_session_window" -> 2, "d23_cdc_chunks" -> 4,
-      "s16_two_stage_rerank" -> 2)
+      // r7: stage 0 became the LSH candidate join (band self-join + distinct
+      // replace the broadcast probe-set × corpus scan the sf1 lane ceilinged)
+      "s16_two_stage_rerank" -> 3)
     for ((name, budget) <- budgets) {
       val p = plan(name)
       val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning")) +

@@ -84,10 +84,30 @@ class RetrievalDedupSpec extends SparkSpec {
       (reranked.getOrElse(q, Set.empty) & ids).size.toDouble / ids.size
     }
     val mean = recalls.sum / recalls.size
-    info(f"two-stage recall@5 vs exact: $mean%.3f over ${recalls.size} queries")
-    // int8 per-vector quantization + top-40 coarse cut keeps most of the
-    // true neighborhood; floor set with slack under the measured value
-    assert(mean >= 0.6, f"two-stage recall $mean%.3f below floor 0.6")
+    info(f"two-stage end-to-end recall@5 vs exact: $mean%.3f over ${recalls.size} queries")
+    // Since r7 stage 0 is the LSH bucket candidates (the sf1 lane ceilinged
+    // the probe-set × corpus coarse scan), so end-to-end recall is bounded
+    // by the banding's recall — near zero on this 50-vector spec corpus
+    // (4×8-bit buckets are nearly empty at that size; s06 measures the
+    // banding itself at corpus scale). The property of the coarse+rerank
+    // stages is that they lose almost NOTHING beyond the banding loss:
+    // recall vs the candidate-restricted truth must stay high.
+    val cand = Similarity.probeCandIds(t)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val restricted = Similarity.s01CosineTopK(t)
+      .select($"query_id", $"neighbor_id")
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+      .map { case (q, ids) => q -> (ids & cand.getOrElse(q, Set.empty)) }
+      .filter(_._2.nonEmpty)
+    val stageRecalls = restricted.map { case (q, ids) =>
+      (reranked.getOrElse(q, Set.empty) & ids).size.toDouble / ids.size
+    }
+    assert(stageRecalls.nonEmpty, "no query had any in-bucket true neighbor")
+    val stageMean = stageRecalls.sum / stageRecalls.size
+    info(f"coarse+rerank recall vs candidate-restricted truth: $stageMean%.3f " +
+      f"over ${stageRecalls.size} queries")
+    assert(stageMean >= 0.8, f"stage recall $stageMean%.3f below floor 0.8")
   }
 
   test("g12/g13: LPA refines CC — communities nest inside clusters, bridges counted") {
