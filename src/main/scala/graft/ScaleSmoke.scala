@@ -15,10 +15,12 @@ import scala.concurrent.ExecutionContext.Implicits.global
   * a short text/embedding perturbation, so each source row becomes a cluster
   * of near-duplicates — the worst realistic shape for candidate generation.
   *
-  * Only PRODUCTION paths run here (LSH / SimHash blocking / PPJoin prefix /
-  * gram-key / IVF). The declared all-pairs exact baselines (d02, s03) are
-  * excluded by design and named in the artifact: they are O(n²) oracles, not
-  * hot paths, and benching them at 20× would only prove arithmetic. Every
+  * Only PRODUCTION paths run here (LSH / SimHash blocking / collapse→pair
+  * compositions / gram-key / IVF). The declared all-pairs exact baselines
+  * (d02, s03) are excluded by design and named in the artifact: they are
+  * O(n²) oracles, not hot paths, and benching them at 20× would only prove
+  * arithmetic; raw d08/d13 are excluded as measured OUTPUT-bound on replica
+  * corpora (see [[outputBoundBaselines]] — d26/d27 are their shapes). Every
   * query runs under a wall-clock ceiling enforced with a cancellable job
   * group, so a quadratic stage accidentally introduced into a production path
   * reads as a named breach, not a hung build.
