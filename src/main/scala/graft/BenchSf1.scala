@@ -47,16 +47,24 @@ object BenchSf1 {
     }
     // orders/lineitem share the orderkey offset so every join key still
     // resolves and cardinalities scale linearly, not quadratically
+    // splittable multi-file layout, like buildScaled: the source tables are
+    // single-row-group files, and a crossJoin(broadcast) inherits that one
+    // partition — without the repartition the whole fact table is one
+    // unsplittable file and scan parallelism is 1
+    val nFiles = math.max(16, mult)
     t("orders").crossJoin(broadcast(reps))
       .withColumn("o_orderkey", col("o_orderkey") + col("rep") * REP_KEY)
-      .drop("rep").write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      .drop("rep").repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
     t("lineitem").crossJoin(broadcast(reps))
       .withColumn("l_orderkey", col("l_orderkey") + col("rep") * REP_KEY)
-      .drop("rep").write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      .drop("rep").repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     // events: fresh ids, same users/timestamps — 10× denser sessions
     t("events").crossJoin(broadcast(reps))
       .withColumn("event_id", col("event_id") + col("rep") * REP_KEY)
-      .drop("rep").write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      .drop("rep").repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     ScaleSmoke.buildScaled(spark, baseDir, outDir, mult)
     java.nio.file.Files.createFile(marker)
   }

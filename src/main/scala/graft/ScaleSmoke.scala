@@ -32,8 +32,18 @@ object ScaleSmoke {
   /** Replicate documents+embeddings `mult`× into `outDir` (parquet). Replica 0
     * is byte-identical to the source; replica i>0 gets a 3–4 char text suffix
     * (near-dup, Jaccard ≈ 1 - 1/shingles) and a 1e-4·i embedding shift.
-    */
+    *
+    * Written as `max(16, mult)` files, NOT the crossJoin's inherited single
+    * partition: the sf0.1 source is one file with one row group, so without
+    * the repartition every scaled table is ONE unsplittable file and any
+    * query whose first exchange comes after its heavy work (scan →
+    * broadcast-join → partial-agg) runs single-core no matter the cluster —
+    * which is a measurement artifact, not a plan property (caught at the
+    * 40× probe: s04's "ceiling breach" was one straggler task reading the
+    * only row group). A real 100 TB corpus is thousands of splittable
+    * files; the smoke's layout must be, proportionally, too. */
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String, mult: Int): (Long, Long) = {
+    val nFiles = math.max(16, mult)
     val reps = spark.range(mult.toLong).toDF("rep")
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
       .crossJoin(broadcast(reps))
@@ -43,14 +53,14 @@ object ScaleSmoke {
           .otherwise(concat(col("text"), lit(" r"), col("rep"))).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
-    docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    docs.repartition(nFiles).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
       .crossJoin(broadcast(reps))
       .select(
         (col("vec_id") + col("rep") * lit(1000000L)).as("vec_id"),
         expr("transform(embedding, x -> float(x + rep * 0.0001d))").as("embedding"),
         col("label"))
-    embs.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    embs.repartition(nFiles).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     (spark.read.parquet(s"$outDir/documents.parquet").count(),
       spark.read.parquet(s"$outDir/embeddings.parquet").count())
   }

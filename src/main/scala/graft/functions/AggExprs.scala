@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** `topk_longs(x, k)`: the k largest bigint values of the group, sorted
   * descending — per-group top-k as ONE aggregation instead of a window.
@@ -77,6 +77,128 @@ case class TopKLongs(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): TopKLongs =
     copy(child = newChildren.head)
+}
+
+/** `topk_scored(score, id, k[, largest])`: the k best `(score, id)` pairs of
+  * the group as `array<struct<score double, id bigint>>`, ordered best-first
+  * — `largest=true` (default) keeps the k largest scores (score DESC, id ASC
+  * on ties), `largest=false` the k smallest (score ASC, id ASC).
+  *
+  * This is the production shape for every per-query ANN ranking stage: the
+  * window encoding (`row_number() OVER (PARTITION BY query ORDER BY score)
+  * <= k`) must exchange EVERY candidate pair to its query's partition and
+  * sort it, so a candidate join emitting O(n·q/k_clusters) rows pays a full
+  * shuffle+sort of the pair stream (measured: 174 of s04's 227 s at the 40×
+  * probe was the window exchange). As a TypedImperativeAggregate the top-k
+  * runs inside normal partial aggregation: each map task ships one k-slot
+  * buffer per query, the exchange carries |queries|·k rows, and no sort
+  * runs anywhere. Ordering is total on (score, id), so the result is
+  * deterministic under any partial-merge order.
+  */
+case class TopKScored(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    largest: Boolean = true,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKScored.Buf] {
+
+  require(k >= 1 && k <= (1 << 20), s"topk_scored k out of range: $k")
+
+  override def children: Seq[Expression] = score :: id :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = TopKScored.resultType
+  override def prettyName: String = "topk_scored"
+
+  override def createAggregationBuffer(): TopKScored.Buf = new TopKScored.Buf(k, largest)
+
+  override def update(buf: TopKScored.Buf, input: InternalRow): TopKScored.Buf = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopKScored.Buf, other: TopKScored.Buf): TopKScored.Buf = {
+    var i = 0
+    while (i < other.n) { buf.add(other.scores(i), other.ids(i)); i += 1 }
+    buf
+  }
+
+  override def eval(buf: TopKScored.Buf): Any = {
+    val (ss, is) = buf.sortedBestFirst
+    val rows = new Array[Any](ss.length)
+    var i = 0
+    while (i < ss.length) {
+      rows(i) = InternalRow(ss(i), is(i))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKScored.Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.n)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(storage: Array[Byte]): TopKScored.Buf = {
+    val bb = ByteBuffer.wrap(storage)
+    val n = bb.getInt
+    val buf = new TopKScored.Buf(k, largest)
+    var i = 0
+    while (i < n) { buf.add(bb.getDouble, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKScored =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKScored =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKScored =
+    copy(score = newChildren.head, id = newChildren(1))
+}
+
+object TopKScored {
+  val resultType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+
+  /** Bounded k-slot (score, id) buffer; the worst slot is replaced when a
+    * strictly better pair arrives. `better` is the total order (score DESC,
+    * id ASC) when largest, (score ASC, id ASC) when smallest. */
+  final class Buf(k: Int, largest: Boolean) {
+    val scores = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var n = 0
+
+    private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      if (s1 != s2) { if (largest) s1 > s2 else s1 < s2 } else i1 < i2
+
+    def add(s: Double, i: Long): Unit =
+      if (n < k) { scores(n) = s; ids(n) = i; n += 1 }
+      else {
+        var wi = 0
+        var j = 1
+        while (j < n) {
+          if (better(scores(wi), ids(wi), scores(j), ids(j))) wi = j
+          j += 1
+        }
+        if (better(s, i, scores(wi), ids(wi))) { scores(wi) = s; ids(wi) = i }
+      }
+
+    def sortedBestFirst: (Array[Double], Array[Long]) = {
+      val idx = Array.tabulate(n)(identity)
+      val boxed = idx.sortWith((a, b) => better(scores(a), ids(a), scores(b), ids(b)))
+      (boxed.map(scores), boxed.map(ids))
+    }
+  }
 }
 
 object TopKLongs {

@@ -590,6 +590,8 @@ object Registry {
     "jaccard_bp_words" -> (es => JaccardBpWords(es.head, es(1))),
     "dot_d"          -> (es => DotD(es.head, es(1))),
     "topk_longs"     -> (es => TopKLongs(es.head, intLit(es(1)))),
+    "topk_scored"    -> (es => TopKScored(es.head, es(1), intLit(es(2)),
+      if (es.length > 3) boolLit(es(3)) else true)),
   )
 
   /** Idempotent per-session registration. */

@@ -20,6 +20,37 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Per-group top-k as ONE partial-aggregating pass (`topk_scored`), not a
+    * window: the window encoding exchanges and sorts EVERY candidate pair
+    * (174 of s04's 227 s at the 40× probe was this exchange); the aggregate
+    * ships one k-slot buffer per group per map task. Emits
+    * (part, rk 1..k, id, score) best-first — exactly the rows
+    * `row_number() OVER (PARTITION BY part ORDER BY score [DESC], id) <= k`
+    * selects, because (score, id) is a total order. */
+  private[graft] def rankTopK(df: DataFrame, part: String, score: String,
+      id: String, k: Int, largest: Boolean = true): DataFrame = {
+    df.groupBy(col(part))
+      .agg(call_function("topk_scored", col(score), col(id), lit(k), lit(largest)).as("top"))
+      .select(col(part), posexplode(col("top")))
+      .select(col(part), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as(id), col("col.score").as(score))
+  }
+
+  /** Pair-stage cosine from a per-pair dot and PREcomputed per-row squared
+    * norms: `round(dot/sqrt(na*nb), 4) + 0.0`, with [[graft.functions.TextHashOps.cosineSim]]'s
+    * zero-norm guard. Bit-identical to `cosine_sim(a, b)` because `dot_d`
+    * and the norms accumulate in the same index order and the final
+    * expression is the same `dot / sqrt(na * nb)` — but the per-PAIR work
+    * drops from dot+2 norms (192 FMA) to one dot (64 FMA): on an O(n·q)
+    * candidate join the norms are O(n+q) instead of O(n·q). */
+  private def prenormCos(a: String, b: String, na: String, nb: String) =
+    (round(when(col(na) === 0.0 || col(nb) === 0.0, lit(0.0))
+      .otherwise(call_function("dot_d", col(a), col(b)) / sqrt(col(na) * col(nb))), 4)
+      + lit(0.0))
+
+  /** Per-row squared L2 norm, accumulated like cosineSim's `na`. */
+  private def sqNorm(e: String) = call_function("dot_d", col(e), col(e))
+
   /** DuckDB fragment: cosine over 64-dim float lists in index order. */
   private def duckCos(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))
@@ -34,13 +65,11 @@ object Similarity {
     val q = t.embeddings.filter($"vec_id" % 25 === 0)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     val c = t.embeddings.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
-    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
-    c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
+    val pairs = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
       .select($"query_id", $"neighbor_id",
         (round(expr("cosine_sim(q_emb, c_emb)"), 4) + lit(0.0)).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 5)
-      .select($"query_id", $"rk".cast("long").as("rk"), $"neighbor_id", $"cosine")
+    rankTopK(pairs, "query_id", "cosine", "neighbor_id", 5)
+      .select($"query_id", $"rk", $"neighbor_id", $"cosine")
       .orderBy($"query_id", $"rk")
   }
 
@@ -258,17 +287,15 @@ object Similarity {
     graft.functions.Registry.ensure(t.spark)
     val cents = trainIvfCentroids(t)
     val assigned = assignCluster(quantized(t), cents)
-      .select($"vec_id", $"embedding", $"cluster")
+      .select($"vec_id", $"embedding", $"cluster", sqNorm("embedding").as("nb"))
     val q = probeClusters(quantized(t).filter($"vec_id" % 25 === 0), cents, IvfNprobe)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
-        explode($"probes").as("qc"))
-    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
-    assigned.join(broadcast(q), $"cluster" === $"qc" && $"query_id" =!= $"vec_id")
+        sqNorm("embedding").as("na"), explode($"probes").as("qc"))
+    val pairs = assigned.join(broadcast(q), $"cluster" === $"qc" && $"query_id" =!= $"vec_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
-        (round(expr("cosine_sim(q_emb, embedding)"), 4) + lit(0.0)).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 3)
-      .select($"query_id", $"rk".cast("long").as("rk"), $"neighbor_id", $"cosine")
+        prenormCos("q_emb", "embedding", "na", "nb").as("cosine"))
+    rankTopK(pairs, "query_id", "cosine", "neighbor_id", 3)
+      .select($"query_id", $"rk", $"neighbor_id", $"cosine")
       .orderBy($"query_id", $"rk")
   }
 
@@ -345,14 +372,19 @@ object Similarity {
       .select($"vec_id".as("query_id"), $"label".cast("long").as("true_label"),
         $"embedding".as("q_emb"))
     val c = t.embeddings
-      .select($"vec_id".as("neighbor_id"), $"label".cast("long").as("n_label"),
-        $"embedding".as("c_emb"))
-    val wTop = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
-    val top5 = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
-      .select($"query_id", $"true_label", $"neighbor_id", $"n_label",
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    // top-5 ids via the partial top-k aggregate (no all-pairs window), then
+    // one tiny join recovers the neighbor labels for the vote
+    val top5ids = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"true_label", $"neighbor_id",
         (round(expr("cosine_sim(q_emb, c_emb)"), 4) + lit(0.0)).as("cosine"))
-      .withColumn("rk", row_number().over(wTop))
-      .filter($"rk" <= 5)
+      .groupBy($"query_id", $"true_label")
+      .agg(call_function("topk_scored", $"cosine", $"neighbor_id", lit(5)).as("top"))
+      .select($"query_id", $"true_label",
+        explode(expr("transform(top, s -> s.id)")).as("neighbor_id"))
+    val nl = t.embeddings
+      .select($"vec_id".as("neighbor_id"), $"label".cast("long").as("n_label"))
+    val top5 = top5ids.join(nl, "neighbor_id")
     val wVote = Window.partitionBy($"query_id").orderBy($"votes".desc, $"n_label")
     top5
       .groupBy($"query_id", $"true_label", $"n_label")
@@ -445,12 +477,10 @@ object Similarity {
     val q = t.embeddings.filter($"vec_id" % 25 === 0)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     val c = t.embeddings.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
-    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
-    val truth = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
+    val truthPairs = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
       .select($"query_id", $"neighbor_id",
         (round(expr("cosine_sim(q_emb, c_emb)"), 4) + lit(0.0)).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 3)
+    val truth = rankTopK(truthPairs, "query_id", "cosine", "neighbor_id", 3)
       .select($"query_id", $"neighbor_id")
     val ann = s04IvfAnn(t)
       .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
@@ -643,23 +673,20 @@ object Similarity {
              ELSE transform(e, v -> CAST(0 AS BIGINT)) END AS codes""")
     val qc = codes.filter($"vec_id" % 25 === 0)
       .select($"vec_id".as("query_id"), $"codes".as("q_codes"))
-    val approx = qc.join(codes, $"vec_id" =!= $"query_id")
+    // int8-code dots stay < 2^23, exact in the aggregate's double score
+    val approxPairs = qc.join(codes, $"vec_id" =!= $"query_id")
       .selectExpr("query_id", "vec_id AS neighbor_id",
-        """aggregate(zip_with(q_codes, codes, (a, b) -> a * b),
-             CAST(0 AS BIGINT), (s, x) -> s + x) AS dot""")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id")))
-      .filter($"rk" <= 3)
+        """CAST(aggregate(zip_with(q_codes, codes, (a, b) -> a * b),
+             CAST(0 AS BIGINT), (s, x) -> s + x) AS DOUBLE) AS dot""")
+    val approx = rankTopK(approxPairs, "query_id", "dot", "neighbor_id", 3)
       .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
     val emb = t.embeddings.select($"vec_id", $"embedding")
-    val truth = emb.filter($"vec_id" % 25 === 0)
+    val truthPairs = emb.filter($"vec_id" % 25 === 0)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
       .join(emb, $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
         (round(expr("cosine_sim(q_emb, embedding)"), 4) + lit(0.0)).as("cos"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")))
-      .filter($"rk" <= 3)
+    val truth = rankTopK(truthPairs, "query_id", "cos", "neighbor_id", 3)
       .select($"query_id", $"neighbor_id")
     truth.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
       .groupBy($"query_id")
@@ -729,12 +756,8 @@ object Similarity {
 
   def s12KnnGraph(t: T, k: Int = 3): DataFrame = {
     import t.spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"src").orderBy($"cosine".desc, $"dst")
-    symScored(t)
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= k)
-      .select($"src", $"rk".cast("long").as("rk"), $"dst", $"cosine")
+    rankTopK(symScored(t), "src", "cosine", "dst", k)
+      .select($"src", $"rk", $"dst", $"cosine")
       .orderBy($"src", $"rk")
   }
 
@@ -1081,24 +1104,21 @@ object Similarity {
     // stage hit at the 30× smoke, with the same fix: candidates from the
     // shared hyperplane banding, coarse int8 scoring only on candidates.
     val cCodes = coded.select($"vec_id".as("neighbor_id"), $"codes".as("c_codes"))
-    val coarseW = Window.partitionBy($"query_id").orderBy($"coarse".desc, $"neighbor_id")
-    val top40 = probeCandIds(t)
+    // int8-code dots stay < 2^20, exact in the aggregate's double score
+    val coarsePairs = probeCandIds(t)
       .join(hint(qCodes), "query_id").join(hint(cCodes), "neighbor_id")
       .select($"query_id", $"neighbor_id",
-        expr("aggregate(zip_with(q_codes, c_codes, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+        expr("CAST(aggregate(zip_with(q_codes, c_codes, (a, b) -> a * b), 0L, (a, x) -> a + x) AS DOUBLE)")
           .as("coarse"))
-      .withColumn("crk", row_number().over(coarseW))
-      .filter($"crk" <= 40)
+    val top40 = rankTopK(coarsePairs, "query_id", "coarse", "neighbor_id", 40)
       .select($"query_id", $"neighbor_id")
     val qe = t.embeddings.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     val ce = t.embeddings.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
-    val exactW = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
-    top40.join(hint(qe), "query_id").join(hint(ce), "neighbor_id")
+    val exactPairs = top40.join(hint(qe), "query_id").join(hint(ce), "neighbor_id")
       .select($"query_id", $"neighbor_id",
         (round(expr("cosine_sim(q_emb, c_emb)"), 4) + lit(0.0)).as("cosine"))
-      .withColumn("rk", row_number().over(exactW))
-      .filter($"rk" <= 5)
-      .select($"query_id", $"rk".cast("long").as("rk"), $"neighbor_id", $"cosine")
+    rankTopK(exactPairs, "query_id", "cosine", "neighbor_id", 5)
+      .select($"query_id", $"rk", $"neighbor_id", $"cosine")
       .orderBy($"query_id", $"rk")
   }
 
@@ -1345,10 +1365,8 @@ object Similarity {
           $"cluster" === $"qc" && $"query_id" =!= $"vec_id")
         .select($"query_id", $"vec_id".as("neighbor_id"),
           (round(expr("cosine_sim(q_emb, embedding)"), 4) + lit(0.0)).as("cosine"))
-      val ann = pairs
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")))
-        .filter($"rk" <= 3).select($"query_id", $"neighbor_id")
+      val ann = rankTopK(pairs, "query_id", "cosine", "neighbor_id", 3)
+        .select($"query_id", $"neighbor_id")
       val hits = truth.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("total_hits"))
       val cost = pairs.agg(count(lit(1)).as("total_pairs"))
@@ -1428,13 +1446,12 @@ object Similarity {
       s"${word(0)} AS lo", s"${word(32)} AS hi")
     val q = sigs.filter($"vec_id" % 25 === 0)
       .select($"vec_id".as("query_id"), $"lo".as("qlo"), $"hi".as("qhi"))
-    val hamW = Window.partitionBy($"query_id").orderBy($"hamming", $"neighbor_id")
-    val ann = sigs.select($"vec_id".as("neighbor_id"), $"lo", $"hi")
+    // hamming <= 128, exact in the aggregate's double score; smallest-k
+    val hamPairs = sigs.select($"vec_id".as("neighbor_id"), $"lo", $"hi")
       .join(broadcast(q), $"query_id" =!= $"neighbor_id")
       .select($"query_id", $"neighbor_id",
-        expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)").cast("long").as("hamming"))
-      .withColumn("rk", row_number().over(hamW))
-      .filter($"rk" <= 10)
+        expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)").cast("double").as("hamming"))
+    val ann = rankTopK(hamPairs, "query_id", "hamming", "neighbor_id", 10, largest = false)
       .select($"query_id", $"neighbor_id")
     val truth = s01CosineTopK(t) // exact top-5 on the same probe set
       .select($"query_id", $"neighbor_id")

@@ -46,4 +46,55 @@ class TopKAggSpec extends SparkSpec {
     assert(r(0).getSeq[Long](1) === Seq(9L, 5L))
     assert(r(1).getSeq[Long](1) === Seq(7L))
   }
+
+  /** Scored pairs with heavy score ties (score = cents % 7) so the id
+    * tie-break carries the ordering — the regime where a buggy top-k
+    * silently diverges from the window. */
+  private def scoredPairs = {
+    import spark.implicits._
+    t.orders.select(
+      $"o_orderstatus".as("g"),
+      expr("CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) % 7 AS DOUBLE)").as("score"),
+      $"o_orderkey".as("id"))
+  }
+
+  test("topk_scored(largest) equals row_number window (score DESC, id ASC) on every group") {
+    import spark.implicits._
+    Registry.ensure(spark)
+    val viaAgg = scoredPairs.groupBy($"g")
+      .agg(expr("topk_scored(score, id, 4)").as("top"))
+      .select($"g", posexplode($"top"))
+      .select($"g", ($"pos" + 1).cast("long").as("rk"),
+        $"col.id".as("id"), $"col.score".as("score"))
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"id")
+    val viaWindow = scoredPairs
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 4)
+      .select($"g", $"rk".cast("long").as("rk"), $"id", $"score")
+    assert(snap(viaAgg) === snap(viaWindow))
+  }
+
+  test("topk_scored(smallest) equals row_number window (score ASC, id ASC)") {
+    import spark.implicits._
+    Registry.ensure(spark)
+    val viaAgg = scoredPairs.groupBy($"g")
+      .agg(expr("topk_scored(score, id, 3, false)").as("top"))
+      .select($"g", posexplode($"top"))
+      .select($"g", ($"pos" + 1).cast("long").as("rk"),
+        $"col.id".as("id"), $"col.score".as("score"))
+    val w = Window.partitionBy($"g").orderBy($"score".asc, $"id")
+    val viaWindow = scoredPairs
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"g", $"rk".cast("long").as("rk"), $"id", $"score")
+    assert(snap(viaAgg) === snap(viaWindow))
+  }
+
+  test("topk_scored buffers merge across repartitionings (partial agg correctness)") {
+    import spark.implicits._
+    Registry.ensure(spark)
+    val one = scoredPairs.coalesce(1).groupBy($"g")
+      .agg(expr("topk_scored(score, id, 5)").as("top"))
+    val many = scoredPairs.repartition(13, $"id" % 13).groupBy($"g")
+      .agg(expr("topk_scored(score, id, 5)").as("top"))
+    assert(snap(one) === snap(many))
+  }
 }

@@ -77,10 +77,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(source"), p)
   }
 
-  test("s12: knn graph candidates are bucket equi-joins, window keyed by src") {
+  test("s12: knn graph candidates are bucket equi-joins, top-k as a partial aggregate") {
     val p = plan("s12_knn_graph")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("windowspecdefinition(src"), p)
+    // the per-src ranking must be the partial-aggregating topk_scored, not a
+    // window: no exchange+sort of the full candidate-pair stream
+    assert(p.contains("partial_topk_scored"), p)
+    assert(!p.contains("windowspecdefinition"), p)
   }
 
   test("p24: padding window partitions by source (no single-partition rank)") {
