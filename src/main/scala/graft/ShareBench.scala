@@ -205,6 +205,47 @@ object ShareBench {
       val fragS = paired.map(_._2).sorted.apply(1)
       lines2 += s"""{"workload":"similarity_family","window":8,"separate":$sepS,"fragment_shared":$fragS}"""
     }
+    // text family: five analysis queries that all contain the
+    // (doc_id, source, tok) explode subtree (TextAnalysis.docTokens is ONE
+    // definition since r7), t11/t12 additionally sharing the per-doc word
+    // census (docWordCounts). Same 10×-replicated corpus and paired
+    // median-of-3 single-slot protocol as the similarity row, for the same
+    // reasons (total work, cold-vs-cold fragment materialization).
+    if (only("text_family")) {
+      import graft.operators.TextAnalysis
+      val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val txtDir = "/tmp/graft-share/x10"
+      val marker = java.nio.file.Paths.get(s"$txtDir/_GRAFT_READY")
+      if (!java.nio.file.Files.exists(marker)) {
+        ScaleSmoke.buildScaled(spark, base, txtDir, 10)
+        java.nio.file.Files.createFile(marker)
+      }
+      def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+      def txtJobs: Seq[QueryJob[Unit]] = Seq[(String, SparkSession => DataFrame)](
+        "t08" -> (s => TextAnalysis.t08ZipfProfile(T(s, txtDir))),
+        "t11" -> (s => TextAnalysis.t11TfidfTopTerms(T(s, txtDir))),
+        "t12" -> (s => TextAnalysis.t12HapaxRatio(T(s, txtDir))),
+        "t16" -> (s => TextAnalysis.t16VocabOverlap(T(s, txtDir))),
+        "t17" -> (s => TextAnalysis.t17SourceDrift(T(s, txtDir)))
+      ).map { case (n, b) => QueryJob[Unit](n, b, noop) }
+      val txtFrags = Seq[(String, SparkSession => DataFrame)](
+        "doc_tokens"      -> (s => TextAnalysis.docTokens(T(s, txtDir))),
+        "doc_word_counts" -> (s => TextAnalysis.docWordCounts(T(s, txtDir))))
+      val paired = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val a = time(new WorkSharingExecutor(spark, budgetBytes = 0L,
+          maxConcurrency = 1).runBatch(txtJobs))
+        spark.catalog.clearCache()
+        val b = time {
+          val ex = new WorkSharingExecutor(spark, budgetBytes = 0L, maxConcurrency = 1)
+          try ex.runBatch(txtJobs, txtFrags) finally ex.shutdown()
+        }
+        (a, b)
+      }
+      val sepT = paired.map(_._1).sorted.apply(1)
+      val fragT = paired.map(_._2).sorted.apply(1)
+      lines2 += s"""{"workload":"text_family","window":5,"separate":$sepT,"fragment_shared":$fragT}"""
+    }
     (lines ++ lines2).foreach(println)
     // file artifact, like Bench's BENCH_full.json: stdout of a manual run
     // isn't captured anywhere durable

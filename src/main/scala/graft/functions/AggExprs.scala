@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** `topk_longs(x, k)`: the k largest bigint values of the group, sorted
   * descending — per-group top-k as ONE aggregation instead of a window.
@@ -197,6 +198,137 @@ object TopKScored {
       val idx = Array.tabulate(n)(identity)
       val boxed = idx.sortWith((a, b) => better(scores(a), ids(a), scores(b), ids(b)))
       (boxed.map(scores), boxed.map(ids))
+    }
+  }
+}
+
+/** `topk_scored_str(score, id, k[, largest])`: [[TopKScored]] with STRING
+  * ids — the per-group top-k where the tie-break (and identity) is a token
+  * rather than a numeric id, e.g. "top terms per doc/lang" over a word
+  * census. Ordering is (score DESC|ASC, id ASC in binary/UTF8 order —
+  * exactly Spark's and DuckDB's default string sort). Same scale shape as
+  * TopKScored: a k-slot buffer through partial aggregation instead of a
+  * window exchange+sort of the full census. Input UTF8Strings are cloned
+  * into the buffer (the row's backing bytes are reused by the scanner). */
+case class TopKScoredStr(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    largest: Boolean = true,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKScoredStr.Buf] {
+
+  require(k >= 1 && k <= (1 << 20), s"topk_scored_str k out of range: $k")
+
+  override def children: Seq[Expression] = score :: id :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = TopKScoredStr.resultType
+  override def prettyName: String = "topk_scored_str"
+
+  override def createAggregationBuffer(): TopKScoredStr.Buf =
+    new TopKScoredStr.Buf(k, largest)
+
+  override def update(buf: TopKScoredStr.Buf, input: InternalRow): TopKScoredStr.Buf = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      buf.add(s.asInstanceOf[Double], i.asInstanceOf[UTF8String].clone())
+    buf
+  }
+
+  override def merge(buf: TopKScoredStr.Buf, other: TopKScoredStr.Buf): TopKScoredStr.Buf = {
+    var i = 0
+    while (i < other.n) { buf.add(other.scores(i), other.ids(i)); i += 1 }
+    buf
+  }
+
+  override def eval(buf: TopKScoredStr.Buf): Any = {
+    val (ss, is) = buf.sortedBestFirst
+    val rows = new Array[Any](ss.length)
+    var i = 0
+    while (i < ss.length) {
+      rows(i) = InternalRow(ss(i), is(i))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKScoredStr.Buf): Array[Byte] = {
+    var bytes = 0
+    var i = 0
+    while (i < buf.n) { bytes += buf.ids(i).numBytes(); i += 1 }
+    val bb = ByteBuffer.allocate(4 + 12 * buf.n + bytes)
+    bb.putInt(buf.n)
+    i = 0
+    while (i < buf.n) {
+      bb.putDouble(buf.scores(i))
+      val b = buf.ids(i).getBytes
+      bb.putInt(b.length)
+      bb.put(b)
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(storage: Array[Byte]): TopKScoredStr.Buf = {
+    val bb = ByteBuffer.wrap(storage)
+    val n = bb.getInt
+    val buf = new TopKScoredStr.Buf(k, largest)
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      buf.add(s, UTF8String.fromBytes(b))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKScoredStr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKScoredStr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKScoredStr =
+    copy(score = newChildren.head, id = newChildren(1))
+}
+
+object TopKScoredStr {
+  val resultType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", StringType, nullable = false))),
+    containsNull = false)
+
+  /** Bounded k-slot (score, UTF8String id) buffer; total order (score
+    * DESC|ASC, id binary ASC). */
+  final class Buf(k: Int, largest: Boolean) {
+    val scores = new Array[Double](k)
+    val ids = new Array[UTF8String](k)
+    var n = 0
+
+    private def better(s1: Double, i1: UTF8String, s2: Double, i2: UTF8String): Boolean =
+      if (s1 != s2) { if (largest) s1 > s2 else s1 < s2 } else i1.compareTo(i2) < 0
+
+    def add(s: Double, i: UTF8String): Unit =
+      if (n < k) { scores(n) = s; ids(n) = i; n += 1 }
+      else {
+        var wi = 0
+        var j = 1
+        while (j < n) {
+          if (better(scores(wi), ids(wi), scores(j), ids(j))) wi = j
+          j += 1
+        }
+        if (better(s, i, scores(wi), ids(wi))) { scores(wi) = s; ids(wi) = i }
+      }
+
+    def sortedBestFirst: (Array[Double], Array[UTF8String]) = {
+      val idx = Array.tabulate(n)(identity)
+      val sorted = idx.sortWith((a, b) => better(scores(a), ids(a), scores(b), ids(b)))
+      (sorted.map(scores), sorted.map(ids))
     }
   }
 }

@@ -592,6 +592,8 @@ object Registry {
     "topk_longs"     -> (es => TopKLongs(es.head, intLit(es(1)))),
     "topk_scored"    -> (es => TopKScored(es.head, es(1), intLit(es(2)),
       if (es.length > 3) boolLit(es(3)) else true)),
+    "topk_scored_str" -> (es => TopKScoredStr(es.head, es(1), intLit(es(2)),
+      if (es.length > 3) boolLit(es(3)) else true)),
   )
 
   /** Idempotent per-session registration. */

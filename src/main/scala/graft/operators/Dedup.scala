@@ -747,20 +747,21 @@ object Dedup {
     * doc_id as the deterministic tiebreak — plus what gets dropped. This is
     * the step that turns the pair/cluster analytics into an actionable
     * training-set decision (the keeper list IS the dedup filter). One
-    * window over clusters keyed on cluster_id; scales like d07. */
+    * partial-aggregating groupBy keyed on cluster_id (max_by/max on
+    * struct(n_chars, -doc_id) IS the (n_chars DESC, doc_id ASC) rank-1
+    * row); scales like d07, with map-side reduction instead of a
+    * per-cluster window sort. */
   def d12ClusterKeeper(t: T): DataFrame = {
     import t.spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     graft.functions.Registry.ensure(t.spark)
     val clusters = connectedComponents(d04MinhashLshPairs(t).select($"doc_a", $"doc_b"))
-    val sized = clusters.join(t.documents.select($"doc_id", $"n_chars"), "doc_id")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")))
-    sized.groupBy($"cluster_id")
+    clusters.join(t.documents.select($"doc_id", $"n_chars"), "doc_id")
+      .groupBy($"cluster_id")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_chars").as("total_chars"),
-        min(when($"rk" === 1, $"doc_id")).as("keeper_id"),
-        (sum($"n_chars") - min(when($"rk" === 1, $"n_chars"))).as("chars_dropped"))
+        max_by($"doc_id", struct($"n_chars", (-$"doc_id").as("nid"))).as("keeper_id"),
+        (sum($"n_chars") - max(struct($"n_chars", (-$"doc_id").as("nid")))
+          .getField("n_chars")).as("chars_dropped"))
       .orderBy($"cluster_id")
   }
 
@@ -1308,14 +1309,17 @@ object Dedup {
     * definition for d25 (collapse-then-repair measurement) and d26 (the
     * composed collapse→pair production pipeline). */
   private[operators] def keeperIds(t: T, pairs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import t.spark.implicits._
     val clusters = connectedComponents(pairs)
-    val keeperW = Window.partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")
+    // argmax as a codegen'd partial aggregate, not a per-cluster window:
+    // max_by on struct(n_chars, -doc_id) IS (n_chars DESC, doc_id ASC)
+    // rank 1, and the map side reduces each cluster to one row before the
+    // exchange (the window shape shuffles+sorts every membership row)
     val clusterKeepers = clusters
       .join(t.documents.select($"doc_id", $"n_chars"), "doc_id")
-      .withColumn("rk", row_number().over(keeperW))
-      .filter($"rk" === 1).select($"doc_id")
+      .groupBy($"cluster_id")
+      .agg(max_by($"doc_id", struct($"n_chars", (-$"doc_id").as("nid"))).as("doc_id"))
+      .select($"doc_id")
     t.documents.select($"doc_id")
       .join(clusters.select($"doc_id"), Seq("doc_id"), "left_anti")
       .unionByName(clusterKeepers)

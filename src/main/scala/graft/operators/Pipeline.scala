@@ -683,13 +683,15 @@ object Pipeline {
     val clusters = Dedup.connectedComponents(
       Dedup.d04MinhashLshPairs(t).select($"doc_a", $"doc_b"))
     val quality = TextAnalysis.t03QualityScore(t).select($"doc_id", $"quality_bp")
+    // argmax keeper as a partial aggregate (max_by/max on
+    // struct(quality_bp, -doc_id) IS the (quality DESC, doc_id ASC) rank-1
+    // row) — map-side reduction instead of a per-cluster window sort
     clusters.join(quality, "doc_id")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"cluster_id").orderBy($"quality_bp".desc, $"doc_id")))
       .groupBy($"cluster_id")
       .agg(count(lit(1)).as("n_docs"),
-        min(when($"rk" === 1, $"doc_id")).as("keeper_id"),
-        min(when($"rk" === 1, $"quality_bp")).as("keeper_quality_bp"),
+        max_by($"doc_id", struct($"quality_bp", (-$"doc_id").as("nid"))).as("keeper_id"),
+        max(struct($"quality_bp", (-$"doc_id").as("nid")))
+          .getField("quality_bp").as("keeper_quality_bp"),
         min($"quality_bp").as("min_quality_bp"))
       .orderBy($"cluster_id")
   }

@@ -37,6 +37,28 @@ object TextAnalysis {
 
   /** Token counting: whitespace tokens + a BPE-ish segmentation (maximal
     * vowel-runs / consonant-runs as subword units) + distinct tokens. */
+  /** ONE definition of the whitespace token-occurrence frame
+    * (doc_id, source, tok) — the text family's shared plane, like
+    * [[Similarity.hyperplaneSigs]] for the similarity family: t08/t11/t12/
+    * t16/t17 all contain this CANONICALLY-EQUAL subtree, which is what lets
+    * `runBatch(sharedFragments)` materialize the explode once per window
+    * and substitute the InMemoryRelation into every sibling. Narrow rows
+    * (long + two short strings) — the fragment granularity the r7
+    * measurements favored for caching. */
+  private[graft] def docTokens(t: T): DataFrame = {
+    import t.spark.implicits._
+    t.documents.select($"doc_id", $"source", explode(split($"text", " ")).as("tok"))
+  }
+
+  /** Per-doc word census (doc_id, word, cnt) — t11's `tf` and t12's `c`
+    * are the SAME subplan; one definition keeps them canonically equal
+    * (and makes the census itself a cacheable family fragment). */
+  private[graft] def docWordCounts(t: T): DataFrame = {
+    import t.spark.implicits._
+    docTokens(t).select($"doc_id", $"tok".as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("cnt"))
+  }
+
   def t01TokenCount(t: T): DataFrame = {
     import t.spark.implicits._
     t.documents
@@ -164,12 +186,15 @@ object TextAnalysis {
         """explode(zip_with(slice(toks, 1, size(toks) - 1),
                             slice(toks, 2, size(toks) - 1),
                             (a, b) -> concat(a, ' ', b)))""").as("bigram"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"lang").orderBy($"n".desc, $"bigram")
+    // top-5 per lang as a partial top-k aggregate over the census, not a
+    // window exchange+sort of the full |langs × bigram-vocab| census
+    graft.functions.Registry.ensure(t.spark)
     bigrams.groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 5)
-      .select($"lang", $"rk".cast("long").as("rk"), $"bigram", $"n")
+      .groupBy($"lang")
+      .agg(expr("topk_scored_str(CAST(n AS DOUBLE), bigram, 5)").as("top"))
+      .select($"lang", posexplode($"top"))
+      .select($"lang", ($"pos" + 1).cast("long").as("rk"),
+        $"col.id".as("bigram"), $"col.score".cast("long").as("n"))
       .orderBy($"lang", $"rk")
   }
 
@@ -305,15 +330,17 @@ object TextAnalysis {
     * corpus size. */
   def t08ZipfProfile(t: T): DataFrame = {
     import t.spark.implicits._
-    val freq = t.documents
-      .select(explode(split($"text", " ")).as("tok"))
+    // ONE global aggregate over the census computes the top-50 AND the
+    // corpus total together — no all-partitions window, no second pass
+    graft.functions.Registry.ensure(t.spark)
+    docTokens(t).select($"tok")
       .groupBy($"tok").agg(count(lit(1)).as("n"))
-      .withColumn("total", sum($"n").over(org.apache.spark.sql.expressions.Window.partitionBy()))
-    freq
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"tok")).cast("long"))
-      .filter($"rank" <= 50)
-      .select($"rank", $"tok", $"n", expr("n * 10000 DIV total").as("coverage_bp"))
+      .agg(expr("topk_scored_str(CAST(n AS DOUBLE), tok, 50)").as("top"),
+        sum($"n").as("total"))
+      .select(posexplode($"top"), $"total")
+      .select(($"pos" + 1).cast("long").as("rank"), $"col.id".as("tok"),
+        $"col.score".cast("long").as("n"),
+        expr("CAST(col.score AS BIGINT) * 10000 DIV total").as("coverage_bp"))
       .orderBy($"rank")
   }
 
@@ -442,16 +469,19 @@ object TextAnalysis {
     // each exchange to ~distinct (doc, word) pairs, which beats shuffling
     // the raw exploded tokens once — exchange BYTES, not exchange count,
     // is what matters on this data shape
-    val words = t.documents.select($"doc_id", explode(split($"text", " ")).as("word"))
-    val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val tf = docWordCounts(t).withColumnRenamed("cnt", "tf")
     val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
     val n = t.documents.agg(count(lit(1)).as("n_docs"))
+    // top-3 per doc as a partial top-k aggregate (scores < 2^53, exact in
+    // the double slot), not a window over the full scored census
+    graft.functions.Registry.ensure(t.spark)
     tf.join(broadcast(df), "word").crossJoin(broadcast(n))
       .withColumn("score", expr("tf * (10000 - df * 10000 DIV n_docs)"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"score".desc, $"word")))
-      .filter($"rk" <= 3)
-      .select($"doc_id", $"rk".cast("long").as("rk"), $"word", $"score")
+      .groupBy($"doc_id")
+      .agg(expr("topk_scored_str(CAST(score AS DOUBLE), word, 3)").as("top"))
+      .select($"doc_id", posexplode($"top"))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("rk"),
+        $"col.id".as("word"), $"col.score".cast("long").as("score"))
       .orderBy($"doc_id", $"rk")
   }
 
@@ -474,8 +504,7 @@ object TextAnalysis {
     * discriminative one). Narrow per-doc aggregation, no corpus shuffle. */
   def t12HapaxRatio(t: T): DataFrame = {
     import t.spark.implicits._
-    t.documents.select($"doc_id", explode(split($"text", " ")).as("word"))
-      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("cnt"))
+    docWordCounts(t)
       .groupBy($"doc_id")
       .agg(sum($"cnt").as("n_tokens"),
         sum(when($"cnt" === 1, 1L).otherwise(0L)).as("n_hapax"))
@@ -585,8 +614,7 @@ object TextAnalysis {
     * inverted-index build; a df-cap filter would bound the hottest tokens. */
   def t16VocabOverlap(t: T): DataFrame = {
     import t.spark.implicits._
-    val st = t.documents
-      .select($"source", explode(split($"text", " ")).as("tok"))
+    val st = docTokens(t).select($"source", $"tok")
       .filter(length($"tok") > 0)
       .distinct()
     val sizes = st.groupBy($"source").agg(count(lit(1)).as("n"))
@@ -630,8 +658,7 @@ object TextAnalysis {
     * token census joined to the corpus census on token. */
   def t17SourceDrift(t: T): DataFrame = {
     import t.spark.implicits._
-    val toks = t.documents
-      .select($"source", explode(split($"text", " ")).as("tok"))
+    val toks = docTokens(t).select($"source", $"tok")
       .filter(length($"tok") > 0)
     val corpus = toks.groupBy($"tok").agg(count(lit(1)).as("cw"))
     val corpusTotal = corpus.agg(sum($"cw").as("nn"))

@@ -88,6 +88,41 @@ class TopKAggSpec extends SparkSpec {
     assert(snap(viaAgg) === snap(viaWindow))
   }
 
+  /** String-id pairs with heavy score ties so the UTF8 tie-break carries
+    * the ordering. */
+  private def scoredStrPairs = {
+    import spark.implicits._
+    t.customer.select(
+      $"c_mktsegment".as("g"),
+      expr("CAST(c_custkey % 5 AS DOUBLE)").as("score"),
+      $"c_name".as("id"))
+  }
+
+  test("topk_scored_str(largest) equals row_number window (score DESC, id ASC)") {
+    import spark.implicits._
+    Registry.ensure(spark)
+    val viaAgg = scoredStrPairs.groupBy($"g")
+      .agg(expr("topk_scored_str(score, id, 4)").as("top"))
+      .select($"g", posexplode($"top"))
+      .select($"g", ($"pos" + 1).cast("long").as("rk"),
+        $"col.id".as("id"), $"col.score".as("score"))
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"id")
+    val viaWindow = scoredStrPairs
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 4)
+      .select($"g", $"rk".cast("long").as("rk"), $"id", $"score")
+    assert(snap(viaAgg) === snap(viaWindow))
+  }
+
+  test("topk_scored_str buffers merge across repartitionings") {
+    import spark.implicits._
+    Registry.ensure(spark)
+    val one = scoredStrPairs.coalesce(1).groupBy($"g")
+      .agg(expr("topk_scored_str(score, id, 5)").as("top"))
+    val many = scoredStrPairs.repartition(13, length($"id") % 13).groupBy($"g")
+      .agg(expr("topk_scored_str(score, id, 5)").as("top"))
+    assert(snap(one) === snap(many))
+  }
+
   test("topk_scored buffers merge across repartitionings (partial agg correctness)") {
     import spark.implicits._
     Registry.ensure(spark)

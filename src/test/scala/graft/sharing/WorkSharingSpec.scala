@@ -138,6 +138,33 @@ class WorkSharingSpec extends SparkSpec {
     } finally { ex.shutdown(); spark.catalog.clearCache() }
   }
 
+  test("text family batches with the token/census fragments computed once") {
+    import graft.operators.TextAnalysis
+    val family: Seq[QueryJob[Seq[String]]] = Seq(
+      QueryJob("t08", s => TextAnalysis.t08ZipfProfile(T(s, sfDir)), snap),
+      QueryJob("t11", s => TextAnalysis.t11TfidfTopTerms(T(s, sfDir)), snap),
+      QueryJob("t12", s => TextAnalysis.t12HapaxRatio(T(s, sfDir)), snap),
+      QueryJob("t16", s => TextAnalysis.t16VocabOverlap(T(s, sfDir)), snap),
+      QueryJob("t17", s => TextAnalysis.t17SourceDrift(T(s, sfDir)), snap))
+    val isolated = family.map(j => j.name -> j.action(j.build(spark))).toMap
+    val ex = new WorkSharingExecutor(spark)
+    try {
+      val batched = ex.runBatch(family, sharedFragments = Seq[(String,
+          org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)](
+        "doc_tokens"      -> (s => TextAnalysis.docTokens(T(s, sfDir))),
+        "doc_word_counts" -> (s => TextAnalysis.docWordCounts(T(s, sfDir)))))
+      // metamorphic: shared-fragment batching never changes any answer
+      batched.foreach { case (name, rows) => assert(rows == isolated(name), s"job $name") }
+      assert(ex.cachedFingerprints.contains("frag:doc_tokens"), ex.cachedFingerprints)
+      // siblings built AFTER the batch read the fragment caches: t16 goes
+      // through doc_tokens, t12 through doc_word_counts
+      val probeTok = TextAnalysis.t16VocabOverlap(T(spark, sfDir))
+      assert(probeTok.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+      val probeCensus = TextAnalysis.t12HapaxRatio(T(spark, sfDir))
+      assert(probeCensus.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    } finally { ex.shutdown(); spark.catalog.clearCache() }
+  }
+
   test("automatic subplan sharing caches a shared aggregate subtree once") {
     // two jobs whose plans contain the SAME aggregate subtree with
     // different post-processing — scan sharing alone would re-aggregate
