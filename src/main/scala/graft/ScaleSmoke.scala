@@ -79,7 +79,7 @@ object ScaleSmoke {
     "d24_chunk_dedup", "d25_collapse_repair", "d26_collapse_pairs",
     "d27_semantic_collapse", "d28_strided_census", "s02_hyperplane_lsh",
     "s04_ivf_ann", "g01_pagerank", "t11_tfidf_topterms",
-    "p03_sequence_packing")
+    "t25_gopher_repetition", "p03_sequence_packing", "p29_curation_funnel")
 
   /** Exact/audit arms — broadcast-the-query-set brute force (s01-shaped) or
     * declared all-pairs baselines. Excluded, named in the artifact. s16's

@@ -246,6 +246,42 @@ object ShareBench {
       val fragT = paired.map(_._2).sorted.apply(1)
       lines2 += s"""{"workload":"text_family","window":5,"separate":$sepT,"fragment_shared":$fragT}"""
     }
+    // multimodal family: the decode-once-analyze-many scenario. m01 (per-
+    // asset feature report), m02 (per-kind rollup) and m15 (codec parity
+    // audit) all contain the SAME real encode→decode→feature subtree
+    // (Multimodal.mediaFeatures is ONE definition since r7), and that
+    // subtree is where ~all the work is — every corpus byte runs through
+    // ImageIO/javax.sound twice. The fragment is the POST-codec frame:
+    // 7 narrow scalar columns, no blobs — heavy to compute, cheap to cache,
+    // the ideal sharing payoff shape. Runs on the plain sf0.1 corpus (the
+    // codec cost is real there; no replication needed) with the same paired
+    // median-of-3 single-slot protocol as the similarity/text rows.
+    if (only("multimodal_family")) {
+      import graft.operators.Multimodal
+      val mmDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+      def mmJobs: Seq[QueryJob[Unit]] = Seq[(String, SparkSession => DataFrame)](
+        "m01" -> (s => Multimodal.m01MediaFeatures(T(s, mmDir))),
+        "m02" -> (s => Multimodal.m02MediaRollup(T(s, mmDir))),
+        "m15" -> (s => Multimodal.m15DecodeParity(T(s, mmDir)))
+      ).map { case (n, b) => QueryJob[Unit](n, b, noop) }
+      val mmFrags = Seq[(String, SparkSession => DataFrame)](
+        "media_features" -> (s => Multimodal.mediaFeatures(T(s, mmDir))))
+      val paired = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val a = time(new WorkSharingExecutor(spark, budgetBytes = 0L,
+          maxConcurrency = 1).runBatch(mmJobs))
+        spark.catalog.clearCache()
+        val b = time {
+          val ex = new WorkSharingExecutor(spark, budgetBytes = 0L, maxConcurrency = 1)
+          try ex.runBatch(mmJobs, mmFrags) finally ex.shutdown()
+        }
+        (a, b)
+      }
+      val sepM = paired.map(_._1).sorted.apply(1)
+      val fragM = paired.map(_._2).sorted.apply(1)
+      lines2 += s"""{"workload":"multimodal_family","window":3,"separate":$sepM,"fragment_shared":$fragM}"""
+    }
     (lines ++ lines2).foreach(println)
     // file artifact, like Bench's BENCH_full.json: stdout of a manual run
     // isn't captured anywhere durable

@@ -60,8 +60,9 @@ object Dedup {
       cand: String =
         """cand AS (
          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"""): String =
-    s"""hs AS (SELECT $hsCols, $shingleHashesDuck AS h FROM documents),
+         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""",
+      from: String = "documents"): String =
+    s"""hs AS (SELECT $hsCols, $shingleHashesDuck AS h FROM $from),
        sigs AS (SELECT $bandCols, h, $minhashSigDuck AS sig FROM hs),
        bands AS (
          SELECT $bandCols, b, array_to_string(sig[b * 8 + 1 : b * 8 + 8], ',') AS bkey
@@ -1308,19 +1309,26 @@ object Dedup {
     * unclustered doc keeps itself. Returns a one-column (doc_id) frame — ONE
     * definition for d25 (collapse-then-repair measurement) and d26 (the
     * composed collapse→pair production pipeline). */
-  private[operators] def keeperIds(t: T, pairs: DataFrame): DataFrame = {
-    import t.spark.implicits._
+  private[operators] def keeperIds(t: T, pairs: DataFrame): DataFrame =
+    keeperIdsOf(t.documents, pairs)
+
+  /** [[keeperIds]] over an arbitrary doc frame (doc_id, n_chars, …) — the
+    * composable form p29's funnel needs, where the collapse runs on the
+    * quality/exact SURVIVORS rather than the whole corpus. */
+  private[graft] def keeperIdsOf(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     val clusters = connectedComponents(pairs)
     // argmax as a codegen'd partial aggregate, not a per-cluster window:
     // max_by on struct(n_chars, -doc_id) IS (n_chars DESC, doc_id ASC)
     // rank 1, and the map side reduces each cluster to one row before the
     // exchange (the window shape shuffles+sorts every membership row)
     val clusterKeepers = clusters
-      .join(t.documents.select($"doc_id", $"n_chars"), "doc_id")
+      .join(documents.select($"doc_id", $"n_chars"), "doc_id")
       .groupBy($"cluster_id")
       .agg(max_by($"doc_id", struct($"n_chars", (-$"doc_id").as("nid"))).as("doc_id"))
       .select($"doc_id")
-    t.documents.select($"doc_id")
+    documents.select($"doc_id")
       .join(clusters.select($"doc_id"), Seq("doc_id"), "left_anti")
       .unionByName(clusterKeepers)
   }

@@ -113,12 +113,24 @@ object Multimodal {
     }
   }
 
+  /** ONE definition of the decoded-feature frame — the multimodal family's
+    * shared plane, like [[TextAnalysis.docTokens]] for the text family:
+    * m01 and m02 both contain this CANONICALLY-EQUAL subtree (real encode →
+    * real decode → per-asset features), which is what lets
+    * `runBatch(sharedFragments)` pay the codec ONCE per window and
+    * substitute the cached frame into every sibling. The frame is narrow
+    * (7 scalar columns, no blobs) — exactly the fragment granularity the
+    * r7 sharing measurements favored: heavy to compute (every byte decoded),
+    * cheap to cache. */
+  private[graft] def mediaFeatures(t: T): DataFrame =
+    extractFeatures(decodeAssets(assetsEncoded(t))).toDF()
+
   /** End-to-end query: real encode -> real decode -> features + per-kind
     * aggregate, blobs dropped before the shuffle (only narrow feature
     * columns cross stage boundaries). */
   def m01MediaFeatures(t: T): DataFrame = {
     import t.spark.implicits._
-    extractFeatures(decodeAssets(assetsEncoded(t))).toDF()
+    mediaFeatures(t)
       .select($"asset_id", $"kind", $"n_bytes", $"checksum",
         round($"mean_byte", 4).as("mean_byte"),
         $"thumb_w".cast("long").as("thumb_w"), $"thumb_h".cast("long").as("thumb_h"))
@@ -144,7 +156,7 @@ object Multimodal {
     * encode/decode pair like m01. */
   def m02MediaRollup(t: T): DataFrame = {
     import t.spark.implicits._
-    extractFeatures(decodeAssets(assetsEncoded(t))).toDF()
+    mediaFeatures(t)
       .groupBy($"kind")
       .agg(count(lit(1)).as("n"),
         sum($"n_bytes").as("total_bytes"),
@@ -752,6 +764,39 @@ object Multimodal {
                 THEN floor(64.0 * 10000.0 / sqrt(sum_sq / n))::BIGINT ELSE 0 END AS gain_bp
        FROM pcm ORDER BY asset_id"""
 
+  /** Codec-regression audit: the real-codec feature frame ([[mediaFeatures]]
+    * — encode→decode→extract) joined per-asset against the codec-free twin
+    * (features straight off the raw corpus bytes). Every shipped container
+    * is lossless, so checksum/byte-count/mean must agree EXACTLY; the oracle
+    * states that expectation (`n_match = n` per kind), which makes this a
+    * loud gate — any codec defect (truncated WAV header math, PNG bit-depth
+    * drift, a frame lost in the demux) breaks the hash instead of shipping
+    * silently. Production shape: runs the codec once over every blob
+    * (mapPartitions, one decoder per partition), joins narrow feature rows
+    * only — the blobs never reach the join. */
+  def m15DecodeParity(t: T): DataFrame = {
+    import t.spark.implicits._
+    val twin = extractFeatures(assets(t)).toDF()
+      .select($"asset_id", $"n_bytes".as("t_bytes"), $"checksum".as("t_checksum"),
+        $"mean_byte".as("t_mean"))
+    mediaFeatures(t)
+      .join(twin, "asset_id")
+      .groupBy($"kind")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"n_bytes" === $"t_bytes" && $"checksum" === $"t_checksum" &&
+          $"mean_byte" === $"t_mean", 1L).otherwise(0L)).as("n_match"),
+        sum($"n_bytes").as("total_bytes"))
+      .orderBy($"kind")
+  }
+
+  /** The oracle asserts full parity: a lossless codec must reproduce the
+    * corpus bytes, so n_match == n and total_bytes == the text byte mass. */
+  val m15Oracle: String =
+    """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         COUNT(*) AS n, COUNT(*) AS n_match,
+         SUM(CAST(length(text) AS BIGINT))::BIGINT AS total_bytes
+       FROM documents GROUP BY 1 ORDER BY kind"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> ((s, d) => m01MediaFeatures(T(s, d))),
     "m02_media_rollup"   -> ((s, d) => m02MediaRollup(T(s, d))),
@@ -767,6 +812,7 @@ object Multimodal {
     "m12_pcm_decimate"      -> ((s, d) => m12PcmDecimate(T(s, d))),
     "m13_scene_change"      -> ((s, d) => m13SceneChange(T(s, d))),
     "m14_audio_loudness"    -> ((s, d) => m14AudioLoudness(T(s, d))),
+    "m15_decode_parity"     -> ((s, d) => m15DecodeParity(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -784,5 +830,6 @@ object Multimodal {
     "m12_pcm_decimate"      -> m12Oracle,
     "m13_scene_change"      -> m13Oracle,
     "m14_audio_loudness"    -> m14Oracle,
+    "m15_decode_parity"     -> m15Oracle,
   )
 }

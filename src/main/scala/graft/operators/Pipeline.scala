@@ -390,7 +390,9 @@ object Pipeline {
     * the conjunction. Reuses the p06 explode+agg shape for the per-token
     * census (distributed, no per-row quadratic lambda); everything else is a
     * narrow projection. Integer thresholds only. */
-  def p11QualityCascade(t: T): DataFrame = {
+  /** ONE definition of the per-doc quality-cascade flag frame (no sort) —
+    * p11's report body, and the funnel's (p29) stage-1 predicate. */
+  private[graft] def qualityFlags(t: T): DataFrame = {
     import t.spark.implicits._
     val census = t.documents
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
@@ -412,15 +414,23 @@ object Pipeline {
         ($"n_stop" >= 2).as("f_stop"),
         expr("max_freq * 10000 DIV n_tok <= 2000").as("f_rep"))
       .withColumn("keep", $"f_len" && $"f_wordlen" && $"f_stop" && $"f_rep")
-      .orderBy($"doc_id")
+  }
+
+  def p11QualityCascade(t: T): DataFrame = {
+    import t.spark.implicits._
+    qualityFlags(t).orderBy($"doc_id")
   }
 
   private def stopAll: Seq[String] =
     TextAnalysis.stop.toSeq.sortBy(_._1).flatMap(_._2)
 
-  val p11Oracle: String = {
+  /** ONE DuckDB definition of the quality-cascade CTE chain — `qflags`
+    * mirrors [[qualityFlags]] column-for-column; p11's oracle reads it
+    * sorted, p29's funnel reads just its `keep` bit (the banding-contract
+    * discipline ADVICE r6 asked for, applied to the quality plane). */
+  private def qualityCtesDuck: String = {
     val allStops = stopAll.map(v => s"'$v'").mkString("(", ",", ")")
-    s"""WITH census AS (
+    s"""census AS (
          SELECT doc_id, SUM(n)::BIGINT AS n_tok, MAX(n)::BIGINT AS max_freq
          FROM (SELECT doc_id, tok, COUNT(*) AS n
                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -432,16 +442,22 @@ object Pipeline {
            len(list_filter(string_split(text, ' '), x -> x IN $allStops))::BIGINT AS n_stop,
            c.n_tok, c.max_freq,
            ((length(text) - c.n_tok + 1) * 100 // c.n_tok)::BIGINT AS mwl_centi
-         FROM documents d JOIN census c ON c.doc_id = d.doc_id)
-       SELECT doc_id, n_tok, mwl_centi,
-         (n_tok >= 10 AND n_tok <= 200) AS f_len,
-         (mwl_centi >= 250 AND mwl_centi <= 900) AS f_wordlen,
-         (n_stop >= 2) AS f_stop,
-         (max_freq * 10000 // n_tok <= 2000) AS f_rep,
-         ((n_tok >= 10 AND n_tok <= 200) AND (mwl_centi >= 250 AND mwl_centi <= 900)
-          AND (n_stop >= 2) AND (max_freq * 10000 // n_tok <= 2000)) AS keep
-       FROM feats ORDER BY doc_id"""
+         FROM documents d JOIN census c ON c.doc_id = d.doc_id),
+       qflags AS (
+         SELECT doc_id, n_tok, mwl_centi,
+           (n_tok >= 10 AND n_tok <= 200) AS f_len,
+           (mwl_centi >= 250 AND mwl_centi <= 900) AS f_wordlen,
+           (n_stop >= 2) AS f_stop,
+           (max_freq * 10000 // n_tok <= 2000) AS f_rep,
+           ((n_tok >= 10 AND n_tok <= 200) AND (mwl_centi >= 250 AND mwl_centi <= 900)
+            AND (n_stop >= 2) AND (max_freq * 10000 // n_tok <= 2000)) AS keep
+         FROM feats)"""
   }
+
+  val p11Oracle: String =
+    s"""WITH $qualityCtesDuck
+       SELECT doc_id, n_tok, mwl_centi, f_len, f_wordlen, f_stop, f_rep, keep
+       FROM qflags ORDER BY doc_id"""
 
   /** Bloom-filter contamination screen — the constant-memory scale path
     * beside p04's exact gram join: the holdout's gram set is folded into a
@@ -1259,6 +1275,152 @@ object Pipeline {
        ORDER BY context_len"""
   }
 
+  /** The end-to-end curation funnel — the attrition report every published
+    * pretraining corpus ships (C4's table 1, RefinedWeb/FineWeb's funnel):
+    * raw → quality cascade (p11's predicate) → exact dedup (d01's
+    * 64-char-prefix hash, min-doc_id keeper) → near dedup (d04's LSH pairs →
+    * CC → d12's longest-doc keeper, over the survivors only) → 5-gram
+    * decontamination vs the frozen `src0` holdout (p04's arithmetic,
+    * ≥20 % overlap rejects). One row per stage with surviving docs/tokens
+    * and retained basis points vs raw.
+    *
+    * Composition is the point: every stage is the SAME one-definition
+    * fragment its standalone query uses ([[qualityFlags]],
+    * [[Dedup.lshPairs]], [[Dedup.keeperIdsOf]], [[fiveGrams]]), so the
+    * funnel's semantics are pinned by the per-stage oracles, and the
+    * survival flags are computed as columns in one labelled frame + one
+    * conditional-aggregate pass (the LabellingRDD idiom) rather than five
+    * chained anti-joins. Scale shape: each stage's machinery runs on its
+    * shrinking survivor set — the collapse-before-pairing posture the 30×
+    * probe demanded, as a user-facing operator. */
+  def p29CurationFunnel(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    // 0) training corpus: src0 is the frozen eval holdout, never trained on
+    val train = t.documents.filter($"source" =!= "src0")
+      .select($"doc_id", $"text", $"n_chars",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+    // 1) quality cascade
+    val base = train.join(
+      qualityFlags(t).select($"doc_id", $"keep".as("q_keep")), "doc_id")
+    // 2) exact dedup among quality survivors
+    val exactKeep = base.filter($"q_keep")
+      .groupBy(md5(substring($"text", 1, 64)).as("kh"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id", lit(true).as("e_keep"))
+    val withE = base.join(exactKeep, Seq("doc_id"), "left")
+      .withColumn("e_keep", coalesce($"e_keep", lit(false)))
+    // 3) near dedup among exact survivors: LSH pairs -> CC -> keeper
+    val eDocs = withE.filter($"e_keep").select($"doc_id", $"text", $"n_chars")
+    val nearKeep = Dedup.keeperIdsOf(eDocs, Dedup.lshPairs(eDocs))
+      .select($"doc_id", lit(true).as("n_keep"))
+    val withN = withE.join(nearKeep, Seq("doc_id"), "left")
+      .withColumn("n_keep", coalesce($"n_keep", lit(false)))
+    // 4) decontamination: >=20% distinct-5-gram overlap with holdout rejects
+    val grams = fiveGrams(t.documents)
+    val holdout = grams.filter($"source" === "src0")
+      .select($"gram").distinct().withColumn("hit", lit(1L))
+    val contam = grams.filter($"source" =!= "src0")
+      .join(holdout, Seq("gram"), "left")
+      .groupBy($"doc_id")
+      .agg(expr("(SUM(coalesce(hit, 0L)) * 10000) DIV COUNT(1)").as("contam_bp"))
+    val flags = withN.join(contam, Seq("doc_id"), "left")
+      .withColumn("c_keep", $"n_keep" && (coalesce($"contam_bp", lit(0L)) < lit(2000L)))
+    // one conditional-aggregate pass -> the five funnel rows
+    flags.agg(
+        count(lit(1)).as("raw_d"), sum($"n_tokens").as("raw_t"),
+        sum(when($"q_keep", 1L).otherwise(0L)).as("q_d"),
+        sum(when($"q_keep", $"n_tokens").otherwise(0L)).as("q_t"),
+        sum(when($"e_keep", 1L).otherwise(0L)).as("e_d"),
+        sum(when($"e_keep", $"n_tokens").otherwise(0L)).as("e_t"),
+        sum(when($"n_keep", 1L).otherwise(0L)).as("n_d"),
+        sum(when($"n_keep", $"n_tokens").otherwise(0L)).as("n_t"),
+        sum(when($"c_keep", 1L).otherwise(0L)).as("c_d"),
+        sum(when($"c_keep", $"n_tokens").otherwise(0L)).as("c_t"))
+      .selectExpr(
+        """stack(5,
+             0L, 'raw',            raw_d, raw_t,
+             1L, 'quality',        q_d,   q_t,
+             2L, 'exact_dedup',    e_d,   e_t,
+             3L, 'near_dedup',     n_d,   n_t,
+             4L, 'decontaminated', c_d,   c_t)
+           AS (stage_idx, stage, n_docs, n_tokens)""",
+        "raw_d", "raw_t")
+      .select($"stage_idx", $"stage", $"n_docs", $"n_tokens",
+        expr("(n_docs * 10000) DIV raw_d").as("retained_docs_bp"),
+        expr("(n_tokens * 10000) DIV raw_t").as("retained_tokens_bp"))
+      .orderBy($"stage_idx")
+  }
+
+  val p29Oracle: String =
+    s"""WITH $qualityCtesDuck,
+       train AS (
+         SELECT doc_id, text, n_chars,
+                len(string_split(text, ' '))::BIGINT AS n_tokens
+         FROM documents WHERE source <> 'src0'),
+       base AS (
+         SELECT t.*, q.keep AS q_keep
+         FROM train t JOIN qflags q USING (doc_id)),
+       ek AS (
+         SELECT MIN(doc_id) AS doc_id FROM base WHERE q_keep
+         GROUP BY md5(substr(text, 1, 64))),
+       withe AS (
+         SELECT b.*, (ek.doc_id IS NOT NULL) AS e_keep
+         FROM base b LEFT JOIN ek ON b.doc_id = ek.doc_id),
+       edocs AS (SELECT doc_id, text, n_chars FROM withe WHERE e_keep),
+       ${Dedup.lshBandsDuckCtes(from = "edocs")},
+       ${Dedup.lshPairsDuckCte},
+       ${Dedup.ccDuckCtes("pairs")},
+       ck AS (
+         SELECT doc_id FROM (
+           SELECT r.doc AS doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY r.cluster_id
+                    ORDER BY e.n_chars DESC, r.doc) AS rk
+           FROM reach r JOIN edocs e ON e.doc_id = r.doc) WHERE rk = 1),
+       nk AS (
+         SELECT doc_id FROM edocs WHERE doc_id NOT IN (SELECT doc FROM reach)
+         UNION ALL SELECT doc_id FROM ck),
+       withn AS (
+         SELECT w.*, (nk.doc_id IS NOT NULL) AS n_keep
+         FROM withe w LEFT JOIN nk ON w.doc_id = nk.doc_id),
+       tok5 AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+       g5 AS (SELECT DISTINCT doc_id, source,
+                unnest(list_transform(range(1, len(ts) - 3),
+                         i -> array_to_string(list_slice(ts, i, i + 4), ' '))) AS gram
+              FROM tok5),
+       hold AS (SELECT DISTINCT gram FROM g5 WHERE source = 'src0'),
+       contam AS (
+         SELECT ev.doc_id,
+                (SUM(CASE WHEN h.gram IS NOT NULL THEN 1 ELSE 0 END) * 10000
+                  // COUNT(*))::BIGINT AS contam_bp
+         FROM (SELECT doc_id, gram FROM g5 WHERE source <> 'src0') ev
+         LEFT JOIN hold h USING (gram) GROUP BY ev.doc_id),
+       flags AS (
+         SELECT w.doc_id, w.n_tokens, w.q_keep, w.e_keep, w.n_keep,
+                (w.n_keep AND COALESCE(c.contam_bp, 0) < 2000) AS c_keep
+         FROM withn w LEFT JOIN contam c USING (doc_id)),
+       aggr AS (
+         SELECT COUNT(*)::BIGINT AS raw_d, SUM(n_tokens)::BIGINT AS raw_t,
+           SUM(CASE WHEN q_keep THEN 1 ELSE 0 END)::BIGINT AS q_d,
+           SUM(CASE WHEN q_keep THEN n_tokens ELSE 0 END)::BIGINT AS q_t,
+           SUM(CASE WHEN e_keep THEN 1 ELSE 0 END)::BIGINT AS e_d,
+           SUM(CASE WHEN e_keep THEN n_tokens ELSE 0 END)::BIGINT AS e_t,
+           SUM(CASE WHEN n_keep THEN 1 ELSE 0 END)::BIGINT AS n_d,
+           SUM(CASE WHEN n_keep THEN n_tokens ELSE 0 END)::BIGINT AS n_t,
+           SUM(CASE WHEN c_keep THEN 1 ELSE 0 END)::BIGINT AS c_d,
+           SUM(CASE WHEN c_keep THEN n_tokens ELSE 0 END)::BIGINT AS c_t
+         FROM flags),
+       stages AS (
+         SELECT 0 AS stage_idx, 'raw' AS stage, raw_d AS n_docs, raw_t AS n_tokens, raw_d, raw_t FROM aggr
+         UNION ALL SELECT 1, 'quality',        q_d, q_t, raw_d, raw_t FROM aggr
+         UNION ALL SELECT 2, 'exact_dedup',    e_d, e_t, raw_d, raw_t FROM aggr
+         UNION ALL SELECT 3, 'near_dedup',     n_d, n_t, raw_d, raw_t FROM aggr
+         UNION ALL SELECT 4, 'decontaminated', c_d, c_t, raw_d, raw_t FROM aggr)
+       SELECT stage_idx::BIGINT AS stage_idx, stage, n_docs, n_tokens,
+              (n_docs * 10000 // raw_d)::BIGINT AS retained_docs_bp,
+              (n_tokens * 10000 // raw_t)::BIGINT AS retained_tokens_bp
+       FROM stages ORDER BY stage_idx"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -1288,6 +1450,7 @@ object Pipeline {
     "p26_soft_dedup"          -> ((s, d) => p26SoftDedupWeights(T(s, d))),
     "p27_semantic_contam"     -> ((s, d) => p27SemanticContam(T(s, d))),
     "p28_context_sweep"       -> ((s, d) => p28ContextSweep(T(s, d))),
+    "p29_curation_funnel"     -> ((s, d) => p29CurationFunnel(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1319,5 +1482,6 @@ object Pipeline {
     "p26_soft_dedup"          -> p26Oracle,
     "p27_semantic_contam"     -> p27Oracle,
     "p28_context_sweep"       -> p28Oracle,
+    "p29_curation_funnel"     -> p29Oracle,
   )
 }

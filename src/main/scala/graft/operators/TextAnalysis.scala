@@ -1061,6 +1061,86 @@ object TextAnalysis {
                 LEAST(len(ts), pos + 1 + 3)::INT], ' ') AS kwic
        FROM occ ORDER BY doc_id LIMIT 50"""
 
+  /** Gopher-style n-gram repetition filters (Rae et al. 2021, app. A1.1 —
+    * the public MassiveText curation recipe): per doc, the character mass of
+    * the single most frequent word {2,3}-gram and the REPEATED character
+    * mass of all duplicated {2,3}-grams, both in basis points of the doc's
+    * characters. Character mass of a gram = occurrences × chars(gram)
+    * (internal spaces included); duplicated mass counts (cnt−1) × chars so
+    * the first occurrence is never penalised — an exact, integer,
+    * engine-portable restatement of "fraction of characters in duplicate
+    * n-grams". `flagged` applies Gopher-calibrated cutoffs (top-2-gram
+    * >20 %, top-3-gram >18 %, repeated-2-gram mass >15 %).
+    *
+    * Scale shape: ONE corpus scan (both gram orders come out of one
+    * flatten-transform explode), one partial-aggregated groupBy per level —
+    * the same census plane as [[docWordCounts]], linear in corpus tokens. */
+  def t25GopherRepetition(t: T): DataFrame = {
+    import t.spark.implicits._
+    val grams = t.documents
+      .select($"doc_id", length($"text").cast("long").as("dlen"),
+        split($"text", " ").as("w"))
+      .select($"doc_id", $"dlen", explode(expr(
+        """flatten(transform(array(2, 3), n ->
+             if(size(w) >= n,
+                transform(sequence(1, size(w) - n + 1),
+                  i -> named_struct('n', n, 'gram', concat_ws(' ', slice(w, i, n)))),
+                array())))""")).as("g"))
+      .select($"doc_id", $"dlen", $"g.n".as("n"), $"g.gram".as("gram"))
+    val perN = grams
+      .groupBy($"doc_id", $"dlen", $"n", $"gram").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id", $"dlen", $"n")
+      .agg(max($"cnt" * length($"gram")).cast("long").as("top_mass"),
+        sum(when($"cnt" > 1, ($"cnt" - 1) * length($"gram")).otherwise(0L))
+          .cast("long").as("dup_mass"))
+    perN.groupBy($"doc_id")
+      .agg(
+        (coalesce(max(when($"n" === 2, $"top_mass")), lit(0L)) * 10000 / max($"dlen"))
+          .cast("long").as("top2_bp"),
+        (coalesce(max(when($"n" === 3, $"top_mass")), lit(0L)) * 10000 / max($"dlen"))
+          .cast("long").as("top3_bp"),
+        (coalesce(max(when($"n" === 2, $"dup_mass")), lit(0L)) * 10000 / max($"dlen"))
+          .cast("long").as("dup2_bp"),
+        (coalesce(max(when($"n" === 3, $"dup_mass")), lit(0L)) * 10000 / max($"dlen"))
+          .cast("long").as("dup3_bp"))
+      .select($"doc_id", $"top2_bp", $"top3_bp", $"dup2_bp", $"dup3_bp",
+        ($"top2_bp" > 2000 || $"top3_bp" > 1800 || $"dup2_bp" > 1500).as("flagged"))
+      .orderBy($"doc_id")
+  }
+
+  val t25Oracle: String =
+    """WITH w AS (SELECT doc_id, length(text)::BIGINT AS dlen,
+                         string_split(text, ' ') AS ws FROM documents),
+       g AS (
+         SELECT doc_id, dlen, 2 AS n,
+                unnest(list_transform(range(1, greatest(len(ws) - 0, 1)),
+                         i -> array_to_string(ws[i : i + 1], ' '))) AS gram
+         FROM w
+         UNION ALL
+         SELECT doc_id, dlen, 3 AS n,
+                unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                         i -> array_to_string(ws[i : i + 2], ' '))) AS gram
+         FROM w),
+       c AS (SELECT doc_id, dlen, n, gram, COUNT(*) AS cnt
+             FROM g GROUP BY doc_id, dlen, n, gram),
+       m AS (SELECT doc_id, dlen, n,
+               MAX(cnt * length(gram))::BIGINT AS top_mass,
+               SUM(CASE WHEN cnt > 1 THEN (cnt - 1) * length(gram) ELSE 0 END)::BIGINT AS dup_mass
+             FROM c GROUP BY doc_id, dlen, n),
+       f AS (SELECT doc_id,
+               (COALESCE(MAX(CASE WHEN n = 2 THEN top_mass END), 0) * 10000
+                 // MAX(dlen))::BIGINT AS top2_bp,
+               (COALESCE(MAX(CASE WHEN n = 3 THEN top_mass END), 0) * 10000
+                 // MAX(dlen))::BIGINT AS top3_bp,
+               (COALESCE(MAX(CASE WHEN n = 2 THEN dup_mass END), 0) * 10000
+                 // MAX(dlen))::BIGINT AS dup2_bp,
+               (COALESCE(MAX(CASE WHEN n = 3 THEN dup_mass END), 0) * 10000
+                 // MAX(dlen))::BIGINT AS dup3_bp
+             FROM m GROUP BY doc_id)
+       SELECT doc_id, top2_bp, top3_bp, dup2_bp, dup3_bp,
+              (top2_bp > 2000 OR top3_bp > 1800 OR dup2_bp > 1500) AS flagged
+       FROM f ORDER BY doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
     "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
@@ -1086,6 +1166,7 @@ object TextAnalysis {
     "t22_rake_keywords"    -> ((s, d) => t22RakeKeywords(T(s, d))),
     "t23_boilerplate"      -> ((s, d) => t23BoilerplatePrefixes(T(s, d))),
     "t24_kwic"             -> ((s, d) => t24KwicConcordance(T(s, d))),
+    "t25_gopher_repetition" -> ((s, d) => t25GopherRepetition(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1113,5 +1194,6 @@ object TextAnalysis {
     "t22_rake_keywords"    -> t22Oracle,
     "t23_boilerplate"      -> t23Oracle,
     "t24_kwic"             -> t24Oracle,
+    "t25_gopher_repetition" -> t25Oracle,
   )
 }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{SparkSpec, T}
+import org.apache.spark.sql.functions._
+
+/** Behavioral specs for the round-7 curation additions: the Gopher n-gram
+  * repetition filters (t25) and the end-to-end curation funnel (p29).
+  *
+  * Both get crafted corpora where every stage/branch is exercised by
+  * construction, and t25's arithmetic is checked against an independent
+  * in-memory reimplementation (sliding-window census) rather than a second
+  * copy of the SQL — the same discipline as RetrievalDedupSpec.
+  */
+class CurationSpec extends SparkSpec {
+
+  /** Crafted corpus: one doc per funnel branch. */
+  private lazy val craftedDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation").toString
+    // long enough (~480 chars) that a one-word edit keeps char-4-shingle
+    // Jaccard ≈ 0.98, which the 4x8 MinHash banding catches with
+    // near-certainty; the edit sits INSIDE the first 64 chars so the exact
+    // stage's prefix hash does NOT conflate the near pair
+    val base = ("the heavy analytics engine and the storage layer stream rows " +
+      "into a merge sort while the planner is folding constants and pruning " +
+      "columns for every scan stage under a shared cost model with stats " +
+      "and the executor keeps a partial aggregate in the hash table so the " +
+      "exchange only carries one row per group while the broadcast side is " +
+      "pinned in memory and every probe of the join is a constant lookup " +
+      "against the built relation with no spill and no sort of the rows").trim
+    val rows = Seq(
+      // holdout (src0): never counted in the funnel, feeds decontamination
+      (100L, "the frozen benchmark suite holds out a fixed evaluation set of " +
+        "questions and answers that no training document is allowed to quote " +
+        "verbatim in any of its spans", "en", "src0"),
+      // fails the quality cascade (f_len: 2 tokens)
+      (0L, "tiny doc", "en", "src1"),
+      // clean survivor
+      (1L, base, "en", "src1"),
+      // exact duplicate of doc 1 (same 64-char prefix -> d01 keeper drops it)
+      (2L, base, "en", "src1"),
+      // near duplicate: one EARLY word changed (inside the 64-char exact
+      // prefix) -> different exact key, char-shingle Jaccard ≈ 0.98
+      (3L, base.replace("heavy", "hefty"), "en", "src1"),
+      // contaminated: quotes the holdout verbatim plus a little framing
+      (4L, "as noted before the frozen benchmark suite holds out a fixed " +
+        "evaluation set of questions and answers that no training document " +
+        "is allowed to quote verbatim in any of its spans", "en", "src1"),
+      // second clean survivor (distinct content)
+      (5L, "a compact vector index keeps the centroid table in memory and is " +
+        "probing only the nearest buckets while the reranker is scoring the " +
+        "candidates with exact distances over the quantized codes", "en", "src1"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Independent reimplementation of t25's mass arithmetic: sliding-window
+    * word n-gram census; top = max cnt*chars, dup = sum (cnt-1)*chars. */
+  private def masses(text: String, n: Int): (Long, Long) = {
+    val grams = text.split(" ").sliding(n).map(_.mkString(" ")).toSeq
+    val counts = grams.groupBy(identity).map { case (g, o) => (g, o.size) }
+    val top = if (counts.isEmpty) 0L else counts.map { case (g, c) => c.toLong * g.length }.max
+    val dup = counts.collect { case (g, c) if c > 1 => (c - 1).toLong * g.length }.sum
+    (top, dup)
+  }
+
+  test("t25: masses match an independent census; repetition flags fire correctly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t25").toString
+    val rep = ("spark table " * 30).trim // maximal 2-gram repetition
+    val uniq = (1 to 60).map(i => s"word$i").mkString(" ") // zero repetition
+    Seq((0L, rep, "en", "src1"), (1L, uniq, "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.t25GopherRepetition(T(spark, dir))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((id, text) <- Seq(0L -> rep, 1L -> uniq)) {
+      val dlen = text.length.toLong
+      val (t2, d2) = masses(text, 2)
+      val (t3, d3) = masses(text, 3)
+      val row = out(id)
+      assert(row.getLong(1) == t2 * 10000 / dlen, s"doc $id top2")
+      assert(row.getLong(2) == t3 * 10000 / dlen, s"doc $id top3")
+      assert(row.getLong(3) == d2 * 10000 / dlen, s"doc $id dup2")
+      assert(row.getLong(4) == d3 * 10000 / dlen, s"doc $id dup3")
+    }
+    assert(out(0L).getBoolean(5), "fully-repetitive doc must flag")
+    assert(!out(1L).getBoolean(5), "zero-repetition doc must not flag")
+    assert(out(1L).getLong(3) == 0L && out(1L).getLong(4) == 0L)
+    // the multiset char-mass definition is documented to exceed 10000 bp on
+    // overlapping runs — pin that the crafted run actually exercises it
+    assert(out(0L).getLong(3) > 10000L, "overlap counting is the documented contract")
+  }
+
+  test("p29: every funnel stage removes exactly its crafted doc, monotonically") {
+    val rows = Pipeline.p29CurationFunnel(T(spark, craftedDir)).collect()
+    assert(rows.length == 5)
+    val byStage = rows.map(r => r.getString(1) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val docs = Seq("raw", "quality", "exact_dedup", "near_dedup", "decontaminated")
+      .map(s => byStage(s)._1)
+    // 6 train docs; quality drops doc 0, exact drops doc 2, near drops one of
+    // {1,3}, decontamination drops doc 4 -> 6,5,4,3,2
+    assert(docs == Seq(6L, 5L, 4L, 3L, 2L), s"funnel docs: $docs")
+    // tokens monotone non-increasing, retained_bp consistent with n_docs
+    val toks = Seq("raw", "quality", "exact_dedup", "near_dedup", "decontaminated")
+      .map(s => byStage(s)._2)
+    assert(toks == toks.sorted.reverse, s"token funnel not monotone: $toks")
+    val rawDocs = byStage("raw")._1
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) * 10000 / rawDocs, s"bp row $r")
+    }
+  }
+
+  test("p29: funnel on the shipped corpus is monotone and starts at the train count") {
+    val t0 = T(spark, sfDir)
+    val expectedRaw = t0.documents.filter(col("source") =!= "src0").count()
+    val rows = Pipeline.p29CurationFunnel(t0).collect()
+    val docs = rows.sortBy(_.getLong(0)).map(_.getLong(2)).toSeq
+    assert(docs.head == expectedRaw)
+    assert(docs == docs.sorted.reverse, s"not monotone: $docs")
+  }
+}

@@ -165,6 +165,29 @@ class WorkSharingSpec extends SparkSpec {
     } finally { ex.shutdown(); spark.catalog.clearCache() }
   }
 
+  test("multimodal family batches with the decoded-feature fragment computed once") {
+    import graft.operators.Multimodal
+    val family: Seq[QueryJob[Seq[String]]] = Seq(
+      QueryJob("m01", s => Multimodal.m01MediaFeatures(T(s, sfDir)), snap),
+      QueryJob("m02", s => Multimodal.m02MediaRollup(T(s, sfDir)), snap),
+      QueryJob("m15", s => Multimodal.m15DecodeParity(T(s, sfDir)), snap))
+    val isolated = family.map(j => j.name -> j.action(j.build(spark))).toMap
+    val ex = new WorkSharingExecutor(spark)
+    try {
+      val batched = ex.runBatch(family, sharedFragments = Seq[(String,
+          org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)](
+        "media_features" -> (s => Multimodal.mediaFeatures(T(s, sfDir)))))
+      // metamorphic: shared-fragment batching never changes any answer
+      batched.foreach { case (name, rows) => assert(rows == isolated(name), s"job $name") }
+      assert(ex.cachedFingerprints.contains("frag:media_features"), ex.cachedFingerprints)
+      // every sibling contains the mediaFeatures subtree verbatim, so a
+      // sibling built AFTER the batch reads the fragment cache — the codec
+      // ran once for the whole window
+      val probe = Multimodal.m02MediaRollup(T(spark, sfDir))
+      assert(probe.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    } finally { ex.shutdown(); spark.catalog.clearCache() }
+  }
+
   test("automatic subplan sharing caches a shared aggregate subtree once") {
     // two jobs whose plans contain the SAME aggregate subtree with
     // different post-processing — scan sharing alone would re-aggregate
