@@ -26,15 +26,9 @@ object BenchSf1 {
 
   private val REP_KEY = 100000000L // per-replica key offset, beyond any sf0.1 key
 
-  /** The 20 PLANS.md headline queries (§ headers, same order). */
-  val headlineKeys: Seq[String] = Seq(
-    "q01_pricing_summary", "q05_region_revenue", "q103_market_share",
-    "d04_minhash_lsh_pairs", "d13_semantic_clusters", "d18_topk_sim_join",
-    "d21_incremental_dedup", "s01_cosine_topk", "s04_ivf_ann",
-    "s12_knn_graph", "s14_radius_search", "m02_media_rollup",
-    "p03_sequence_packing", "p26_soft_dedup", "t11_tfidf_topterms",
-    "q100_asof_exec", "q110_interval_exec", "q125_session_window",
-    "d23_cdc_chunks", "s16_two_stage_rerank")
+  /** The PLANS.md headline queries — ONE definition ([[PlanDump.headline]]),
+    * so the plan artifact and the sf1 lane can never drift apart. */
+  val headlineKeys: Seq[String] = PlanDump.headline
 
   def buildSf1(spark: SparkSession, baseDir: String, outDir: String, mult: Int): Unit = {
     val marker = java.nio.file.Paths.get(s"$outDir/_GRAFT_SF1_READY")

@@ -102,6 +102,11 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(20)
     val baseDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // optional 3rd arg (local dev only): comma-separated name-prefix filter —
+    // shipped artifacts always come from unfiltered runs
+    val only: String => Boolean =
+      if (args.length > 2) { val ps = args(2).split(","); n => ps.exists(n.startsWith) }
+      else _ => true
     val ceiling = sys.env.getOrElse("SPARK_GRAFT_CEILING_SEC", "120").toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SMOKE_OUT", "SCALESMOKE.json")
@@ -119,7 +124,7 @@ object ScaleSmoke {
     val (nDocs, nVecs) = buildScaled(spark, baseDir, dir, mult)
 
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val results = productionKeys.map { name =>
+    val results = productionKeys.filter(only).map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val fut = Future {

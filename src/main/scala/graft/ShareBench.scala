@@ -282,6 +282,48 @@ object ShareBench {
       val fragM = paired.map(_._2).sorted.apply(1)
       lines2 += s"""{"workload":"multimodal_family","window":3,"separate":$sepM,"fragment_shared":$fragM}"""
     }
+    // curation family: the funnel (p29) literally CONTAINS p11's quality
+    // frame and p04's gram census as subtrees, and p04/p12 both build the
+    // distinct-5-gram frame — the window a curation service actually runs
+    // (score + screen + funnel in one batch). Fragments: the per-doc quality
+    // flags (narrow bools/longs) and the distinct doc-gram frame (the
+    // shuffle-heavy census both contamination screens and the funnel's
+    // decontam stage re-derive). Same 10×-replicated corpus and paired
+    // median-of-3 single-slot protocol as the other family rows.
+    if (only("curation_family")) {
+      import graft.operators.Pipeline
+      val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val curDir = "/tmp/graft-share/x10"
+      val marker = java.nio.file.Paths.get(s"$curDir/_GRAFT_READY")
+      if (!java.nio.file.Files.exists(marker)) {
+        ScaleSmoke.buildScaled(spark, base, curDir, 10)
+        java.nio.file.Files.createFile(marker)
+      }
+      def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+      def curJobs: Seq[QueryJob[Unit]] = Seq[(String, SparkSession => DataFrame)](
+        "p04" -> (s => Pipeline.p04Contamination(T(s, curDir))),
+        "p11" -> (s => Pipeline.p11QualityCascade(T(s, curDir))),
+        "p12" -> (s => Pipeline.p12BloomContamination(T(s, curDir))),
+        "p29" -> (s => Pipeline.p29CurationFunnel(T(s, curDir)))
+      ).map { case (n, b) => QueryJob[Unit](n, b, noop) }
+      val curFrags = Seq[(String, SparkSession => DataFrame)](
+        "quality_flags" -> (s => Pipeline.qualityFlags(T(s, curDir))),
+        "five_grams"    -> (s => Pipeline.fiveGrams(T(s, curDir).documents)))
+      val paired = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val a = time(new WorkSharingExecutor(spark, budgetBytes = 0L,
+          maxConcurrency = 1).runBatch(curJobs))
+        spark.catalog.clearCache()
+        val b = time {
+          val ex = new WorkSharingExecutor(spark, budgetBytes = 0L, maxConcurrency = 1)
+          try ex.runBatch(curJobs, curFrags) finally ex.shutdown()
+        }
+        (a, b)
+      }
+      val sepC = paired.map(_._1).sorted.apply(1)
+      val fragC = paired.map(_._2).sorted.apply(1)
+      lines2 += s"""{"workload":"curation_family","window":4,"separate":$sepC,"fragment_shared":$fragC}"""
+    }
     (lines ++ lines2).foreach(println)
     // file artifact, like Bench's BENCH_full.json: stdout of a manual run
     // isn't captured anywhere durable

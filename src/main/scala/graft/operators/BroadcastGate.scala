@@ -33,4 +33,20 @@ object BroadcastGate {
       .map(_.toLong).getOrElse(2000000L)
     if (base.count() <= limit) broadcast(_) else identity
   }
+
+  /** The same gate for the MinHash VERIFY sides (per-doc shingle-hash
+    * arrays, ~2.4 KB/row — 8× an embedding row, hence the tighter default
+    * of 500k rows ≈ 1.2 GB). Without an explicit hint the planner's
+    * text-projection estimates decide the join strategy, and the 60× probe
+    * measured what the wrong guess costs: a SortMergeJoin there sorts the
+    * m²-growing candidate-pair stream WITH the arrays on board (d22 read
+    * >120 s where the broadcast form reads ~40 s). Past the ceiling the
+    * hint drops and the verify degrades to the co-partitioned join; on
+    * replica-heavy corpora the production recipe is collapse-first
+    * (d26/d27) long before this gate trips. */
+  def shingleHint(base: DataFrame): DataFrame => DataFrame = {
+    val limit = base.sparkSession.conf.getOption("spark.graft.shingle.broadcastMaxRows")
+      .map(_.toLong).getOrElse(500000L)
+    if (base.count() <= limit) broadcast(_) else identity
+  }
 }

@@ -229,9 +229,10 @@ object Dedup {
     import docs.sparkSession.implicits._
     val sigs = minhashSigTable(docs)
     val cand = bandCandidates(sigs)
+    val hint = BroadcastGate.shingleHint(docs)
     val ha = sigs.select($"doc_id".as("doc_a"), $"h".as("ha"))
     val hb = sigs.select($"doc_id".as("doc_b"), $"h".as("hb"))
-    cand.join(ha, "doc_a").join(hb, "doc_b")
+    cand.join(hint(ha), "doc_a").join(hint(hb), "doc_b")
       .select($"doc_a", $"doc_b", expr("jaccard_bp_sorted(ha, hb)").as("jaccard_bp"))
       .filter($"jaccard_bp" >= 8000)
       .orderBy($"doc_a", $"doc_b")
@@ -660,6 +661,7 @@ object Dedup {
       .withColumn("h", array_sort($"h"))
       .select($"doc_id", $"h", $"sig")
       .localCheckpoint() // both configs and the verify reuse it
+    val hint = BroadcastGate.shingleHint(t.documents)
     def stats(nBands: Int, rowsPer: Int): DataFrame = {
       val bands = sigs.select($"doc_id", expr(
         s"""explode(transform(sequence(0, ${nBands - 1}, 1), b -> struct(b AS band,
@@ -671,7 +673,7 @@ object Dedup {
         .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
       val ha = sigs.select($"doc_id".as("doc_a"), $"h".as("ha"))
       val hb = sigs.select($"doc_id".as("doc_b"), $"h".as("hb"))
-      cand.join(ha, "doc_a").join(hb, "doc_b")
+      cand.join(hint(ha), "doc_a").join(hint(hb), "doc_b")
         .select(expr("jaccard_bp_sorted(ha, hb)").as("j"))
         .agg(count(lit(1)).as("n_cand"),
           sum(when($"j" >= 8000, 1L).otherwise(0L)).as("n_true"))
@@ -710,9 +712,10 @@ object Dedup {
     graft.functions.Registry.ensure(t.spark)
     val hs = t.documents.select($"doc_id", array_sort(expr(shingleHashes)).as("h"))
     val cand = d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
+    val hint = BroadcastGate.shingleHint(t.documents)
     val ha = hs.select($"doc_id".as("doc_a"), $"h".as("ha"))
     val hb = hs.select($"doc_id".as("doc_b"), $"h".as("hb"))
-    cand.join(ha, "doc_a").join(hb, "doc_b")
+    cand.join(hint(ha), "doc_a").join(hint(hb), "doc_b")
       .select($"doc_a", $"doc_b",
         size(expr("array_intersect(ha, hb)")).cast("long").as("n_inter"),
         size($"ha").cast("long").as("na"), size($"hb").cast("long").as("nb"))
@@ -1004,9 +1007,10 @@ object Dedup {
     graft.functions.Registry.ensure(t.spark)
     val sigs = minhashSigTable(t.documents)
     val cand = bandCandidates(sigs)
+    val hint = BroadcastGate.shingleHint(t.documents)
     val ha = sigs.select($"doc_id".as("doc_a"), $"h".as("ha"))
     val hb = sigs.select($"doc_id".as("doc_b"), $"h".as("hb"))
-    cand.join(ha, "doc_a").join(hb, "doc_b")
+    cand.join(hint(ha), "doc_a").join(hint(hb), "doc_b")
       .select($"doc_a", $"doc_b", expr("jaccard_bp_sorted(ha, hb)").as("jaccard_bp"))
       .orderBy($"jaccard_bp".desc, $"doc_a", $"doc_b")
       .limit(k)
@@ -1074,9 +1078,10 @@ object Dedup {
     graft.functions.Registry.ensure(t.spark)
     val sigs = minhashSigTable(t.documents)
     val cand = bandCandidates(sigs)
+    val hint = BroadcastGate.shingleHint(t.documents)
     val ha = sigs.select($"doc_id".as("doc_a"), $"h".as("ha"))
     val hb = sigs.select($"doc_id".as("doc_b"), $"h".as("hb"))
-    val scored = cand.join(ha, "doc_a").join(hb, "doc_b")
+    val scored = cand.join(hint(ha), "doc_a").join(hint(hb), "doc_b")
       .select($"doc_a", $"doc_b", expr("jaccard_bp_sorted(ha, hb)").as("jaccard_bp"))
     val pairsTh = scored
       .select(explode(array(thresholdsBp.map(v => lit(v.toLong)): _*)).as("threshold_bp"),
@@ -1127,9 +1132,10 @@ object Dedup {
     val cand = bandRows(incoming, "doc_id")
       .join(bandRows(index, "idx_id"), Seq("band", "bkey"))
       .select($"doc_id", $"idx_id").distinct()
+    val hint = BroadcastGate.shingleHint(t.documents)
     val ha = incoming.select($"doc_id", $"h".as("ha"))
     val hb = index.select($"doc_id".as("idx_id"), $"h".as("hb"))
-    cand.join(ha, "doc_id").join(hb, "idx_id")
+    cand.join(hint(ha), "doc_id").join(hint(hb), "idx_id")
       .select($"doc_id", $"idx_id", expr("jaccard_bp_sorted(ha, hb)").as("jaccard_bp"))
       .filter($"jaccard_bp" >= 8000)
       .groupBy($"doc_id")
@@ -1169,13 +1175,32 @@ object Dedup {
     graft.functions.Registry.ensure(t.spark)
     val sigs = minhashSigTable(t.documents)
     val cand = bandCandidates(sigs)
-    val ha = sigs.select($"doc_id".as("doc_a"), $"h".as("ha"), $"sig".as("sa"))
-    val hb = sigs.select($"doc_id".as("doc_b"), $"h".as("hb"), $"sig".as("sb"))
-    cand.join(ha, "doc_a").join(hb, "doc_b")
+    // b-bit codes packed per DOC (32 pmods once per doc), not per PAIR:
+    // the verify join then carries 4 longs instead of the 32-long signature
+    // array, and the per-pair estimate is shift/mask arithmetic in codegen.
+    // (The 60x probe ceilinged the unpacked form: on an m-fold replica
+    // corpus the candidate count grows m², so every byte and every pmod
+    // carried per pair is multiplied by ~9M — per-doc precompute + narrow
+    // pair rows is the same medicine s02/s12 took in r7.) The b-bit
+    // ESTIMATE is bit-identical to the unpacked form, so the oracle is
+    // unchanged and the hash gate still pins it exactly.
+    val packed = sigs.select($"doc_id", $"h",
+      // shiftleft|or, not *256+: bitwise ops wrap silently, so the top
+      // byte's sign bit never trips the ANSI overflow check
+      expr("""transform(sequence(0, 3), k ->
+                aggregate(sequence(1, 8), 0L,
+                  (acc, j) -> shiftleft(acc, 8) | pmod(element_at(sig, k * 8 + j), 256)))""").as("bb"))
+    val hint = BroadcastGate.shingleHint(t.documents)
+    val ha = packed.select($"doc_id".as("doc_a"), $"h".as("ha"), $"bb".as("bba"))
+    val hb = packed.select($"doc_id".as("doc_b"), $"h".as("hb"), $"bb".as("bbb"))
+    cand.join(hint(ha), "doc_a").join(hint(hb), "doc_b")
       .select($"doc_a", $"doc_b",
         expr("jaccard_bp_sorted(ha, hb)").as("jaccard_bp"),
-        expr("""aggregate(zip_with(sa, sb,
-                  (x, y) -> CASE WHEN pmod(x, 256) = pmod(y, 256) THEN 1L ELSE 0L END),
+        expr("""aggregate(zip_with(bba, bbb, (x, y) ->
+                  aggregate(sequence(0, 7), 0L,
+                    (acc, i) -> acc + CASE WHEN (shiftrightunsigned(x, i * 8) & 255) =
+                                              (shiftrightunsigned(y, i * 8) & 255)
+                                THEN 1L ELSE 0L END)),
                 0L, (acc, v) -> acc + v) * 10000 DIV 32""").as("bbit_est_bp"))
       .withColumn("err_bp", abs($"jaccard_bp" - $"bbit_est_bp"))
       .orderBy($"doc_a", $"doc_b")

@@ -124,7 +124,7 @@ object Pipeline {
   /** Distinct word-5-grams per doc: (doc_id, source, gram) — the shared
     * contamination currency of p04/p12/p19. sequence(1, n) DESCENDS when
     * n < 1, so short docs are guarded to zero grams explicitly. */
-  private def fiveGrams(docs: DataFrame): DataFrame =
+  private[graft] def fiveGrams(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("source"), explode(expr(

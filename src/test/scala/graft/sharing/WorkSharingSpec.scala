@@ -188,6 +188,33 @@ class WorkSharingSpec extends SparkSpec {
     } finally { ex.shutdown(); spark.catalog.clearCache() }
   }
 
+  test("curation family batches with the quality/gram fragments computed once") {
+    import graft.operators.Pipeline
+    val family: Seq[QueryJob[Seq[String]]] = Seq(
+      QueryJob("p04", s => Pipeline.p04Contamination(T(s, sfDir)), snap),
+      QueryJob("p11", s => Pipeline.p11QualityCascade(T(s, sfDir)), snap),
+      QueryJob("p12", s => Pipeline.p12BloomContamination(T(s, sfDir)), snap),
+      QueryJob("p29", s => Pipeline.p29CurationFunnel(T(s, sfDir)), snap))
+    val isolated = family.map(j => j.name -> j.action(j.build(spark))).toMap
+    val ex = new WorkSharingExecutor(spark)
+    try {
+      val batched = ex.runBatch(family, sharedFragments = Seq[(String,
+          org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)](
+        "quality_flags" -> (s => Pipeline.qualityFlags(T(s, sfDir))),
+        "five_grams"    -> (s => Pipeline.fiveGrams(T(s, sfDir).documents))))
+      // metamorphic: shared-fragment batching never changes any answer
+      batched.foreach { case (name, rows) => assert(rows == isolated(name), s"job $name") }
+      assert(ex.cachedFingerprints.contains("frag:quality_flags"), ex.cachedFingerprints)
+      assert(ex.cachedFingerprints.contains("frag:five_grams"), ex.cachedFingerprints)
+      // siblings built AFTER the batch read both fragment caches: p11 goes
+      // through quality_flags, p04 through five_grams
+      val probeQ = Pipeline.p11QualityCascade(T(spark, sfDir))
+      assert(probeQ.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+      val probeG = Pipeline.p04Contamination(T(spark, sfDir))
+      assert(probeG.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    } finally { ex.shutdown(); spark.catalog.clearCache() }
+  }
+
   test("automatic subplan sharing caches a shared aggregate subtree once") {
     // two jobs whose plans contain the SAME aggregate subtree with
     // different post-processing — scan sharing alone would re-aggregate
