@@ -637,7 +637,11 @@ class PlanQualitySpec extends SparkSpec {
       "q125_session_window" -> 2, "d23_cdc_chunks" -> 4,
       // r7: stage 0 became the LSH candidate join (band self-join + distinct
       // replace the broadcast probe-set × corpus scan the sf1 lane ceilinged)
-      "s16_two_stage_rerank" -> 3)
+      "s16_two_stage_rerank" -> 3,
+      // the funnel composes five stages (quality census, exact group, LSH
+      // band→cand→CC, 5-gram contamination, conditional-agg + stack) — 17
+      // exchanges IS its shape; the budget pins it from growing further
+      "p29_curation_funnel" -> 17)
     for ((name, budget) <- budgets) {
       val p = plan(name)
       val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning")) +
