@@ -54,7 +54,7 @@ object Dedup {
     * shared definitions or the oracles silently diverge — by construction it
     * can't). `hsCols`/`bandCols` widen the chain with blocking columns
     * (d21's ingest-vs-index split); `cand` overrides the candidate join. */
-  private[operators] def lshBandsDuckCtes(
+  private[graft] def lshBandsDuckCtes(
       hsCols: String = "doc_id",
       bandCols: String = "doc_id",
       cand: String =
@@ -198,7 +198,7 @@ object Dedup {
     * pipeline (ADVICE r6: the same three stages were copy-pasted across
     * d04/d18/d20/d21/d22 — a banding retune now edits exactly here and in
     * [[lshBandsDuckCtes]], nowhere else). Emits (doc_id, h sorted, sig). */
-  private[operators] def minhashSigTable(docs: DataFrame): DataFrame = {
+  private[graft] def minhashSigTable(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       .withColumn("h", expr(shingleHashes))
@@ -208,7 +208,7 @@ object Dedup {
   }
 
   /** 4 bands × 8 rows of a 32-slot `sig` column → (idName, band, bkey). */
-  private[operators] def bandRows(sigs: DataFrame, idName: String = "doc_id"): DataFrame =
+  private[graft] def bandRows(sigs: DataFrame, idName: String = "doc_id"): DataFrame =
     sigs.select(col("doc_id").as(idName), expr(
       """explode(transform(sequence(0, 3), b -> struct(b AS band,
            concat_ws(',', transform(slice(sig, b * 8 + 1, 8), x -> cast(x AS string))) AS bkey)))""").as("bk"))

@@ -534,6 +534,71 @@ object StreamOps {
               n_events, peak_minute
        FROM bucket ORDER BY event_type, bucket_start"""
 
+  final case class BandRow(doc_id: Long, band: Int, bkey: String)
+  final case class OwnRow(doc_id: Long, band: Int, owned: Boolean)
+
+  /** Streaming NEAR-dup front door: each arriving document's 4 MinHash band
+    * keys (the ONE banding definition, [[graft.operators.Dedup.bandRows]])
+    * are claimed first-come-first-served by stateful groups keyed on
+    * (band, bkey); a doc that owns none of its buckets collided with prior
+    * state in every band — the streaming analog of d04's candidate test, as
+    * ingest-time admission instead of a batch pair join. State is one long
+    * per distinct band key — the same sharded-keyed-state posture as any
+    * streaming aggregate at 100 TB/day (a production deployment would add a
+    * TTL like w11's WithinWatermark variant for re-crawl-dominated feeds).
+    * Emits ownership rows (append); the per-doc verdict is the stateless
+    * rollup [[w14NearDupFrontDoor]] states over the same rows. */
+  def bandOwnership(docs: DataFrame): Dataset[OwnRow] = {
+    import docs.sparkSession.implicits._
+    graft.functions.Registry.ensure(docs.sparkSession)
+    val bands = graft.operators.Dedup
+      .bandRows(graft.operators.Dedup.minhashSigTable(docs))
+    bands.as[BandRow]
+      .groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState[Long, OwnRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, String), rows: Iterator[BandRow], state: GroupState[Long]) =>
+          // within-batch arrival order = doc_id order (the in-order-delivery
+          // contract w04/w11 state), so the claim is deterministic
+          val sorted = rows.toArray.sortBy(_.doc_id)
+          val owner = state.getOption.getOrElse {
+            state.update(sorted.head.doc_id); sorted.head.doc_id
+          }
+          sorted.iterator.map(r => OwnRow(r.doc_id, r.band, r.doc_id == owner))
+      }
+  }
+
+  /** Batch twin of [[bandOwnership]]'s rollup for oracle coverage: per doc,
+    * how many of its 4 band buckets it owns (owner = min doc_id in the
+    * bucket — first arrival under in-order delivery) and the novelty
+    * verdict (owns >= 1). A non-novel doc is an LSH near-dup candidate of
+    * prior state; the banding contract is d04's, so the false-positive rate
+    * is the measured d14 tuning curve, not a new knob. */
+  def nearDupVerdict(docs: DataFrame): DataFrame = {
+    graft.functions.Registry.ensure(docs.sparkSession)
+    val bands = graft.operators.Dedup
+      .bandRows(graft.operators.Dedup.minhashSigTable(docs))
+    val owners = bands.groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("owner"))
+    bands.join(owners, Seq("band", "bkey"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L)).as("n_owned"))
+      .select(col("doc_id"), col("n_owned"), (col("n_owned") > 0).as("novel"))
+      .orderBy(col("doc_id"))
+  }
+
+  def w14NearDupFrontDoor(t: graft.T): DataFrame = nearDupVerdict(t.documents)
+
+  val w14Oracle: String =
+    s"""WITH ${graft.operators.Dedup.lshBandsDuckCtes(cand =
+         """owners AS (
+         SELECT b, bkey, MIN(doc_id) AS owner FROM bands GROUP BY 1, 2)""")}
+       SELECT bands.doc_id,
+              SUM(CASE WHEN owner = bands.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_owned,
+              (SUM(CASE WHEN owner = bands.doc_id THEN 1 ELSE 0 END) > 0) AS novel
+       FROM bands JOIN owners ON owners.b = bands.b AND owners.bkey = bands.bkey
+       GROUP BY 1 ORDER BY 1"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_windowed_type_counts" -> ((s, d) => w01WindowedTypeCounts(graft.T(s, d))),
     "w02_session_windows"      -> ((s, d) => w02SessionWindows(graft.T(s, d))),
@@ -548,6 +613,7 @@ object StreamOps {
     "w11_content_dedup"        -> ((s, d) => w11ContentDedup(graft.T(s, d))),
     "w12_session_agg"          -> ((s, d) => w12SessionAgg(graft.T(s, d))),
     "w13_two_level_windows"    -> ((s, d) => w13TwoLevelWindows(graft.T(s, d))),
+    "w14_near_dup_front"       -> ((s, d) => w14NearDupFrontDoor(graft.T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -564,5 +630,6 @@ object StreamOps {
     "w11_content_dedup"        -> w11Oracle,
     "w12_session_agg"          -> w12Oracle,
     "w13_two_level_windows"    -> w13Oracle,
+    "w14_near_dup_front"       -> w14Oracle,
   )
 }

@@ -434,6 +434,36 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("w14: streaming band-ownership rollup == batch near-dup verdict") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // doc 3 is an exact re-crawl of doc 1 (all 4 band keys collide with
+    // state), split across micro-batches so the claim is genuinely stateful
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+    val b2 = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "sphinx of black quartz judge my vow"))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.bandOwnership(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("band_own")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("band_own")
+        .groupBy($"doc_id")
+        .agg(sum(when($"owned", 1L).otherwise(0L)).as("n_owned"))
+        .select($"doc_id", $"n_owned", ($"n_owned" > 0).as("novel"))
+      val batch = StreamOps.nearDupVerdict((b1 ++ b2).toDF("doc_id", "text"))
+      assert(snap(streamed) == snap(batch))
+      // the re-crawl owns nothing; everyone else owns all 4 bands
+      val verdict = streamed.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(verdict == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the dimension without state") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
