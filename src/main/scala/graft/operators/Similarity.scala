@@ -1500,6 +1500,116 @@ object Similarity {
        GROUP BY t.query_id ORDER BY t.query_id"""
   }
 
+  /** IVFADC with exact rerank (Jegou et al., PAMI 2011 §IV — the FAISS
+    * IVFPQ production composition, built from the engine's two existing
+    * trained stages the way d26 composes collapse→pair):
+    *
+    *   1. coarse IVF (s04's trained centroids) restricts each query to its
+    *      `IvfNprobe` nearest cells — the candidate stream is ids-only
+    *      (|cell| rows/query, not |corpus|);
+    *   2. ADC over s15's PQ codes scores candidates with 8 table-lookup
+    *      adds per vector — the memory-resident scan shape (4-byte codes,
+    *      not 256-byte vectors) that makes a 10^11-vector index fit a
+    *      cluster's RAM;
+    *   3. the ADC top-10 shortlist is reranked with exact integer L2 on
+    *      the quantized vectors (touches 10 vectors/query, not the cell).
+    *
+    * Everything is exact integer/bp arithmetic end to end, so DuckDB's
+    * composed CTE chain (IVF k-means ∘ PQ k-means renamed pc*) reproduces
+    * the identical shortlist and final ranking. Shuffle posture: codes and
+    * cluster assignment partition by vec_id; the per-query work after the
+    * cell probe is proportional to cell size, then k. */
+  def s21IvfPqAnn(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val cents = trainIvfCentroids(t)
+    val books = trainPqCodebook(t)
+    val assigned = assignCluster(quantized(t), cents).select($"vec_id", $"cluster")
+    val codes = pqAssign(pqSlices(t), books).select($"vec_id", $"blk", $"code")
+    val q = probeClusters(quantized(t).filter($"vec_id" % 25 === 0), cents, IvfNprobe)
+      .select($"vec_id".as("query_id"), explode($"probes").as("qc"))
+    // candidate ids: corpus rows in the probed cells — two longs per row
+    val cand = assigned.join(broadcast(q), $"cluster" === $"qc" && $"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id")
+    // ADC lookup table: per (query, block, centroid) distance, broadcast
+    val qtab = pqSlices(t).filter($"vec_id" % 25 === 0)
+      .join(broadcast(pqBookDf(t.spark, books)), Seq("blk"))
+      .select($"vec_id".as("query_id"), $"blk", $"k".as("code"),
+        call_function("l2_sq", $"sl", $"cent").as("d"))
+    val est = cand.join(codes, "vec_id")
+      .join(broadcast(qtab), Seq("query_id", "blk", "code"))
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"d").as("adc"))
+    val short = rankTopK(est, "query_id", "adc", "vec_id", 10, largest = false)
+      .select($"query_id", $"vec_id")
+    val hint = BroadcastGate.vectorHint(t.embeddings)
+    val qq = quantized(t).select($"vec_id".as("query_id"), $"qe".as("qq"))
+    val xq = quantized(t).select($"vec_id", $"qe".as("xq"))
+    val reranked = short
+      .join(hint(qq), "query_id").join(hint(xq), "vec_id")
+      .select($"query_id", $"vec_id",
+        call_function("l2_sq", $"qq", $"xq").as("ex"))
+    rankTopK(reranked, "query_id", "ex", "vec_id", 3, largest = false)
+      .select($"query_id", $"rk", $"vec_id".as("neighbor_id"),
+        $"ex".cast("long").as("exact_l2"))
+      .orderBy($"query_id", $"rk")
+  }
+
+  val s21Oracle: String =
+    s"""WITH $ivfTrainCte,
+       af AS ${duckAssign("c2")},
+       probes AS (
+         SELECT vec_id, k AS cluster FROM (
+           SELECT e.vec_id, c.k,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                    list_sum(list_transform(range(1, 65), i ->
+                      (e.qe[i] - c.c[i]) * (e.qe[i] - c.c[i]))) ASC, c.k ASC) AS rn
+           FROM ebp e CROSS JOIN c2 c WHERE e.vec_id % 25 = 0)
+         WHERE rn <= $IvfNprobe),
+       sl AS (
+         SELECT vec_id, b AS blk, qe[b * 8 + 1 : b * 8 + 8] AS sl
+         FROM ebp, range(0, $PqM) r(b)),
+       pc0 AS (SELECT blk, vec_id AS k, sl AS c FROM sl WHERE vec_id < $PqK),
+       pa0 AS ${pqDuckAssign("pc0")},
+       pc1 AS ${pqDuckUpdate("pa0", "pc0")},
+       pa1 AS ${pqDuckAssign("pc1")},
+       pc2 AS ${pqDuckUpdate("pa1", "pc1")},
+       codes AS ${pqDuckAssign("pc2")},
+       qtab AS (
+         SELECT s.vec_id AS query_id, s.blk, c.k,
+                list_sum(list_transform(range(1, 9), i ->
+                  (s.sl[i] - c.c[i]) * (s.sl[i] - c.c[i]))) AS d
+         FROM sl s JOIN pc2 c ON c.blk = s.blk
+         WHERE s.vec_id % 25 = 0),
+       cand AS (
+         SELECT p.vec_id AS query_id, x.vec_id
+         FROM probes p JOIN af x
+           ON x.cluster = p.cluster AND p.vec_id <> x.vec_id),
+       est AS (
+         SELECT c.query_id, c.vec_id, SUM(q.d) AS adc
+         FROM cand c
+         JOIN codes x ON x.vec_id = c.vec_id
+         JOIN qtab q ON q.query_id = c.query_id AND q.blk = x.blk AND q.k = x.code
+         GROUP BY 1, 2),
+       short AS (
+         SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc ASC, vec_id ASC) AS rn FROM est)
+         WHERE rn <= 10),
+       rerank AS (
+         SELECT s.query_id, s.vec_id,
+                list_sum(list_transform(range(1, 65), i ->
+                  (a.qe[i] - b.qe[i]) * (a.qe[i] - b.qe[i]))) AS ex
+         FROM short s JOIN ebp a ON a.vec_id = s.query_id
+                      JOIN ebp b ON b.vec_id = s.vec_id)
+       SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id AS neighbor_id,
+              ex::BIGINT AS exact_l2
+       FROM (SELECT query_id, vec_id, ex,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY ex ASC, vec_id ASC) AS rk FROM rerank)
+       WHERE rk <= 3 ORDER BY query_id, rk"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
@@ -1521,6 +1631,7 @@ object Similarity {
     "s18_mmr_rerank"        -> ((s, d) => s18MmrRerank(T(s, d))),
     "s19_nprobe_sweep"      -> ((s, d) => s19NprobeSweep(T(s, d))),
     "s20_binary_recall"     -> ((s, d) => s20BinaryRecall(T(s, d))),
+    "s21_ivfpq_ann"         -> ((s, d) => s21IvfPqAnn(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1544,5 +1655,6 @@ object Similarity {
     "s18_mmr_rerank"        -> s18Oracle,
     "s19_nprobe_sweep"      -> s19Oracle,
     "s20_binary_recall"     -> s20Oracle,
+    "s21_ivfpq_ann"         -> s21Oracle,
   )
 }

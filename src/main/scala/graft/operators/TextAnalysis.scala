@@ -1141,6 +1141,60 @@ object TextAnalysis {
               (top2_bp > 2000 OR top3_bp > 1800 OR dup2_bp > 1500) AS flagged
        FROM f ORDER BY doc_id"""
 
+  /** Code-vs-prose heuristic (the StarCoder/SantaCoder-style natural-
+    * language filter, inverted: score how code-like a document is so a
+    * text pipeline can route or drop source fragments). Three integer
+    * features per doc, one codegen projection — linear, no shuffle
+    * beyond the output sort:
+    *   - symbol_bp: code-punctuation chars ({}()[];=<>#) per char;
+    *   - kw_cnt: whitespace tokens in a 16-keyword code lexicon;
+    *   - snake_cnt: snake_case identifier tokens.
+    * Score is a fixed integer blend; the flag threshold (2000 bp) is the
+    * declared calibration, like t03's quality blend. */
+  def t26CodeDetect(t: T): DataFrame = {
+    import t.spark.implicits._
+    val kws = Seq("def", "return", "import", "class", "void", "const", "var",
+      "function", "if", "else", "for", "while", "int", "public", "static", "null")
+    val kwList = kws.map(k => s"'$k'").mkString("array(", ", ", ")")
+    t.documents
+      .withColumn("n_sym",
+        (length($"text") - length(regexp_replace($"text", "[{}()\\[\\];=<>#]", ""))).cast("long"))
+      .withColumn("kw_cnt",
+        size(expr(s"filter(split(lower(text), ' '), x -> array_contains($kwList, x))")).cast("long"))
+      .withColumn("snake_cnt",
+        size(expr("filter(split(text, ' '), x -> x rlike '^[a-z]+(_[a-z]+)+$')")).cast("long"))
+      .select($"doc_id",
+        expr("(n_sym * 10000) DIV greatest(n_chars, 1L)").as("symbol_bp"),
+        $"kw_cnt", $"snake_cnt",
+        expr("((n_sym * 10000) DIV greatest(n_chars, 1L)) * 6 DIV 10" +
+             " + least(kw_cnt, 10L) * 300 + least(snake_cnt, 10L) * 100").as("code_bp"))
+      .withColumn("is_code", $"code_bp" >= 2000)
+      .orderBy($"doc_id")
+  }
+
+  val t26Oracle: String = {
+    val kws = Seq("def", "return", "import", "class", "void", "const", "var",
+      "function", "if", "else", "for", "while", "int", "public", "static", "null")
+    val kwList = kws.map(k => s"'$k'").mkString("[", ", ", "]")
+    s"""WITH f AS (
+         SELECT doc_id,
+                (length(text) - length(regexp_replace(text, '[{}()\\[\\];=<>#]', '', 'g')))::BIGINT AS n_sym,
+                len(list_filter(string_split(lower(text), ' '),
+                    x -> list_contains($kwList, x)))::BIGINT AS kw_cnt,
+                len(list_filter(string_split(text, ' '),
+                    x -> regexp_matches(x, '^[a-z]+(_[a-z]+)+$$')))::BIGINT AS snake_cnt,
+                greatest(n_chars, 1)::BIGINT AS nc
+         FROM documents)
+       SELECT doc_id,
+              (n_sym * 10000) // nc AS symbol_bp,
+              kw_cnt, snake_cnt,
+              ((n_sym * 10000) // nc) * 6 // 10
+                + least(kw_cnt, 10) * 300 + least(snake_cnt, 10) * 100 AS code_bp,
+              (((n_sym * 10000) // nc) * 6 // 10
+                + least(kw_cnt, 10) * 300 + least(snake_cnt, 10) * 100 >= 2000) AS is_code
+       FROM f ORDER BY doc_id"""
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count"   -> ((s, d) => t01TokenCount(T(s, d))),
     "t02_lang_id"       -> ((s, d) => t02LangId(T(s, d))),
@@ -1167,6 +1221,7 @@ object TextAnalysis {
     "t23_boilerplate"      -> ((s, d) => t23BoilerplatePrefixes(T(s, d))),
     "t24_kwic"             -> ((s, d) => t24KwicConcordance(T(s, d))),
     "t25_gopher_repetition" -> ((s, d) => t25GopherRepetition(T(s, d))),
+    "t26_code_detect"   -> ((s, d) => t26CodeDetect(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1195,5 +1250,6 @@ object TextAnalysis {
     "t23_boilerplate"      -> t23Oracle,
     "t24_kwic"             -> t24Oracle,
     "t25_gopher_repetition" -> t25Oracle,
+    "t26_code_detect"   -> t26Oracle,
   )
 }
