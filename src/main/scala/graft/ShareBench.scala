@@ -324,6 +324,49 @@ object ShareBench {
       val fragC = paired.map(_._2).sorted.apply(1)
       lines2 += s"""{"workload":"curation_family","window":4,"separate":$sepC,"fragment_shared":$fragC}"""
     }
+    // graph family: every graph query recomputes the LSH pair graph before
+    // its own supersteps — the most expensive shared subtree in the repo
+    // relative to the downstream work (degree/triangle/modularity passes are
+    // cheap equi-joins once the verified pair list exists). Fragment: d04's
+    // verified pairs (narrow: two longs + a bp score). g01's localCheckpoint
+    // still benefits: the checkpoint materialization itself scans the cached
+    // InMemoryRelation via CacheManager substitution. Same 10×-replicated
+    // corpus and paired median-of-3 single-slot protocol as the other rows.
+    if (only("graph_family")) {
+      import graft.operators.{Dedup, Graph}
+      val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val gDir = "/tmp/graft-share/x10"
+      val marker = java.nio.file.Paths.get(s"$gDir/_GRAFT_READY")
+      if (!java.nio.file.Files.exists(marker)) {
+        ScaleSmoke.buildScaled(spark, base, gDir, 10)
+        java.nio.file.Files.createFile(marker)
+      }
+      def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+      def gJobs: Seq[QueryJob[Unit]] = Seq[(String, SparkSession => DataFrame)](
+        "g01" -> (s => Graph.g01PageRank(T(s, gDir))),
+        "g02" -> (s => Graph.g02Triangles(T(s, gDir))),
+        "g04" -> (s => Graph.g04DegreeHistogram(T(s, gDir))),
+        "g05" -> (s => Graph.g05ClusterSizes(T(s, gDir))),
+        "g08" -> (s => Graph.g08Modularity(T(s, gDir))),
+        "g10" -> (s => Graph.g10TwoHopReach(T(s, gDir)))
+      ).map { case (n, b) => QueryJob[Unit](n, b, noop) }
+      val gFrags = Seq[(String, SparkSession => DataFrame)](
+        "lsh_pairs" -> (s => Dedup.d04MinhashLshPairs(T(s, gDir))))
+      val paired = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val a = time(new WorkSharingExecutor(spark, budgetBytes = 0L,
+          maxConcurrency = 1).runBatch(gJobs))
+        spark.catalog.clearCache()
+        val b = time {
+          val ex = new WorkSharingExecutor(spark, budgetBytes = 0L, maxConcurrency = 1)
+          try ex.runBatch(gJobs, gFrags) finally ex.shutdown()
+        }
+        (a, b)
+      }
+      val sepG = paired.map(_._1).sorted.apply(1)
+      val fragG = paired.map(_._2).sorted.apply(1)
+      lines2 += s"""{"workload":"graph_family","window":6,"separate":$sepG,"fragment_shared":$fragG}"""
+    }
     (lines ++ lines2).foreach(println)
     // file artifact, like Bench's BENCH_full.json: stdout of a manual run
     // isn't captured anywhere durable

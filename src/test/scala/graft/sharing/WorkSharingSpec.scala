@@ -138,6 +138,27 @@ class WorkSharingSpec extends SparkSpec {
     } finally { ex.shutdown(); spark.catalog.clearCache() }
   }
 
+  test("graph family batches with the LSH pair fragment computed once") {
+    import graft.operators.{Dedup, Graph}
+    val family: Seq[QueryJob[Seq[String]]] = Seq(
+      QueryJob("g04", s => Graph.g04DegreeHistogram(T(s, sfDir)), snap),
+      QueryJob("g05", s => Graph.g05ClusterSizes(T(s, sfDir)), snap),
+      QueryJob("g10", s => Graph.g10TwoHopReach(T(s, sfDir)), snap))
+    val isolated = family.map(j => j.name -> j.action(j.build(spark))).toMap
+    val ex = new WorkSharingExecutor(spark)
+    try {
+      val batched = ex.runBatch(family, sharedFragments = Seq[(String,
+          org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)](
+        "lsh_pairs" -> (s => Dedup.d04MinhashLshPairs(T(s, sfDir)))))
+      // metamorphic: shared-fragment batching never changes any answer
+      batched.foreach { case (name, rows) => assert(rows == isolated(name), s"job $name") }
+      assert(ex.cachedFingerprints.contains("frag:lsh_pairs"), ex.cachedFingerprints)
+      // a sibling built AFTER the batch reads the fragment cache
+      val probe = Graph.g04DegreeHistogram(T(spark, sfDir))
+      assert(probe.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    } finally { ex.shutdown(); spark.catalog.clearCache() }
+  }
+
   test("text family batches with the token/census fragments computed once") {
     import graft.operators.TextAnalysis
     val family: Seq[QueryJob[Seq[String]]] = Seq(
