@@ -78,8 +78,9 @@ object ScaleSmoke {
     "d21_incremental_dedup", "d22_bbit_minhash", "d23_cdc_chunks",
     "d24_chunk_dedup", "d25_collapse_repair", "d26_collapse_pairs",
     "d27_semantic_collapse", "d28_strided_census", "s02_hyperplane_lsh",
-    "s04_ivf_ann", "g01_pagerank", "t11_tfidf_topterms",
-    "t25_gopher_repetition", "p03_sequence_packing", "p29_curation_funnel")
+    "s04_ivf_ann", "s21_ivfpq_ann", "g01_pagerank", "g14_collapsed_rank",
+    "t11_tfidf_topterms", "t25_gopher_repetition", "t26_code_detect",
+    "p03_sequence_packing", "p29_curation_funnel", "w14_near_dup_front")
 
   /** Exact/audit arms — broadcast-the-query-set brute force (s01-shaped) or
     * declared all-pairs baselines. Excluded, named in the artifact. s16's

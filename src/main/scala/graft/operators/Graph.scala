@@ -27,13 +27,19 @@ object Graph {
     * Undirected edges mean every node has outdeg >= 1 and in-edges, so
     * there are no dangling-mass corrections to model. */
   def g01PageRank(t: T): DataFrame = {
-    import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val pairs = Dedup.d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
-    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    pagerankPpm(Dedup.d04MinhashLshPairs(t).select(col("doc_a"), col("doc_b")))
+  }
+
+  /** ONE definition of the 5-superstep integer PageRank over an undirected
+    * pair list — g01 runs it on the raw d04 graph, g14 on the collapsed
+    * residual graph (same arithmetic, same checkpoint discipline). */
+  private[graft] def pagerankPpm(pairsIn: DataFrame): DataFrame = {
+    import pairsIn.sparkSession.implicits._
+    val edges = pairsIn.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairsIn.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .distinct()
-      .localCheckpoint() // 5 supersteps reuse blocks, not the LSH lineage
+      .localCheckpoint() // 5 supersteps reuse blocks, not the pair lineage
     // loop-invariant: every superstep scans edges-with-outdeg, so join it
     // once and materialize — each round is then one join + one aggregation
     val edgesDeg = edges
@@ -51,6 +57,34 @@ object Graph {
     ranks.select($"node".as("doc_id"), $"rank".as("rank_ppm"))
       .orderBy($"doc_id")
   }
+
+  /** Collapse-before-graph (the g01 composition of the d26 recipe): elect
+    * d12's keepers, re-pair the COLLAPSED corpus at d26's 0.42 residual
+    * threshold, and rank within that cross-cluster graph. On a
+    * replica-heavy corpus the raw d04 edge set grows m² in replica
+    * multiplicity (each replica cluster is a near-clique), so raw g01's
+    * superstep joins are output-bound the same way d08/d13 were — the 60×
+    * probe measured g01 at 105 s for exactly this reason. Collapsing first
+    * removes the clique mass; the ranked graph is the residual
+    * between-cluster structure, which is what centrality over a dedup
+    * graph means once duplicates are folded. */
+  def g14CollapsedRank(t: T): DataFrame = {
+    graft.functions.Registry.ensure(t.spark)
+    pagerankPpm(Dedup.d26CollapsePairs(t).select(col("doc_a"), col("doc_b")))
+  }
+
+  val g14Oracle: String =
+    s"""WITH cpairs AS (SELECT doc_a, doc_b FROM (${Dedup.d26Oracle})),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM cpairs
+                 UNION SELECT doc_b, doc_a FROM cpairs),
+       deg AS (SELECT s, COUNT(*) AS outdeg FROM edges GROUP BY s),
+       r0 AS (SELECT s AS node, 1000000::BIGINT AS rank FROM deg),
+       r1 AS ${duckStep("r0")},
+       r2 AS ${duckStep("r1")},
+       r3 AS ${duckStep("r2")},
+       r4 AS ${duckStep("r3")},
+       r5 AS ${duckStep("r4")}
+       SELECT node AS doc_id, rank AS rank_ppm FROM r5 ORDER BY doc_id"""
 
   /** One superstep against rank CTE `prev`. */
   private def duckStep(prev: String): String =
@@ -601,6 +635,7 @@ object Graph {
     "g11_cluster_density"  -> ((s, d) => g11ClusterDensity(T(s, d))),
     "g12_label_propagation" -> ((s, d) => g12LabelPropagation(T(s, d))),
     "g13_bridge_edges"      -> ((s, d) => g13BridgeEdges(T(s, d))),
+    "g14_collapsed_rank"    -> ((s, d) => g14CollapsedRank(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -617,5 +652,6 @@ object Graph {
     "g11_cluster_density"  -> g11Oracle,
     "g12_label_propagation" -> g12Oracle,
     "g13_bridge_edges"      -> g13Oracle,
+    "g14_collapsed_rank"    -> g14Oracle,
   )
 }

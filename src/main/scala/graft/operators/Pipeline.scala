@@ -1421,6 +1421,68 @@ object Pipeline {
               (n_tokens * 10000 // raw_t)::BIGINT AS retained_tokens_bp
        FROM stages ORDER BY stage_idx"""
 
+  /** The ensemble members p30 audits: the four Gopher-style quality flags
+    * (ONE definition, [[qualityFlags]]), the inverted t26 code detector,
+    * and the language gate. */
+  private val ensembleFilters =
+    Seq("f_len", "f_wordlen", "f_stop", "f_rep", "f_notcode", "f_lang")
+
+  /** Filter-ensemble agreement matrix — the curation diagnostic run before
+    * trusting any single heuristic: for every pair of filters, on how many
+    * docs do their verdicts coincide (diagonal rows = each filter's pass
+    * count). One labelled frame + ONE conditional-aggregate pass over the
+    * corpus (the LabellingRDD idiom p29 uses), then a 21-row stack — no
+    * per-pair shuffle, no 36×-corpus explode, so the plan is a single scan
+    * whatever the corpus size. A filter whose agreement with every other
+    * member is low is the ensemble's outlier — the FineWeb-style ablation
+    * signal computed as one query. */
+  def p30FilterAgreement(t: T): DataFrame = {
+    import t.spark.implicits._
+    val names = ensembleFilters
+    val flags = qualityFlags(t)
+      .select($"doc_id", $"f_len", $"f_wordlen", $"f_stop", $"f_rep")
+      .join(graft.operators.TextAnalysis.t26CodeDetect(t)
+        .select($"doc_id", (!$"is_code").as("f_notcode")), "doc_id")
+      .join(t.documents.select($"doc_id", ($"lang" === "en").as("f_lang")), "doc_id")
+    val aggs = for { i <- names.indices; j <- i until names.length } yield {
+      if (i == j) sum(when(col(names(i)), 1L).otherwise(0L)).as(s"a_${i}_$j")
+      else sum(when(col(names(i)) === col(names(j)), 1L).otherwise(0L)).as(s"a_${i}_$j")
+    }
+    val row = flags.agg(count(lit(1)).as("n_docs"), aggs: _*)
+    val stackArgs = (for { i <- names.indices; j <- i until names.length } yield
+      s"'${names(i)}', '${names(j)}', a_${i}_$j").mkString(", ")
+    val nPairs = names.length * (names.length + 1) / 2
+    row.select($"n_docs",
+        expr(s"stack($nPairs, $stackArgs)").as(Seq("filter_a", "filter_b", "n_agree")))
+      .select($"filter_a", $"filter_b", $"n_agree",
+        expr("n_agree * 10000 DIV n_docs").as("agree_bp"))
+      .orderBy($"filter_a", $"filter_b")
+  }
+
+  val p30Oracle: String = {
+    val names = ensembleFilters
+    val sums = (for { i <- names.indices; j <- i until names.length } yield
+      if (i == j) s"SUM(CASE WHEN ${names(i)} THEN 1 ELSE 0 END)::BIGINT AS a_${i}_$j"
+      else s"SUM(CASE WHEN ${names(i)} = ${names(j)} THEN 1 ELSE 0 END)::BIGINT AS a_${i}_$j"
+      ).mkString(",\n           ")
+    val rows = (for { i <- names.indices; j <- i until names.length } yield
+      s"""SELECT '${names(i)}' AS filter_a, '${names(j)}' AS filter_b,
+              a_${i}_$j AS n_agree, a_${i}_$j * 10000 // n_docs AS agree_bp FROM agg"""
+      ).mkString("\n         UNION ALL ")
+    s"""WITH $qualityCtesDuck,
+       code AS (SELECT doc_id, is_code FROM (${graft.operators.TextAnalysis.t26Oracle})),
+       flags AS (
+         SELECT q.doc_id, q.f_len, q.f_wordlen, q.f_stop, q.f_rep,
+                NOT c.is_code AS f_notcode, (d.lang = 'en') AS f_lang
+         FROM qflags q JOIN code c USING (doc_id) JOIN documents d USING (doc_id)),
+       agg AS (
+         SELECT COUNT(*)::BIGINT AS n_docs,
+           $sums
+         FROM flags)
+       $rows
+       ORDER BY filter_a, filter_b"""
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -1451,6 +1513,7 @@ object Pipeline {
     "p27_semantic_contam"     -> ((s, d) => p27SemanticContam(T(s, d))),
     "p28_context_sweep"       -> ((s, d) => p28ContextSweep(T(s, d))),
     "p29_curation_funnel"     -> ((s, d) => p29CurationFunnel(T(s, d))),
+    "p30_filter_agreement"    -> ((s, d) => p30FilterAgreement(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1483,5 +1546,6 @@ object Pipeline {
     "p27_semantic_contam"     -> p27Oracle,
     "p28_context_sweep"       -> p28Oracle,
     "p29_curation_funnel"     -> p29Oracle,
+    "p30_filter_agreement"    -> p30Oracle,
   )
 }

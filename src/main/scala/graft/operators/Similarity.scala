@@ -1524,22 +1524,37 @@ object Similarity {
     graft.functions.Registry.ensure(t.spark)
     val cents = trainIvfCentroids(t)
     val books = trainPqCodebook(t)
-    val assigned = assignCluster(quantized(t), cents).select($"vec_id", $"cluster")
-    val codes = pqAssign(pqSlices(t), books).select($"vec_id", $"blk", $"code")
-    val q = probeClusters(quantized(t).filter($"vec_id" % 25 === 0), cents, IvfNprobe)
-      .select($"vec_id".as("query_id"), explode($"probes").as("qc"))
-    // candidate ids: corpus rows in the probed cells — two longs per row
-    val cand = assigned.join(broadcast(q), $"cluster" === $"qc" && $"query_id" =!= $"vec_id")
-      .select($"query_id", $"vec_id")
-    // ADC lookup table: per (query, block, centroid) distance, broadcast
-    val qtab = pqSlices(t).filter($"vec_id" % 25 === 0)
+    // corpus side: cluster id + the 8 PQ codes PACKED into one array per
+    // vector (first s21 shape joined per-(pair, block) rows — 8× the
+    // candidate stream through a shuffle+aggregate, and the 80× probe
+    // ceilinged on exactly that exchange; packed, the pair stream is
+    // generated by the probe join and immediately partial-aggregated, the
+    // same no-pair-shuffle shape as s04)
+    val codesPacked = pqAssign(pqSlices(t), books)
+      .groupBy($"vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(blk, code))), s -> s.code)")
+        .as("codes"))
+    val corpus = assignCluster(quantized(t), cents).select($"vec_id", $"cluster")
+      .join(codesPacked, "vec_id")
+    // query side: probed cells + the 128-slot ADC lookup table (d at
+    // index blk*16+code), broadcast with the probe rows
+    val qlut = pqSlices(t).filter($"vec_id" % 25 === 0)
       .join(broadcast(pqBookDf(t.spark, books)), Seq("blk"))
-      .select($"vec_id".as("query_id"), $"blk", $"k".as("code"),
+      .select($"vec_id".as("query_id"), $"blk", $"k",
         call_function("l2_sq", $"sl", $"cent").as("d"))
-    val est = cand.join(codes, "vec_id")
-      .join(broadcast(qtab), Seq("query_id", "blk", "code"))
-      .groupBy($"query_id", $"vec_id")
-      .agg(sum($"d").as("adc"))
+      .groupBy($"query_id")
+      .agg(expr("transform(array_sort(collect_list(struct(blk, k, d))), s -> s.d)")
+        .as("lut"))
+    val qside = probeClusters(quantized(t).filter($"vec_id" % 25 === 0), cents, IvfNprobe)
+      .select($"vec_id".as("query_id"), explode($"probes").as("qc"))
+      .join(qlut, "query_id")
+    // inline ADC: 8 unrolled (codegen'd) table lookups per candidate —
+    // exact integer values in doubles, so the sum is order-independent
+    val adcExpr = (0 until PqM)
+      .map(b => expr(s"element_at(lut, $b * 16 + element_at(codes, ${b + 1}) + 1)"))
+      .reduce(_ + _)
+    val est = corpus.join(broadcast(qside), $"cluster" === $"qc" && $"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id", adcExpr.as("adc"))
     val short = rankTopK(est, "query_id", "adc", "vec_id", 10, largest = false)
       .select($"query_id", $"vec_id")
     val hint = BroadcastGate.vectorHint(t.embeddings)
