@@ -222,11 +222,11 @@ object Similarity {
 
   /** Basis-point quantized copy: bp values are small exact integers in
     * float32, and l2_sq's double accumulation over them is exact. */
-  private def quantized(t: T): DataFrame = {
-    import t.spark.implicits._
-    t.embeddings.select($"vec_id", $"embedding",
+  private[graft] def quantizeDf(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
       expr("transform(embedding, x -> cast(floor(cast(x AS double) * 10000) AS float))").as("qe"))
-  }
+
+  private def quantized(t: T): DataFrame = quantizeDf(t.embeddings)
 
   /** Adds `cluster` = argmin_k l2_sq(qe, centroid_k), ties broken by k. */
   private def assignCluster(df: DataFrame, cents: Array[Array[Long]]): DataFrame = {
@@ -282,13 +282,18 @@ object Similarity {
       .drop("dk")
   }
 
-  def s04IvfAnn(t: T): DataFrame = {
+  def s04IvfAnn(t: T): DataFrame = ivfAnnFor(t, 0)
+
+  /** The trained-IVF probe search for query set `vec_id % 25 == qmod` —
+    * ONE definition serving s04 (qmod 0) and w15's serving twin (qmod 7,
+    * a disjoint "arriving" query set). */
+  private[graft] def ivfAnnFor(t: T, qmod: Int): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
     val cents = trainIvfCentroids(t)
     val assigned = assignCluster(quantized(t), cents)
       .select($"vec_id", $"embedding", $"cluster", sqNorm("embedding").as("nb"))
-    val q = probeClusters(quantized(t).filter($"vec_id" % 25 === 0), cents, IvfNprobe)
+    val q = probeClusters(quantized(t).filter($"vec_id" % 25 === qmod), cents, IvfNprobe)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
         sqNorm("embedding").as("na"), explode($"probes").as("qc"))
     val pairs = assigned.join(broadcast(q), $"cluster" === $"qc" && $"query_id" =!= $"vec_id")
@@ -297,6 +302,27 @@ object Similarity {
     rankTopK(pairs, "query_id", "cosine", "neighbor_id", 3)
       .select($"query_id", $"rk", $"neighbor_id", $"cosine")
       .orderBy($"query_id", $"rk")
+  }
+
+  /** Streaming ANN serving: a stream of query vectors routed through the
+    * SAME trained IVF index s04 searches — quantization, probe selection
+    * (inlined centroid literals) and the cell-restricted scoring join are
+    * all stateless map-side work or a stream-static join, so the plan runs
+    * unchanged on an unbounded query feed with NO streaming state; the
+    * top-k rollup is the consumer's (an update-mode aggregate in
+    * production, a batch window in the parity spec). This is the online
+    * half of the index lifecycle: s04 builds/searches offline, w15 serves. */
+  def annServeStream(queryVecs: DataFrame, t: T): DataFrame = {
+    graft.functions.Registry.ensure(t.spark)
+    val cents = trainIvfCentroids(t)
+    val corpus = assignCluster(quantized(t), cents)
+      .select(col("vec_id"), col("embedding"), col("cluster"), sqNorm("embedding").as("nb"))
+    val q = probeClusters(quantizeDf(queryVecs), cents, IvfNprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        sqNorm("embedding").as("na"), explode(col("probes")).as("qc"))
+    q.join(corpus, col("cluster") === col("qc") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        prenormCos("q_emb", "embedding", "na", "nb").as("cosine"))
   }
 
   /** One assignment pass against centroid CTE `cents`. */
@@ -334,7 +360,10 @@ object Similarity {
        a1 AS ${duckAssign("c1")},
        c2 AS ${duckUpdate("a1", "c1")}"""
 
-  val s04Oracle: String =
+  val s04Oracle: String = ivfOracleFor(0)
+
+  /** DuckDB twin of [[ivfAnnFor]] — same one-definition rule. */
+  private[graft] def ivfOracleFor(qmod: Int): String =
     s"""WITH $ivfTrainCte,
        af AS ${duckAssign("c2")},
        probes AS (
@@ -343,7 +372,7 @@ object Similarity {
                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
                     list_sum(list_transform(range(1, 65), i ->
                       (e.qe[i] - c.c[i]) * (e.qe[i] - c.c[i]))) ASC, c.k ASC) AS rn
-           FROM ebp e CROSS JOIN c2 c WHERE e.vec_id % 25 = 0)
+           FROM ebp e CROSS JOIN c2 c WHERE e.vec_id % 25 = $qmod)
          WHERE rn <= $IvfNprobe),
        pairs AS (
          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

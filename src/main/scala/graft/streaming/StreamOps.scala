@@ -599,6 +599,18 @@ object StreamOps {
        FROM bands JOIN owners ON owners.b = bands.b AND owners.bkey = bands.bkey
        GROUP BY 1 ORDER BY 1"""
 
+  /** Batch twin of the streaming ANN serving path
+    * ([[graft.operators.Similarity.annServeStream]]) for oracle coverage:
+    * the qmod=7 "arriving" query set searched through the same trained IVF
+    * index — ONE definition with s04 (`ivfAnnFor`), so the served and
+    * offline search paths cannot drift. The parity spec feeds the same
+    * query vectors through MemoryStream and asserts the ranked rollup of
+    * the stateless stream-static join equals this. */
+  def w15StreamAnn(t: graft.T): DataFrame =
+    graft.operators.Similarity.ivfAnnFor(t, 7)
+
+  val w15Oracle: String = graft.operators.Similarity.ivfOracleFor(7)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_windowed_type_counts" -> ((s, d) => w01WindowedTypeCounts(graft.T(s, d))),
     "w02_session_windows"      -> ((s, d) => w02SessionWindows(graft.T(s, d))),
@@ -614,6 +626,7 @@ object StreamOps {
     "w12_session_agg"          -> ((s, d) => w12SessionAgg(graft.T(s, d))),
     "w13_two_level_windows"    -> ((s, d) => w13TwoLevelWindows(graft.T(s, d))),
     "w14_near_dup_front"       -> ((s, d) => w14NearDupFrontDoor(graft.T(s, d))),
+    "w15_stream_ann"           -> ((s, d) => w15StreamAnn(graft.T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -631,5 +644,6 @@ object StreamOps {
     "w12_session_agg"          -> w12Oracle,
     "w13_two_level_windows"    -> w13Oracle,
     "w14_near_dup_front"       -> w14Oracle,
+    "w15_stream_ann"           -> w15Oracle,
   )
 }

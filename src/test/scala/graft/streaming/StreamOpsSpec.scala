@@ -464,6 +464,31 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("w15: streaming ANN serving rollup == batch IVF search on same queries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.T(spark, sfDir)
+    val queries = t.embeddings.filter($"vec_id" % 25 === 7)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+    assert(queries.nonEmpty)
+    val stream = MemoryStream[(Long, Array[Float])]
+    val served = graft.operators.Similarity.annServeStream(
+      stream.toDF().toDF("vec_id", "embedding"), t)
+    val q = served.writeStream.format("memory").queryName("ann_serve")
+      .outputMode("append").start()
+    try {
+      // split across micro-batches: each batch re-joins the static index
+      stream.addData(queries.take(2): _*); q.processAllAvailable()
+      stream.addData(queries.drop(2): _*); q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+      val ranked = spark.table("ann_serve")
+        .withColumn("rk", row_number().over(w).cast("long")).filter($"rk" <= 3)
+        .select($"query_id", $"rk", $"neighbor_id", $"cosine")
+      assert(snap(ranked) == snap(StreamOps.w15StreamAnn(t)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the dimension without state") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
