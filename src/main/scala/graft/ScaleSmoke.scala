@@ -77,7 +77,8 @@ object ScaleSmoke {
     "d09_substring_dup", "d18_topk_sim_join",
     "d21_incremental_dedup", "d22_bbit_minhash", "d23_cdc_chunks",
     "d24_chunk_dedup", "d25_collapse_repair", "d26_collapse_pairs",
-    "d27_semantic_collapse", "d28_strided_census", "s02_hyperplane_lsh",
+    "d27_semantic_collapse", "d28_strided_census", "d29_front_collapse",
+    "s02_hyperplane_lsh",
     "s04_ivf_ann", "s21_ivfpq_ann", "g01_pagerank", "g14_collapsed_rank",
     "t11_tfidf_topterms", "t25_gopher_repetition", "t26_code_detect",
     "p03_sequence_packing", "p29_curation_funnel", "w14_near_dup_front")

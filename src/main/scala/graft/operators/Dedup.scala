@@ -1634,6 +1634,55 @@ object Dedup {
               (n_dup_grams * 10000 // n_grams)::BIGINT AS dup_bp
        FROM per_doc ORDER BY doc_id"""
 
+  /** Front-door collapse → residual pairing — the fully-LINEAR collapse
+    * recipe the 100× probe licenses. d26 (keeper-collapse → re-pair) still
+    * consumes the raw d04 pair graph to elect keepers, so its collapse
+    * stage inherits the m²-growing true-pair enumeration and ceilinged at
+    * the 100× probe. This variant collapses with w14's bucket-ownership
+    * rule instead — owner = min doc_id per (band, bkey); a doc is kept iff
+    * it owns ALL four of its buckets (equivalently min bucket-owner ==
+    * itself) — which is one linear band census + one keyed join, NO pair
+    * join anywhere in the collapse. The kept set then pairs at the normal
+    * d04 contract, and because every band key is unchanged by dropping
+    * docs, the kept-only candidates are exactly the full index's
+    * candidates restricted to kept×kept — the identical banding contract,
+    * not a new index. One-round ownership is not transitive CC, so chains
+    * of near-dups can leave residual pairs among keepers — and two full
+    * owners are band-DISJOINT by construction (sharing a bucket would
+    * forfeit the later doc's ownership), so the residual stage needs a
+    * different index: d26's generalized prefix filter at its 0.42
+    * threshold (ONE definition, [[prefixJaccardPairs]]). The oracle
+    * replicates the collapse, then states stage 2
+    * implementation-independently (naive all-pairs ≥ 0.42 over the kept
+    * corpus), so the hash match also proves the prefix filter's recall is
+    * 1.0 on this input — the same proof obligation d26 carries. */
+  def d29FrontCollapsePairs(t: T, thresholdBp: Int = 4200): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val bands = bandRows(minhashSigTable(t.documents))
+    val owners = bands.groupBy($"band", $"bkey").agg(min($"doc_id").as("owner"))
+    val keepers = bands.join(owners, Seq("band", "bkey"))
+      .groupBy($"doc_id").agg(min($"owner").as("keeper"))
+      .filter($"doc_id" === $"keeper").select($"doc_id")
+    prefixJaccardPairs(t.documents.join(keepers, "doc_id"), thresholdBp)
+  }
+
+  val d29Oracle: String =
+    s"""WITH ${lshBandsDuckCtes(cand = """owners AS (
+         SELECT b, bkey, MIN(doc_id) AS owner FROM bands GROUP BY 1, 2)""")},
+       kept AS (
+         SELECT doc_id FROM (
+           SELECT bands.doc_id, MIN(owner) AS keeper
+           FROM bands JOIN owners ON owners.b = bands.b AND owners.bkey = bands.bkey
+           GROUP BY 1)
+         WHERE keeper = doc_id),
+       hs2 AS (SELECT doc_id, $shingleHashesDuck AS h
+               FROM documents JOIN kept USING (doc_id))
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${jaccardBpDuck()} AS jaccard_bp
+       FROM hs2 a JOIN hs2 b ON a.doc_id < b.doc_id
+       WHERE ${jaccardBpDuck()} >= 4200
+       ORDER BY doc_a, doc_b"""
+
   /** Chunk-level dedup REWRITE — d23's census turned into the actual
     * cleanup transform: every duplicated chunk elects one keeper occurrence
     * (smallest doc_id, then earliest chunk position — deterministic), all
@@ -1718,6 +1767,7 @@ object Dedup {
     "d26_collapse_pairs"     -> ((s, d) => d26CollapsePairs(T(s, d))),
     "d27_semantic_collapse"  -> ((s, d) => d27SemanticCollapse(T(s, d))),
     "d28_strided_census"     -> ((s, d) => d28StridedGramCensus(T(s, d))),
+    "d29_front_collapse"     -> ((s, d) => d29FrontCollapsePairs(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1749,5 +1799,6 @@ object Dedup {
     "d26_collapse_pairs"    -> d26Oracle,
     "d27_semantic_collapse" -> d27Oracle,
     "d28_strided_census"    -> d28Oracle,
+    "d29_front_collapse"    -> d29Oracle,
   )
 }
