@@ -557,6 +557,24 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("s21: ADC scoring is corpus x broadcast probes into a partial top-k — no pair shuffle") {
+    // the 80x probe ceilinged the first shape (per-(pair, block) join rows
+    // through an exchange+aggregate); this pins the packed form: the pair
+    // stream exists only between a broadcast join and the topk_scored
+    // partial aggregate
+    val p = plan("s21_ivfpq_ann")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("topk_scored"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("w14: the near-dup front door is one band census + keyed joins, no pair join") {
+    val p = plan("w14_near_dup_front")
+    assert(!p.contains("CartesianProduct"), p)
+    // the ownership join keys on (band, bkey) — an equi-join, never doc x doc
+    assert(p.contains("hashpartitioning(band"), p)
+  }
+
   test("d21: incremental dedup probes index bands with an equi-join, no corpus re-pair") {
     val p = plan("d21_incremental_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
@@ -638,6 +656,14 @@ class PlanQualitySpec extends SparkSpec {
       // r7: stage 0 became the LSH candidate join (band self-join + distinct
       // replace the broadcast probe-set × corpus scan the sf1 lane ceilinged)
       "s16_two_stage_rerank" -> 3,
+      // r7 second wave: s21 = IVF assign + PQ code packing + LUT build +
+      // top-k (probe scoring itself is shuffle-free — corpus × broadcast
+      // probe rows straight into the partial top-k); g14 = the linear
+      // prefix-filter residual pipeline + 5 superstep join/agg rounds
+      // (collapse stages hide behind localCheckpoints); w14 = band census +
+      // ownership join + per-doc rollup
+      "s21_ivfpq_ann" -> 5, "g14_collapsed_rank" -> 12,
+      "w14_near_dup_front" -> 3,
       // the funnel composes five stages (quality census, exact group, LSH
       // band→cand→CC, 5-gram contamination, conditional-agg + stack) — 17
       // exchanges IS its shape; the budget pins it from growing further
