@@ -664,6 +664,9 @@ class PlanQualitySpec extends SparkSpec {
       // ownership join + per-doc rollup
       "s21_ivfpq_ann" -> 5, "g14_collapsed_rank" -> 12,
       "w14_near_dup_front" -> 3,
+      // d29's visible plan is the prefix-filter residual pipeline (the
+      // linear collapse hides behind the checkpointed dictionary builds)
+      "d29_front_collapse" -> 4,
       // the funnel composes five stages (quality census, exact group, LSH
       // band→cand→CC, 5-gram contamination, conditional-agg + stack) — 17
       // exchanges IS its shape; the budget pins it from growing further
