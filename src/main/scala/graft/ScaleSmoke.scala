@@ -90,7 +90,8 @@ object ScaleSmoke {
     * candidate generators benched above). */
   val excludedBaselines: Seq[String] =
     Seq("d02_ngram_jaccard", "s03_embedding_neardup", "s05_knn_classify",
-      "s16_two_stage_rerank", "s18_mmr_rerank", "s20_binary_recall")
+      "s16_two_stage_rerank", "s18_mmr_rerank", "s20_binary_recall",
+      "s22_mrr_eval")
 
   /** Measured output-bound at the 30× probe (SCALESMOKE_30x r6): their
     * TRUE-pair output grows m² on a replica-heavy corpus, so wall-clock is

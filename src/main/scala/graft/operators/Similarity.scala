@@ -1654,6 +1654,63 @@ object Similarity {
                       ORDER BY ex ASC, vec_id ASC) AS rk FROM rerank)
        WHERE rk <= 3 ORDER BY query_id, rk"""
 
+  /** Retrieval-eval gate: per-query reciprocal rank of the exact-cosine
+    * top-1 inside each ANN arm's ranked list (IVF = s04's, IVFPQ = s21's —
+    * both ONE definition with their operators, so the eval can never test
+    * a stale pipeline). rr_bp = 10000 DIV rank, 0 when the truth neighbor
+    * is outside the arm's top-3 — the MRR building block in exact integer
+    * arithmetic, per query and per method so regressions localize. The
+    * truth side is the s01-shaped brute-force scan: this is an EVAL
+    * operator (smoke-excluded like s01/s03), priced for a sampled query
+    * set, not a production path. */
+  def s22MrrEval(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val q = t.embeddings.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val c = t.embeddings.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val sims = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        (round(expr("cosine_sim(q_emb, c_emb)"), 4) + lit(0.0)).as("cosine"))
+    val truth = rankTopK(sims, "query_id", "cosine", "neighbor_id", 1)
+      .select($"query_id", $"neighbor_id".as("truth_nn"))
+    def arm(name: String, ann: DataFrame): DataFrame = {
+      val a = ann.select($"query_id".as("aq"), $"rk", $"neighbor_id".as("an"))
+      truth.join(a, $"query_id" === $"aq" && $"truth_nn" === $"an", "left_outer")
+        .select(lit(name).as("method"), $"query_id", $"truth_nn",
+          coalesce($"rk", lit(0L)).as("ann_rank"),
+          coalesce(expr("10000 DIV rk"), lit(0L)).as("rr_bp"))
+    }
+    arm("ivf", ivfAnnFor(t, 0)).unionByName(arm("ivfpq", s21IvfPqAnn(t)))
+      .orderBy($"method", $"query_id")
+  }
+
+  val s22Oracle: String =
+    s"""WITH sims AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                ROUND(${duckCos("a", "b")}, 4) + 0.0 AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+       truth AS (
+         SELECT query_id, neighbor_id AS truth_nn FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rk
+           FROM sims) WHERE rk = 1),
+       ivf AS (SELECT query_id, rk, neighbor_id FROM (${ivfOracleFor(0)})),
+       pq AS (SELECT query_id, rk, neighbor_id FROM ($s21Oracle))
+       SELECT method, query_id, truth_nn, ann_rank, rr_bp FROM (
+         SELECT 'ivf' AS method, t.query_id, t.truth_nn,
+                COALESCE(a.rk, 0)::BIGINT AS ann_rank,
+                COALESCE(10000 // a.rk, 0)::BIGINT AS rr_bp
+         FROM truth t LEFT JOIN ivf a
+           ON a.query_id = t.query_id AND a.neighbor_id = t.truth_nn
+         UNION ALL
+         SELECT 'ivfpq', t.query_id, t.truth_nn,
+                COALESCE(a.rk, 0)::BIGINT, COALESCE(10000 // a.rk, 0)::BIGINT
+         FROM truth t LEFT JOIN pq a
+           ON a.query_id = t.query_id AND a.neighbor_id = t.truth_nn)
+       ORDER BY method, query_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
@@ -1676,6 +1733,7 @@ object Similarity {
     "s19_nprobe_sweep"      -> ((s, d) => s19NprobeSweep(T(s, d))),
     "s20_binary_recall"     -> ((s, d) => s20BinaryRecall(T(s, d))),
     "s21_ivfpq_ann"         -> ((s, d) => s21IvfPqAnn(T(s, d))),
+    "s22_mrr_eval"          -> ((s, d) => s22MrrEval(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1700,5 +1758,6 @@ object Similarity {
     "s19_nprobe_sweep"      -> s19Oracle,
     "s20_binary_recall"     -> s20Oracle,
     "s21_ivfpq_ann"         -> s21Oracle,
+    "s22_mrr_eval"          -> s22Oracle,
   )
 }
