@@ -127,4 +127,30 @@ class RetrievalDedupSpec extends SparkSpec {
       assert(bridges <= edges && bridges >= 0)
     }
   }
+
+  test("d29: the ownership-kept set is pairwise band-disjoint (the structural invariant)") {
+    import spark.implicits._
+    // keep a doc iff it owns all 4 of its band buckets => no two kept docs
+    // can share a bucket (sharing would forfeit the later doc's ownership).
+    // This is WHY d29's residual stage needs the prefix-filter index: a
+    // band-candidate residual over the kept set is vacuously empty.
+    val t = T(spark, sfDir)
+    graft.functions.Registry.ensure(spark)
+    val bands = Dedup.bandRows(Dedup.minhashSigTable(t.documents))
+    val owners = bands.groupBy($"band", $"bkey").agg(min($"doc_id").as("owner"))
+    val keepers = bands.join(owners, Seq("band", "bkey"))
+      .groupBy($"doc_id").agg(min($"owner").as("keeper"))
+      .filter($"doc_id" === $"keeper").select($"doc_id")
+    assert(keepers.count() > 0)
+    val kbands = bands.join(keepers, "doc_id")
+    val shared = kbands.groupBy($"band", $"bkey")
+      .agg(countDistinct($"doc_id").as("n")).filter($"n" > 1).count()
+    assert(shared == 0, s"$shared buckets shared between kept docs")
+    // and the collapse is sound: every dropped doc maps to a kept keeper
+    // or to a doc that was itself absorbed — keeper ids are always <= doc_id
+    val bad = bands.join(owners, Seq("band", "bkey"))
+      .groupBy($"doc_id").agg(min($"owner").as("keeper"))
+      .filter($"keeper" > $"doc_id").count()
+    assert(bad == 0)
+  }
 }
