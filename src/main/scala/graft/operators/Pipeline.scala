@@ -1483,6 +1483,58 @@ object Pipeline {
        ORDER BY filter_a, filter_b"""
   }
 
+  /** The code-filter cutoffs p31 sweeps (basis points of t26's code_bp). */
+  private val codeCuts = Seq(500L, 1000L, 1500L, 2000L, 2500L, 3000L, 4000L)
+
+  /** Calibration sweep for the t26 code filter (the d20 threshold-sweep
+    * pattern applied to the newest ensemble member): for each candidate
+    * cutoff, how many documents and how much character mass survive
+    * "keep iff code_bp < cut". One conditional-aggregate pass over the
+    * scored corpus + a 7-row stack — the curve a curator reads before
+    * picking the production threshold, priced at one scan. */
+  def p31CodeThresholdSweep(t: T): DataFrame = {
+    import t.spark.implicits._
+    val scored = graft.operators.TextAnalysis.t26CodeDetect(t)
+      .select($"doc_id", $"code_bp")
+      .join(t.documents.select($"doc_id", $"n_chars"), "doc_id")
+    val aggs = codeCuts.zipWithIndex.flatMap { case (c, i) => Seq(
+      sum(when($"code_bp" < c, 1L).otherwise(0L)).as(s"d_$i"),
+      sum(when($"code_bp" < c, $"n_chars").otherwise(0L)).as(s"c_$i")) }
+    val row = scored.agg(count(lit(1)).as("n_docs"),
+      sum($"n_chars").as("all_chars") +: aggs: _*)
+    val stackArgs = codeCuts.zipWithIndex
+      .map { case (c, i) => s"${c}L, d_$i, c_$i" }.mkString(", ")
+    row.select($"n_docs", $"all_chars",
+        expr(s"stack(${codeCuts.size}, $stackArgs)")
+          .as(Seq("cut_bp", "kept_docs", "kept_chars")))
+      .select($"cut_bp", $"kept_docs", $"kept_chars",
+        expr("kept_docs * 10000 DIV n_docs").as("kept_docs_bp"),
+        expr("kept_chars * 10000 DIV all_chars").as("kept_chars_bp"))
+      .orderBy($"cut_bp")
+  }
+
+  val p31Oracle: String = {
+    val sums = codeCuts.zipWithIndex.map { case (c, i) =>
+      s"""SUM(CASE WHEN code_bp < $c THEN 1 ELSE 0 END)::BIGINT AS d_$i,
+          SUM(CASE WHEN code_bp < $c THEN n_chars ELSE 0 END)::BIGINT AS c_$i"""
+    }.mkString(",\n           ")
+    val rows = codeCuts.zipWithIndex.map { case (c, i) =>
+      s"""SELECT $c AS cut_bp, d_$i AS kept_docs, c_$i AS kept_chars,
+              d_$i * 10000 // n_docs AS kept_docs_bp,
+              c_$i * 10000 // all_chars AS kept_chars_bp FROM agg"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH code AS (SELECT doc_id, code_bp FROM (${graft.operators.TextAnalysis.t26Oracle})),
+       scored AS (
+         SELECT c.doc_id, c.code_bp, d.n_chars
+         FROM code c JOIN documents d USING (doc_id)),
+       agg AS (
+         SELECT COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS all_chars,
+           $sums
+         FROM scored)
+       $rows
+       ORDER BY cut_bp"""
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -1514,6 +1566,7 @@ object Pipeline {
     "p28_context_sweep"       -> ((s, d) => p28ContextSweep(T(s, d))),
     "p29_curation_funnel"     -> ((s, d) => p29CurationFunnel(T(s, d))),
     "p30_filter_agreement"    -> ((s, d) => p30FilterAgreement(T(s, d))),
+    "p31_code_threshold_sweep" -> ((s, d) => p31CodeThresholdSweep(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1547,5 +1600,6 @@ object Pipeline {
     "p28_context_sweep"       -> p28Oracle,
     "p29_curation_funnel"     -> p29Oracle,
     "p30_filter_agreement"    -> p30Oracle,
+    "p31_code_threshold_sweep" -> p31Oracle,
   )
 }
