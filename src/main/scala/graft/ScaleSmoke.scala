@@ -70,7 +70,14 @@ object ScaleSmoke {
     * grows m² in replica multiplicity), the declared replica-heavy pair
     * paths are the COMPOSED collapse→pair pipelines (d26/d27) plus the
     * strided-hash census (d28) — raw d08/d13 moved to
-    * [[outputBoundBaselines]]. */
+    * [[outputBoundBaselines]]. The 100× probe then showed d26's own keeper
+    * ELECTION is pair-bound (CC over the raw m² graph), which is what d29's
+    * fully-linear ownership collapse removes (13 s at 100× where d26
+    * ceilings); g14 is the same recipe for the graph plane (raw g01's edge
+    * set IS the pair list). Several paths here (d04/d22/s02/g01, the
+    * diagnostics d25/d26) remain honest at the shipped 20×/30× gates but
+    * are output/edge-bound at the 100× informational probe — their
+    * verdicts live in SCALESMOKE_100x.json and SURVEY §10. */
   val productionKeys: Seq[String] = Seq(
     "d01_exact_dedup", "d04_minhash_lsh_pairs", "d05_simhash",
     "d06_simhash_pairs", "d07_dedup_clusters",
