@@ -1656,15 +1656,30 @@ object Dedup {
     * implementation-independently (naive all-pairs ≥ 0.42 over the kept
     * corpus), so the hash match also proves the prefix filter's recall is
     * 1.0 on this input — the same proof obligation d26 carries. */
+  /** ONE definition of the bucket-ownership census — (doc_id, band, bkey,
+    * owner) with owner = min doc_id in the bucket (first arrival under
+    * in-order delivery). The w14 streaming verdict, the d29 collapse and
+    * the band-disjointness spec all derive from this frame, so an
+    * ownership-rule retune edits exactly here (the ADVICE-r6 rule the
+    * banding helpers already follow). */
+  private[graft] def ownershipCensus(docs: DataFrame): DataFrame = {
+    val bands = bandRows(minhashSigTable(docs))
+    val owners = bands.groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("owner"))
+    bands.join(owners, Seq("band", "bkey"))
+  }
+
+  /** Docs owning ALL their band buckets (min owner == self) — the d29/w14
+    * kept set: zero band collisions with any earlier doc. */
+  private[graft] def ownershipKeepers(docs: DataFrame): DataFrame =
+    ownershipCensus(docs)
+      .groupBy(col("doc_id")).agg(min(col("owner")).as("keeper"))
+      .filter(col("doc_id") === col("keeper")).select(col("doc_id"))
+
   def d29FrontCollapsePairs(t: T, thresholdBp: Int = 4200): DataFrame = {
-    import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val bands = bandRows(minhashSigTable(t.documents))
-    val owners = bands.groupBy($"band", $"bkey").agg(min($"doc_id").as("owner"))
-    val keepers = bands.join(owners, Seq("band", "bkey"))
-      .groupBy($"doc_id").agg(min($"owner").as("keeper"))
-      .filter($"doc_id" === $"keeper").select($"doc_id")
-    prefixJaccardPairs(t.documents.join(keepers, "doc_id"), thresholdBp)
+    prefixJaccardPairs(
+      t.documents.join(ownershipKeepers(t.documents), "doc_id"), thresholdBp)
   }
 
   val d29Oracle: String =

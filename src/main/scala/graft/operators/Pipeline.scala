@@ -1441,7 +1441,7 @@ object Pipeline {
     val names = ensembleFilters
     val flags = qualityFlags(t)
       .select($"doc_id", $"f_len", $"f_wordlen", $"f_stop", $"f_rep")
-      .join(graft.operators.TextAnalysis.t26CodeDetect(t)
+      .join(graft.operators.TextAnalysis.codeFlags(t)
         .select($"doc_id", (!$"is_code").as("f_notcode")), "doc_id")
       .join(t.documents.select($"doc_id", ($"lang" === "en").as("f_lang")), "doc_id")
     val aggs = for { i <- names.indices; j <- i until names.length } yield {
@@ -1494,7 +1494,7 @@ object Pipeline {
     * picking the production threshold, priced at one scan. */
   def p31CodeThresholdSweep(t: T): DataFrame = {
     import t.spark.implicits._
-    val scored = graft.operators.TextAnalysis.t26CodeDetect(t)
+    val scored = graft.operators.TextAnalysis.codeFlags(t)
       .select($"doc_id", $"code_bp")
       .join(t.documents.select($"doc_id", $"n_chars"), "doc_id")
     val aggs = codeCuts.zipWithIndex.flatMap { case (c, i) => Seq(
@@ -1519,7 +1519,7 @@ object Pipeline {
           SUM(CASE WHEN code_bp < $c THEN n_chars ELSE 0 END)::BIGINT AS c_$i"""
     }.mkString(",\n           ")
     val rows = codeCuts.zipWithIndex.map { case (c, i) =>
-      s"""SELECT $c AS cut_bp, d_$i AS kept_docs, c_$i AS kept_chars,
+      s"""SELECT $c::BIGINT AS cut_bp, d_$i AS kept_docs, c_$i AS kept_chars,
               d_$i * 10000 // n_docs AS kept_docs_bp,
               c_$i * 10000 // all_chars AS kept_chars_bp FROM agg"""
     }.mkString("\n         UNION ALL ")

@@ -287,10 +287,11 @@ object Similarity {
   /** The trained-IVF probe search for query set `vec_id % 25 == qmod` —
     * ONE definition serving s04 (qmod 0) and w15's serving twin (qmod 7,
     * a disjoint "arriving" query set). */
-  private[graft] def ivfAnnFor(t: T, qmod: Int): DataFrame = {
+  private[graft] def ivfAnnFor(t: T, qmod: Int,
+      trained: Option[Array[Array[Long]]] = None): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val cents = trainIvfCentroids(t)
+    val cents = trained.getOrElse(trainIvfCentroids(t))
     val assigned = assignCluster(quantized(t), cents)
       .select($"vec_id", $"embedding", $"cluster", sqNorm("embedding").as("nb"))
     val q = probeClusters(quantized(t).filter($"vec_id" % 25 === qmod), cents, IvfNprobe)
@@ -1548,10 +1549,10 @@ object Similarity {
     * the identical shortlist and final ranking. Shuffle posture: codes and
     * cluster assignment partition by vec_id; the per-query work after the
     * cell probe is proportional to cell size, then k. */
-  def s21IvfPqAnn(t: T): DataFrame = {
+  def s21IvfPqAnn(t: T, trained: Option[Array[Array[Long]]] = None): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val cents = trainIvfCentroids(t)
+    val cents = trained.getOrElse(trainIvfCentroids(t))
     val books = trainPqCodebook(t)
     // corpus side: cluster id + the 8 PQ codes PACKED into one array per
     // vector (first s21 shape joined per-(pair, block) rows — 8× the
@@ -1580,7 +1581,7 @@ object Similarity {
     // inline ADC: 8 unrolled (codegen'd) table lookups per candidate —
     // exact integer values in doubles, so the sum is order-independent
     val adcExpr = (0 until PqM)
-      .map(b => expr(s"element_at(lut, $b * 16 + element_at(codes, ${b + 1}) + 1)"))
+      .map(b => expr(s"element_at(lut, $b * $PqK + element_at(codes, ${b + 1}) + 1)"))
       .reduce(_ + _)
     val est = corpus.join(broadcast(qside), $"cluster" === $"qc" && $"query_id" =!= $"vec_id")
       .select($"query_id", $"vec_id", adcExpr.as("adc"))
@@ -1681,7 +1682,9 @@ object Similarity {
           coalesce($"rk", lit(0L)).as("ann_rank"),
           coalesce(expr("10000 DIV rk"), lit(0L)).as("rr_bp"))
     }
-    arm("ivf", ivfAnnFor(t, 0)).unionByName(arm("ivfpq", s21IvfPqAnn(t)))
+    // one training pass feeds both arms (they share the coarse index)
+    val cents = Some(trainIvfCentroids(t))
+    arm("ivf", ivfAnnFor(t, 0, cents)).unionByName(arm("ivfpq", s21IvfPqAnn(t, cents)))
       .orderBy($"method", $"query_id")
   }
 

@@ -1151,7 +1151,11 @@ object TextAnalysis {
     *   - snake_cnt: snake_case identifier tokens.
     * Score is a fixed integer blend; the flag threshold (2000 bp) is the
     * declared calibration, like t03's quality blend. */
-  def t26CodeDetect(t: T): DataFrame = {
+  /** ONE definition of the per-doc code-likeness frame (no sort) —
+    * consumed by p30's ensemble and p31's threshold sweep as a join input;
+    * t26's map entry adds the output sort at the operator boundary (the
+    * qualityFlags pattern). */
+  private[graft] def codeFlags(t: T): DataFrame = {
     import t.spark.implicits._
     val kws = Seq("def", "return", "import", "class", "void", "const", "var",
       "function", "if", "else", "for", "while", "int", "public", "static", "null")
@@ -1169,7 +1173,11 @@ object TextAnalysis {
         expr("((n_sym * 10000) DIV greatest(n_chars, 1L)) * 6 DIV 10" +
              " + least(kw_cnt, 10L) * 300 + least(snake_cnt, 10L) * 100").as("code_bp"))
       .withColumn("is_code", $"code_bp" >= 2000)
-      .orderBy($"doc_id")
+  }
+
+  def t26CodeDetect(t: T): DataFrame = {
+    import t.spark.implicits._
+    codeFlags(t).orderBy($"doc_id")
   }
 
   val t26Oracle: String = {

@@ -540,9 +540,10 @@ object StreamOps {
   /** Streaming NEAR-dup front door: each arriving document's 4 MinHash band
     * keys (the ONE banding definition, [[graft.operators.Dedup.bandRows]])
     * are claimed first-come-first-served by stateful groups keyed on
-    * (band, bkey); a doc that owns none of its buckets collided with prior
-    * state in every band — the streaming analog of d04's candidate test, as
-    * ingest-time admission instead of a batch pair join. State is one long
+    * (band, bkey); every bucket a doc fails to own is a band collision
+    * with prior state — i.e. exactly d04's candidate test (any shared
+    * band ⇒ near-dup candidate) as ingest-time admission instead of a
+    * batch pair join; a doc is novel iff it owns ALL its buckets. State is one long
     * per distinct band key — the same sharded-keyed-state posture as any
     * streaming aggregate at 100 TB/day (a production deployment would add a
     * TTL like w11's WithinWatermark variant for re-crawl-dominated feeds).
@@ -571,19 +572,21 @@ object StreamOps {
   /** Batch twin of [[bandOwnership]]'s rollup for oracle coverage: per doc,
     * how many of its 4 band buckets it owns (owner = min doc_id in the
     * bucket — first arrival under in-order delivery) and the novelty
-    * verdict (owns >= 1). A non-novel doc is an LSH near-dup candidate of
-    * prior state; the banding contract is d04's, so the false-positive rate
-    * is the measured d14 tuning curve, not a new knob. */
+    * verdict: novel iff it owns ALL 4 — i.e. zero band collisions with
+    * prior state. This matches d04's candidate test exactly (ANY shared
+    * band makes a pair a near-dup candidate), so a non-novel doc is
+    * precisely a doc the batch index would surface for verification, and
+    * the false-positive rate is the measured d14 tuning curve, not a new
+    * knob. Built on the ONE ownership census (d29's collapse keeps exactly
+    * the novel set). */
   def nearDupVerdict(docs: DataFrame): DataFrame = {
     graft.functions.Registry.ensure(docs.sparkSession)
-    val bands = graft.operators.Dedup
-      .bandRows(graft.operators.Dedup.minhashSigTable(docs))
-    val owners = bands.groupBy(col("band"), col("bkey"))
-      .agg(min(col("doc_id")).as("owner"))
-    bands.join(owners, Seq("band", "bkey"))
+    graft.operators.Dedup.ownershipCensus(docs)
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L)).as("n_owned"))
-      .select(col("doc_id"), col("n_owned"), (col("n_owned") > 0).as("novel"))
+      .agg(sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L)).as("n_owned"),
+        count(lit(1)).as("n_bands"))
+      .select(col("doc_id"), col("n_owned"),
+        (col("n_owned") === col("n_bands")).as("novel"))
       .orderBy(col("doc_id"))
   }
 
@@ -595,7 +598,7 @@ object StreamOps {
          SELECT b, bkey, MIN(doc_id) AS owner FROM bands GROUP BY 1, 2)""")}
        SELECT bands.doc_id,
               SUM(CASE WHEN owner = bands.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_owned,
-              (SUM(CASE WHEN owner = bands.doc_id THEN 1 ELSE 0 END) > 0) AS novel
+              (SUM(CASE WHEN owner = bands.doc_id THEN 1 ELSE 0 END) = COUNT(*)) AS novel
        FROM bands JOIN owners ON owners.b = bands.b AND owners.bkey = bands.bkey
        GROUP BY 1 ORDER BY 1"""
 

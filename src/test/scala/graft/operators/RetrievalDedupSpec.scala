@@ -136,19 +136,16 @@ class RetrievalDedupSpec extends SparkSpec {
     // band-candidate residual over the kept set is vacuously empty.
     val t = T(spark, sfDir)
     graft.functions.Registry.ensure(spark)
-    val bands = Dedup.bandRows(Dedup.minhashSigTable(t.documents))
-    val owners = bands.groupBy($"band", $"bkey").agg(min($"doc_id").as("owner"))
-    val keepers = bands.join(owners, Seq("band", "bkey"))
-      .groupBy($"doc_id").agg(min($"owner").as("keeper"))
-      .filter($"doc_id" === $"keeper").select($"doc_id")
+    val census = Dedup.ownershipCensus(t.documents)
+    val keepers = Dedup.ownershipKeepers(t.documents)
     assert(keepers.count() > 0)
-    val kbands = bands.join(keepers, "doc_id")
+    val kbands = census.select($"doc_id", $"band", $"bkey").join(keepers, "doc_id")
     val shared = kbands.groupBy($"band", $"bkey")
       .agg(countDistinct($"doc_id").as("n")).filter($"n" > 1).count()
     assert(shared == 0, s"$shared buckets shared between kept docs")
     // and the collapse is sound: every dropped doc maps to a kept keeper
     // or to a doc that was itself absorbed — keeper ids are always <= doc_id
-    val bad = bands.join(owners, Seq("band", "bkey"))
+    val bad = census
       .groupBy($"doc_id").agg(min($"owner").as("keeper"))
       .filter($"keeper" > $"doc_id").count()
     assert(bad == 0)

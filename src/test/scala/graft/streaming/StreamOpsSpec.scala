@@ -454,8 +454,9 @@ class StreamOpsSpec extends SparkSpec {
       stream.addData(b2: _*); q.processAllAvailable()
       val streamed = spark.table("band_own")
         .groupBy($"doc_id")
-        .agg(sum(when($"owned", 1L).otherwise(0L)).as("n_owned"))
-        .select($"doc_id", $"n_owned", ($"n_owned" > 0).as("novel"))
+        .agg(sum(when($"owned", 1L).otherwise(0L)).as("n_owned"),
+          count(lit(1)).as("n_bands"))
+        .select($"doc_id", $"n_owned", ($"n_owned" === $"n_bands").as("novel"))
       val batch = StreamOps.nearDupVerdict((b1 ++ b2).toDF("doc_id", "text"))
       assert(snap(streamed) == snap(batch))
       // the re-crawl owns nothing; everyone else owns all 4 bands
