@@ -367,6 +367,49 @@ object ShareBench {
       val fragG = paired.map(_._2).sorted.apply(1)
       lines2 += s"""{"workload":"graph_family","window":6,"separate":$sepG,"fragment_shared":$fragG}"""
     }
+    // IVF family: the newest plane — s04's offline search, w15's serving
+    // twin, the IVFPQ composition and the MRR gate all contain the trained
+    // corpus-assignment subtree (identical centroid literals: deterministic
+    // training), and s21/s22 additionally share the packed PQ-code frame.
+    // Each job still pays its own driver-side training collects (bounded
+    // model state, not a plan subtree); the fragments cache the corpus-wide
+    // assignment and code scans those trainings feed. Same 10× corpus and
+    // paired median-of-3 single-slot protocol.
+    if (only("ivf_family")) {
+      import graft.operators.{Similarity => Sim}
+      import graft.streaming.StreamOps
+      val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val iDir = "/tmp/graft-share/x10"
+      val marker = java.nio.file.Paths.get(s"$iDir/_GRAFT_READY")
+      if (!java.nio.file.Files.exists(marker)) {
+        ScaleSmoke.buildScaled(spark, base, iDir, 10)
+        java.nio.file.Files.createFile(marker)
+      }
+      def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+      def iJobs: Seq[QueryJob[Unit]] = Seq[(String, SparkSession => DataFrame)](
+        "s04" -> (s => Sim.s04IvfAnn(T(s, iDir))),
+        "w15" -> (s => StreamOps.w15StreamAnn(T(s, iDir))),
+        "s21" -> (s => Sim.s21IvfPqAnn(T(s, iDir))),
+        "s22" -> (s => Sim.s22MrrEval(T(s, iDir)))
+      ).map { case (n, b) => QueryJob[Unit](n, b, noop) }
+      val iFrags = Seq[(String, SparkSession => DataFrame)](
+        "ivf_assigned" -> (s => Sim.ivfAssignedRaw(T(s, iDir))),
+        "pq_codes"     -> (s => Sim.pqCodesPacked(T(s, iDir))))
+      val paired = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val a = time(new WorkSharingExecutor(spark, budgetBytes = 0L,
+          maxConcurrency = 1).runBatch(iJobs))
+        spark.catalog.clearCache()
+        val b = time {
+          val ex = new WorkSharingExecutor(spark, budgetBytes = 0L, maxConcurrency = 1)
+          try ex.runBatch(iJobs, iFrags) finally ex.shutdown()
+        }
+        (a, b)
+      }
+      val sepI = paired.map(_._1).sorted.apply(1)
+      val fragI = paired.map(_._2).sorted.apply(1)
+      lines2 += s"""{"workload":"ivf_family","window":4,"separate":$sepI,"fragment_shared":$fragI}"""
+    }
     (lines ++ lines2).foreach(println)
     // file artifact, like Bench's BENCH_full.json: stdout of a manual run
     // isn't captured anywhere durable

@@ -238,10 +238,31 @@ object Similarity {
     df.withColumn("cluster", least(dks: _*).getField("k"))
   }
 
+  /** Per-JVM trained-model caches keyed on corpus dir. Training is
+    * deterministic (fixed seeds, integer arithmetic), so re-training on the
+    * same corpus always reproduces the same model — exactly what a served
+    * index does in production (train once, reuse), and what the ivf_family
+    * sharing measurement showed plan-fragment caching structurally cannot
+    * cover: the repeated cost of the IVF plane is these driver-side collect
+    * loops, not a cacheable plan subtree. Keyed per directory; a corpus
+    * REWRITTEN in place mid-JVM would serve a stale model, which no lane
+    * does (every synthesized corpus is marker-gated write-once per JVM). */
+  private val ivfModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+  private val pqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Long]]]]()
+
   /** Lloyd iterations; centroids are driver-side model state (8x64 longs),
     * like any trained-model broadcast — each round is one distributed
-    * assign+sum job, and empty clusters keep their previous centroid. */
-  def trainIvfCentroids(t: T, k: Int = IvfK, iters: Int = IvfIters): Array[Array[Long]] = {
+    * assign+sum job, and empty clusters keep their previous centroid.
+    * Default-parameter trainings memoize per corpus dir (see the cache
+    * note above); explicit k/iters bypass the cache. */
+  def trainIvfCentroids(t: T, k: Int = IvfK, iters: Int = IvfIters): Array[Array[Long]] =
+    if (k == IvfK && iters == IvfIters)
+      ivfModelCache.computeIfAbsent(t.dir, _ => trainIvfUncached(t, k, iters))
+    else trainIvfUncached(t, k, iters)
+
+  private[graft] def trainIvfUncached(t: T, k: Int, iters: Int): Array[Array[Long]] = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
     val ebp = quantized(t)
@@ -283,6 +304,28 @@ object Similarity {
   }
 
   def s04IvfAnn(t: T): DataFrame = ivfAnnFor(t, 0)
+
+  /** The trained corpus-assignment frame (vec_id, embedding, qe, cluster) —
+    * the subtree every IVF-plane query (s04/w15/s21/s22) contains below its
+    * own projections, exposed as ONE definition so a shared window can
+    * materialize it once (deterministic training ⇒ identical centroid
+    * literals ⇒ canonically equal subtrees across jobs). */
+  private[graft] def ivfAssignedRaw(t: T): DataFrame = {
+    graft.functions.Registry.ensure(t.spark)
+    assignCluster(quantizeDf(t.embeddings), trainIvfCentroids(t))
+  }
+
+  /** The packed PQ code frame (vec_id, codes[8]) — s21's corpus-side code
+    * subtree (and s22's, through its IVFPQ arm), ONE definition for the
+    * same sharing reason. */
+  private[graft] def pqCodesPacked(t: T,
+      trained: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
+    graft.functions.Registry.ensure(t.spark)
+    pqAssign(pqSlices(t), trained.getOrElse(trainPqCodebook(t)))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(blk, code))), s -> s.code)")
+        .as("codes"))
+  }
 
   /** The trained-IVF probe search for query set `vec_id % 25 == qmod` —
     * ONE definition serving s04 (qmod 0) and w15's serving twin (qmod 7,
@@ -968,8 +1011,12 @@ object Similarity {
       .groupBy(col("vec_id"), col("blk"))
       .agg(expr("min_by(k, struct(d, k))").as("code"), first(col("sl")).as("sl"))
 
-  /** Deterministic integer k-means per block; [block][k][dim] longs. */
-  def trainPqCodebook(t: T): Array[Array[Array[Long]]] = {
+  /** Deterministic integer k-means per block; [block][k][dim] longs.
+    * Memoized per corpus dir like [[trainIvfCentroids]]. */
+  def trainPqCodebook(t: T): Array[Array[Array[Long]]] =
+    pqModelCache.computeIfAbsent(t.dir, _ => trainPqUncached(t))
+
+  private def trainPqUncached(t: T): Array[Array[Array[Long]]] = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
     val slices = pqSlices(t)
@@ -1560,12 +1607,8 @@ object Similarity {
     // ceilinged on exactly that exchange; packed, the pair stream is
     // generated by the probe join and immediately partial-aggregated, the
     // same no-pair-shuffle shape as s04)
-    val codesPacked = pqAssign(pqSlices(t), books)
-      .groupBy($"vec_id")
-      .agg(expr("transform(array_sort(collect_list(struct(blk, code))), s -> s.code)")
-        .as("codes"))
     val corpus = assignCluster(quantized(t), cents).select($"vec_id", $"cluster")
-      .join(codesPacked, "vec_id")
+      .join(pqCodesPacked(t, Some(books)), "vec_id")
     // query side: probed cells + the 128-slot ADC lookup table (d at
     // index blk*16+code), broadcast with the probe rows
     val qlut = pqSlices(t).filter($"vec_id" % 25 === 0)

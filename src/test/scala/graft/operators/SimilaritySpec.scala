@@ -14,8 +14,9 @@ class SimilaritySpec extends SparkSpec {
     assert(seeds.length == Similarity.IvfK && trained.length == Similarity.IvfK)
     assert(seeds.zip(trained).exists { case (s, c) => !s.sameElements(c) },
       "2 Lloyd iterations left every centroid exactly on its seed vector")
-    // training is deterministic: same input -> same model
-    val again = Similarity.trainIvfCentroids(t)
+    // training is deterministic: same input -> same model (retrain through
+    // the uncached path — the default entry memoizes per corpus dir)
+    val again = Similarity.trainIvfUncached(t, Similarity.IvfK, Similarity.IvfIters)
     assert(trained.zip(again).forall { case (a, b) => a.sameElements(b) })
   }
 

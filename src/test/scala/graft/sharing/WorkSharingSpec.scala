@@ -159,6 +159,26 @@ class WorkSharingSpec extends SparkSpec {
     } finally { ex.shutdown(); spark.catalog.clearCache() }
   }
 
+  test("ivf family batches with the assignment/code fragments computed once") {
+    import graft.operators.{Similarity => Sim}
+    val family: Seq[QueryJob[Seq[String]]] = Seq(
+      QueryJob("s04", s => Sim.s04IvfAnn(T(s, sfDir)), snap),
+      QueryJob("s21", s => Sim.s21IvfPqAnn(T(s, sfDir)), snap))
+    val isolated = family.map(j => j.name -> j.action(j.build(spark))).toMap
+    val ex = new WorkSharingExecutor(spark)
+    try {
+      val batched = ex.runBatch(family, sharedFragments = Seq[(String,
+          org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)](
+        "ivf_assigned" -> (s => Sim.ivfAssignedRaw(T(s, sfDir))),
+        "pq_codes"     -> (s => Sim.pqCodesPacked(T(s, sfDir)))))
+      batched.foreach { case (name, rows) => assert(rows == isolated(name), s"job $name") }
+      assert(ex.cachedFingerprints.contains("frag:ivf_assigned"), ex.cachedFingerprints)
+      // a sibling built AFTER the batch reads the assignment fragment cache
+      val probe = Sim.s04IvfAnn(T(spark, sfDir))
+      assert(probe.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    } finally { ex.shutdown(); spark.catalog.clearCache() }
+  }
+
   test("text family batches with the token/census fragments computed once") {
     import graft.operators.TextAnalysis
     val family: Seq[QueryJob[Seq[String]]] = Seq(
