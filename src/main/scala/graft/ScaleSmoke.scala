@@ -88,7 +88,12 @@ object ScaleSmoke {
     "s02_hyperplane_lsh",
     "s04_ivf_ann", "s21_ivfpq_ann", "g01_pagerank", "g14_collapsed_rank",
     "t11_tfidf_topterms", "t25_gopher_repetition", "t26_code_detect",
-    "p03_sequence_packing", "p29_curation_funnel", "w14_near_dup_front")
+    "p03_sequence_packing", "p29_curation_funnel", "w14_near_dup_front",
+    // r8 routed front doors: the replica-mass policy picks the collapse
+    // gear on every probe corpus (mass ≈ (m-1)/m ≥ 9000 bp), so these are
+    // the shapes a user should run — raw d04/d22/s02/g01 stay listed above
+    // as the measured baselines the routing exists to replace at scale
+    "d30_routed_neardup", "g15_routed_rank", "s23_routed_clusters")
 
   /** Exact/audit arms — broadcast-the-query-set brute force (s01-shaped) or
     * declared all-pairs baselines. Excluded, named in the artifact. s16's

@@ -24,6 +24,7 @@ object SparkEntry {
       operators.UserFns.defs ++
       operators.Pipeline.defs ++
       operators.Graph.defs ++
+      operators.Routing.defs ++
       streaming.StreamOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +39,6 @@ object SparkEntry {
       operators.UserFns.oracles ++
       operators.Pipeline.oracles ++
       operators.Graph.oracles ++
+      operators.Routing.oracles ++
       streaming.StreamOps.oracles
 }

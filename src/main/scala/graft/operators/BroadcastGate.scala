@@ -36,16 +36,19 @@ object BroadcastGate {
     * (the staleness ADVICE r7 raised against the path-keyed model caches). */
   private val rowCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  private def fileKey(files: Array[String]): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    files.sorted.foreach(f => md.update(f.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    java.util.Base64.getEncoder.encodeToString(md.digest())
-  }
-
   private def cachedCount(base: DataFrame): Long = {
     val files = base.inputFiles
     if (files.isEmpty) base.count() // non-file relation: no stable snapshot to key on
-    else rowCounts.computeIfAbsent(fileKey(files), _ => base.count())
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      // plan hash too: a frame DERIVED from the same files (a filter, a
+      // replication) must not reuse the base table's cached count
+      md.update(base.queryExecution.analyzed.canonicalized.semanticHash().toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      files.sorted.foreach(f => md.update(f.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      rowCounts.computeIfAbsent(
+        java.util.Base64.getEncoder.encodeToString(md.digest()), _ => base.count())
+    }
   }
 
   /** One decision per pipeline: returns the broadcast hint or identity,

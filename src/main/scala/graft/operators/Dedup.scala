@@ -1455,38 +1455,72 @@ object Dedup {
     * argues for (SCALESMOKE_30x.json: d08's true-pair output grows m² on a
     * replica-heavy corpus, so raw exact pairing is output-bound there; one
     * keeper collapse removes the replica mass and the pair count stays
-    * linear). Stage 1 collapses d04/d07's LSH near-dup clusters to their
-    * longest member (d12's keeper rule); stage 2 runs d08's exact PPJoin on
-    * the keeper corpus at a LOWER threshold (0.42, inside the corpus's
+    * linear). Stage 1 collapses the LSH near-dup clusters to their longest
+    * member (d12's keeper rule); stage 2 runs d08's exact PPJoin on the
+    * keeper corpus at a LOWER threshold (0.42, inside the corpus's
     * template-similarity band) — the residual cross-cluster structure
-    * report: moderately-similar keeper pairs the ≥0.8 collapse deliberately
-    * left distinct, exactly what a curation pass reviews next (soft-dedup
-    * reweighting, p26) after hard dedup. Recall on
-    * keepers is exactly 1.0 (prefix-filter pigeonhole — the oracle's naive
-    * all-pairs proves it), so nothing the collapse kept is missed.
+    * report: moderately-similar keeper pairs the collapse deliberately left
+    * distinct, exactly what a curation pass reviews next (soft-dedup
+    * reweighting, p26) after hard dedup. Recall on keepers is exactly 1.0
+    * (prefix-filter pigeonhole — the oracle's naive all-pairs proves it),
+    * so nothing the collapse kept is missed.
     *
-    * Scale shape: signatures and banding shuffle once (d04), CC is
-    * star-contraction, the keeper window keys on cluster_id, and the PPJoin
-    * runs on the COLLAPSED corpus — the m² pair enumeration that ceilings
-    * raw d08 at the 30× probe never happens. */
+    * r8 keeper rework (VERDICT r7 wrong-2): through r7 the keepers came
+    * from the VERIFIED d04 pair graph, so the collapse stage inherited the
+    * m²-growing true-pair enumeration it exists to avoid and ceilinged at
+    * the 100× probe. Clusters now come from [[bucketStarEdges]] — CANDIDATE
+    * connectivity via one (owner → member) star edge per band-bucket row,
+    * linear in the corpus. Any two docs sharing a band bucket are connected
+    * through that bucket's owner, so the star graph's components equal the
+    * full band-collision candidate graph's components exactly — same
+    * transitive clusters, never materializing the quadratic pair list.
+    * Dropping the Jaccard-verify on cluster EDGES makes the collapse
+    * strictly more aggressive (a false-positive band collision can merge
+    * two clusters), the standard hard-dedup trade: stage 2's exact scores
+    * on keepers are where precision is re-established.
+    *
+    * Scale shape: signatures and banding shuffle once, the ownership census
+    * is one keyed aggregate, CC runs on a LINEAR star edge set, the keeper
+    * election is a codegen'd max_by partial aggregate, and the PPJoin runs
+    * on the COLLAPSED corpus — no stage anywhere enumerates raw pairs. */
   def d26CollapsePairs(t: T, thresholdBp: Int = 4200): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val pairs = d04MinhashLshPairs(t).select($"doc_a", $"doc_b")
-    prefixJaccardPairs(t.documents.join(keeperIds(t, pairs), "doc_id"), thresholdBp)
+    val edges = bucketStarEdges(t.documents)
+    prefixJaccardPairs(
+      t.documents.join(keeperIdsOf(t.documents, edges), "doc_id"), thresholdBp)
   }
 
-  /** Keeper chain (shared CTEs), then the implementation-independent
-    * DEFINITION of stage 2 — naive all-pairs exact Jaccard ≥ 0.42 over the
-    * keeper corpus — so the hash match also proves the generalized prefix
-    * filter's recall is 1.0 at the non-default threshold. */
-  val d26Oracle: String =
-    s"""WITH $keepersDuckCtes,
+  /** Star-edge keeper chain (candidate-connectivity CC + longest-doc
+    * election), then the implementation-independent DEFINITION of stage 2 —
+    * naive all-pairs exact Jaccard ≥ threshold over the keeper corpus — so
+    * the hash match also proves the generalized prefix filter's recall is
+    * 1.0 at the non-default threshold. `thresholdBp` is threaded into both
+    * the Spark plan and this SQL (ADVICE r7: a hardcoded oracle constant
+    * silently diverges under a non-default call). */
+  def d26Oracle(thresholdBp: Int = 4200): String =
+    s"""WITH ${lshBandsDuckCtes(cand = """owners AS (
+         SELECT b, bkey, MIN(doc_id) AS owner FROM bands GROUP BY 1, 2)""")},
+       staredges AS (
+         SELECT DISTINCT owner AS doc_a, bands.doc_id AS doc_b
+         FROM bands JOIN owners ON owners.b = bands.b AND owners.bkey = bands.bkey
+         WHERE bands.doc_id <> owner),
+       ${ccDuckCtes("staredges")},
+       ck AS (
+         SELECT doc_id FROM (
+           SELECT reach.doc AS doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY cluster_id
+                    ORDER BY d.n_chars DESC, reach.doc) AS rk
+           FROM reach JOIN documents d ON d.doc_id = reach.doc) WHERE rk = 1),
+       keepers AS (
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc FROM reach)
+         UNION ALL SELECT doc_id FROM ck),
        hs2 AS (SELECT doc_id, $shingleHashesDuck AS h
                FROM documents JOIN keepers USING (doc_id))
        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${jaccardBpDuck()} AS jaccard_bp
        FROM hs2 a JOIN hs2 b ON a.doc_id < b.doc_id
-       WHERE ${jaccardBpDuck()} >= 4200
+       WHERE ${jaccardBpDuck()} >= $thresholdBp
        ORDER BY doc_a, doc_b"""
 
   /** Semantic collapse→cluster — d13's composed production shape (the other
@@ -1676,13 +1710,27 @@ object Dedup {
       .groupBy(col("doc_id")).agg(min(col("owner")).as("keeper"))
       .filter(col("doc_id") === col("keeper")).select(col("doc_id"))
 
+  /** Candidate-connectivity star graph, LINEAR in the corpus: one
+    * (owner → member) edge per band-bucket row (≤ 4 per doc). Two docs
+    * share a band bucket iff both connect to that bucket's owner, so this
+    * graph's connected components EQUAL the full band-collision candidate
+    * graph's components — the same transitive clusters d04's quadratic
+    * candidate enumeration would induce, at O(n) edges. Feeds d26's keeper
+    * election. */
+  private[graft] def bucketStarEdges(docs: DataFrame): DataFrame =
+    ownershipCensus(docs)
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("owner").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+
   def d29FrontCollapsePairs(t: T, thresholdBp: Int = 4200): DataFrame = {
     graft.functions.Registry.ensure(t.spark)
     prefixJaccardPairs(
       t.documents.join(ownershipKeepers(t.documents), "doc_id"), thresholdBp)
   }
 
-  val d29Oracle: String =
+  /** `thresholdBp` threaded into the SQL like d26's (ADVICE r7). */
+  def d29Oracle(thresholdBp: Int = 4200): String =
     s"""WITH ${lshBandsDuckCtes(cand = """owners AS (
          SELECT b, bkey, MIN(doc_id) AS owner FROM bands GROUP BY 1, 2)""")},
        kept AS (
@@ -1695,7 +1743,7 @@ object Dedup {
                FROM documents JOIN kept USING (doc_id))
        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${jaccardBpDuck()} AS jaccard_bp
        FROM hs2 a JOIN hs2 b ON a.doc_id < b.doc_id
-       WHERE ${jaccardBpDuck()} >= 4200
+       WHERE ${jaccardBpDuck()} >= $thresholdBp
        ORDER BY doc_a, doc_b"""
 
   /** Chunk-level dedup REWRITE — d23's census turned into the actual
@@ -1811,9 +1859,9 @@ object Dedup {
     "d23_cdc_chunks"        -> d23Oracle,
     "d24_chunk_dedup"       -> d24Oracle,
     "d25_collapse_repair"   -> d25Oracle,
-    "d26_collapse_pairs"    -> d26Oracle,
+    "d26_collapse_pairs"    -> d26Oracle(),
     "d27_semantic_collapse" -> d27Oracle,
     "d28_strided_census"    -> d28Oracle,
-    "d29_front_collapse"    -> d29Oracle,
+    "d29_front_collapse"    -> d29Oracle(),
   )
 }

@@ -59,22 +59,23 @@ object Graph {
   }
 
   /** Collapse-before-graph (the g01 composition of the d26 recipe): elect
-    * d12's keepers, re-pair the COLLAPSED corpus at d26's 0.42 residual
-    * threshold, and rank within that cross-cluster graph. On a
-    * replica-heavy corpus the raw d04 edge set grows m² in replica
-    * multiplicity (each replica cluster is a near-clique), so raw g01's
-    * superstep joins are output-bound the same way d08/d13 were — the 60×
-    * probe measured g01 at 105 s for exactly this reason. Collapsing first
-    * removes the clique mass; the ranked graph is the residual
-    * between-cluster structure, which is what centrality over a dedup
-    * graph means once duplicates are folded. */
+    * longest-doc keepers over the candidate-connectivity clusters (d26's
+    * r8 linear star-edge election — no pair enumeration), re-pair the
+    * COLLAPSED corpus at d26's 0.42 residual threshold, and rank within
+    * that cross-cluster graph. On a replica-heavy corpus the raw d04 edge
+    * set grows m² in replica multiplicity (each replica cluster is a
+    * near-clique), so raw g01's superstep joins are output-bound the same
+    * way d08/d13 were — the 60× probe measured g01 at 105 s for exactly
+    * this reason. Collapsing first removes the clique mass; the ranked
+    * graph is the residual between-cluster structure, which is what
+    * centrality over a dedup graph means once duplicates are folded. */
   def g14CollapsedRank(t: T): DataFrame = {
     graft.functions.Registry.ensure(t.spark)
     pagerankPpm(Dedup.d26CollapsePairs(t).select(col("doc_a"), col("doc_b")))
   }
 
   val g14Oracle: String =
-    s"""WITH cpairs AS (SELECT doc_a, doc_b FROM (${Dedup.d26Oracle})),
+    s"""WITH cpairs AS (SELECT doc_a, doc_b FROM (${Dedup.d26Oracle()})),
        edges AS (SELECT doc_a AS s, doc_b AS d FROM cpairs
                  UNION SELECT doc_b, doc_a FROM cpairs),
        deg AS (SELECT s, COUNT(*) AS outdeg FROM edges GROUP BY s),

@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.T
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Cost-gated routing between raw pair operators and their collapse-first
+  * gears — the dedup-plane analog of `MergedExecution.runCostGated` and of
+  * the reference's cost-model dispatch (reference:
+  * sparksql-server/src/main/scala/optimizer/OptimizationExecutor.scala:36-76,
+  * src/main/scala/costmodel/udcm/MRShareCM.scala:42-67 — the reference's
+  * identity is choosing a rewrite by a cost estimate; this applies the same
+  * discipline to the engine's own dedup/graph/similarity plane, VERDICT r7
+  * missing-1).
+  *
+  * The estimator is REPLICA MASS: the fraction of rows whose exact key
+  * (d01's 64-char-prefix hash for documents; the full 32-bit hyperplane
+  * signature for vectors) collides with an earlier row, in basis points.
+  * It is LINEAR — one scalar aggregate over the corpus, no grouping output,
+  * no pairs — and it is precisely the quantity that decides which gear
+  * wins: raw pair enumeration's TRUE-pair output grows with the square of
+  * replica multiplicity (SCALESMOKE_100x: raw s02/g01/d22 are output-bound
+  * on the replica corpus), while the collapse-first pipelines
+  * (d26/d29/d27/g14) stay linear by folding the replica mass before any
+  * pairing stage. Below the threshold the raw gear is exact and cheaper
+  * (a collapse would be pure overhead on a mostly-unique corpus); above it
+  * the collapsed answer is the only one that scales — and on such a corpus
+  * it is the answer a curation pass wants anyway.
+  *
+  * Policy cost: ONE linear job per (corpus, estimator) per JVM, memoized on
+  * the leaf-file snapshot exactly like [[BroadcastGate]]'s count. The
+  * DuckDB oracles replicate the estimator AND the branch in SQL (two
+  * branch subqueries gated by the same scalar mass), so the routed result
+  * is implementation-independently pinned whichever gear the policy picks.
+  */
+object Routing {
+
+  /** Default document routing threshold: 20 % replica mass. The probe's
+    * replica corpus at multiplier m has mass ≈ (m-1)/m ≥ 8000 bp (every
+    * replica shares its source's 64-char prefix); the shipped test corpora
+    * measure 460–472 bp — the gear choice is not threshold-sensitive
+    * anywhere we can measure, which is what a good gate looks like. */
+  val defaultThresholdBp = 2000
+
+  /** The vector gate sits higher (60 %): a 32-bit hyperplane signature
+    * collides for any two genuinely near-identical DIRECTIONS, not just
+    * byte replicas, so clustered-but-legitimate corpora carry a nonzero
+    * baseline (measured: shipped corpora 2720–3960 bp; the 10× replica
+    * corpus 9301 bp — the gate splits the regimes with 2000 bp of margin
+    * on either side). */
+  val vecThresholdBp = 6000
+
+  private val massCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def memo(df: DataFrame, kind: String)(compute: => Long): Long = {
+    val files = df.inputFiles
+    if (files.isEmpty) compute // non-file relation: no stable snapshot to key on
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(kind.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // plan hash too: a frame DERIVED from the same files must not reuse
+      // the base table's cached mass
+      md.update(df.queryExecution.analyzed.canonicalized.semanticHash().toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      files.sorted.foreach(f => md.update(f.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      massCache.computeIfAbsent(
+        java.util.Base64.getEncoder.encodeToString(md.digest()), _ => compute)
+    }
+  }
+
+  /** Replica mass of a document corpus in bp — d01's exact-key census
+    * folded to one scalar: (n − distinct keys) · 10000 / n. */
+  private[graft] def docReplicaMassBp(docs: DataFrame): Long =
+    memo(docs, "doc") {
+      val r = docs.agg(count(lit(1)),
+        countDistinct(md5(substring(col("text"), 1, 64)))).head()
+      val n = r.getLong(0)
+      if (n == 0) 0L else (n - r.getLong(1)) * 10000 / n
+    }
+
+  /** Replica mass of a vector corpus: full-hyperplane-signature census
+    * (identical 32-bit sig ⇒ near-identical direction — d27's stage-1
+    * collapse key, reused as the estimator). */
+  private[graft] def vecReplicaMassBp(embeddings: DataFrame): Long =
+    memo(embeddings, "vec") {
+      graft.functions.Registry.ensure(embeddings.sparkSession)
+      val r = embeddings.agg(count(lit(1)),
+        countDistinct(expr("hyperplane_sig(embedding, 32)"))).head()
+      val n = r.getLong(0)
+      if (n == 0) 0L else (n - r.getLong(1)) * 10000 / n
+    }
+
+  /** The document estimator in DuckDB — scalar subquery gating each branch. */
+  private val docMassDuck: String =
+    "(SELECT (COUNT(*) - COUNT(DISTINCT md5(substr(text, 1, 64)))) * 10000 // COUNT(*) FROM documents)"
+
+  /** The vector estimator in DuckDB — same hyperplane-sig SQL as d27's. */
+  private val vecMassDuck: String =
+    """(SELECT (COUNT(*) - COUNT(DISTINCT
+         list_sum(list_transform(range(0, 32), m ->
+           CASE WHEN list_sum(list_transform(range(1, 65), i ->
+             embedding[i]::DOUBLE * ((((m + 1) * 37 + i * 101) % 97 % 2) * 2 - 1))) > 0
+           THEN 1::BIGINT << m::INT ELSE 0::BIGINT END)))) * 10000 // COUNT(*)
+       FROM embeddings)"""
+
+  /** Routed near-dup pairs at the d08 threshold (0.8): below the mass gate,
+    * the exact PPJoin over the whole corpus (d08's raw gear — every true
+    * pair); above it, the same PPJoin restricted to d29's ownership-kept
+    * set (the fully-linear front collapse; 13.4 s at the 100× probe where
+    * the raw gear's own OUTPUT is m²-bound). One threshold, one verify
+    * kernel, two plans — the choice is the policy's, not the caller's. */
+  def d30RoutedNearDup(t: T, thresholdBp: Int = defaultThresholdBp): DataFrame = {
+    graft.functions.Registry.ensure(t.spark)
+    if (docReplicaMassBp(t.documents) < thresholdBp)
+      Dedup.prefixJaccardPairs(t.documents, 8000)
+    else Dedup.d29FrontCollapsePairs(t, 8000)
+  }
+
+  def d30Oracle(thresholdBp: Int = defaultThresholdBp): String =
+    s"""SELECT * FROM (${Dedup.d08Oracle}) WHERE $docMassDuck < $thresholdBp
+       UNION ALL
+       SELECT * FROM (${Dedup.d29Oracle(8000)}) WHERE $docMassDuck >= $thresholdBp
+       ORDER BY doc_a, doc_b"""
+
+  /** Routed PageRank: raw g01 over the verified d04 graph vs g14's
+    * collapse-before-graph (the raw edge set IS the m²-growing pair list
+    * on a replica corpus — SCALESMOKE_100x's g01 verdict). */
+  def g15RoutedRank(t: T, thresholdBp: Int = defaultThresholdBp): DataFrame = {
+    graft.functions.Registry.ensure(t.spark)
+    if (docReplicaMassBp(t.documents) < thresholdBp) Graph.g01PageRank(t)
+    else Graph.g14CollapsedRank(t)
+  }
+
+  def g15Oracle(thresholdBp: Int = defaultThresholdBp): String =
+    s"""SELECT * FROM (${Graph.g01Oracle}) WHERE $docMassDuck < $thresholdBp
+       UNION ALL
+       SELECT * FROM (${Graph.g14Oracle}) WHERE $docMassDuck >= $thresholdBp
+       ORDER BY doc_id"""
+
+  /** Routed semantic clustering: raw d13 (bucketed pairing over ALL
+    * vectors) vs d27's signature collapse (pairing over representatives
+    * only) — the s02/d13 shape's gear per the 100× probe. */
+  def s23RoutedClusters(t: T, thresholdBp: Int = vecThresholdBp): DataFrame = {
+    graft.functions.Registry.ensure(t.spark)
+    if (vecReplicaMassBp(t.embeddings) < thresholdBp)
+      Dedup.d13SemanticClustersBucketed(t)
+    else Dedup.d27SemanticCollapse(t)
+  }
+
+  def s23Oracle(thresholdBp: Int = vecThresholdBp): String =
+    s"""SELECT * FROM (${Dedup.d13BucketedOracle}) WHERE $vecMassDuck < $thresholdBp
+       UNION ALL
+       SELECT * FROM (${Dedup.d27Oracle}) WHERE $vecMassDuck >= $thresholdBp
+       ORDER BY vec_id"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d30_routed_neardup"  -> ((s, d) => d30RoutedNearDup(T(s, d))),
+    "g15_routed_rank"     -> ((s, d) => g15RoutedRank(T(s, d))),
+    "s23_routed_clusters" -> ((s, d) => s23RoutedClusters(T(s, d))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d30_routed_neardup"  -> d30Oracle(),
+    "g15_routed_rank"     -> g15Oracle(),
+    "s23_routed_clusters" -> s23Oracle(),
+  )
+}

@@ -137,10 +137,22 @@ object Similarity {
     * queries too). */
   private[graft] def symCandIds(t: T): DataFrame = {
     import t.spark.implicits._
-    val bands = idBands(t)
+    // First-colliding-table dedup instead of `.distinct()`: a pair sharing
+    // k band buckets is emitted ONLY by its first shared table (no earlier
+    // band of BOTH sigs equal — an inline predicate on the 8-byte sigs the
+    // band rows carry). Same pair SET as distinct-over-all-collisions, but
+    // the r8 sf1-lane profile showed the distinct was s12's whole exchange:
+    // 45M pre-distinct rows shuffled+sorted to produce 28M pairs (the 10×
+    // replica corpus). The predicate filters inside the band join's output
+    // iterator — zero exchange, and the verify stage reads 1.6× fewer rows.
+    val bands = hyperplaneSigs(t).select($"vec_id", $"sig", expr(bandExpr).as("bk"))
+      .select($"vec_id", $"sig", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
     bands.as("x").join(bands.as("y"),
-        $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" && $"x.vec_id" =!= $"y.vec_id")
-      .select($"x.vec_id".as("src"), $"y.vec_id".as("dst")).distinct()
+        $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" && $"x.vec_id" =!= $"y.vec_id" &&
+          expr("""NOT exists(sequence(0, 3), tt -> tt < x.tbl AND
+                 (shiftright(x.sig, cast(tt * 8 AS int)) & 255) =
+                 (shiftright(y.sig, cast(tt * 8 AS int)) & 255))"""))
+      .select($"x.vec_id".as("src"), $"y.vec_id".as("dst"))
   }
 
   /** LSH-bucketed ANN: 32-bit random-hyperplane signature split into 4 tables
@@ -821,10 +833,16 @@ object Similarity {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
     val hint = BroadcastGate.vectorHint(t.embeddings)
-    val ea = t.embeddings.select($"vec_id".as("src"), $"embedding".as("ea"))
-    val eb = t.embeddings.select($"vec_id".as("dst"), $"embedding".as("eb"))
+    // prenormalized cosine (the s04 playbook, applied at the r8 sf1-lane
+    // audit): norms are computed once per ROW before the candidate join,
+    // so the per-PAIR kernel is one dot — 64 FMA instead of 192 on the
+    // 28M-pair candidate stream
+    val ea = t.embeddings.select($"vec_id".as("src"), $"embedding".as("ea"),
+      sqNorm("embedding").as("na"))
+    val eb = t.embeddings.select($"vec_id".as("dst"), $"embedding".as("eb"),
+      sqNorm("embedding").as("nb"))
     symCandIds(t).join(hint(ea), "src").join(hint(eb), "dst")
-      .select($"src", $"dst", (round(expr("cosine_sim(ea, eb)"), 4) + lit(0.0)).as("cosine"))
+      .select($"src", $"dst", prenormCos("ea", "eb", "na", "nb").as("cosine"))
   }
 
   def s12KnnGraph(t: T, k: Int = 3): DataFrame = {

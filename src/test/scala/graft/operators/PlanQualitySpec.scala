@@ -278,8 +278,19 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("d26_collapse_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     val t = T(spark, sfDir)
-    val lshPairs = Dedup.d04MinhashLshPairs(t).select("doc_a", "doc_b")
-    val keepers = Dedup.keeperIds(t, lshPairs).collect().map(_.getLong(0)).toSet
+    // r8 keeper rework: the election runs on the LINEAR star graph. The
+    // structural claim that licenses it — star-edge components EQUAL the
+    // full band-collision candidate graph's components — asserted directly:
+    def components(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val starCC = components(Dedup.bucketStarEdges(t.documents))
+    val candCC = components(
+      Dedup.bandCandidates(Dedup.minhashSigTable(t.documents)))
+    assert(starCC == candCC,
+      s"star-edge CC diverged from candidate-graph CC: ${starCC.size} vs ${candCC.size} nodes")
+    val keepers = Dedup.keeperIdsOf(t.documents, Dedup.bucketStarEdges(t.documents))
+      .collect().map(_.getLong(0)).toSet
     // every emitted pair is keeper×keeper at or above the declared threshold
     Dedup.d26CollapsePairs(t).collect().foreach { r =>
       assert(keepers(r.getLong(0)) && keepers(r.getLong(1)), r.toString)

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.{SparkSpec, T}
+import org.apache.spark.sql.functions._
+
+/** The replica-mass routing policy (Routing.scala): the estimator's two
+  * regimes, and plan-choice equivalence — the routed operator must return
+  * EXACTLY the chosen gear's answer on either side of the gate (the same
+  * metamorphic contract the sharing plane is specced by).
+  */
+class RoutingSpec extends SparkSpec {
+
+  private def t = T(spark, sfDir)
+
+  test("estimator: low mass on the shipped corpus, saturated on a replicated one") {
+    import spark.implicits._
+    val shipped = Routing.docReplicaMassBp(t.documents)
+    assert(shipped < Routing.defaultThresholdBp,
+      s"shipped corpus mass $shipped bp should sit under the gate")
+    // 5× replication with suffix-only perturbation (the probe corpus's
+    // shape): every replica shares its source's 64-char prefix key, so
+    // mass ≈ 4/5 = 8000 bp
+    val reps = t.documents.crossJoin(broadcast(spark.range(5).toDF("rep")))
+      .select(($"doc_id" * 10 + $"rep").as("doc_id"),
+        concat($"text", lit(" r"), $"rep").as("text"))
+    val replicated = Routing.docReplicaMassBp(reps)
+    assert(replicated >= 7500, s"replica corpus mass $replicated bp should saturate")
+    // vector estimator: the shipped corpus carries a legitimate near-dup
+    // baseline (~2700 bp) but sits under the vector gate
+    assert(Routing.vecReplicaMassBp(t.embeddings) < Routing.vecThresholdBp)
+  }
+
+  test("d30: routes to the raw exact gear under the gate, to the d29 collapse above it") {
+    assert(snap(Routing.d30RoutedNearDup(t)) ==
+      snap(Dedup.d08PrefixJaccardJoin(t)))
+    assert(snap(Routing.d30RoutedNearDup(t, thresholdBp = 0)) ==
+      snap(Dedup.d29FrontCollapsePairs(t, 8000)))
+  }
+
+  test("g15: routes to raw g01 under the gate, to g14's collapsed rank above it") {
+    assert(snap(Routing.g15RoutedRank(t)) == snap(Graph.g01PageRank(t)))
+    assert(snap(Routing.g15RoutedRank(t, thresholdBp = 0)) ==
+      snap(Graph.g14CollapsedRank(t)))
+  }
+
+  test("s23: routes to raw d13 under the gate, to d27's signature collapse above it") {
+    assert(snap(Routing.s23RoutedClusters(t)) ==
+      snap(Dedup.d13SemanticClustersBucketed(t)))
+    assert(snap(Routing.s23RoutedClusters(t, thresholdBp = 0)) ==
+      snap(Dedup.d27SemanticCollapse(t)))
+  }
+}
