@@ -31,7 +31,11 @@ object BenchSf1 {
   val headlineKeys: Seq[String] = PlanDump.headline
 
   def buildSf1(spark: SparkSession, baseDir: String, outDir: String, mult: Int): Unit = {
-    val marker = java.nio.file.Paths.get(s"$outDir/_GRAFT_SF1_READY")
+    // marker encodes the base dir (same ADVICE-r7 fix as ShareBench's):
+    // switching SPARK_GRAFT_SF_DIR must force a rebuild, not a stale reuse
+    val tag = java.util.Base64.getUrlEncoder.withoutPadding()
+      .encodeToString(baseDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val marker = java.nio.file.Paths.get(s"$outDir/_GRAFT_SF1_READY_$tag")
     if (java.nio.file.Files.exists(marker)) return
     val reps = spark.range(mult.toLong).toDF("rep")
     def t(n: String): DataFrame = spark.read.parquet(s"$baseDir/$n.parquet")

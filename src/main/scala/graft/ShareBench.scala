@@ -26,6 +26,24 @@ import graft.sharing.{QueryJob, WorkSharingExecutor}
   */
 object ShareBench {
 
+
+  /** Build-once 10× replica corpus for the family rows. The marker encodes
+    * the BASE dir (ADVICE r7): previously a bare _GRAFT_READY persisted
+    * across JVMs while SPARK_GRAFT_SF_DIR could change, so a bench run
+    * after switching base corpora silently reused the stale scaled corpus.
+    * A different base now means a different marker, hence a rebuild. */
+  private def scaledCorpus(spark: SparkSession, base: String): String = {
+    val dir = "/tmp/graft-share/x10"
+    val tag = java.util.Base64.getUrlEncoder.withoutPadding()
+      .encodeToString(base.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val marker = java.nio.file.Paths.get(s"$dir/_GRAFT_READY_$tag")
+    if (!java.nio.file.Files.exists(marker)) {
+      ScaleSmoke.buildScaled(spark, base, dir, 10)
+      java.nio.file.Files.createFile(marker)
+    }
+    dir
+  }
+
   private val words = Seq("spark", "table", "query", "value", "stream",
     "window", "batch", "merge", "sort", "filter")
 
@@ -136,12 +154,7 @@ object ShareBench {
     if (only("similarity_family")) {
       import graft.operators.{Dedup, Pipeline, Similarity}
       val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-      val simDir = "/tmp/graft-share/x10"
-      val marker = java.nio.file.Paths.get(s"$simDir/_GRAFT_READY")
-      if (!java.nio.file.Files.exists(marker)) {
-        ScaleSmoke.buildScaled(spark, base, simDir, 10)
-        java.nio.file.Files.createFile(marker)
-      }
+      val simDir = scaledCorpus(spark, base)
       def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
       // s06 is the audit query that re-derives BOTH siblings' outputs (its
       // truth arm is s01 verbatim, its candidate arm is s02 verbatim) — the
@@ -214,12 +227,7 @@ object ShareBench {
     if (only("text_family")) {
       import graft.operators.TextAnalysis
       val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-      val txtDir = "/tmp/graft-share/x10"
-      val marker = java.nio.file.Paths.get(s"$txtDir/_GRAFT_READY")
-      if (!java.nio.file.Files.exists(marker)) {
-        ScaleSmoke.buildScaled(spark, base, txtDir, 10)
-        java.nio.file.Files.createFile(marker)
-      }
+      val txtDir = scaledCorpus(spark, base)
       def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
       def txtJobs: Seq[QueryJob[Unit]] = Seq[(String, SparkSession => DataFrame)](
         "t08" -> (s => TextAnalysis.t08ZipfProfile(T(s, txtDir))),
@@ -293,12 +301,7 @@ object ShareBench {
     if (only("curation_family")) {
       import graft.operators.Pipeline
       val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-      val curDir = "/tmp/graft-share/x10"
-      val marker = java.nio.file.Paths.get(s"$curDir/_GRAFT_READY")
-      if (!java.nio.file.Files.exists(marker)) {
-        ScaleSmoke.buildScaled(spark, base, curDir, 10)
-        java.nio.file.Files.createFile(marker)
-      }
+      val curDir = scaledCorpus(spark, base)
       def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
       def curJobs: Seq[QueryJob[Unit]] = Seq[(String, SparkSession => DataFrame)](
         "p04" -> (s => Pipeline.p04Contamination(T(s, curDir))),
@@ -335,12 +338,7 @@ object ShareBench {
     if (only("graph_family")) {
       import graft.operators.{Dedup, Graph}
       val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-      val gDir = "/tmp/graft-share/x10"
-      val marker = java.nio.file.Paths.get(s"$gDir/_GRAFT_READY")
-      if (!java.nio.file.Files.exists(marker)) {
-        ScaleSmoke.buildScaled(spark, base, gDir, 10)
-        java.nio.file.Files.createFile(marker)
-      }
+      val gDir = scaledCorpus(spark, base)
       def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
       def gJobs: Seq[QueryJob[Unit]] = Seq[(String, SparkSession => DataFrame)](
         "g01" -> (s => Graph.g01PageRank(T(s, gDir))),
@@ -379,12 +377,7 @@ object ShareBench {
       import graft.operators.{Similarity => Sim}
       import graft.streaming.StreamOps
       val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-      val iDir = "/tmp/graft-share/x10"
-      val marker = java.nio.file.Paths.get(s"$iDir/_GRAFT_READY")
-      if (!java.nio.file.Files.exists(marker)) {
-        ScaleSmoke.buildScaled(spark, base, iDir, 10)
-        java.nio.file.Files.createFile(marker)
-      }
+      val iDir = scaledCorpus(spark, base)
       def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
       def iJobs: Seq[QueryJob[Unit]] = Seq[(String, SparkSession => DataFrame)](
         "s04" -> (s => Sim.s04IvfAnn(T(s, iDir))),

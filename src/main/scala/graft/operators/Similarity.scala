@@ -250,19 +250,31 @@ object Similarity {
     df.withColumn("cluster", least(dks: _*).getField("k"))
   }
 
-  /** Per-JVM trained-model caches keyed on corpus dir. Training is
-    * deterministic (fixed seeds, integer arithmetic), so re-training on the
-    * same corpus always reproduces the same model — exactly what a served
-    * index does in production (train once, reuse), and what the ivf_family
-    * sharing measurement showed plan-fragment caching structurally cannot
-    * cover: the repeated cost of the IVF plane is these driver-side collect
-    * loops, not a cacheable plan subtree. Keyed per directory; a corpus
-    * REWRITTEN in place mid-JVM would serve a stale model, which no lane
-    * does (every synthesized corpus is marker-gated write-once per JVM). */
+  /** Per-JVM trained-model caches keyed on the corpus's LEAF-FILE snapshot
+    * (ADVICE r7: a bare dir key made correctness rest on an unenforced
+    * write-once convention — a lane that rebuilds a dir mid-JVM would have
+    * silently served a stale model). A rewritten parquet dir gets fresh
+    * part-file names, hence a fresh key and an automatic retrain; the
+    * convention is now self-enforcing, same device as BroadcastGate's
+    * count memo. Training is deterministic (fixed seeds, integer
+    * arithmetic), so re-training on the same files always reproduces the
+    * same model — exactly what a served index does in production (train
+    * once, reuse), and what the ivf_family sharing measurement showed
+    * plan-fragment caching structurally cannot cover: the repeated cost of
+    * the IVF plane is these driver-side collect loops, not a cacheable
+    * plan subtree. */
   private val ivfModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
   private val pqModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Long]]]]()
+
+  /** Content-snapshot cache key: corpus dir + sorted embedding part files. */
+  private def corpusKey(t: T): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    t.embeddings.inputFiles.sorted.foreach(f =>
+      md.update(f.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    t.dir + "#" + java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
 
   /** Lloyd iterations; centroids are driver-side model state (8x64 longs),
     * like any trained-model broadcast — each round is one distributed
@@ -271,7 +283,7 @@ object Similarity {
     * note above); explicit k/iters bypass the cache. */
   def trainIvfCentroids(t: T, k: Int = IvfK, iters: Int = IvfIters): Array[Array[Long]] =
     if (k == IvfK && iters == IvfIters)
-      ivfModelCache.computeIfAbsent(t.dir, _ => trainIvfUncached(t, k, iters))
+      ivfModelCache.computeIfAbsent(corpusKey(t), _ => trainIvfUncached(t, k, iters))
     else trainIvfUncached(t, k, iters)
 
   private[graft] def trainIvfUncached(t: T, k: Int, iters: Int): Array[Array[Long]] = {
@@ -1032,7 +1044,7 @@ object Similarity {
   /** Deterministic integer k-means per block; [block][k][dim] longs.
     * Memoized per corpus dir like [[trainIvfCentroids]]. */
   def trainPqCodebook(t: T): Array[Array[Array[Long]]] =
-    pqModelCache.computeIfAbsent(t.dir, _ => trainPqUncached(t))
+    pqModelCache.computeIfAbsent(corpusKey(t), _ => trainPqUncached(t))
 
   private def trainPqUncached(t: T): Array[Array[Array[Long]]] = {
     import t.spark.implicits._
@@ -1648,11 +1660,15 @@ object Similarity {
       .select($"query_id", $"vec_id", adcExpr.as("adc"))
     val short = rankTopK(est, "query_id", "adc", "vec_id", 10, largest = false)
       .select($"query_id", $"vec_id")
-    val hint = BroadcastGate.vectorHint(t.embeddings)
+    // rerank joins broadcast the ~10-per-query SHORTLIST side (ADVICE r7:
+    // the first shape broadcast the two full quantized-corpus frames via
+    // vectorHint — up to hundreds of MB, twice — when only shortlist ids
+    // are needed). Each corpus frame is now scanned once, streamed against
+    // the tiny broadcast: no corpus bytes ever leave their executors.
     val qq = quantized(t).select($"vec_id".as("query_id"), $"qe".as("qq"))
     val xq = quantized(t).select($"vec_id", $"qe".as("xq"))
-    val reranked = short
-      .join(hint(qq), "query_id").join(hint(xq), "vec_id")
+    val reranked = broadcast(broadcast(short).join(qq, "query_id"))
+      .join(xq, "vec_id")
       .select($"query_id", $"vec_id",
         call_function("l2_sq", $"qq", $"xq").as("ex"))
     rankTopK(reranked, "query_id", "ex", "vec_id", 3, largest = false)

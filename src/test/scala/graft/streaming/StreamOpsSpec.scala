@@ -465,6 +465,40 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("w14: out-of-order arrival pins ARRIVAL-order ownership, not min-id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ADVICE r7: the batch-parity contract assumes in-order delivery; this
+    // spec pins what happens when that contract is BROKEN — the higher id
+    // arrives first and legitimately keeps its claim (first-come-first-
+    // served is the intended streaming semantics), so the verdict diverges
+    // from the batch min-id twin in exactly this one documented way.
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.bandOwnership(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("band_own_ooo")
+      .outputMode("append").start()
+    try {
+      stream.addData((9L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      stream.addData((1L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      val verdict = spark.table("band_own_ooo")
+        .groupBy($"doc_id")
+        .agg(sum(when($"owned", 1L).otherwise(0L)).as("n_owned"),
+          count(lit(1)).as("n_bands"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1) == r.getLong(2))).toMap
+      // arrival order: 9 arrived first and owns everything; 1 owns nothing
+      assert(verdict == Map(9L -> true, 1L -> false), verdict.toString)
+      // and the batch twin (min-id owner) says the OPPOSITE for this input —
+      // the divergence is the documented contract, not a bug
+      val batch = StreamOps.nearDupVerdict(
+        Seq((9L, "the quick brown fox jumps over the lazy dog"),
+          (1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(batch == Map(1L -> true, 9L -> false), batch.toString)
+    } finally q.stop()
+  }
+
   test("w15: streaming ANN serving rollup == batch IVF search on same queries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
