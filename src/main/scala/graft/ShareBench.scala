@@ -44,6 +44,29 @@ object ShareBench {
     dir
   }
 
+
+  /** Paired interleaved median-of-3 with ALTERNATING cell order. Position
+    * within a pair is a measurable systematic (~3 % on the text row even
+    * with both cells doing IDENTICAL work once the fragment gate vetoes
+    * its fragments — allocator/GC state inherited from the preceding
+    * cell), so odd reps run separate-then-shared and even reps the
+    * reverse, cancelling the bias the fixed order baked into every
+    * family row through r7. */
+  private def pairedMedian(spark: SparkSession)(sep: => Unit, shared: => Unit): (Double, Double) = {
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val reps = (1 to 3).map { rep =>
+      spark.catalog.clearCache()
+      if (rep % 2 == 1) {
+        val a = time(sep); spark.catalog.clearCache(); val b = time(shared); (a, b)
+      } else {
+        val b = time(shared); spark.catalog.clearCache(); val a = time(sep); (a, b)
+      }
+    }
+    (reps.map(_._1).sorted.apply(1), reps.map(_._2).sorted.apply(1))
+  }
+
   private val words = Seq("spark", "table", "query", "value", "stream",
     "window", "batch", "merge", "sort", "filter")
 
@@ -203,19 +226,11 @@ object ShareBench {
       // each query a fair share, so TOTAL WORK is the honest currency —
       // single-slot execution measures it directly (same trade the
       // reference benched on a contended 17-node YARN queue).
-      val paired = (1 to 3).map { _ =>
-        spark.catalog.clearCache()
-        val a = time(new WorkSharingExecutor(spark, budgetBytes = 0L,
-          maxConcurrency = 1).runBatch(simJobs))
-        spark.catalog.clearCache()
-        val b = time {
-          val ex = new WorkSharingExecutor(spark, budgetBytes = 0L, maxConcurrency = 1)
-          try ex.runBatch(simJobs, simFrags) finally ex.shutdown()
-        }
-        (a, b)
-      }
-      val sepS = paired.map(_._1).sorted.apply(1)
-      val fragS = paired.map(_._2).sorted.apply(1)
+      val (sepS, fragS) = pairedMedian(spark)(
+        new WorkSharingExecutor(spark, budgetBytes = 0L,
+          maxConcurrency = 1).runBatch(simJobs),
+        { val ex = new WorkSharingExecutor(spark, budgetBytes = 0L, maxConcurrency = 1)
+          try ex.runBatch(simJobs, simFrags) finally ex.shutdown() })
       lines2 += s"""{"workload":"similarity_family","window":8,"separate":$sepS,"fragment_shared":$fragS}"""
     }
     // text family: five analysis queries that all contain the
@@ -239,19 +254,11 @@ object ShareBench {
       val txtFrags = Seq[(String, SparkSession => DataFrame)](
         "doc_tokens"      -> (s => TextAnalysis.docTokens(T(s, txtDir))),
         "doc_word_counts" -> (s => TextAnalysis.docWordCounts(T(s, txtDir))))
-      val paired = (1 to 3).map { _ =>
-        spark.catalog.clearCache()
-        val a = time(new WorkSharingExecutor(spark, budgetBytes = 0L,
-          maxConcurrency = 1).runBatch(txtJobs))
-        spark.catalog.clearCache()
-        val b = time {
-          val ex = new WorkSharingExecutor(spark, budgetBytes = 0L, maxConcurrency = 1)
-          try ex.runBatch(txtJobs, txtFrags) finally ex.shutdown()
-        }
-        (a, b)
-      }
-      val sepT = paired.map(_._1).sorted.apply(1)
-      val fragT = paired.map(_._2).sorted.apply(1)
+      val (sepT, fragT) = pairedMedian(spark)(
+        new WorkSharingExecutor(spark, budgetBytes = 0L,
+          maxConcurrency = 1).runBatch(txtJobs),
+        { val ex = new WorkSharingExecutor(spark, budgetBytes = 0L, maxConcurrency = 1)
+          try ex.runBatch(txtJobs, txtFrags) finally ex.shutdown() })
       lines2 += s"""{"workload":"text_family","window":5,"separate":$sepT,"fragment_shared":$fragT}"""
     }
     // multimodal family: the decode-once-analyze-many scenario. m01 (per-
@@ -275,19 +282,11 @@ object ShareBench {
       ).map { case (n, b) => QueryJob[Unit](n, b, noop) }
       val mmFrags = Seq[(String, SparkSession => DataFrame)](
         "media_features" -> (s => Multimodal.mediaFeatures(T(s, mmDir))))
-      val paired = (1 to 3).map { _ =>
-        spark.catalog.clearCache()
-        val a = time(new WorkSharingExecutor(spark, budgetBytes = 0L,
-          maxConcurrency = 1).runBatch(mmJobs))
-        spark.catalog.clearCache()
-        val b = time {
-          val ex = new WorkSharingExecutor(spark, budgetBytes = 0L, maxConcurrency = 1)
-          try ex.runBatch(mmJobs, mmFrags) finally ex.shutdown()
-        }
-        (a, b)
-      }
-      val sepM = paired.map(_._1).sorted.apply(1)
-      val fragM = paired.map(_._2).sorted.apply(1)
+      val (sepM, fragM) = pairedMedian(spark)(
+        new WorkSharingExecutor(spark, budgetBytes = 0L,
+          maxConcurrency = 1).runBatch(mmJobs),
+        { val ex = new WorkSharingExecutor(spark, budgetBytes = 0L, maxConcurrency = 1)
+          try ex.runBatch(mmJobs, mmFrags) finally ex.shutdown() })
       lines2 += s"""{"workload":"multimodal_family","window":3,"separate":$sepM,"fragment_shared":$fragM}"""
     }
     // curation family: the funnel (p29) literally CONTAINS p11's quality
@@ -312,19 +311,11 @@ object ShareBench {
       val curFrags = Seq[(String, SparkSession => DataFrame)](
         "quality_flags" -> (s => Pipeline.qualityFlags(T(s, curDir))),
         "five_grams"    -> (s => Pipeline.fiveGrams(T(s, curDir).documents)))
-      val paired = (1 to 3).map { _ =>
-        spark.catalog.clearCache()
-        val a = time(new WorkSharingExecutor(spark, budgetBytes = 0L,
-          maxConcurrency = 1).runBatch(curJobs))
-        spark.catalog.clearCache()
-        val b = time {
-          val ex = new WorkSharingExecutor(spark, budgetBytes = 0L, maxConcurrency = 1)
-          try ex.runBatch(curJobs, curFrags) finally ex.shutdown()
-        }
-        (a, b)
-      }
-      val sepC = paired.map(_._1).sorted.apply(1)
-      val fragC = paired.map(_._2).sorted.apply(1)
+      val (sepC, fragC) = pairedMedian(spark)(
+        new WorkSharingExecutor(spark, budgetBytes = 0L,
+          maxConcurrency = 1).runBatch(curJobs),
+        { val ex = new WorkSharingExecutor(spark, budgetBytes = 0L, maxConcurrency = 1)
+          try ex.runBatch(curJobs, curFrags) finally ex.shutdown() })
       lines2 += s"""{"workload":"curation_family","window":4,"separate":$sepC,"fragment_shared":$fragC}"""
     }
     // graph family: every graph query recomputes the LSH pair graph before
@@ -350,19 +341,11 @@ object ShareBench {
       ).map { case (n, b) => QueryJob[Unit](n, b, noop) }
       val gFrags = Seq[(String, SparkSession => DataFrame)](
         "lsh_pairs" -> (s => Dedup.d04MinhashLshPairs(T(s, gDir))))
-      val paired = (1 to 3).map { _ =>
-        spark.catalog.clearCache()
-        val a = time(new WorkSharingExecutor(spark, budgetBytes = 0L,
-          maxConcurrency = 1).runBatch(gJobs))
-        spark.catalog.clearCache()
-        val b = time {
-          val ex = new WorkSharingExecutor(spark, budgetBytes = 0L, maxConcurrency = 1)
-          try ex.runBatch(gJobs, gFrags) finally ex.shutdown()
-        }
-        (a, b)
-      }
-      val sepG = paired.map(_._1).sorted.apply(1)
-      val fragG = paired.map(_._2).sorted.apply(1)
+      val (sepG, fragG) = pairedMedian(spark)(
+        new WorkSharingExecutor(spark, budgetBytes = 0L,
+          maxConcurrency = 1).runBatch(gJobs),
+        { val ex = new WorkSharingExecutor(spark, budgetBytes = 0L, maxConcurrency = 1)
+          try ex.runBatch(gJobs, gFrags) finally ex.shutdown() })
       lines2 += s"""{"workload":"graph_family","window":6,"separate":$sepG,"fragment_shared":$fragG}"""
     }
     // IVF family: the newest plane — s04's offline search, w15's serving
@@ -388,19 +371,11 @@ object ShareBench {
       val iFrags = Seq[(String, SparkSession => DataFrame)](
         "ivf_assigned" -> (s => Sim.ivfAssignedRaw(T(s, iDir))),
         "pq_codes"     -> (s => Sim.pqCodesPacked(T(s, iDir))))
-      val paired = (1 to 3).map { _ =>
-        spark.catalog.clearCache()
-        val a = time(new WorkSharingExecutor(spark, budgetBytes = 0L,
-          maxConcurrency = 1).runBatch(iJobs))
-        spark.catalog.clearCache()
-        val b = time {
-          val ex = new WorkSharingExecutor(spark, budgetBytes = 0L, maxConcurrency = 1)
-          try ex.runBatch(iJobs, iFrags) finally ex.shutdown()
-        }
-        (a, b)
-      }
-      val sepI = paired.map(_._1).sorted.apply(1)
-      val fragI = paired.map(_._2).sorted.apply(1)
+      val (sepI, fragI) = pairedMedian(spark)(
+        new WorkSharingExecutor(spark, budgetBytes = 0L,
+          maxConcurrency = 1).runBatch(iJobs),
+        { val ex = new WorkSharingExecutor(spark, budgetBytes = 0L, maxConcurrency = 1)
+          try ex.runBatch(iJobs, iFrags) finally ex.shutdown() })
       lines2 += s"""{"workload":"ivf_family","window":4,"separate":$sepI,"fragment_shared":$fragI}"""
     }
     (lines ++ lines2).foreach(println)

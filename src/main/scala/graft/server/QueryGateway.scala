@@ -132,6 +132,10 @@ final class QueryGateway(
             var n = 0L
             while (n < printCap && it.hasNext) { out.println(it.next()); n += 1 }
             out.println(if (it.hasNext) s"done $n truncated" else s"done $n")
+            // deadline accounting: "finished" = last row streamed (errors
+            // are not counted — a failed statement has no service time)
+            effective.deadlineMs.foreach(
+              DeadlineTelemetry.record(_, System.currentTimeMillis()))
           } catch {
             case e: Throwable =>
               out.println("error " + Option(e.getMessage).getOrElse(e.toString)
@@ -145,6 +149,31 @@ final class QueryGateway(
   }
 
   def close(): Unit = { running = false; server.close() }
+}
+
+/** Deadline-miss accounting for `deadlineMs`-carrying statements (VERDICT
+  * r7 next-7: EDF ordering and priority pools existed, but nothing reported
+  * whether a deadline was actually MET — and the reference's pitch is
+  * explicitly throughput vs soft deadlines, README.md:4). The gateway
+  * records each successfully-completed hinted statement's finish time
+  * against its deadline; the soak artifact (GWSOAK.json) reports the
+  * aggregate miss rate. Process-wide, like the scheduler it audits. */
+object DeadlineTelemetry {
+  private val total = new AtomicLong()
+  private val missed = new AtomicLong()
+  private val latenessMs = new java.util.concurrent.atomic.LongAdder()
+
+  def record(deadlineMs: Long, finishedMs: Long): Unit = {
+    total.incrementAndGet()
+    if (finishedMs > deadlineMs) {
+      missed.incrementAndGet()
+      latenessMs.add(finishedMs - deadlineMs)
+    }
+  }
+
+  /** (deadline-carrying statements, misses, summed lateness ms). */
+  def snapshot: (Long, Long, Long) = (total.get, missed.get, latenessMs.sum)
+  def reset(): Unit = { total.set(0); missed.set(0); latenessMs.reset() }
 }
 
 object QueryGateway {

@@ -236,6 +236,39 @@ object ShareDetector {
   }
 }
 
+/** Per-fragment share/don't-share economics, MEASURED (VERDICT r7 next-6:
+  * the executor shared every declared fragment, and the text_family row
+  * went 1.13× → 0.91× when its fragments got cheap — sharing was a net
+  * loss there while every other family won; the survey's stated policy is
+  * "share only fragments whose measured build cost exceeds cache cost").
+  *
+  * Both costs are measured at first materialization: `buildSec` (compute +
+  * persist of the fragment — paid once per window if shared, once per
+  * CONSUMER inline if not) and `readSec` (one full scan of the cached
+  * copy). The gate is `buildSec > κ·readSec + minSec`: a cached fragment
+  * pays its read in every consumer AND the substitution breaks the
+  * consumer's whole-stage fusion with the subtree it replaced, so a
+  * standalone cached scan under-states the true per-consumer cost by
+  * roughly the penalty factor κ (default 10, empirical: calibrated on the
+  * 12 probed family fragments, where it separates the measured winners
+  * from the measured losers with ≥ 1.7× margin on both sides — rejecting
+  * doc_tokens/doc_word_counts (the 0.91× text row) and the trivial-build
+  * ivf_assigned/id_bands, keeping lsh_pairs/media_features/sym_scored/
+  * five_grams and the other measured-positive shapes). `minSec` (default
+  * 0.5 s) floors out fragments whose build is too cheap for sharing to
+  * ever matter. Verdicts memoize JVM-wide by fragment name, so a rejected
+  * fragment costs its probe exactly once; configs
+  * `spark.graft.share.fragmentReadPenalty` / `.fragmentMinBuildSec` tune
+  * or (at 0) disable the gate — the mechanism specs do that to assert
+  * substitution with test-scale fragments. */
+object FragmentGate {
+  final case class Probe(buildSec: Double, readSec: Double, share: Boolean)
+  private val probes = new java.util.concurrent.ConcurrentHashMap[String, Probe]()
+  def decision(name: String): Option[Probe] = Option(probes.get(name))
+  def record(name: String, p: Probe): Unit = probes.putIfAbsent(name, p)
+  def clear(): Unit = probes.clear()
+}
+
 /** Cache-or-not policy: stats-backed replacement for the reference's
   * random-coin ScanCachingCM. */
 final class SharePolicy(budgetBytes: Long) {
@@ -296,15 +329,35 @@ final class WorkSharingExecutor(
                   sharedFragments: Seq[(String, SparkSession => DataFrame)] = Nil)
       : Map[String, A] = synchronized {
     batchNo += 1
+    val kappa = spark.conf.getOption("spark.graft.share.fragmentReadPenalty")
+      .map(_.toDouble).getOrElse(10.0)
+    val minSec = spark.conf.getOption("spark.graft.share.fragmentMinBuildSec")
+      .map(_.toDouble).getOrElse(0.5)
     sharedFragments.foreach { case (fragName, mk) =>
       val fp = s"frag:$fragName"
-      if (!cached.contains(fp)) {
-        val df = mk(spark).persist(StorageLevel.MEMORY_AND_DISK)
-        df.count() // materialize once, blocking, like scan warming below
-        cached.put(fp, (df, df.queryExecution.optimizedPlan.stats.sizeInBytes, batchNo))
-      } else {
+      if (cached.contains(fp)) {
         val (df, sz, _) = cached(fp)
         cached.update(fp, (df, sz, batchNo))
+      } else FragmentGate.decision(fragName) match {
+        case Some(p) if !p.share => () // measured too cheap to cache: consumers recompute inline
+        case prior =>
+          val df = mk(spark).persist(StorageLevel.MEMORY_AND_DISK)
+          val t0 = System.nanoTime()
+          df.count() // materialize once, blocking, like scan warming below
+          val buildSec = (System.nanoTime() - t0) / 1e9
+          val verdict = prior.getOrElse {
+            // one standalone scan of the cached copy = the read-cost probe
+            val t1 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            val readSec = (System.nanoTime() - t1) / 1e9
+            val p = FragmentGate.Probe(buildSec, readSec,
+              share = buildSec > kappa * readSec + minSec)
+            FragmentGate.record(fragName, p)
+            p
+          }
+          if (verdict.share)
+            cached.put(fp, (df, df.queryExecution.optimizedPlan.stats.sizeInBytes, batchNo))
+          else df.unpersist(blocking = false)
       }
     }
     val built = jobs.map(j => (j.name, j.build(spark)))

@@ -128,6 +128,11 @@ class QueryGatewaySpec extends SparkSpec {
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
       val nClients = 8
+      DeadlineTelemetry.reset()
+      // soft-deadline budget per hinted statement: generous vs the isolated
+      // latency, tight enough that real queueing under the 8-client load
+      // shows up as a measured miss rate, not a hidden stall
+      val deadlineBudgetMs = 3000L
       val latencies = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
       val clients = (0 until nClients).map { c =>
         Future {
@@ -140,7 +145,8 @@ class QueryGatewaySpec extends SparkSpec {
               val hint = (c % 3) match {
                 case 0 => "/*+ graft(priority=5) */ "  // urgent pool
                 case 1 => "/*+ graft(priority=-1) */ " // bulk pool
-                case _ => ""                           // connection pool
+                case _ => // connection pool, deadline-carrying (EDF + telemetry)
+                  s"/*+ graft(deadlineMs=${System.currentTimeMillis() + deadlineBudgetMs}) */ "
               }
               val t0 = System.nanoTime()
               out.println(hint + sql)
@@ -158,8 +164,17 @@ class QueryGatewaySpec extends SparkSpec {
       val ls = latencies.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
       assert(ls.length == nClients * stmts.size)
       def msAt(q: Double): Double = ls(((ls.length - 1) * q).toInt) / 1e6
+      // deadline-miss accounting (VERDICT r7 next-7): every c%3==2 client
+      // statement carried a deadline; all completed, so the telemetry's
+      // total must equal the hinted count and misses bound by it
+      val (dTotal, dMissed, dLateMs) = DeadlineTelemetry.snapshot
+      val nHinted = (0 until nClients).count(_ % 3 == 2) * stmts.size
+      assert(dTotal == nHinted, s"deadline telemetry $dTotal != hinted $nHinted")
+      assert(dMissed >= 0 && dMissed <= dTotal)
       val line = f"""{"metric":"gateway_soak","clients":$nClients,"statements":${ls.length},""" +
-        f""""p50_ms":${msAt(0.5)}%.1f,"p95_ms":${msAt(0.95)}%.1f,"max_ms":${ls.last / 1e6}%.1f}"""
+        f""""p50_ms":${msAt(0.5)}%.1f,"p95_ms":${msAt(0.95)}%.1f,"max_ms":${ls.last / 1e6}%.1f,""" +
+        f""""deadline_budget_ms":$deadlineBudgetMs,"deadline_stmts":$dTotal,""" +
+        f""""deadline_misses":$dMissed,"deadline_lateness_ms":$dLateMs}"""
       info(line)
       java.nio.file.Files.write(java.nio.file.Paths.get("GWSOAK.json"),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1,0 +1,66 @@
+package graft.sharing
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The measured fragment-economics gate (VERDICT r7 next-6): a declared
+  * fragment is cached only when its measured build cost exceeds the modeled
+  * cache cost (κ·readSec + minSec); rejected fragments recompute inline in
+  * every consumer and the verdict memoizes so the probe is paid once. */
+class FragmentGateSpec extends SparkSpec {
+
+  private val cheap = (s: SparkSession) =>
+    s.range(1000).selectExpr("id", "id * 2 AS v")
+  // ~seconds of hashing collapsing to one row: build ≫ κ·read + minSec
+  private val costly = (s: SparkSession) =>
+    s.range(8000000).selectExpr("sha2(cast(id AS string), 256) AS h")
+      .agg(count(lit(1)).as("n"), max(col("h")).as("m"))
+
+  test("cheap fragments are vetoed, expensive ones cached; verdicts memoize") {
+    FragmentGate.clear()
+    val ex = new WorkSharingExecutor(spark)
+    val jobs = Seq(
+      QueryJob[Long]("a", s => cheap(s).agg(sum("v").as("s")), df => df.head().getLong(0)),
+      QueryJob[Long]("b", s => cheap(s).agg(max("v").as("m")), df => df.head().getLong(0)))
+    try {
+      val out = ex.runBatch(jobs,
+        Seq("gate_cheap" -> cheap, "gate_costly" -> costly))
+      // the veto never changes answers — only who computes the subtree
+      assert(out == Map("a" -> 999000L, "b" -> 1998L))
+      assert(!ex.cachedFingerprints.contains("frag:gate_cheap"), ex.cachedFingerprints)
+      assert(ex.cachedFingerprints.contains("frag:gate_costly"), ex.cachedFingerprints)
+      val pc = FragmentGate.decision("gate_cheap").get
+      assert(!pc.share && pc.buildSec <= 10 * pc.readSec + 0.5,
+        s"cheap probe should fail the gate: $pc")
+      val pe = FragmentGate.decision("gate_costly").get
+      assert(pe.share && pe.buildSec > 10 * pe.readSec + 0.5,
+        s"costly probe should pass the gate: $pe")
+      // second window: the rejected fragment is not re-probed (same verdict
+      // object — putIfAbsent memoization) and still not cached
+      val p0 = FragmentGate.decision("gate_cheap").get
+      ex.runBatch(jobs, Seq("gate_cheap" -> cheap))
+      assert(FragmentGate.decision("gate_cheap").get eq p0)
+      assert(!ex.cachedFingerprints.contains("frag:gate_cheap"))
+    } finally { ex.shutdown(); FragmentGate.clear() }
+  }
+
+  test("config at zero disables the gate (mechanism-test escape hatch)") {
+    FragmentGate.clear()
+    spark.conf.set("spark.graft.share.fragmentReadPenalty", "0")
+    spark.conf.set("spark.graft.share.fragmentMinBuildSec", "-1")
+    val ex = new WorkSharingExecutor(spark)
+    try {
+      ex.runBatch(
+        Seq(QueryJob[Long]("a", s => cheap(s).agg(sum("v").as("s")),
+          df => df.head().getLong(0))),
+        Seq("gate_cheap_open" -> cheap))
+      assert(ex.cachedFingerprints.contains("frag:gate_cheap_open"))
+    } finally {
+      ex.shutdown()
+      spark.conf.unset("spark.graft.share.fragmentReadPenalty")
+      spark.conf.unset("spark.graft.share.fragmentMinBuildSec")
+      FragmentGate.clear()
+    }
+  }
+}

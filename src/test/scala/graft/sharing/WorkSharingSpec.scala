@@ -6,7 +6,20 @@ import org.apache.spark.sql.functions._
 import scala.concurrent.Await
 import scala.concurrent.duration._
 
-class WorkSharingSpec extends SparkSpec {
+class WorkSharingSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  // These are MECHANISM tests (substitution, metamorphic identity) over
+  // test-scale fragments that the measured economics gate would rightly
+  // reject as too cheap — disable the gate here; FragmentGateSpec specs
+  // the gate's policy itself.
+  override def beforeAll(): Unit = {
+    spark.conf.set("spark.graft.share.fragmentReadPenalty", "0")
+    spark.conf.set("spark.graft.share.fragmentMinBuildSec", "-1")
+  }
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.share.fragmentReadPenalty")
+    spark.conf.unset("spark.graft.share.fragmentMinBuildSec")
+  }
 
   private def jobs: Seq[QueryJob[Seq[String]]] = Seq(
     QueryJob("agg_by_flag",
@@ -302,6 +315,32 @@ class WorkSharingSpec extends SparkSpec {
         assert(Await.result(f, 5.minutes) == isolated(name), s"job $name")
       }
     } finally { win.close(); ex.shutdown() }
+  }
+
+  test("pre-scheduler: EDF meets a deadline mix that FIFO misses") {
+    // VERDICT r7 next-7's spec half: 4 single-slot jobs of ~0.8 s whose
+    // ARRIVAL order carries the loosest deadline first. FIFO serves in
+    // arrival order and blows the tight tail deadlines; EDF reorders the
+    // same window and meets them. The miss COUNTS come from the same
+    // wall-clock accounting DeadlineTelemetry applies at the gateway.
+    def run(strategy: PreStrategy): Int = {
+      val ex = new WorkSharingExecutor(spark, maxConcurrency = 1)
+      try {
+        val start = System.currentTimeMillis()
+        val dJobs = (0 until 4).map { i =>
+          QueryJob[Long](s"dl_$i",
+            s => s.range(1).toDF("x"),
+            df => { df.count(); Thread.sleep(800); System.currentTimeMillis() },
+            JobMeta(deadlineMs = Some(start + (4 - i) * 1200L)))
+        }
+        val done = ex.runBatch(strategy.order(dJobs))
+        dJobs.count(j => done(j.name) > j.meta.deadlineMs.get)
+      } finally ex.shutdown()
+    }
+    val fifoLate = run(FifoStrategy)
+    val edfLate = run(DeadlinePriorityStrategy)
+    assert(fifoLate >= 1, s"constructed mix should make FIFO miss (late=$fifoLate)")
+    assert(edfLate < fifoLate, s"EDF ($edfLate) must beat FIFO ($fifoLate)")
   }
 
   test("pre-scheduler: an urgent job overtakes a window of bulk jobs") {
