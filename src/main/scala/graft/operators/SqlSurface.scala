@@ -1562,6 +1562,32 @@ object SqlSurface {
        FROM zspans
        ORDER BY layout"""
 
+  /** Avro ingestion/egress round-trip as an ORACLE-CHECKED query: project
+    * three document columns, write them as real Avro container files
+    * (graft.sources.AvroIO — the connector-less reader/writer), read them
+    * back, aggregate. The DuckDB oracle computes the same aggregate from
+    * the parquet directly, so the hash match proves the Avro round-trip
+    * is lossless — the strongest check available with no Avro support in
+    * the oracle engine (reference example surface:
+    * sparksql-server/examples/src/main/resources/users.avro). */
+  def q136AvroRoundtrip(t: T): DataFrame = {
+    import t.spark.implicits._
+    val docs = t.documents.select($"doc_id", $"lang", $"n_chars")
+    val dir = "/tmp/graft-avro-rt/" + Integer.toHexString(t.dir.hashCode)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(t.spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    graft.sources.AvroIO.write(docs, dir)
+    graft.sources.AvroIO.read(t.spark, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"lang")
+  }
+
+  val q136Oracle: String =
+    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS total_chars
+       FROM documents GROUP BY lang ORDER BY lang"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -1617,6 +1643,7 @@ object SqlSurface {
     "q133_recursive_spine" -> ((s, d) => q133RecursiveSpine(T(s, d))),
     "q134_nulls_ordering"  -> ((s, d) => q134NullsOrdering(T(s, d))),
     "q135_zorder_layout"   -> ((s, d) => q135ZorderLayout(T(s, d))),
+    "q136_avro_roundtrip"  -> ((s, d) => q136AvroRoundtrip(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1674,5 +1701,6 @@ object SqlSurface {
     "q133_recursive_spine" -> q133Oracle,
     "q134_nulls_ordering"  -> q134Oracle,
     "q135_zorder_layout"   -> q135Oracle,
+    "q136_avro_roundtrip"  -> q136Oracle,
   )
 }
