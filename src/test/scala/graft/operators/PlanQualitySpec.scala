@@ -673,7 +673,13 @@ class PlanQualitySpec extends SparkSpec {
       // prefix-filter residual pipeline + 5 superstep join/agg rounds
       // (collapse stages hide behind localCheckpoints); w14 = band census +
       // ownership join + per-doc rollup
-      "s21_ivfpq_ann" -> 5, "g14_collapsed_rank" -> 12,
+      // r8: +1 — the rerank now streams the corpus frames against the
+      // broadcast SHORTLIST (ADVICE r7: the old shape broadcast two full
+      // quantized-corpus frames), so the final top-k pays one exchange of
+      // ~10-rows-per-query partial aggregates instead of shipping the
+      // corpus to the driver twice; the new exchange is the cheap side of
+      // that trade by orders of magnitude
+      "s21_ivfpq_ann" -> 6, "g14_collapsed_rank" -> 12,
       "w14_near_dup_front" -> 3,
       // d29's visible plan is the prefix-filter residual pipeline (the
       // linear collapse hides behind the checkpointed dictionary builds)
