@@ -93,7 +93,8 @@ object ScaleSmoke {
     // gear on every probe corpus (mass ≈ (m-1)/m ≥ 9000 bp), so these are
     // the shapes a user should run — raw d04/d22/s02/g01 stay listed above
     // as the measured baselines the routing exists to replace at scale
-    "d30_routed_neardup", "g15_routed_rank", "s23_routed_clusters")
+    "d30_routed_neardup", "g15_routed_rank", "s23_routed_clusters",
+    "d31_routed_bbit", "s24_routed_ann")
 
   /** Exact/audit arms — broadcast-the-query-set brute force (s01-shaped) or
     * declared all-pairs baselines. Excluded, named in the artifact. s16's

@@ -1170,10 +1170,30 @@ object Dedup {
     * 32-byte instead of 256-byte signatures at 100 TB (the index-side
     * band table shrinks 4x; collision inflation is (1-J)/256 per perm,
     * visible in err_bp). Entirely integer arithmetic. */
-  def d22BbitMinhash(t: T): DataFrame = {
-    import t.spark.implicits._
-    graft.functions.Registry.ensure(t.spark)
-    val sigs = minhashSigTable(t.documents)
+  /** b-bit codes packed per doc from the 32-perm signature column `sig`
+    * (4 longs of 8 bytes each) — shared by d22 and d31's collapsed branch. */
+  private val packBbCol =
+    expr("""transform(sequence(0, 3), k ->
+              aggregate(sequence(1, 8), 0L,
+                (acc, j) -> shiftleft(acc, 8) | pmod(element_at(sig, k * 8 + j), 256)))""")
+
+  /** Match-fraction estimate in bp from two packed-code columns bba/bbb. */
+  private val bbitEstCol =
+    expr("""aggregate(zip_with(bba, bbb, (x, y) ->
+              aggregate(sequence(0, 7), 0L,
+                (acc, i) -> acc + CASE WHEN (shiftrightunsigned(x, i * 8) & 255) =
+                                          (shiftrightunsigned(y, i * 8) & 255)
+                            THEN 1L ELSE 0L END)),
+            0L, (acc, v) -> acc + v) * 10000 DIV 32""")
+
+  def d22BbitMinhash(t: T): DataFrame = bbitMinhashOn(t.spark, t.documents)
+
+  /** The d22 kernel over an arbitrary document frame. */
+  private[operators] def bbitMinhashOn(
+      spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    graft.functions.Registry.ensure(spark)
+    val sigs = minhashSigTable(docs)
     val cand = bandCandidates(sigs)
     // b-bit codes packed per DOC (32 pmods once per doc), not per PAIR:
     // the verify join then carries 4 longs instead of the 32-long signature
@@ -1184,32 +1204,45 @@ object Dedup {
     // pair rows is the same medicine s02/s12 took in r7.) The b-bit
     // ESTIMATE is bit-identical to the unpacked form, so the oracle is
     // unchanged and the hash gate still pins it exactly.
-    val packed = sigs.select($"doc_id", $"h",
-      // shiftleft|or, not *256+: bitwise ops wrap silently, so the top
-      // byte's sign bit never trips the ANSI overflow check
-      expr("""transform(sequence(0, 3), k ->
-                aggregate(sequence(1, 8), 0L,
-                  (acc, j) -> shiftleft(acc, 8) | pmod(element_at(sig, k * 8 + j), 256)))""").as("bb"))
-    val hint = BroadcastGate.shingleHint(t.documents)
+    // shiftleft|or, not *256+: bitwise ops wrap silently, so the top
+    // byte's sign bit never trips the ANSI overflow check
+    val packed = sigs.select($"doc_id", $"h", packBbCol.as("bb"))
+    val hint = BroadcastGate.shingleHint(docs)
     val ha = packed.select($"doc_id".as("doc_a"), $"h".as("ha"), $"bb".as("bba"))
     val hb = packed.select($"doc_id".as("doc_b"), $"h".as("hb"), $"bb".as("bbb"))
     cand.join(hint(ha), "doc_a").join(hint(hb), "doc_b")
       .select($"doc_a", $"doc_b",
         expr("jaccard_bp_sorted(ha, hb)").as("jaccard_bp"),
-        expr("""aggregate(zip_with(bba, bbb, (x, y) ->
-                  aggregate(sequence(0, 7), 0L,
-                    (acc, i) -> acc + CASE WHEN (shiftrightunsigned(x, i * 8) & 255) =
-                                              (shiftrightunsigned(y, i * 8) & 255)
-                                THEN 1L ELSE 0L END)),
-                0L, (acc, v) -> acc + v) * 10000 DIV 32""").as("bbit_est_bp"))
+        bbitEstCol.as("bbit_est_bp"))
       .withColumn("err_bp", abs($"jaccard_bp" - $"bbit_est_bp"))
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** The shared band CTEs; the b-bit estimate in DuckDB list primitives. */
-  val d22Oracle: String =
-    s"""WITH ${lshBandsDuckCtes()},
-       scored AS (
+  /** The d22 SCORING stage over an externally-supplied pair frame
+    * (doc_a, doc_b, jaccard_bp) — d31's collapsed branch: collapse first
+    * (d29 ownership), then audit the sketch on the residual near-dup
+    * pairs. The pair frame's jaccard_bp is the same shingle-set Jaccard
+    * d22 computes (one shingle contract corpus-wide), so only the b-bit
+    * estimate is added here. */
+  private[operators] def bbitScoreOnPairs(
+      spark: SparkSession, docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    graft.functions.Registry.ensure(spark)
+    val packed = minhashSigTable(docs).select($"doc_id", packBbCol.as("bb"))
+    val hint = BroadcastGate.shingleHint(docs)
+    pairs
+      .join(hint(packed.select($"doc_id".as("doc_a"), $"bb".as("bba"))), "doc_a")
+      .join(hint(packed.select($"doc_id".as("doc_b"), $"bb".as("bbb"))), "doc_b")
+      .select($"doc_a", $"doc_b", $"jaccard_bp", bbitEstCol.as("bbit_est_bp"))
+      .withColumn("err_bp", abs($"jaccard_bp" - $"bbit_est_bp"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The scoring tail of the d22 oracle (scored CTE + final SELECT),
+    * shared with d31's collapsed branch — needs `cand` and `sigs`
+    * upstream, whatever produced them. */
+  private[operators] val bbitScoredDuck: String =
+    s"""scored AS (
          SELECT doc_a, doc_b, ${jaccardBpDuck()} AS jaccard_bp,
            list_sum(list_transform(range(1, 33), j ->
              CASE WHEN a.sig[j::INT] % 256 = b.sig[j::INT] % 256 THEN 1 ELSE 0 END)) * 10000 // 32 AS bbit_est_bp
@@ -1217,6 +1250,11 @@ object Dedup {
        SELECT doc_a, doc_b, jaccard_bp, bbit_est_bp::BIGINT AS bbit_est_bp,
               abs(jaccard_bp - bbit_est_bp)::BIGINT AS err_bp
        FROM scored ORDER BY doc_a, doc_b"""
+
+  /** The shared band CTEs; the b-bit estimate in DuckDB list primitives. */
+  val d22Oracle: String =
+    s"""WITH ${lshBandsDuckCtes()},
+       $bbitScoredDuck"""
 
   /** Content-defined chunking (CDC) dedup — the rsync/LBFS family: chunk
     * boundaries are picked by CONTENT (a token whose hash ≡ 0 mod 8 closes

@@ -154,15 +154,81 @@ object Routing {
        SELECT * FROM (${Dedup.d27Oracle}) WHERE $vecMassDuck >= $thresholdBp
        ORDER BY vec_id"""
 
+  /** Routed b-bit MinHash audit: raw d22 scores every full-corpus band
+    * candidate (its estimate stream is m²-bound on a replica corpus —
+    * SCALESMOKE_100x's d22 verdict); above the gate, collapse FIRST (d29's
+    * linear ownership keepers — two full owners are band-disjoint by
+    * construction, so the raw band index over them is empty) and audit the
+    * sketch on the residual near-dup pairs from d29's prefix-filter stage.
+    * The pairs carry the same shingle-set jaccard_bp d22 computes, so the
+    * collapsed audit is d22's measurement restricted to the pairs a
+    * collapse-first pipeline actually verifies. */
+  def d31RoutedBbit(t: T, thresholdBp: Int = defaultThresholdBp): DataFrame = {
+    graft.functions.Registry.ensure(t.spark)
+    if (docReplicaMassBp(t.documents) < thresholdBp) Dedup.d22BbitMinhash(t)
+    else Dedup.bbitScoreOnPairs(t.spark,
+      t.documents.join(Dedup.ownershipKeepers(t.documents), "doc_id"),
+      Dedup.d29FrontCollapsePairs(t, 4200))
+  }
+
+  /** Collapsed branch: d29's kept set + implementation-independent
+    * residual pairs (naive kept all-pairs at 0.42 — the same recall-1.0
+    * proof obligation d29 carries), scored with the b-bit estimate from
+    * the ONE sigs chain. */
+  private def d31CollapsedDuck: String =
+    s"""WITH ${Dedup.lshBandsDuckCtes(cand = s"""owners AS (
+         SELECT b, bkey, MIN(doc_id) AS owner FROM bands GROUP BY 1, 2),
+       kept AS (
+         SELECT doc_id FROM (
+           SELECT bands.doc_id, MIN(owner) AS keeper
+           FROM bands JOIN owners ON owners.b = bands.b AND owners.bkey = bands.bkey
+           GROUP BY 1)
+         WHERE keeper = doc_id),
+       cand AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM (SELECT sigs.* FROM sigs JOIN kept USING (doc_id)) a
+         JOIN (SELECT sigs.* FROM sigs JOIN kept USING (doc_id)) b
+           ON a.doc_id < b.doc_id
+         WHERE ${Dedup.jaccardBpDuck()} >= 4200)""")},
+       ${Dedup.bbitScoredDuck}"""
+
+  def d31Oracle(thresholdBp: Int = defaultThresholdBp): String =
+    s"""SELECT * FROM (${Dedup.d22Oracle}) WHERE $docMassDuck < $thresholdBp
+       UNION ALL
+       SELECT * FROM ($d31CollapsedDuck) WHERE $docMassDuck >= $thresholdBp
+       ORDER BY doc_a, doc_b"""
+
+  /** Routed hyperplane ANN: raw s02's candidate OUTPUT is m²-bound on a
+    * replica corpus (every replica pair shares every bucket); above the
+    * gate the same kernel runs over signature representatives — collapse
+    * the corpus to one vector per 32-bit sig first, then band and verify
+    * exactly as before. */
+  def s24RoutedAnn(t: T, thresholdBp: Int = vecThresholdBp): DataFrame = {
+    graft.functions.Registry.ensure(t.spark)
+    if (vecReplicaMassBp(t.embeddings) < thresholdBp)
+      Similarity.s02HyperplaneLsh(t)
+    else Similarity.s02OverRepresentatives(t)
+  }
+
+  def s24Oracle(thresholdBp: Int = vecThresholdBp): String =
+    s"""SELECT * FROM (${Similarity.s02Oracle}) WHERE $vecMassDuck < $thresholdBp
+       UNION ALL
+       SELECT * FROM (${Similarity.s02RepsOracle}) WHERE $vecMassDuck >= $thresholdBp
+       ORDER BY query_id, neighbor_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d30_routed_neardup"  -> ((s, d) => d30RoutedNearDup(T(s, d))),
     "g15_routed_rank"     -> ((s, d) => g15RoutedRank(T(s, d))),
     "s23_routed_clusters" -> ((s, d) => s23RoutedClusters(T(s, d))),
+    "d31_routed_bbit"     -> ((s, d) => d31RoutedBbit(T(s, d))),
+    "s24_routed_ann"      -> ((s, d) => s24RoutedAnn(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
     "d30_routed_neardup"  -> d30Oracle(),
     "g15_routed_rank"     -> g15Oracle(),
     "s23_routed_clusters" -> s23Oracle(),
+    "d31_routed_bbit"     -> d31Oracle(),
+    "s24_routed_ann"      -> s24Oracle(),
   )
 }

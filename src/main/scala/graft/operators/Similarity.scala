@@ -92,11 +92,29 @@ object Similarity {
     * which is what lets `runBatch(sharedFragments)` materialize it once per
     * window and substitute the InMemoryRelation into every sibling (the
     * reference's scan-share scenario at subplan granularity). */
-  private[graft] def hyperplaneSigs(t: T): DataFrame = {
-    import t.spark.implicits._
-    graft.functions.Registry.ensure(t.spark)
-    t.embeddings
-      .select($"vec_id", $"embedding", expr("hyperplane_sig(embedding, 32)").as("sig"))
+  private[graft] def hyperplaneSigs(t: T): DataFrame =
+    hyperplaneSigsOf(t.embeddings)
+
+  /** The signature table over an arbitrary vector frame — s24's routed
+    * collapsed branch runs the s02 kernel over signature REPRESENTATIVES
+    * (one vector per 32-bit sig), so the plane is parameterized here while
+    * [[hyperplaneSigs]] keeps the canonical full-corpus subtree the
+    * sharing plane fingerprints. */
+  private[graft] def hyperplaneSigsOf(emb: DataFrame): DataFrame = {
+    graft.functions.Registry.ensure(emb.sparkSession)
+    emb.select(col("vec_id"), col("embedding"),
+      expr("hyperplane_sig(embedding, 32)").as("sig"))
+  }
+
+  /** One vector per identical 32-bit signature (min vec_id) — the d27
+    * stage-1 collapse key reused as a corpus reducer: on a replica-heavy
+    * corpus this folds the replica mass BEFORE any bucket pairing, which
+    * is what keeps s24's candidate stage linear where raw s02's output is
+    * m²-bound (SCALESMOKE_100x's s02 verdict). */
+  private[graft] def sigRepresentatives(emb: DataFrame): DataFrame = {
+    val reps = hyperplaneSigsOf(emb)
+      .groupBy(col("sig")).agg(min(col("vec_id")).as("vec_id"))
+    emb.join(reps.select("vec_id"), "vec_id")
   }
 
   private[graft] val bandExpr =
@@ -105,11 +123,11 @@ object Similarity {
   /** 4×8-bit band rows, ids-only — s02/s14/p27/d13's candidate-generation
     * input (narrow rows, the 20× smoke's shape). Shared-fragment twin of
     * [[embBands]]. */
-  private[graft] def idBands(t: T): DataFrame = {
-    import t.spark.implicits._
-    hyperplaneSigs(t).select($"vec_id", expr(bandExpr).as("bk"))
-      .select($"vec_id", $"bk.tbl".as("tbl"), $"bk.bucket".as("bucket"))
-  }
+  private[graft] def idBands(t: T): DataFrame = idBandsOf(t.embeddings)
+
+  private[graft] def idBandsOf(emb: DataFrame): DataFrame =
+    hyperplaneSigsOf(emb).select(col("vec_id"), expr(bandExpr).as("bk"))
+      .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
 
   /** Probe-side candidate ids (query = vec_id % 25 == 0 probing every
     * bucket member) — ONE definition of the stage s02 and s14's LSH arm
@@ -118,14 +136,16 @@ object Similarity {
     * the candidate JOIN once — r7's measured lesson that wide
     * embedding-carrying fragments cost more to cache-scan than to
     * recompute, while narrow ones pay off. */
-  private[graft] def probeCandIds(t: T): DataFrame = {
-    import t.spark.implicits._
-    val bands = idBands(t)
-    val qb = bands.filter($"vec_id" % 25 === 0)
-      .select($"tbl".as("qt"), $"bucket".as("qb"), $"vec_id".as("query_id"))
+  private[graft] def probeCandIds(t: T): DataFrame = probeCandIdsOf(t.embeddings)
+
+  private[graft] def probeCandIdsOf(emb: DataFrame): DataFrame = {
+    val bands = idBandsOf(emb)
+    val qb = bands.filter(col("vec_id") % 25 === 0)
+      .select(col("tbl").as("qt"), col("bucket").as("qb"), col("vec_id").as("query_id"))
     bands.join(qb,
-        $"tbl" === $"qt" && $"bucket" === $"qb" && $"query_id" =!= $"vec_id")
-      .select($"query_id", $"vec_id".as("neighbor_id")).distinct()
+        col("tbl") === col("qt") && col("bucket") === col("qb") &&
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id")).distinct()
   }
 
   /** Symmetric all-pairs-in-bucket candidate ids (src, dst), both
@@ -158,15 +178,25 @@ object Similarity {
   /** LSH-bucketed ANN: 32-bit random-hyperplane signature split into 4 tables
     * of 8 bits; candidates = same-bucket pairs in any table (shuffle on
     * (table, bucket) — the 100 TB path), then exact cosine on candidates. */
-  def s02HyperplaneLsh(t: T): DataFrame = {
+  def s02HyperplaneLsh(t: T): DataFrame = s02On(t, t.embeddings)
+
+  /** s02 over the signature representatives — s24's collapsed gear: the
+    * same banding contract and verify kernel, with the corpus folded to
+    * one vector per 32-bit sig first (queries restricted the same way:
+    * collapse-first means the ANN runs over the deduplicated corpus). */
+  private[operators] def s02OverRepresentatives(t: T): DataFrame =
+    s02On(t, sigRepresentatives(t.embeddings))
+
+  /** The s02 kernel over an arbitrary vector frame. */
+  private def s02On(t: T, emb: DataFrame): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
     // ids-only band join + distinct; embeddings rejoin after dedup so the
     // candidate shuffle stays narrow (see d13 — 20x-scale smoke finding)
-    val cand = probeCandIds(t)
-    val hint = BroadcastGate.vectorHint(t.embeddings)
-    val qe = t.embeddings.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
-    val ce = t.embeddings.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val cand = probeCandIdsOf(emb)
+    val hint = BroadcastGate.vectorHint(emb)
+    val qe = emb.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val ce = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
     cand.join(hint(qe), "query_id").join(hint(ce), "neighbor_id")
       .select($"query_id", $"neighbor_id",
         (round(expr("cosine_sim(q_emb, c_emb)"), 4) + lit(0.0)).as("cosine"))
@@ -176,25 +206,43 @@ object Similarity {
   /** DuckDB twin of [[probeCandIds]]: sigs → bands → probe candidates —
     * ONE definition, reused by the s02 and s16 oracles (the same
     * one-banding-contract rule the dedup oracles follow). */
-  private[operators] val probeCandDuckCtes: String =
-    """sigs AS (
+  private[operators] def probeCandCtesFrom(mid: String, bandSrc: String): String =
+    s"""sigs AS (
          SELECT vec_id, embedding,
            list_sum(list_transform(range(0, 32), m ->
              CASE WHEN list_sum(list_transform(range(1, 65), i ->
                embedding[i]::DOUBLE * ((((m + 1) * 37 + i * 101) % 97 % 2) * 2 - 1))) > 0
              THEN 1::BIGINT << m::INT ELSE 0::BIGINT END)) AS sig
          FROM embeddings),
+       $mid
        bands AS (
          SELECT vec_id, embedding, t AS tbl, (sig >> (t * 8)::INT) & 255 AS bucket
-         FROM sigs, range(0, 4) r(t)),
+         FROM $bandSrc, range(0, 4) r(t)),
        cand AS (
          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
          FROM bands q JOIN bands c
            ON q.tbl = c.tbl AND q.bucket = c.bucket
           AND q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id)"""
 
+  private[operators] val probeCandDuckCtes: String = probeCandCtesFrom("", "sigs")
+
+  /** The kept-restricted chain for s24's collapsed branch: one extra reps
+    * CTE (min vec_id per sig), bands built from representatives only —
+    * same banding contract, corpus folded first. */
+  private[operators] val probeCandRepsDuckCtes: String = probeCandCtesFrom(
+    "reps AS (SELECT MIN(vec_id) AS vec_id FROM sigs GROUP BY sig),",
+    "(SELECT s.* FROM sigs s JOIN reps USING (vec_id)) s2")
+
   val s02Oracle: String =
     s"""WITH $probeCandDuckCtes
+       SELECT query_id, neighbor_id, ROUND(${duckCos("a", "b")}, 4) + 0.0 AS cosine
+       FROM cand JOIN embeddings a ON a.vec_id = query_id
+                 JOIN embeddings b ON b.vec_id = neighbor_id
+       ORDER BY query_id, neighbor_id"""
+
+  /** DuckDB twin of [[s02OverRepresentatives]] — s24's collapsed branch. */
+  private[graft] val s02RepsOracle: String =
+    s"""WITH $probeCandRepsDuckCtes
        SELECT query_id, neighbor_id, ROUND(${duckCos("a", "b")}, 4) + 0.0 AS cosine
        FROM cand JOIN embeddings a ON a.vec_id = query_id
                  JOIN embeddings b ON b.vec_id = neighbor_id

@@ -43,6 +43,22 @@ class RoutingSpec extends SparkSpec {
       snap(Graph.g14CollapsedRank(t)))
   }
 
+  test("d31: routes to raw d22 under the gate, to the residual-pair audit above it") {
+    assert(snap(Routing.d31RoutedBbit(t)) == snap(Dedup.d22BbitMinhash(t)))
+    val collapsed = Routing.d31RoutedBbit(t, thresholdBp = 0)
+    assert(snap(collapsed) == snap(Dedup.bbitScoreOnPairs(spark,
+      t.documents.join(Dedup.ownershipKeepers(t.documents), "doc_id"),
+      Dedup.d29FrontCollapsePairs(t, 4200))))
+    // non-vacuous: the residual stage must actually surface pairs here
+    assert(collapsed.count() > 0)
+  }
+
+  test("s24: routes to raw s02 under the gate, to the representative kernel above it") {
+    assert(snap(Routing.s24RoutedAnn(t)) == snap(Similarity.s02HyperplaneLsh(t)))
+    assert(snap(Routing.s24RoutedAnn(t, thresholdBp = 0)) ==
+      snap(Similarity.s02OverRepresentatives(t)))
+  }
+
   test("s23: routes to raw d13 under the gate, to d27's signature collapse above it") {
     assert(snap(Routing.s23RoutedClusters(t)) ==
       snap(Dedup.d13SemanticClustersBucketed(t)))
