@@ -614,6 +614,62 @@ object StreamOps {
 
   val w15Oracle: String = graft.operators.Similarity.ivfOracleFor(7)
 
+  /** BOUNDED-state streaming dedup — the production variant w04's comment
+    * names: `dropDuplicatesWithinWatermark` holds one state row per key
+    * only until the watermark passes its event time + delay, so state is
+    * O(keys active in the window) however long the feed runs — the shape
+    * that survives an unbounded 100 TB/day feed where w04's exact
+    * dropDuplicates grows state forever. The price is re-admission: a key
+    * recurring after the window is kept again. */
+  def boundedFirstPerKey(events: DataFrame, delay: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Batch twin of [[boundedFirstPerKey]] for oracle coverage, stating the
+    * IDEALIZED eviction contract: per key in (ts, event_id) order, an
+    * event is kept iff its ts is >= the last KEPT event's ts + 2 minutes
+    * (a keeper CHAIN, not gap sessionization — a steady drip of sub-gap
+    * duplicates never extends the window the way it would extend a
+    * session). The streaming execution evicts when the WATERMARK passes
+    * the kept event's expiry, i.e. one watermark-propagation lag later
+    * than this ideal; the StreamOpsSpec twin pins that arrival contract
+    * on constructed micro-batches, while this twin gives the chain
+    * arithmetic a DuckDB hash-check. Fold arithmetic is in epoch MICROS
+    * (exact on both engines; round-trips the sub-second part). */
+  def w16BoundedDedup(t: graft.T): DataFrame = {
+    import t.spark.implicits._
+    t.events
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"), $"event_id")
+      .groupBy($"user_id", $"event_type")
+      .agg(sort_array(collect_list(struct($"us", $"event_id"))).as("evs"))
+      .select($"user_id", $"event_type",
+        explode(expr("""aggregate(slice(evs, 2, size(evs) - 1), array(evs[0].us),
+          (acc, e) -> CASE WHEN e.us >= element_at(acc, -1) + 120000000L
+                      THEN concat(acc, array(e.us)) ELSE acc END)""")).as("kept_us"))
+      .select($"user_id", $"event_type", timestamp_micros($"kept_us").as("kept_ts"))
+      .orderBy($"user_id", $"event_type", $"kept_ts")
+  }
+
+  /** The keeper chain as a recursive CTE: rn-ordered events per key, state
+    * = last kept ts; a row is kept iff it clears last_kept + 120s. */
+  val w16Oracle: String =
+    """WITH RECURSIVE ordered AS (
+         SELECT user_id, event_type, epoch_us(ts) AS us,
+                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+         FROM events),
+       chain(user_id, event_type, rn, last_kept, kept) AS (
+         SELECT user_id, event_type, rn, us, TRUE FROM ordered WHERE rn = 1
+         UNION ALL
+         SELECT o.user_id, o.event_type, o.rn,
+                CASE WHEN o.us >= c.last_kept + 120000000 THEN o.us ELSE c.last_kept END,
+                o.us >= c.last_kept + 120000000
+         FROM chain c JOIN ordered o
+           ON o.user_id = c.user_id AND o.event_type = c.event_type AND o.rn = c.rn + 1)
+       SELECT user_id, event_type, make_timestamp(last_kept) AS kept_ts
+       FROM chain WHERE kept ORDER BY user_id, event_type, kept_ts"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_windowed_type_counts" -> ((s, d) => w01WindowedTypeCounts(graft.T(s, d))),
     "w02_session_windows"      -> ((s, d) => w02SessionWindows(graft.T(s, d))),
@@ -630,6 +686,7 @@ object StreamOps {
     "w13_two_level_windows"    -> ((s, d) => w13TwoLevelWindows(graft.T(s, d))),
     "w14_near_dup_front"       -> ((s, d) => w14NearDupFrontDoor(graft.T(s, d))),
     "w15_stream_ann"           -> ((s, d) => w15StreamAnn(graft.T(s, d))),
+    "w16_bounded_dedup"        -> ((s, d) => w16BoundedDedup(graft.T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -648,5 +705,6 @@ object StreamOps {
     "w13_two_level_windows"    -> w13Oracle,
     "w14_near_dup_front"       -> w14Oracle,
     "w15_stream_ann"           -> w15Oracle,
+    "w16_bounded_dedup"        -> w16Oracle,
   )
 }

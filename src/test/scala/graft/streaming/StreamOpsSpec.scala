@@ -250,6 +250,60 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded dedup: in-window dups dropped, key re-admitted after watermark eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.boundedFirstPerKey(stream.toDF())
+      .writeStream.format("memory").queryName("bounded_dedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: key (1, click) kept at 0:00, dup at 1:00 dropped (within
+      // the 2-minute window); filler key at 10:00 advances the watermark to
+      // 8:00 AFTER this batch, which evicts (1, click)'s state (expiry 2:00)
+      stream.addData(
+        StreamOps.Evt(1, ts(0, 0), 1, "click", 1.0),
+        StreamOps.Evt(2, ts(1, 0), 1, "click", 1.0),
+        StreamOps.Evt(3, ts(10, 0), 9, "filler", 0.0))
+      q.processAllAvailable()
+      // batch 2: the SAME key returns at 9:00 — state was evicted, so it is
+      // re-admitted (the bounded-state trade w04's exact dedup never makes);
+      // its 9:30 dup lands in the fresh window and is dropped
+      stream.addData(
+        StreamOps.Evt(4, ts(9, 0), 1, "click", 1.0),
+        StreamOps.Evt(5, ts(9, 30), 1, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("bounded_dedup")
+        .select($"event_id").as[Long].collect().toSet
+      assert(got == Set(1L, 3L, 4L), got)
+    } finally q.stop()
+  }
+
+  test("w16 batch twin: keeper chain keeps re-admissions a steady dup drip would hide") {
+    import spark.implicits._
+    // key (1, click): 0:00 kept; 1:00 and 2:30 are each within 2 min of the
+    // LAST KEPT (0:00 and ... 2:30 clears 0:00+2:00 -> kept); 3:00 is within
+    // 2 min of 2:30 -> dropped. Gap sessionization would instead chain
+    // 0:00 - 1:00 - 2:30 - 3:00 into one session and keep only 0:00.
+    val feed = Seq(
+      StreamOps.Evt(1, ts(0, 0), 1, "click", 1.0),
+      StreamOps.Evt(2, ts(1, 0), 1, "click", 1.0),
+      StreamOps.Evt(3, ts(2, 30), 1, "click", 1.0),
+      StreamOps.Evt(4, ts(3, 0), 1, "click", 1.0)).toDF()
+    val kept = StreamOps.w16BoundedDedup(graft.T(spark, sfDir))
+    // shape check on the real table (keeper chain per key, ordered)
+    assert(kept.columns.toSeq == Seq("user_id", "event_type", "kept_ts"))
+    val chain = feed
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"), $"event_id")
+      .groupBy($"user_id", $"event_type")
+      .agg(sort_array(collect_list(struct($"us", $"event_id"))).as("evs"))
+      .select(explode(expr("""aggregate(slice(evs, 2, size(evs) - 1), array(evs[0].us),
+          (acc, e) -> CASE WHEN e.us >= element_at(acc, -1) + 120000000L
+                      THEN concat(acc, array(e.us)) ELSE acc END)""")).as("kept_us"))
+      .select(timestamp_micros($"kept_us").as("kept_ts"))
+    assert(snap(chain) == snap(Seq(ts(0, 0), ts(2, 30)).toDF("kept_ts")))
+  }
+
   test("stream-stream interval join: streaming result == batch join on same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
