@@ -264,8 +264,17 @@ object ShareDetector {
 object FragmentGate {
   final case class Probe(buildSec: Double, readSec: Double, share: Boolean)
   private val probes = new java.util.concurrent.ConcurrentHashMap[String, Probe]()
-  def decision(name: String): Option[Probe] = Option(probes.get(name))
-  def record(name: String, p: Probe): Unit = probes.putIfAbsent(name, p)
+
+  /** Memo key = label + the fragment PLAN's canonical hash: verdicts are
+    * per (name, plan), never per bare label — two families reusing the
+    * label over different corpora must not inherit each other's economics
+    * (measured r8: dedup_family's sf0.01 "lsh_pairs" probe said too-cheap
+    * and that verdict silently disabled graph_family's 10×-corpus
+    * "lsh_pairs", whose sharing was a measured 1.7× win). */
+  def keyFor(name: String, df: DataFrame): String =
+    name + "#" + df.queryExecution.analyzed.canonicalized.semanticHash()
+  def decision(key: String): Option[Probe] = Option(probes.get(key))
+  def record(key: String, p: Probe): Unit = probes.putIfAbsent(key, p)
   def clear(): Unit = probes.clear()
 }
 
@@ -338,26 +347,30 @@ final class WorkSharingExecutor(
       if (cached.contains(fp)) {
         val (df, sz, _) = cached(fp)
         cached.update(fp, (df, sz, batchNo))
-      } else FragmentGate.decision(fragName) match {
-        case Some(p) if !p.share => () // measured too cheap to cache: consumers recompute inline
-        case prior =>
-          val df = mk(spark).persist(StorageLevel.MEMORY_AND_DISK)
-          val t0 = System.nanoTime()
-          df.count() // materialize once, blocking, like scan warming below
-          val buildSec = (System.nanoTime() - t0) / 1e9
-          val verdict = prior.getOrElse {
-            // one standalone scan of the cached copy = the read-cost probe
-            val t1 = System.nanoTime()
-            df.write.format("noop").mode("overwrite").save()
-            val readSec = (System.nanoTime() - t1) / 1e9
-            val p = FragmentGate.Probe(buildSec, readSec,
-              share = buildSec > kappa * readSec + minSec)
-            FragmentGate.record(fragName, p)
-            p
-          }
-          if (verdict.share)
-            cached.put(fp, (df, df.queryExecution.optimizedPlan.stats.sizeInBytes, batchNo))
-          else df.unpersist(blocking = false)
+      } else {
+        val frame = mk(spark) // plan-only build; no job runs here
+        val gateKey = FragmentGate.keyFor(fragName, frame)
+        FragmentGate.decision(gateKey) match {
+          case Some(p) if !p.share => () // measured too cheap to cache: consumers recompute inline
+          case prior =>
+            val df = frame.persist(StorageLevel.MEMORY_AND_DISK)
+            val t0 = System.nanoTime()
+            df.count() // materialize once, blocking, like scan warming below
+            val buildSec = (System.nanoTime() - t0) / 1e9
+            val verdict = prior.getOrElse {
+              // one standalone scan of the cached copy = the read-cost probe
+              val t1 = System.nanoTime()
+              df.write.format("noop").mode("overwrite").save()
+              val readSec = (System.nanoTime() - t1) / 1e9
+              val p = FragmentGate.Probe(buildSec, readSec,
+                share = buildSec > kappa * readSec + minSec)
+              FragmentGate.record(gateKey, p)
+              p
+            }
+            if (verdict.share)
+              cached.put(fp, (df, df.queryExecution.optimizedPlan.stats.sizeInBytes, batchNo))
+            else df.unpersist(blocking = false)
+        }
       }
     }
     val built = jobs.map(j => (j.name, j.build(spark)))

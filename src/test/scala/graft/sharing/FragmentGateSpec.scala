@@ -30,18 +30,28 @@ class FragmentGateSpec extends SparkSpec {
       assert(out == Map("a" -> 999000L, "b" -> 1998L))
       assert(!ex.cachedFingerprints.contains("frag:gate_cheap"), ex.cachedFingerprints)
       assert(ex.cachedFingerprints.contains("frag:gate_costly"), ex.cachedFingerprints)
-      val pc = FragmentGate.decision("gate_cheap").get
+      val cheapKey = FragmentGate.keyFor("gate_cheap", cheap(spark))
+      val costlyKey = FragmentGate.keyFor("gate_costly", costly(spark))
+      val pc = FragmentGate.decision(cheapKey).get
       assert(!pc.share && pc.buildSec <= 10 * pc.readSec + 0.5,
         s"cheap probe should fail the gate: $pc")
-      val pe = FragmentGate.decision("gate_costly").get
+      val pe = FragmentGate.decision(costlyKey).get
       assert(pe.share && pe.buildSec > 10 * pe.readSec + 0.5,
         s"costly probe should pass the gate: $pe")
       // second window: the rejected fragment is not re-probed (same verdict
       // object — putIfAbsent memoization) and still not cached
-      val p0 = FragmentGate.decision("gate_cheap").get
+      val p0 = FragmentGate.decision(cheapKey).get
       ex.runBatch(jobs, Seq("gate_cheap" -> cheap))
-      assert(FragmentGate.decision("gate_cheap").get eq p0)
+      assert(FragmentGate.decision(cheapKey).get eq p0)
       assert(!ex.cachedFingerprints.contains("frag:gate_cheap"))
+      // the verdict is per (name, PLAN): the same label over a DIFFERENT
+      // frame is a fresh probe, not an inherited veto (the r8 cross-family
+      // collision: one family's too-cheap verdict must not disable another
+      // family's measured winner)
+      val other = (s: SparkSession) => s.range(2000).selectExpr("id", "id * 3 AS v")
+      assert(FragmentGate.keyFor("gate_cheap", other(spark)) != cheapKey)
+      assert(FragmentGate.decision(
+        FragmentGate.keyFor("gate_cheap", other(spark))).isEmpty)
     } finally { ex.shutdown(); FragmentGate.clear() }
   }
 
