@@ -23,4 +23,28 @@ class ScaleSmokeSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     assert(docs.filter(length(col("text")).cast("long") =!= col("n_chars")).count() == 0)
   }
+
+  test("breach classification is exhaustive and self-consistent") {
+    val all = SparkEntry.queries.keySet
+    // every declared key (production, excluded, output-bound) is a real query
+    (ScaleSmoke.productionKeys ++ ScaleSmoke.excludedBaselines ++
+      ScaleSmoke.outputBoundBaselines).foreach(k =>
+      assert(all.contains(k), s"declared smoke key $k is not a registered query"))
+    // routed-baseline KEYS are measured raw arms in the production list, and
+    // their VALUES (the shipping front doors) are benched alongside them —
+    // otherwise the artifact would cite a gear the probe never measures
+    ScaleSmoke.routedBaselines.foreach { case (raw, door) =>
+      assert(ScaleSmoke.productionKeys.contains(raw), s"routed baseline $raw not benched")
+      assert(ScaleSmoke.productionKeys.contains(door), s"front door $door not benched")
+    }
+    // diagnostic arms are benched too (their breach is their finding)
+    ScaleSmoke.diagnosticArms.foreach(k =>
+      assert(ScaleSmoke.productionKeys.contains(k), s"diagnostic arm $k not benched"))
+    // no key is classified twice: a routed baseline must not also be
+    // excluded/diagnostic, else the unrouted-breach filter double-counts
+    val classes = Seq(ScaleSmoke.routedBaselines.keySet.toSeq,
+      ScaleSmoke.diagnosticArms, ScaleSmoke.excludedBaselines,
+      ScaleSmoke.outputBoundBaselines).flatten
+    assert(classes.distinct.size == classes.size, s"overlapping classification: $classes")
+  }
 }
