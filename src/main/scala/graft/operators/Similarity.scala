@@ -1839,6 +1839,90 @@ object Similarity {
            ON a.query_id = t.query_id AND a.neighbor_id = t.truth_nn)
        ORDER BY method, query_id"""
 
+  /** Index drift / maintenance report — the lifecycle stage between
+    * training (s04) and serving (w15): at 100 TB an index is never
+    * retrained per ingest batch; the operational question is WHICH cells
+    * the new batch degraded enough to re-cluster. The arriving set is
+    * w15's disjoint `vec_id % 25 == 7` feed; every vector (indexed mass +
+    * arrivals) is assigned to the FROZEN trained centroids, and one
+    * conditional-aggregate pass per cell yields: populations, growth_bp,
+    * mean quantized-L2 distance to the centroid for indexed vs arriving
+    * mass, drift_bp (signed relative mean-distance shift, truncating
+    * integer division — Spark DIV == DuckDB `//`, both toward zero), and
+    * the retrain flag (growth ≥ 20 % OR drift ≥ 15 %). Everything is
+    * exact integer arithmetic on the bp-quantized vectors (l2_sq over
+    * small-integer floats accumulates exactly in double ≤ 2^53), so the
+    * DuckDB twin — the shared ivfTrainCte chain + the same conditional
+    * aggregates — hash-matches.
+    *
+    * Scale shape: ONE scan of the corpus, map-side centroid assignment
+    * against 8 broadcast centroid literals, one partial-aggregated
+    * groupBy over k=8 cells — linear, no joins wider than the 8-row
+    * centroid frame, no pairs. */
+  def s25IndexDrift(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val cents = trainIvfCentroids(t)
+    val centDf = t.spark.createDataFrame(
+      cents.zipWithIndex.map { case (c, k) => (k, c.map(_.toFloat)) }.toSeq)
+      .toDF("cluster", "cent")
+    val d = assignCluster(quantized(t), cents)
+      .join(broadcast(centDf), "cluster")
+      .select($"cluster".cast("long").as("cluster"),
+        call_function("l2_sq", $"qe", $"cent").cast("long").as("dist"),
+        when($"vec_id" % 25 === 7, 1L).otherwise(0L).as("arr"))
+    d.groupBy($"cluster")
+      .agg(sum(when($"arr" === 0, 1L).otherwise(0L)).as("n_indexed"),
+        sum($"arr").as("n_arriving"),
+        sum(when($"arr" === 0, $"dist").otherwise(0L)).as("sdi"),
+        sum(when($"arr" === 1, $"dist").otherwise(0L)).as("sda"))
+      .select($"cluster", $"n_indexed", $"n_arriving",
+        expr("n_arriving * 10000 DIV n_indexed").as("growth_bp"),
+        expr("sdi DIV n_indexed").as("mean_dist_indexed"),
+        expr("CASE WHEN n_arriving > 0 THEN sda DIV n_arriving ELSE 0L END")
+          .as("mean_dist_arriving"),
+        expr("""CASE WHEN n_arriving > 0 THEN
+                  (sda DIV n_arriving - sdi DIV n_indexed) * 10000
+                    DIV greatest(sdi DIV n_indexed, 1L)
+                ELSE 0L END""").as("drift_bp"))
+      .withColumn("retrain",
+        expr("CASE WHEN growth_bp >= 2000 OR drift_bp >= 1500 THEN 1L ELSE 0L END"))
+      .orderBy($"cluster")
+  }
+
+  val s25Oracle: String =
+    s"""WITH $ivfTrainCte,
+       af AS ${duckAssign("c2")},
+       d AS (
+         SELECT a.cluster,
+                list_sum(list_transform(range(1, 65), i ->
+                  (a.qe[i] - c.c[i]) * (a.qe[i] - c.c[i])))::BIGINT AS dist,
+                CASE WHEN a.vec_id % 25 = 7 THEN 1 ELSE 0 END AS arr
+         FROM af a JOIN c2 c ON c.k = a.cluster),
+       g AS (
+         SELECT cluster,
+                SUM(CASE WHEN arr = 0 THEN 1 ELSE 0 END)::BIGINT AS n_indexed,
+                SUM(arr)::BIGINT AS n_arriving,
+                SUM(CASE WHEN arr = 0 THEN dist ELSE 0 END)::BIGINT AS sdi,
+                SUM(CASE WHEN arr = 1 THEN dist ELSE 0 END)::BIGINT AS sda
+         FROM d GROUP BY cluster)
+       SELECT cluster::BIGINT AS cluster, n_indexed, n_arriving,
+              n_arriving * 10000 // n_indexed AS growth_bp,
+              sdi // n_indexed AS mean_dist_indexed,
+              CASE WHEN n_arriving > 0 THEN sda // n_arriving ELSE 0 END
+                AS mean_dist_arriving,
+              CASE WHEN n_arriving > 0 THEN
+                (sda // n_arriving - sdi // n_indexed) * 10000
+                  // GREATEST(sdi // n_indexed, 1)
+              ELSE 0 END AS drift_bp,
+              CASE WHEN n_arriving * 10000 // n_indexed >= 2000
+                     OR (CASE WHEN n_arriving > 0 THEN
+                           (sda // n_arriving - sdi // n_indexed) * 10000
+                             // GREATEST(sdi // n_indexed, 1)
+                         ELSE 0 END) >= 1500
+                THEN 1 ELSE 0 END::BIGINT AS retrain
+       FROM g ORDER BY cluster"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
@@ -1862,6 +1946,7 @@ object Similarity {
     "s20_binary_recall"     -> ((s, d) => s20BinaryRecall(T(s, d))),
     "s21_ivfpq_ann"         -> ((s, d) => s21IvfPqAnn(T(s, d))),
     "s22_mrr_eval"          -> ((s, d) => s22MrrEval(T(s, d))),
+    "s25_index_drift"       -> ((s, d) => s25IndexDrift(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1887,5 +1972,6 @@ object Similarity {
     "s20_binary_recall"     -> s20Oracle,
     "s21_ivfpq_ann"         -> s21Oracle,
     "s22_mrr_eval"          -> s22Oracle,
+    "s25_index_drift"       -> s25Oracle,
   )
 }

@@ -7,6 +7,44 @@ class SimilaritySpec extends SparkSpec {
 
   private def t = T(spark, sfDir)
 
+  test("s25: concentrated far-from-centroid arrivals flip exactly their cell's retrain flag") {
+    import spark.implicits._
+    // constructed corpus: 8 axis-anchor cells. Indexed mass (30/cell) sits
+    // tightly on 0.9*anchor_k; the arriving feed (vec_id % 25 == 7) lands
+    // ONLY near anchor 0 but at 0.5 scale — still nearest to cell 0, yet
+    // far from its centroid — so cell 0 must show high growth AND drift
+    // while the untouched cells stay below both thresholds.
+    def vec(k: Int, scale: Float, jitter: Float): Array[Float] = {
+      val a = Array.fill(64)(jitter)
+      a(k) = scale; a
+    }
+    val anchors = (0 until 8).map(k => (k.toLong, vec(k, 0.9f, 0.0f), k.toLong))
+    // indexed rows: ids chosen ≠ 7 mod 25; 30 per cell with tiny per-row jitter
+    var id = 100L
+    val indexed = for (k <- 0 until 8; j <- 0 until 30) yield {
+      id += 1; if (id % 25 == 7) id += 1
+      (id, vec(k, 0.9f, 0.0001f * ((j % 5) + 1)), k.toLong)
+    }
+    // arriving rows: ids ≡ 7 mod 25, all in cell 0's basin at 0.5 scale
+    val arriving = (0 until 10).map(j => (1007L + 25L * j, vec(0, 0.5f, 0.0f), 0L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-s25").toString
+    (anchors ++ indexed ++ arriving).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+
+    val rows = Similarity.s25IndexDrift(T(spark, dir)).collect()
+    assert(rows.length == 8)
+    val cell0 = rows.find(_.getLong(0) == 0L).get
+    assert(cell0.getLong(3) >= 2000, s"cell 0 growth_bp ${cell0.getLong(3)}")
+    assert(cell0.getLong(6) >= 1500, s"cell 0 drift_bp ${cell0.getLong(6)}")
+    assert(cell0.getLong(7) == 1L, "cell 0 must be flagged for retraining")
+    // the untouched cells (1..6) stay unflagged; cell 7's seed vector is
+    // itself id 7 ≡ 7 mod 25 (one arriving member at distance ~0), which
+    // must not trip either threshold
+    val others = rows.filter(_.getLong(0) != 0L)
+    assert(others.forall(_.getLong(7) == 0L),
+      s"only cell 0 may be flagged: ${others.map(r => (r.getLong(0), r.getLong(7))).toSeq}")
+  }
+
   test("k-means training moves the centroids off their seeds") {
     import spark.implicits._
     val seeds = Similarity.trainIvfCentroids(t, iters = 0)
