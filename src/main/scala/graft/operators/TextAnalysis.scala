@@ -125,19 +125,30 @@ object TextAnalysis {
     * between engines on exact binary halves (e.g. 1/32), ints never do. */
   def t03QualityScore(t: T): DataFrame = {
     import t.spark.implicits._
-    t.documents
-      .withColumn("n_tok", size(split($"text", " ")).cast("long"))
-      .withColumn("n_dis", size(expr("array_distinct(split(text, ' '))")).cast("long"))
-      .withColumn("n_stop", hits(stop("en")))
+    withQualityBp(t.documents)
       .select(
         $"doc_id",
         expr("(n_dis * 10000) DIV n_tok").as("diversity_bp"),
         (least($"n_tok", lit(100L)) * 100L).as("len_sat_bp"),
         expr("(n_stop * 10000) DIV n_tok").as("stop_ratio_bp"),
-        expr("((n_dis * 10000) DIV n_tok) * 5 DIV 10 + least(n_tok, 100L) * 30 " +
-             "+ ((n_stop * 10000) DIV n_tok) * 2 DIV 10").as("quality_bp"))
+        $"quality_bp")
       .orderBy($"doc_id")
   }
+
+  /** ONE quality definition (t03's feature columns + blended score) over an
+    * arbitrary document frame — shared by the batch report t03 and the
+    * streaming admission front door w17, so offline scoring and the online
+    * gate cannot drift (the ivfAnnFor / nearDupVerdict one-definition rule
+    * applied to the quality plane). Purely map-side codegen: safe on an
+    * unbounded stream. */
+  private[graft] def withQualityBp(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_dis", size(expr("array_distinct(split(text, ' '))")).cast("long"))
+      .withColumn("n_stop", hits(stop("en")))
+      .withColumn("quality_bp",
+        expr("((n_dis * 10000) DIV n_tok) * 5 DIV 10 + least(n_tok, 100L) * 30 " +
+             "+ ((n_stop * 10000) DIV n_tok) * 2 DIV 10"))
 
   val t03Oracle: String =
     """SELECT doc_id,

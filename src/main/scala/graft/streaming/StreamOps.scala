@@ -670,6 +670,59 @@ object StreamOps {
        SELECT user_id, event_type, make_timestamp(last_kept) AS kept_ts
        FROM chain WHERE kept ORDER BY user_id, event_type, kept_ts"""
 
+  /** Streaming QUALITY admission — the first stage of p29's curation funnel
+    * as a streaming front door, completing the ingest trio with w14 (near-dup
+    * band ownership) and w16 (bounded-state dedup). Scoring is the ONE t03
+    * definition ([[graft.operators.TextAnalysis.withQualityBp]]) applied
+    * map-side — no state, no watermark, safe on an unbounded feed — and the
+    * gate is a plain threshold filter, so every admitted doc carries the
+    * same score the offline report would give it. */
+  def qualityAdmission(docs: DataFrame, thresholdBp: Long = 4200L): DataFrame =
+    graft.operators.TextAnalysis.withQualityBp(docs)
+      .filter(col("quality_bp") >= thresholdBp)
+      .select(col("doc_id"), col("source"), col("quality_bp"))
+
+  /** Batch twin of [[qualityAdmission]] for oracle coverage: the per-source
+    * admission telemetry its consumer would watch in Update mode — arrivals,
+    * admissions, admit rate, and the mean quality of what got through (all
+    * integer bp; 4200 splits the shipped corpora near their median, so both
+    * branches of the gate carry mass). */
+  def w17QualityAdmission(t: graft.T): DataFrame = {
+    import t.spark.implicits._
+    graft.operators.TextAnalysis.withQualityBp(t.documents)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_arrived"),
+        sum(when($"quality_bp" >= 4200L, 1L).otherwise(0L)).as("n_admitted"),
+        sum(when($"quality_bp" >= 4200L, $"quality_bp").otherwise(0L)).as("sq"))
+      .select($"source", $"n_arrived", $"n_admitted",
+        expr("n_admitted * 10000 DIV n_arrived").as("admit_rate_bp"),
+        expr("CASE WHEN n_admitted > 0 THEN sq DIV n_admitted ELSE 0L END")
+          .as("mean_admitted_bp"))
+      .orderBy($"source")
+  }
+
+  val w17Oracle: String =
+    """SELECT source, n_arrived, n_admitted,
+              n_admitted * 10000 // n_arrived AS admit_rate_bp,
+              CASE WHEN n_admitted > 0 THEN sq // n_admitted ELSE 0 END
+                AS mean_admitted_bp
+       FROM (
+         SELECT source, COUNT(*)::BIGINT AS n_arrived,
+                SUM(CASE WHEN q >= 4200 THEN 1 ELSE 0 END)::BIGINT AS n_admitted,
+                SUM(CASE WHEN q >= 4200 THEN q ELSE 0 END)::BIGINT AS sq
+         FROM (
+           SELECT source,
+                  ((n_dis * 10000) // n_tok) * 5 // 10 + LEAST(n_tok, 100) * 30
+                    + ((n_stop * 10000) // n_tok) * 2 // 10 AS q
+           FROM (SELECT source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+                 FROM documents))
+         GROUP BY source)
+       ORDER BY source"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_windowed_type_counts" -> ((s, d) => w01WindowedTypeCounts(graft.T(s, d))),
     "w02_session_windows"      -> ((s, d) => w02SessionWindows(graft.T(s, d))),
@@ -687,6 +740,7 @@ object StreamOps {
     "w14_near_dup_front"       -> ((s, d) => w14NearDupFrontDoor(graft.T(s, d))),
     "w15_stream_ann"           -> ((s, d) => w15StreamAnn(graft.T(s, d))),
     "w16_bounded_dedup"        -> ((s, d) => w16BoundedDedup(graft.T(s, d))),
+    "w17_quality_admission"    -> ((s, d) => w17QualityAdmission(graft.T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -706,5 +760,6 @@ object StreamOps {
     "w14_near_dup_front"       -> w14Oracle,
     "w15_stream_ann"           -> w15Oracle,
     "w16_bounded_dedup"        -> w16Oracle,
+    "w17_quality_admission"    -> w17Oracle,
   )
 }

@@ -578,6 +578,31 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("w17: streaming quality admission == batch gate on the same docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.T(spark, sfDir)
+    val docs = t.documents.select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String, String)]
+    val admitted = StreamOps.qualityAdmission(
+      stream.toDF().toDF("doc_id", "text", "source"))
+    val q = admitted.writeStream.format("memory").queryName("quality_gate")
+      .outputMode("append").start()
+    try {
+      // stateless gate: micro-batch boundaries must not affect the verdict
+      stream.addData(docs.take(docs.size / 2): _*); q.processAllAvailable()
+      stream.addData(docs.drop(docs.size / 2): _*); q.processAllAvailable()
+      val streamed = snap(spark.table("quality_gate"))
+      val batch = snap(StreamOps.qualityAdmission(
+        t.documents.select($"doc_id", $"text", $"source")))
+      assert(streamed == batch)
+      // the threshold carries mass on BOTH sides (else the gate is vacuous)
+      assert(streamed.nonEmpty && streamed.size < docs.size,
+        s"admitted ${streamed.size} of ${docs.size}")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the dimension without state") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
