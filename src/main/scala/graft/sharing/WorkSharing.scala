@@ -245,32 +245,64 @@ object ShareDetector {
   * Both costs are measured at first materialization: `buildSec` (compute +
   * persist of the fragment — paid once per window if shared, once per
   * CONSUMER inline if not) and `readSec` (one full scan of the cached
-  * copy). The gate is `buildSec > κ·readSec + minSec`: a cached fragment
-  * pays its read in every consumer AND the substitution breaks the
-  * consumer's whole-stage fusion with the subtree it replaced, so a
-  * standalone cached scan under-states the true per-consumer cost by
-  * roughly the penalty factor κ (default 10, empirical: calibrated on the
-  * 12 probed family fragments, where it separates the measured winners
-  * from the measured losers with ≥ 1.7× margin on both sides — rejecting
-  * doc_tokens/doc_word_counts (the 0.91× text row) and the trivial-build
-  * ivf_assigned/id_bands, keeping lsh_pairs/media_features/sym_scored/
-  * five_grams and the other measured-positive shapes). `minSec` (default
-  * 0.5 s) floors out fragments whose build is too cheap for sharing to
-  * ever matter. Verdicts memoize JVM-wide by fragment name, so a rejected
-  * fragment costs its probe exactly once; configs
+  * copy). The gate is REUSE-AWARE — `(n−1)·buildSec > κ·n·readSec +
+  * minSec` for a window of n jobs: sharing saves n−1 rebuilds and costs
+  * every consumer a cached read, each κ-penalized because the standalone
+  * read probe under-states the true per-consumer cost (InMemoryTableScan
+  * decode + the whole-stage fusion the substitution breaks), plus the
+  * one-off persist overhead `minSec` (κ default 2, minSec default
+  * 0.5 s). The n-dependence is the same one
+  * the reference's MRShare gain formula carries (reference:
+  * S/costmodel/udcm/MRShareCM.scala:42-67 — gain grows with group size);
+  * the first cut of this gate dropped n and mis-vetoed dedup_family's
+  * lsh_pairs, a fragment whose 9-consumer reuse is a measured 1.24× win
+  * at a build cost the single-consumer rule called too cheap (r8 A/B:
+  * gated 1.12× vs ungated 1.24×).
+  *
+  * What memoizes is the MEASUREMENT, not the verdict: the same probe can
+  * veto a 2-job window and approve a 9-job one. Measurements key on
+  * (label, canonical plan hash) — two families reusing a label over
+  * different corpora must not inherit each other's economics (measured
+  * r8: dedup_family's sf0.01 "lsh_pairs" probe once silently disabled
+  * graph_family's 10×-corpus fragment of the same name, a 1.7× win).
+  * κ and minSec are empirical, calibrated on the
+  * probed family fragments (doc_tokens/doc_word_counts stay rejected —
+  * the 0.91× text row — while lsh_pairs at both corpus scales,
+  * media_features, sym_scored and five_grams pass); configs
   * `spark.graft.share.fragmentReadPenalty` / `.fragmentMinBuildSec` tune
-  * or (at 0) disable the gate — the mechanism specs do that to assert
-  * substitution with test-scale fragments. */
+  * or (at 0 / negative) disable the gate — the mechanism specs do that to
+  * assert substitution with test-scale fragments. */
 object FragmentGate {
-  final case class Probe(buildSec: Double, readSec: Double, share: Boolean)
+  /** Measured costs of ONE materialization; the decision is [[share]]. */
+  final case class Probe(buildSec: Double, readSec: Double)
+
+  /** Default κ: the per-consumer penalty multiplier on the standalone read
+    * probe. Calibrated r8 against the probe log of all 13 family fragments
+    * and the measured family rows at both κ=2 and κ=10: the text fragments
+    * are the repeated measured loser (family 0.83×–0.91× shared, across
+    * rounds AND after the count-memo speedups) and rejecting
+    * doc_word_counts (build 1.14 s, read 0.083 s, n=5) requires κ ≥ 9.8,
+    * while every clearly-winning heavy fragment (sym_scored, s01_topk,
+    * media_features, quality_flags, graph's lsh_pairs) still passes at 10
+    * — s02_ann and five_grams pass with thin (≈1.1–1.2×) margins and the
+    * sub-second mid-tier fragments (dedup's lsh_pairs, id_bands,
+    * ivf_assigned) fall out, whose family deltas are inside run-to-run
+    * noise (±15–20 % on the separate cell) in both directions. What the
+    * probe structurally under-states for cheap fragments is the SERIAL
+    * prelude: the shared cell materializes fragments blocking before any
+    * job starts, while the separate cell overlaps every rebuild across the
+    * window's concurrent jobs — κ is the lump covering that, the
+    * InMemoryTableScan decode, and the broken whole-stage fusion. */
+  val DefaultKappa = 10.0
+  /** Default one-off persist-overhead floor (seconds). */
+  val DefaultMinSec = 0.5
   private val probes = new java.util.concurrent.ConcurrentHashMap[String, Probe]()
 
-  /** Memo key = label + the fragment PLAN's canonical hash: verdicts are
-    * per (name, plan), never per bare label — two families reusing the
-    * label over different corpora must not inherit each other's economics
-    * (measured r8: dedup_family's sf0.01 "lsh_pairs" probe said too-cheap
-    * and that verdict silently disabled graph_family's 10×-corpus
-    * "lsh_pairs", whose sharing was a measured 1.7× win). */
+  /** Reuse-aware verdict for a window with `n` consuming jobs. */
+  def share(p: Probe, n: Int, kappa: Double, minSec: Double): Boolean =
+    (n - 1) * p.buildSec > kappa * n * p.readSec + minSec
+
+  /** Memo key = label + the fragment PLAN's canonical hash. */
   def keyFor(name: String, df: DataFrame): String =
     name + "#" + df.queryExecution.analyzed.canonicalized.semanticHash()
   def decision(key: String): Option[Probe] = Option(probes.get(key))
@@ -339,9 +371,14 @@ final class WorkSharingExecutor(
       : Map[String, A] = synchronized {
     batchNo += 1
     val kappa = spark.conf.getOption("spark.graft.share.fragmentReadPenalty")
-      .map(_.toDouble).getOrElse(10.0)
+      .map(_.toDouble).getOrElse(FragmentGate.DefaultKappa)
     val minSec = spark.conf.getOption("spark.graft.share.fragmentMinBuildSec")
-      .map(_.toDouble).getOrElse(0.5)
+      .map(_.toDouble).getOrElse(FragmentGate.DefaultMinSec)
+    // window fan-out for the reuse-aware gate: a declared fragment serves
+    // this window's family, so the job count is its consumer ceiling (a
+    // caller-declared per-fragment count would be tighter, but the window
+    // IS the declaration unit — families declare fragments their jobs use)
+    val fanOut = jobs.size
     sharedFragments.foreach { case (fragName, mk) =>
       val fp = s"frag:$fragName"
       if (cached.contains(fp)) {
@@ -350,24 +387,30 @@ final class WorkSharingExecutor(
       } else {
         val frame = mk(spark) // plan-only build; no job runs here
         val gateKey = FragmentGate.keyFor(fragName, frame)
-        FragmentGate.decision(gateKey) match {
-          case Some(p) if !p.share => () // measured too cheap to cache: consumers recompute inline
-          case prior =>
+        val prior = FragmentGate.decision(gateKey)
+        prior match {
+          case Some(p) if !FragmentGate.share(p, fanOut, kappa, minSec) =>
+            // measured: at this fan-out the rebuilds are cheaper than the reads
+            System.err.println(f"[fragment-gate] $fragName n=$fanOut " +
+              f"build=${p.buildSec}%.3f read=${p.readSec}%.3f share=false (memo)")
+          case _ =>
             val df = frame.persist(StorageLevel.MEMORY_AND_DISK)
             val t0 = System.nanoTime()
             df.count() // materialize once, blocking, like scan warming below
             val buildSec = (System.nanoTime() - t0) / 1e9
-            val verdict = prior.getOrElse {
+            val probe = prior.getOrElse {
               // one standalone scan of the cached copy = the read-cost probe
               val t1 = System.nanoTime()
               df.write.format("noop").mode("overwrite").save()
               val readSec = (System.nanoTime() - t1) / 1e9
-              val p = FragmentGate.Probe(buildSec, readSec,
-                share = buildSec > kappa * readSec + minSec)
+              val p = FragmentGate.Probe(buildSec, readSec)
               FragmentGate.record(gateKey, p)
               p
             }
-            if (verdict.share)
+            val ok = FragmentGate.share(probe, fanOut, kappa, minSec)
+            System.err.println(f"[fragment-gate] $fragName n=$fanOut " +
+              f"build=${probe.buildSec}%.3f read=${probe.readSec}%.3f share=$ok")
+            if (ok)
               cached.put(fp, (df, df.queryExecution.optimizedPlan.stats.sizeInBytes, batchNo))
             else df.unpersist(blocking = false)
         }

@@ -12,13 +12,22 @@ class FragmentGateSpec extends SparkSpec {
 
   private val cheap = (s: SparkSession) =>
     s.range(1000).selectExpr("id", "id * 2 AS v")
-  // ~seconds of hashing collapsing to one row: build ≫ κ·read + minSec
+  // ~seconds of hashing collapsing to one row: at n=2 the gate demands
+  // (n-1)·build > κ·n·read + minSec ≈ 2.5 s of build against a one-row
+  // read, so the build must be unambiguously heavy
   private val costly = (s: SparkSession) =>
-    s.range(8000000).selectExpr("sha2(cast(id AS string), 256) AS h")
+    s.range(30000000).selectExpr("sha2(cast(id AS string), 256) AS h")
       .agg(count(lit(1)).as("n"), max(col("h")).as("m"))
 
   test("cheap fragments are vetoed, expensive ones cached; verdicts memoize") {
     FragmentGate.clear()
+    // warm the codegen/noop-sink/cache-write paths first: the probe MEASURES
+    // wall-clock, and a cold JVM bills ~2 s of JIT to whichever fragment
+    // probes first — which would make the trivial fragment look expensive
+    spark.range(2000000).selectExpr("sum(id * 2)").collect()
+    spark.range(1000).write.format("noop").mode("overwrite").save()
+    val warm = spark.range(1000).toDF("id").persist()
+    warm.count(); warm.unpersist(blocking = true)
     val ex = new WorkSharingExecutor(spark)
     val jobs = Seq(
       QueryJob[Long]("a", s => cheap(s).agg(sum("v").as("s")), df => df.head().getLong(0)),
@@ -32,12 +41,20 @@ class FragmentGateSpec extends SparkSpec {
       assert(ex.cachedFingerprints.contains("frag:gate_costly"), ex.cachedFingerprints)
       val cheapKey = FragmentGate.keyFor("gate_cheap", cheap(spark))
       val costlyKey = FragmentGate.keyFor("gate_costly", costly(spark))
+      // the verdict is reuse-aware: (n-1)*build > kappa*n*read + minSec at
+      // this window's fan-out (n = 2 jobs)
       val pc = FragmentGate.decision(cheapKey).get
-      assert(!pc.share && pc.buildSec <= 10 * pc.readSec + 0.5,
-        s"cheap probe should fail the gate: $pc")
+      assert(!FragmentGate.share(pc, 2, FragmentGate.DefaultKappa, FragmentGate.DefaultMinSec),
+        s"cheap probe should fail the gate at n=2: $pc")
       val pe = FragmentGate.decision(costlyKey).get
-      assert(pe.share && pe.buildSec > 10 * pe.readSec + 0.5,
-        s"costly probe should pass the gate: $pe")
+      assert(FragmentGate.share(pe, 2, FragmentGate.DefaultKappa, FragmentGate.DefaultMinSec),
+        s"costly probe should pass the gate at n=2: $pe")
+      // the same cheap measurement CAN flip at a large enough fan-out —
+      // measurements memoize, verdicts are per window (unless the build is
+      // so tiny that even 1000 consumers lose, which the floor allows)
+      assert(FragmentGate.share(FragmentGate.Probe(1.0, 0.01), 2, FragmentGate.DefaultKappa, FragmentGate.DefaultMinSec))
+      assert(!FragmentGate.share(FragmentGate.Probe(1.0, 0.01), 1, FragmentGate.DefaultKappa, FragmentGate.DefaultMinSec),
+        "a single-consumer window must never cache (nothing reuses it)")
       // second window: the rejected fragment is not re-probed (same verdict
       // object — putIfAbsent memoization) and still not cached
       val p0 = FragmentGate.decision(cheapKey).get
