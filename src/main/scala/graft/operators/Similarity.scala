@@ -1877,11 +1877,17 @@ object Similarity {
         sum(when($"arr" === 0, $"dist").otherwise(0L)).as("sdi"),
         sum(when($"arr" === 1, $"dist").otherwise(0L)).as("sda"))
       .select($"cluster", $"n_indexed", $"n_arriving",
-        expr("n_arriving * 10000 DIV n_indexed").as("growth_bp"),
-        expr("sdi DIV n_indexed").as("mean_dist_indexed"),
+        // n_indexed = 0 (a cell whose whole membership is the arriving
+        // feed) is guarded on BOTH engines: Spark 4's default ANSI mode
+        // makes DIV-by-zero a crash, DuckDB's // yields NULL — guarding to
+        // 0 keeps the report total and the hashes aligned
+        expr("CASE WHEN n_indexed > 0 THEN n_arriving * 10000 DIV n_indexed ELSE 0L END")
+          .as("growth_bp"),
+        expr("CASE WHEN n_indexed > 0 THEN sdi DIV n_indexed ELSE 0L END")
+          .as("mean_dist_indexed"),
         expr("CASE WHEN n_arriving > 0 THEN sda DIV n_arriving ELSE 0L END")
           .as("mean_dist_arriving"),
-        expr("""CASE WHEN n_arriving > 0 THEN
+        expr("""CASE WHEN n_arriving > 0 AND n_indexed > 0 THEN
                   (sda DIV n_arriving - sdi DIV n_indexed) * 10000
                     DIV greatest(sdi DIV n_indexed, 1L)
                 ELSE 0L END""").as("drift_bp"))
@@ -1907,16 +1913,19 @@ object Similarity {
                 SUM(CASE WHEN arr = 1 THEN dist ELSE 0 END)::BIGINT AS sda
          FROM d GROUP BY cluster)
        SELECT cluster::BIGINT AS cluster, n_indexed, n_arriving,
-              n_arriving * 10000 // n_indexed AS growth_bp,
-              sdi // n_indexed AS mean_dist_indexed,
+              CASE WHEN n_indexed > 0 THEN n_arriving * 10000 // n_indexed
+                ELSE 0 END AS growth_bp,
+              CASE WHEN n_indexed > 0 THEN sdi // n_indexed
+                ELSE 0 END AS mean_dist_indexed,
               CASE WHEN n_arriving > 0 THEN sda // n_arriving ELSE 0 END
                 AS mean_dist_arriving,
-              CASE WHEN n_arriving > 0 THEN
+              CASE WHEN n_arriving > 0 AND n_indexed > 0 THEN
                 (sda // n_arriving - sdi // n_indexed) * 10000
                   // GREATEST(sdi // n_indexed, 1)
               ELSE 0 END AS drift_bp,
-              CASE WHEN n_arriving * 10000 // n_indexed >= 2000
-                     OR (CASE WHEN n_arriving > 0 THEN
+              CASE WHEN (CASE WHEN n_indexed > 0 THEN
+                           n_arriving * 10000 // n_indexed ELSE 0 END) >= 2000
+                     OR (CASE WHEN n_arriving > 0 AND n_indexed > 0 THEN
                            (sda // n_arriving - sdi // n_indexed) * 10000
                              // GREATEST(sdi // n_indexed, 1)
                          ELSE 0 END) >= 1500

@@ -250,14 +250,13 @@ object ShareDetector {
   * every consumer a cached read, each κ-penalized because the standalone
   * read probe under-states the true per-consumer cost (InMemoryTableScan
   * decode + the whole-stage fusion the substitution breaks), plus the
-  * one-off persist overhead `minSec` (κ default 2, minSec default
-  * 0.5 s). The n-dependence is the same one
+  * one-off persist overhead `minSec` (defaults [[FragmentGate.DefaultKappa]]
+  * = 10 and [[FragmentGate.DefaultMinSec]] = 0.5 s; see the κ scaladoc for
+  * the calibration). The n-dependence is the same one
   * the reference's MRShare gain formula carries (reference:
   * S/costmodel/udcm/MRShareCM.scala:42-67 — gain grows with group size);
-  * the first cut of this gate dropped n and mis-vetoed dedup_family's
-  * lsh_pairs, a fragment whose 9-consumer reuse is a measured 1.24× win
-  * at a build cost the single-consumer rule called too cheap (r8 A/B:
-  * gated 1.12× vs ungated 1.24×).
+  * the first cut of this gate dropped n entirely, so a 2-job window and a
+  * 9-job window got the same verdict from the same probe.
   *
   * What memoizes is the MEASUREMENT, not the verdict: the same probe can
   * veto a 2-job window and approve a 9-job one. Measurements key on
@@ -265,10 +264,11 @@ object ShareDetector {
   * different corpora must not inherit each other's economics (measured
   * r8: dedup_family's sf0.01 "lsh_pairs" probe once silently disabled
   * graph_family's 10×-corpus fragment of the same name, a 1.7× win).
-  * κ and minSec are empirical, calibrated on the
-  * probed family fragments (doc_tokens/doc_word_counts stay rejected —
-  * the 0.91× text row — while lsh_pairs at both corpus scales,
-  * media_features, sym_scored and five_grams pass); configs
+  * At the shipped κ the text fragments stay rejected (the 0.83–0.91×
+  * repeated loser) and the heavy winners (graph's 10×-corpus lsh_pairs,
+  * media_features, sym_scored, s01_topk, five_grams) pass; the sub-second
+  * mid-tier fragments — including dedup_family's own sf0.01 lsh_pairs,
+  * whose family delta sits inside run-to-run noise — fall out. Configs
   * `spark.graft.share.fragmentReadPenalty` / `.fragmentMinBuildSec` tune
   * or (at 0 / negative) disable the gate — the mechanism specs do that to
   * assert substitution with test-scale fragments. */
@@ -375,9 +375,15 @@ final class WorkSharingExecutor(
     val minSec = spark.conf.getOption("spark.graft.share.fragmentMinBuildSec")
       .map(_.toDouble).getOrElse(FragmentGate.DefaultMinSec)
     // window fan-out for the reuse-aware gate: a declared fragment serves
-    // this window's family, so the job count is its consumer ceiling (a
-    // caller-declared per-fragment count would be tighter, but the window
-    // IS the declaration unit — families declare fragments their jobs use)
+    // this window's family, so the job count is its consumer CEILING. This
+    // overstates n when only a few jobs actually contain the fragment —
+    // the honest tighter count (plan-containment across the built jobs)
+    // is unavailable here by construction: jobs build AFTER fragments
+    // because eager-checkpoint builds erase their upstream plans, which is
+    // the same reason fragments are declared rather than detected. Callers
+    // declare per-family fragments their window's jobs share, so the
+    // ceiling is tight in practice; a window mixing one niche fragment
+    // into many unrelated jobs would over-share it.
     val fanOut = jobs.size
     sharedFragments.foreach { case (fragName, mk) =>
       val fp = s"frag:$fragName"

@@ -670,17 +670,26 @@ object StreamOps {
        SELECT user_id, event_type, make_timestamp(last_kept) AS kept_ts
        FROM chain WHERE kept ORDER BY user_id, event_type, kept_ts"""
 
-  /** Streaming QUALITY admission — the first stage of p29's curation funnel
-    * as a streaming front door, completing the ingest trio with w14 (near-dup
-    * band ownership) and w16 (bounded-state dedup). Scoring is the ONE t03
-    * definition ([[graft.operators.TextAnalysis.withQualityBp]]) applied
-    * map-side — no state, no watermark, safe on an unbounded feed — and the
-    * gate is a plain threshold filter, so every admitted doc carries the
-    * same score the offline report would give it. */
-  def qualityAdmission(docs: DataFrame, thresholdBp: Long = 4200L): DataFrame =
+  /** Streaming QUALITY admission — a quality gate as a streaming front
+    * door, completing the ingest trio with w14 (near-dup band ownership)
+    * and w16 (bounded-state dedup). Scoring is the ONE t03 definition
+    * ([[graft.operators.TextAnalysis.withQualityBp]]) applied map-side —
+    * no state, no watermark, safe on an unbounded feed — and the gate is
+    * a plain threshold filter, so every admitted doc carries the same
+    * score the offline t03 report would give it. (This is t03's SCORE
+    * gate, not p29's flag cascade: the funnel's quality stage admits by
+    * the Gopher-style boolean flags, a deliberately different policy —
+    * the no-drift guarantee here is against t03.) */
+  def qualityAdmission(docs: DataFrame,
+      thresholdBp: Long = AdmissionThresholdBp): DataFrame =
     graft.operators.TextAnalysis.withQualityBp(docs)
       .filter(col("quality_bp") >= thresholdBp)
       .select(col("doc_id"), col("source"), col("quality_bp"))
+
+  /** ONE admission threshold for the gate, its batch twin and the oracle —
+    * 4200 bp splits the shipped corpora near their quality_bp median, so
+    * both branches carry mass in every hash check. */
+  val AdmissionThresholdBp = 4200L
 
   /** Batch twin of [[qualityAdmission]] for oracle coverage: the per-source
     * admission telemetry its consumer would watch in Update mode — arrivals,
@@ -692,8 +701,8 @@ object StreamOps {
     graft.operators.TextAnalysis.withQualityBp(t.documents)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_arrived"),
-        sum(when($"quality_bp" >= 4200L, 1L).otherwise(0L)).as("n_admitted"),
-        sum(when($"quality_bp" >= 4200L, $"quality_bp").otherwise(0L)).as("sq"))
+        sum(when($"quality_bp" >= AdmissionThresholdBp, 1L).otherwise(0L)).as("n_admitted"),
+        sum(when($"quality_bp" >= AdmissionThresholdBp, $"quality_bp").otherwise(0L)).as("sq"))
       .select($"source", $"n_arrived", $"n_admitted",
         expr("n_admitted * 10000 DIV n_arrived").as("admit_rate_bp"),
         expr("CASE WHEN n_admitted > 0 THEN sq DIV n_admitted ELSE 0L END")
@@ -702,14 +711,14 @@ object StreamOps {
   }
 
   val w17Oracle: String =
-    """SELECT source, n_arrived, n_admitted,
+    s"""SELECT source, n_arrived, n_admitted,
               n_admitted * 10000 // n_arrived AS admit_rate_bp,
               CASE WHEN n_admitted > 0 THEN sq // n_admitted ELSE 0 END
                 AS mean_admitted_bp
        FROM (
          SELECT source, COUNT(*)::BIGINT AS n_arrived,
-                SUM(CASE WHEN q >= 4200 THEN 1 ELSE 0 END)::BIGINT AS n_admitted,
-                SUM(CASE WHEN q >= 4200 THEN q ELSE 0 END)::BIGINT AS sq
+                SUM(CASE WHEN q >= $AdmissionThresholdBp THEN 1 ELSE 0 END)::BIGINT AS n_admitted,
+                SUM(CASE WHEN q >= $AdmissionThresholdBp THEN q ELSE 0 END)::BIGINT AS sq
          FROM (
            SELECT source,
                   ((n_dis * 10000) // n_tok) * 5 // 10 + LEAST(n_tok, 100) * 30

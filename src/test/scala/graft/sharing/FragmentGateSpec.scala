@@ -5,9 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The measured fragment-economics gate (VERDICT r7 next-6): a declared
-  * fragment is cached only when its measured build cost exceeds the modeled
-  * cache cost (κ·readSec + minSec); rejected fragments recompute inline in
-  * every consumer and the verdict memoizes so the probe is paid once. */
+  * fragment is cached only when the reuse-aware economics pay —
+  * (n−1)·buildSec > κ·n·readSec + minSec for a window of n jobs. What
+  * memoizes is the MEASUREMENT (per label + canonical plan hash), so the
+  * probe is paid once while the verdict is re-derived per window:
+  * rejected fragments recompute inline in every consumer. */
 class FragmentGateSpec extends SparkSpec {
 
   private val cheap = (s: SparkSession) =>
