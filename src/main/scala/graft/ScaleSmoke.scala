@@ -94,7 +94,12 @@ object ScaleSmoke {
     // the shapes a user should run — raw d04/d22/s02/g01 stay listed above
     // as the measured baselines the routing exists to replace at scale
     "d30_routed_neardup", "g15_routed_rank", "s23_routed_clusters",
-    "d31_routed_bbit", "s24_routed_ann")
+    "d31_routed_bbit", "s24_routed_ann",
+    // r8 second wave — the 120x probe named d07 (CC over the verified
+    // pair graph) and d18 (band-candidate top-k) as the remaining
+    // unrouted pair-bound shapes; their doors route to star-edge CC and
+    // the keeper residual top-k
+    "d32_routed_cc", "d33_routed_topk")
 
   /** Exact/audit arms — broadcast-the-query-set brute force (s01-shaped) or
     * declared all-pairs baselines. Excluded, named in the artifact. s16's
@@ -125,7 +130,9 @@ object ScaleSmoke {
     "d04_minhash_lsh_pairs" -> "d30_routed_neardup",
     "d22_bbit_minhash"      -> "d31_routed_bbit",
     "s02_hyperplane_lsh"    -> "s24_routed_ann",
-    "g01_pagerank"          -> "g15_routed_rank")
+    "g01_pagerank"          -> "g15_routed_rank",
+    "d07_dedup_clusters"    -> "d32_routed_cc",
+    "d18_topk_sim_join"     -> "d33_routed_topk")
 
   /** Diagnostic-by-construction arms: d25 MEASURES raw pair mass (its
     * n_pairs_before counts the full m² graph — that is the query's point),

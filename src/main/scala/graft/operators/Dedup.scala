@@ -1002,12 +1002,18 @@ object Dedup {
     * the top-k, no quadratic stage. Like d13/s02, the LSH is deterministic
     * so the whole pipeline is oracle-hashable; the spec measures top-k
     * recall against d02's exact answer instead of assuming it. */
-  def d18TopkSimJoin(t: T, k: Int = 20): DataFrame = {
-    import t.spark.implicits._
-    graft.functions.Registry.ensure(t.spark)
-    val sigs = minhashSigTable(t.documents)
+  def d18TopkSimJoin(t: T, k: Int = 20): DataFrame =
+    topkSimJoinOn(t.spark, t.documents, k)
+
+  /** The d18 kernel over an arbitrary document frame (d31's kernel-reuse
+    * pattern: the routed door runs it unchanged on the full corpus). */
+  private[operators] def topkSimJoinOn(
+      spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    graft.functions.Registry.ensure(spark)
+    val sigs = minhashSigTable(docs)
     val cand = bandCandidates(sigs)
-    val hint = BroadcastGate.shingleHint(t.documents)
+    val hint = BroadcastGate.shingleHint(docs)
     val ha = sigs.select($"doc_id".as("doc_a"), $"h".as("ha"))
     val hb = sigs.select($"doc_id".as("doc_b"), $"h".as("hb"))
     cand.join(hint(ha), "doc_a").join(hint(hb), "doc_b")

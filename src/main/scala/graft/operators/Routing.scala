@@ -216,12 +216,81 @@ object Routing {
        SELECT * FROM (${Similarity.s02RepsOracle}) WHERE $vecMassDuck >= $thresholdBp
        ORDER BY query_id, neighbor_id"""
 
+  /** Routed near-dup CLUSTERING: raw d07 runs connected components over the
+    * VERIFIED d04 pair graph — on a replica corpus that edge set is the
+    * m²-growing true-pair list, the exact g01 disease (named unrouted by
+    * the 120× probe, SCALESMOKE_120x). Above the gate, components come
+    * from the LINEAR candidate-connectivity star graph instead
+    * ([[Dedup.bucketStarEdges]], ≤ 4 edges per doc): any two docs sharing
+    * a band bucket connect through that bucket's owner, so the star
+    * graph's components equal the full band-collision candidate graph's
+    * components exactly — d26's keeper-election rework, exposed as the
+    * clustering answer itself. The collapsed branch drops the per-edge
+    * Jaccard verify (strictly more aggressive merging, the documented
+    * hard-dedup trade); both branches label clusters by their minimum
+    * member id, so the schemas and label conventions agree. */
+  def d32RoutedCc(t: T, thresholdBp: Int = defaultThresholdBp): DataFrame = {
+    graft.functions.Registry.ensure(t.spark)
+    if (docReplicaMassBp(t.documents) < thresholdBp) Dedup.d07DedupClusters(t)
+    else Dedup.connectedComponents(Dedup.bucketStarEdges(t.documents))
+      .orderBy(col("doc_id"))
+  }
+
+  private def d32CollapsedDuck: String =
+    s"""WITH ${Dedup.lshBandsDuckCtes(cand = """owners AS (
+         SELECT b, bkey, MIN(doc_id) AS owner FROM bands GROUP BY 1, 2)""")},
+       staredges AS (
+         SELECT DISTINCT owner AS doc_a, bands.doc_id AS doc_b
+         FROM bands JOIN owners ON owners.b = bands.b AND owners.bkey = bands.bkey
+         WHERE bands.doc_id <> owner),
+       ${Dedup.ccDuckCtes("staredges")}
+       SELECT doc AS doc_id, cluster_id FROM reach ORDER BY doc_id"""
+
+  def d32Oracle(thresholdBp: Int = defaultThresholdBp): String =
+    s"""SELECT * FROM (${Dedup.d07Oracle}) WHERE $docMassDuck < $thresholdBp
+       UNION ALL
+       SELECT * FROM ($d32CollapsedDuck) WHERE $docMassDuck >= $thresholdBp
+       ORDER BY doc_id"""
+
+  /** Routed top-k similarity join: raw d18 scores every band candidate and
+    * keeps the global top-20 — its candidate stream is m²-bound on a
+    * replica corpus (the second shape the 120× probe named unrouted).
+    * Above the gate the ranking runs on d29's ownership-kept corpus — and
+    * because two full owners are band-disjoint BY CONSTRUCTION, the band
+    * index over keepers is empty, so the collapsed branch pairs keepers
+    * with the prefix-filtered exact PPJoin at the 0.42 residual threshold
+    * (d29's second index) and takes the top-20 of that. On a replica-heavy
+    * corpus the raw top-20 is all near-1.0 replica pairs; the collapsed
+    * top-20 is the residual cross-cluster structure a curation pass
+    * actually reviews — the same answer-shape shift d26/d29 document. The
+    * oracle's collapsed branch states stage 2 as naive all-pairs over the
+    * kept set, so the hash also proves the prefix filter's recall 1.0. */
+  def d33RoutedTopk(t: T, thresholdBp: Int = defaultThresholdBp): DataFrame = {
+    graft.functions.Registry.ensure(t.spark)
+    if (docReplicaMassBp(t.documents) < thresholdBp) Dedup.d18TopkSimJoin(t)
+    else Dedup.d29FrontCollapsePairs(t, 4200)
+      .orderBy(col("jaccard_bp").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  private def d33CollapsedDuck: String =
+    s"""SELECT doc_a, doc_b, jaccard_bp FROM (${Dedup.d29Oracle(4200)})
+       ORDER BY jaccard_bp DESC, doc_a, doc_b LIMIT 20"""
+
+  def d33Oracle(thresholdBp: Int = defaultThresholdBp): String =
+    s"""SELECT * FROM (${Dedup.d18Oracle}) WHERE $docMassDuck < $thresholdBp
+       UNION ALL
+       SELECT * FROM ($d33CollapsedDuck) WHERE $docMassDuck >= $thresholdBp
+       ORDER BY jaccard_bp DESC, doc_a, doc_b"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d30_routed_neardup"  -> ((s, d) => d30RoutedNearDup(T(s, d))),
     "g15_routed_rank"     -> ((s, d) => g15RoutedRank(T(s, d))),
     "s23_routed_clusters" -> ((s, d) => s23RoutedClusters(T(s, d))),
     "d31_routed_bbit"     -> ((s, d) => d31RoutedBbit(T(s, d))),
     "s24_routed_ann"      -> ((s, d) => s24RoutedAnn(T(s, d))),
+    "d32_routed_cc"       -> ((s, d) => d32RoutedCc(T(s, d))),
+    "d33_routed_topk"     -> ((s, d) => d33RoutedTopk(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -230,5 +299,7 @@ object Routing {
     "s23_routed_clusters" -> s23Oracle(),
     "d31_routed_bbit"     -> d31Oracle(),
     "s24_routed_ann"      -> s24Oracle(),
+    "d32_routed_cc"       -> d32Oracle(),
+    "d33_routed_topk"     -> d33Oracle(),
   )
 }

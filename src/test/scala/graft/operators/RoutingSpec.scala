@@ -65,4 +65,35 @@ class RoutingSpec extends SparkSpec {
     assert(snap(Routing.s23RoutedClusters(t, thresholdBp = 0)) ==
       snap(Dedup.d27SemanticCollapse(t)))
   }
+
+  test("d32: routes to verified-pair CC under the gate, to star-edge CC above it") {
+    import spark.implicits._
+    assert(snap(Routing.d32RoutedCc(t)) == snap(Dedup.d07DedupClusters(t)))
+    val collapsed = Routing.d32RoutedCc(t, thresholdBp = 0)
+    assert(snap(collapsed) ==
+      snap(Dedup.connectedComponents(Dedup.bucketStarEdges(t.documents))))
+    // the star graph's components contain the verified graph's: dropping
+    // the edge verify only MERGES clusters, never splits them — every
+    // verified-together pair stays together in the collapsed branch
+    val verified = Dedup.d07DedupClusters(t)
+      .select($"doc_id", $"cluster_id".as("vc"))
+    val star = collapsed.select($"doc_id", $"cluster_id".as("sc"))
+    val refinement = verified.join(star, "doc_id")
+      .groupBy($"vc").agg(countDistinct($"sc").as("n_star"))
+      .filter($"n_star" > 1).count()
+    assert(refinement == 0, "a verified cluster split across star clusters")
+  }
+
+  test("d33: routes to the raw band top-k under the gate, to the keeper residual top-k above it") {
+    assert(snap(Routing.d33RoutedTopk(t)) == snap(Dedup.d18TopkSimJoin(t)))
+    val collapsed = Routing.d33RoutedTopk(t, thresholdBp = 0)
+    assert(snap(collapsed) == snap(
+      Dedup.d29FrontCollapsePairs(t, 4200)
+        .orderBy(org.apache.spark.sql.functions.col("jaccard_bp").desc,
+          org.apache.spark.sql.functions.col("doc_a"),
+          org.apache.spark.sql.functions.col("doc_b"))
+        .limit(20)))
+    // non-vacuous: the residual ranking must surface pairs on this corpus
+    assert(collapsed.count() > 0)
+  }
 }
