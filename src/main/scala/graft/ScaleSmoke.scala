@@ -99,7 +99,11 @@ object ScaleSmoke {
     // pair graph) and d18 (band-candidate top-k) as the remaining
     // unrouted pair-bound shapes; their doors route to star-edge CC and
     // the keeper residual top-k
-    "d32_routed_cc", "d33_routed_topk")
+    "d32_routed_cc", "d33_routed_topk",
+    // r8 third wave — with d07/d18 routed, the re-run 120x probe named
+    // s04 (fixed-k IVF probe join: queries × cell populations grow m²);
+    // its door searches the same trained index over sig representatives
+    "s26_routed_ivf")
 
   /** Exact/audit arms — broadcast-the-query-set brute force (s01-shaped) or
     * declared all-pairs baselines. Excluded, named in the artifact. s16's
@@ -132,7 +136,8 @@ object ScaleSmoke {
     "s02_hyperplane_lsh"    -> "s24_routed_ann",
     "g01_pagerank"          -> "g15_routed_rank",
     "d07_dedup_clusters"    -> "d32_routed_cc",
-    "d18_topk_sim_join"     -> "d33_routed_topk")
+    "d18_topk_sim_join"     -> "d33_routed_topk",
+    "s04_ivf_ann"           -> "s26_routed_ivf")
 
   /** Diagnostic-by-construction arms: d25 MEASURES raw pair mass (its
     * n_pairs_before counts the full m² graph — that is the query's point),

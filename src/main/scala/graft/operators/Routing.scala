@@ -283,6 +283,29 @@ object Routing {
        SELECT * FROM ($d33CollapsedDuck) WHERE $docMassDuck >= $thresholdBp
        ORDER BY jaccard_bp DESC, doc_a, doc_b"""
 
+  /** Routed trained-IVF ANN: raw s04's probe join is m²-bound on a replica
+    * corpus — queries and cell populations both grow with the multiplier
+    * while k stays 8, so candidate rows grow with the square (the shape the
+    * 120× probe named unrouted after d07/d18 got their doors,
+    * SCALESMOKE_120x). Above the gate the SAME trained index is searched
+    * over the signature representatives — corpus and query side folded to
+    * one vector per 32-bit sig before any scoring, s24's device applied to
+    * the IVF plane. The model deliberately stays the full-corpus training:
+    * one cached index per corpus on both engines (the oracle reuses the one
+    * ivfTrainCte chain), and the disease lives in the search join, not the
+    * linear memoized training pass. */
+  def s26RoutedIvf(t: T, thresholdBp: Int = vecThresholdBp): DataFrame = {
+    graft.functions.Registry.ensure(t.spark)
+    if (vecReplicaMassBp(t.embeddings) < thresholdBp) Similarity.s04IvfAnn(t)
+    else Similarity.s04OverRepresentatives(t)
+  }
+
+  def s26Oracle(thresholdBp: Int = vecThresholdBp): String =
+    s"""SELECT * FROM (${Similarity.s04Oracle}) WHERE $vecMassDuck < $thresholdBp
+       UNION ALL
+       SELECT * FROM (${Similarity.ivfRepsOracle}) WHERE $vecMassDuck >= $thresholdBp
+       ORDER BY query_id, rk"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d30_routed_neardup"  -> ((s, d) => d30RoutedNearDup(T(s, d))),
     "g15_routed_rank"     -> ((s, d) => g15RoutedRank(T(s, d))),
@@ -291,6 +314,7 @@ object Routing {
     "s24_routed_ann"      -> ((s, d) => s24RoutedAnn(T(s, d))),
     "d32_routed_cc"       -> ((s, d) => d32RoutedCc(T(s, d))),
     "d33_routed_topk"     -> ((s, d) => d33RoutedTopk(T(s, d))),
+    "s26_routed_ivf"      -> ((s, d) => s26RoutedIvf(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -301,5 +325,6 @@ object Routing {
     "s24_routed_ann"      -> s24Oracle(),
     "d32_routed_cc"       -> d32Oracle(),
     "d33_routed_topk"     -> d33Oracle(),
+    "s26_routed_ivf"      -> s26Oracle(),
   )
 }

@@ -403,13 +403,24 @@ object Similarity {
     * ONE definition serving s04 (qmod 0) and w15's serving twin (qmod 7,
     * a disjoint "arriving" query set). */
   private[graft] def ivfAnnFor(t: T, qmod: Int,
+      trained: Option[Array[Array[Long]]] = None): DataFrame =
+    ivfAnnOn(t, t.embeddings, qmod, trained)
+
+  /** The same probe search over an arbitrary vector frame — s26's collapsed
+    * gear searches the signature representatives through it. The model
+    * stays the full-corpus training (one trained index per corpus, cached):
+    * replicas only reweight centroids toward directions the corpus already
+    * contains, and the m² disease the routing exists to kill lives in the
+    * probe JOIN below (corpus rows × query rows inside fixed-k cells), not
+    * in the linear, per-JVM-memoized training pass. */
+  private[graft] def ivfAnnOn(t: T, emb: DataFrame, qmod: Int,
       trained: Option[Array[Array[Long]]] = None): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
     val cents = trained.getOrElse(trainIvfCentroids(t))
-    val assigned = assignCluster(quantized(t), cents)
+    val assigned = assignCluster(quantizeDf(emb), cents)
       .select($"vec_id", $"embedding", $"cluster", sqNorm("embedding").as("nb"))
-    val q = probeClusters(quantized(t).filter($"vec_id" % 25 === qmod), cents, IvfNprobe)
+    val q = probeClusters(quantizeDf(emb).filter($"vec_id" % 25 === qmod), cents, IvfNprobe)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
         sqNorm("embedding").as("na"), explode($"probes").as("qc"))
     val pairs = assigned.join(broadcast(q), $"cluster" === $"qc" && $"query_id" =!= $"vec_id")
@@ -419,6 +430,16 @@ object Similarity {
       .select($"query_id", $"rk", $"neighbor_id", $"cosine")
       .orderBy($"query_id", $"rk")
   }
+
+  /** s04 over the signature representatives — s26's collapsed gear: the
+    * SAME trained index (see [[ivfAnnOn]]'s model note), with corpus and
+    * query side both folded to one vector per 32-bit hyperplane signature
+    * first. On a replica-heavy corpus the raw probe join is m²-bound
+    * (queries and cell populations both grow with the multiplier while k
+    * stays 8 — the shape the 120× probe named unrouted); the rep collapse
+    * removes the replica factor from BOTH join sides before any scoring. */
+  private[operators] def s04OverRepresentatives(t: T): DataFrame =
+    ivfAnnOn(t, sigRepresentatives(t.embeddings), 0)
 
   /** Streaming ANN serving: a stream of query vectors routed through the
     * SAME trained IVF index s04 searches — quantization, probe selection
@@ -441,14 +462,14 @@ object Similarity {
         prenormCos("q_emb", "embedding", "na", "nb").as("cosine"))
   }
 
-  /** One assignment pass against centroid CTE `cents`. */
-  private def duckAssign(cents: String): String =
+  /** One assignment pass of source CTE `src` against centroid CTE `cents`. */
+  private def duckAssign(cents: String, src: String = "ebp"): String =
     s"""(SELECT vec_id, qe, k AS cluster FROM (
           SELECT e.vec_id, e.qe, c.k,
                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
                    list_sum(list_transform(range(1, 65), i ->
                      (e.qe[i] - c.c[i]) * (e.qe[i] - c.c[i]))) ASC, c.k ASC) AS rn
-          FROM ebp e CROSS JOIN $cents c)
+          FROM $src e CROSS JOIN $cents c)
         WHERE rn = 1)"""
 
   /** Centroid update: per-dim integer sums, truncating division; empty
@@ -479,16 +500,35 @@ object Similarity {
   val s04Oracle: String = ivfOracleFor(0)
 
   /** DuckDB twin of [[ivfAnnFor]] — same one-definition rule. */
-  private[graft] def ivfOracleFor(qmod: Int): String =
-    s"""WITH $ivfTrainCte,
-       af AS ${duckAssign("c2")},
+  private[graft] def ivfOracleFor(qmod: Int): String = ivfOracleOn(qmod, "ebp", "")
+
+  /** DuckDB twin of [[s04OverRepresentatives]]: the one ivfTrainCte chain
+    * (model = full-corpus training, same as the Spark side's cached model),
+    * search restricted to the signature representatives on both sides. */
+  private[operators] val ivfRepsOracle: String = ivfOracleOn(0, "ebr",
+    s"""
+       vsigs AS (
+         SELECT vec_id,
+           list_sum(list_transform(range(0, 32), m ->
+             CASE WHEN list_sum(list_transform(range(1, 65), i ->
+               embedding[i]::DOUBLE * ((((m + 1) * 37 + i * 101) % 97 % 2) * 2 - 1))) > 0
+             THEN 1::BIGINT << m::INT ELSE 0::BIGINT END)) AS sig
+         FROM embeddings),
+       vreps AS (SELECT MIN(vec_id) AS vec_id FROM vsigs GROUP BY sig),
+       ebr AS (SELECT e.* FROM ebp e JOIN vreps USING (vec_id)),""")
+
+  /** The probe-search oracle over assignment/query source CTE `src`
+    * (`extra` injects the source's own CTEs between training and search). */
+  private def ivfOracleOn(qmod: Int, src: String, extra: String): String =
+    s"""WITH $ivfTrainCte,$extra
+       af AS ${duckAssign("c2", src)},
        probes AS (
          SELECT vec_id, k AS cluster FROM (
            SELECT e.vec_id, c.k,
                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
                     list_sum(list_transform(range(1, 65), i ->
                       (e.qe[i] - c.c[i]) * (e.qe[i] - c.c[i]))) ASC, c.k ASC) AS rn
-           FROM ebp e CROSS JOIN c2 c WHERE e.vec_id % 25 = $qmod)
+           FROM $src e CROSS JOIN c2 c WHERE e.vec_id % 25 = $qmod)
          WHERE rn <= $IvfNprobe),
        pairs AS (
          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -84,6 +84,21 @@ class RoutingSpec extends SparkSpec {
     assert(refinement == 0, "a verified cluster split across star clusters")
   }
 
+  test("s26: routes to raw s04 under the gate, to the representative search above it") {
+    import spark.implicits._
+    assert(snap(Routing.s26RoutedIvf(t)) == snap(Similarity.s04IvfAnn(t)))
+    val collapsed = Routing.s26RoutedIvf(t, thresholdBp = 0)
+    assert(snap(collapsed) == snap(Similarity.s04OverRepresentatives(t)))
+    // non-vacuous, and every collapsed-branch id is a representative
+    // (MIN vec_id per 32-bit sig) — the rep filter reached both join sides
+    assert(collapsed.count() > 0)
+    val repIds = Similarity.sigRepresentatives(t.embeddings)
+      .select($"vec_id").as[Long].collect().toSet
+    val ids = collapsed.select($"query_id").as[Long].collect() ++
+      collapsed.select($"neighbor_id").as[Long].collect()
+    assert(ids.forall(repIds), "collapsed branch surfaced a non-representative id")
+  }
+
   test("d33: routes to the raw band top-k under the gate, to the keeper residual top-k above it") {
     assert(snap(Routing.d33RoutedTopk(t)) == snap(Dedup.d18TopkSimJoin(t)))
     val collapsed = Routing.d33RoutedTopk(t, thresholdBp = 0)
