@@ -1,22 +1,34 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
-/** Dev-only twin of [[Verify]] for the routing plane's COLLAPSED branches:
-  * every routed front door (operators.Routing) re-dumped with its threshold
-  * forced to 0, paired with the same-threshold oracle SQL, so
-  * `scripts/check.py` can hash-compare the collapsed DuckDB twins that the
-  * shipped low-mass corpora never reach through the registered oracles
-  * (their gates correctly pick the raw branch at every sf the driver
-  * verifies). Run per routed-door change:
+/** Dev-only twin of [[Verify]] for the routing plane's COLLAPSED branches
+  * and the high-mass regime of its estimators — the two halves of each
+  * routed front door that the shipped low-mass corpora never reach through
+  * the registered oracles (their gates correctly pick the raw branch at
+  * every sf the driver verifies). Two modes:
   *
   *   sbt -batch "runMain graft.RoutedDump /root/testdata/sf0.01 /tmp/routed"
   *   python3 scripts/check.py /root/testdata/sf0.01 /tmp/routed
-  */
+  *
+  * forces every door's threshold to 0 so the collapsed DuckDB twins are
+  * hash-compared on the shipped corpus, and
+  *
+  *   sbt -batch "runMain graft.RoutedDump /root/testdata/sf0.001 /tmp/routedrep 10"
+  *   python3 scripts/check.py /tmp/routedrep/corpus /tmp/routedrep
+  *
+  * builds a 10× replica corpus (ScaleSmoke's one replication recipe,
+  * flattened to the single-file layout check.py's views expect), then runs
+  * the doors with their DEFAULT thresholds and REGISTERED oracles — both
+  * engines' replica-mass estimators must flip to the collapsed gear
+  * together or the hashes diverge, which pins docMassDuck/vecMassDuck
+  * against docReplicaMassBp/vecReplicaMassBp in the regime the routing
+  * actually exists for. */
 object RoutedDump {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    val repMult = if (args.length > 2) args(2).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,17 +39,52 @@ object RoutedDump {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     import operators.Routing
-    def t = T(spark, sfDir)
-    val doors: Seq[(String, () => DataFrame, String)] = Seq(
-      ("d30_routed_neardup", () => Routing.d30RoutedNearDup(t, 0), Routing.d30Oracle(0)),
-      ("g15_routed_rank", () => Routing.g15RoutedRank(t, 0), Routing.g15Oracle(0)),
-      ("s23_routed_clusters", () => Routing.s23RoutedClusters(t, 0), Routing.s23Oracle(0)),
-      ("d31_routed_bbit", () => Routing.d31RoutedBbit(t, 0), Routing.d31Oracle(0)),
-      ("s24_routed_ann", () => Routing.s24RoutedAnn(t, 0), Routing.s24Oracle(0)),
-      ("d32_routed_cc", () => Routing.d32RoutedCc(t, 0), Routing.d32Oracle(0)),
-      ("d33_routed_topk", () => Routing.d33RoutedTopk(t, 0), Routing.d33Oracle(0)),
-      ("s26_routed_ivf", () => Routing.s26RoutedIvf(t, 0), Routing.s26Oracle(0)),
-    )
+
+    val corpusDir = if (repMult == 0) sfDir else {
+      val c = s"$outDir/corpus"
+      val tmp = s"$outDir/corpus_build"
+      new java.io.File(c).mkdirs()
+      ScaleSmoke.buildScaled(spark, sfDir, tmp, repMult)
+      for (tbl <- Seq("documents", "embeddings")) {
+        spark.read.parquet(s"$tmp/$tbl.parquet").coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/${tbl}_flat")
+        val part = new java.io.File(s"$tmp/${tbl}_flat").listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, Paths.get(s"$c/$tbl.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      for (tbl <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events"))
+        Files.copy(Paths.get(s"$sfDir/$tbl.parquet"), Paths.get(s"$c/$tbl.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      // drop the multi-file build dir so check.py's dump scan only sees doors
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      System.err.println(s"[routed] replica corpus at $c — point check.py's sfDir there")
+      c
+    }
+
+    def t = T(spark, corpusDir)
+    // replicate mode: registered doors as-is (the gate decides);
+    // plain mode: thresholds forced to 0 to reach the collapsed branches
+    val doors: Seq[(String, () => DataFrame, String)] =
+      if (repMult > 0)
+        Routing.defs.toSeq.sortBy(_._1).map { case (name, fn) =>
+          (name, () => fn(spark, corpusDir), Routing.oracles(name))
+        }
+      else Seq(
+        ("d30_routed_neardup", () => Routing.d30RoutedNearDup(t, 0), Routing.d30Oracle(0)),
+        ("g15_routed_rank", () => Routing.g15RoutedRank(t, 0), Routing.g15Oracle(0)),
+        ("s23_routed_clusters", () => Routing.s23RoutedClusters(t, 0), Routing.s23Oracle(0)),
+        ("d31_routed_bbit", () => Routing.d31RoutedBbit(t, 0), Routing.d31Oracle(0)),
+        ("s24_routed_ann", () => Routing.s24RoutedAnn(t, 0), Routing.s24Oracle(0)),
+        ("d32_routed_cc", () => Routing.d32RoutedCc(t, 0), Routing.d32Oracle(0)),
+        ("d33_routed_topk", () => Routing.d33RoutedTopk(t, 0), Routing.d33Oracle(0)),
+        ("s26_routed_ivf", () => Routing.s26RoutedIvf(t, 0), Routing.s26Oracle(0)),
+        ("s27_routed_ivfpq", () => Routing.s27RoutedIvfPq(t, 0), Routing.s27Oracle(0)),
+      )
     doors.foreach { case (name, fn, _) =>
       try fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>

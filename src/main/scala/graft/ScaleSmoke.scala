@@ -102,8 +102,11 @@ object ScaleSmoke {
     "d32_routed_cc", "d33_routed_topk",
     // r8 third wave — with d07/d18 routed, the re-run 120x probe named
     // s04 (fixed-k IVF probe join: queries × cell populations grow m²);
-    // its door searches the same trained index over sig representatives
-    "s26_routed_ivf")
+    // its door searches the same trained index over sig representatives.
+    // s21 shares that disease through its ADC candidate join (119.7 s at
+    // the clean 120x run, one noise-sigma under the ceiling), so it got
+    // its door in the same pass
+    "s26_routed_ivf", "s27_routed_ivfpq")
 
   /** Exact/audit arms — broadcast-the-query-set brute force (s01-shaped) or
     * declared all-pairs baselines. Excluded, named in the artifact. s16's
@@ -137,7 +140,8 @@ object ScaleSmoke {
     "g01_pagerank"          -> "g15_routed_rank",
     "d07_dedup_clusters"    -> "d32_routed_cc",
     "d18_topk_sim_join"     -> "d33_routed_topk",
-    "s04_ivf_ann"           -> "s26_routed_ivf")
+    "s04_ivf_ann"           -> "s26_routed_ivf",
+    "s21_ivfpq_ann"         -> "s27_routed_ivfpq")
 
   /** Diagnostic-by-construction arms: d25 MEASURES raw pair mass (its
     * n_pairs_before counts the full m² graph — that is the query's point),

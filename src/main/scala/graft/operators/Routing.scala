@@ -306,6 +306,26 @@ object Routing {
        SELECT * FROM (${Similarity.ivfRepsOracle}) WHERE $vecMassDuck >= $thresholdBp
        ORDER BY query_id, rk"""
 
+  /** Routed IVFADC ANN: s21 shares raw s04's disease exactly — its ADC
+    * candidate stream is the same fixed-k probe join, so it is m²-bound on
+    * a replica corpus (119.7 s at the 120× probe, one noise-σ under the
+    * ceiling — routed in the same pass as s26 rather than waiting for the
+    * flip). Above the gate the SAME two trained stages (coarse centroids +
+    * PQ codebook, full-corpus cached models) search the signature
+    * representatives: only reps are encoded, probed and reranked, so every
+    * stage after training drops the replica factor from both sides. */
+  def s27RoutedIvfPq(t: T, thresholdBp: Int = vecThresholdBp): DataFrame = {
+    graft.functions.Registry.ensure(t.spark)
+    if (vecReplicaMassBp(t.embeddings) < thresholdBp) Similarity.s21IvfPqAnn(t)
+    else Similarity.s21OverRepresentatives(t)
+  }
+
+  def s27Oracle(thresholdBp: Int = vecThresholdBp): String =
+    s"""SELECT * FROM (${Similarity.s21Oracle}) WHERE $vecMassDuck < $thresholdBp
+       UNION ALL
+       SELECT * FROM (${Similarity.s21RepsOracle}) WHERE $vecMassDuck >= $thresholdBp
+       ORDER BY query_id, rk"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d30_routed_neardup"  -> ((s, d) => d30RoutedNearDup(T(s, d))),
     "g15_routed_rank"     -> ((s, d) => g15RoutedRank(T(s, d))),
@@ -315,6 +335,7 @@ object Routing {
     "d32_routed_cc"       -> ((s, d) => d32RoutedCc(T(s, d))),
     "d33_routed_topk"     -> ((s, d) => d33RoutedTopk(T(s, d))),
     "s26_routed_ivf"      -> ((s, d) => s26RoutedIvf(T(s, d))),
+    "s27_routed_ivfpq"    -> ((s, d) => s27RoutedIvfPq(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -326,5 +347,6 @@ object Routing {
     "d32_routed_cc"       -> d32Oracle(),
     "d33_routed_topk"     -> d33Oracle(),
     "s26_routed_ivf"      -> s26Oracle(),
+    "s27_routed_ivfpq"    -> s27Oracle(),
   )
 }

@@ -391,9 +391,16 @@ object Similarity {
     * subtree (and s22's, through its IVFPQ arm), ONE definition for the
     * same sharing reason. */
   private[graft] def pqCodesPacked(t: T,
-      trained: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
+      trained: Option[Array[Array[Array[Long]]]] = None): DataFrame =
+    pqCodesPackedOf(t, t.embeddings,
+      trained.getOrElse(trainPqCodebook(t)))
+
+  /** The packed-code frame for an arbitrary vector frame — s27's collapsed
+    * gear encodes only the representatives through it. */
+  private def pqCodesPackedOf(t: T, emb: DataFrame,
+      books: Array[Array[Array[Long]]]): DataFrame = {
     graft.functions.Registry.ensure(t.spark)
-    pqAssign(pqSlices(t), trained.getOrElse(trainPqCodebook(t)))
+    pqAssign(pqSlicesOf(quantizeDf(emb)), books)
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(blk, code))), s -> s.code)")
         .as("codes"))
@@ -1102,12 +1109,13 @@ object Similarity {
   val PqK = 16
   val PqIters = 2
 
-  private def pqSlices(t: T): DataFrame = {
-    import t.spark.implicits._
-    quantized(t).select($"vec_id", explode(expr(
+  private def pqSlices(t: T): DataFrame = pqSlicesOf(quantized(t))
+
+  /** Per-block 8-dim slices of an already-quantized frame (vec_id, qe). */
+  private def pqSlicesOf(qn: DataFrame): DataFrame =
+    qn.select(col("vec_id"), explode(expr(
       s"transform(sequence(0, ${PqM - 1}), b -> struct(b AS blk, slice(qe, b * 8 + 1, 8) AS sl))")).as("x"))
-      .select($"vec_id", $"x.blk".as("blk"), $"x.sl".as("sl"))
-  }
+      .select(col("vec_id"), col("x.blk").as("blk"), col("x.sl").as("sl"))
 
   /** The trained codebook as a broadcastable relation (blk, k, cent). */
   private def pqBookDf(spark: SparkSession, books: Array[Array[Array[Long]]]): DataFrame = {
@@ -1198,13 +1206,13 @@ object Similarity {
 
   /** Per-block twin of s04's k-means CTEs, then codes, lookup tables, and
     * the two argmin arms. */
-  private def pqDuckAssign(cents: String): String =
+  private def pqDuckAssign(cents: String, src: String = "sl"): String =
     s"""(SELECT vec_id, blk, sl, k AS code FROM (
           SELECT s.vec_id, s.blk, s.sl, c.k,
                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.blk ORDER BY
                    list_sum(list_transform(range(1, 9), i ->
                      (s.sl[i] - c.c[i]) * (s.sl[i] - c.c[i]))) ASC, c.k ASC) AS rn
-          FROM sl s JOIN $cents c ON c.blk = s.blk)
+          FROM $src s JOIN $cents c ON c.blk = s.blk)
         WHERE rn = 1)"""
 
   private def pqDuckUpdate(assigned: String, prev: String): String =
@@ -1714,29 +1722,46 @@ object Similarity {
     * the identical shortlist and final ranking. Shuffle posture: codes and
     * cluster assignment partition by vec_id; the per-query work after the
     * cell probe is proportional to cell size, then k. */
-  def s21IvfPqAnn(t: T, trained: Option[Array[Array[Long]]] = None): DataFrame = {
+  def s21IvfPqAnn(t: T, trained: Option[Array[Array[Long]]] = None): DataFrame =
+    s21On(t, t.embeddings, trained)
+
+  /** s21 over the signature representatives — s27's collapsed gear: the
+    * SAME two trained stages (coarse centroids + PQ codebook, full-corpus
+    * cached models — see [[ivfAnnOn]]'s model note), with the search
+    * restricted to one vector per 32-bit hyperplane sig on corpus and
+    * query side. s21 shares raw s04's disease exactly: its ADC candidate
+    * stream is the same fixed-k probe join, m²-bound on a replica corpus
+    * (119.7 s at the 120× probe, 0.3 s under the ceiling). */
+  private[operators] def s21OverRepresentatives(t: T): DataFrame =
+    s21On(t, sigRepresentatives(t.embeddings))
+
+  /** The IVFADC search over an arbitrary vector frame (training stays
+    * corpus-level, like [[ivfAnnOn]]). */
+  private[operators] def s21On(t: T, emb: DataFrame,
+      trained: Option[Array[Array[Long]]] = None): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
     val cents = trained.getOrElse(trainIvfCentroids(t))
     val books = trainPqCodebook(t)
+    val qn = quantizeDf(emb)
     // corpus side: cluster id + the 8 PQ codes PACKED into one array per
     // vector (first s21 shape joined per-(pair, block) rows — 8× the
     // candidate stream through a shuffle+aggregate, and the 80× probe
     // ceilinged on exactly that exchange; packed, the pair stream is
     // generated by the probe join and immediately partial-aggregated, the
     // same no-pair-shuffle shape as s04)
-    val corpus = assignCluster(quantized(t), cents).select($"vec_id", $"cluster")
-      .join(pqCodesPacked(t, Some(books)), "vec_id")
+    val corpus = assignCluster(qn, cents).select($"vec_id", $"cluster")
+      .join(pqCodesPackedOf(t, emb, books), "vec_id")
     // query side: probed cells + the 128-slot ADC lookup table (d at
     // index blk*16+code), broadcast with the probe rows
-    val qlut = pqSlices(t).filter($"vec_id" % 25 === 0)
+    val qlut = pqSlicesOf(qn).filter($"vec_id" % 25 === 0)
       .join(broadcast(pqBookDf(t.spark, books)), Seq("blk"))
       .select($"vec_id".as("query_id"), $"blk", $"k",
         call_function("l2_sq", $"sl", $"cent").as("d"))
       .groupBy($"query_id")
       .agg(expr("transform(array_sort(collect_list(struct(blk, k, d))), s -> s.d)")
         .as("lut"))
-    val qside = probeClusters(quantized(t).filter($"vec_id" % 25 === 0), cents, IvfNprobe)
+    val qside = probeClusters(qn.filter($"vec_id" % 25 === 0), cents, IvfNprobe)
       .select($"vec_id".as("query_id"), explode($"probes").as("qc"))
       .join(qlut, "query_id")
     // inline ADC: 8 unrolled (codegen'd) table lookups per candidate —
@@ -1753,8 +1778,8 @@ object Similarity {
     // vectorHint — up to hundreds of MB, twice — when only shortlist ids
     // are needed). Each corpus frame is now scanned once, streamed against
     // the tiny broadcast: no corpus bytes ever leave their executors.
-    val qq = quantized(t).select($"vec_id".as("query_id"), $"qe".as("qq"))
-    val xq = quantized(t).select($"vec_id", $"qe".as("xq"))
+    val qq = qn.select($"vec_id".as("query_id"), $"qe".as("qq"))
+    val xq = qn.select($"vec_id", $"qe".as("xq"))
     val reranked = broadcast(broadcast(short).join(qq, "query_id"))
       .join(xq, "vec_id")
       .select($"query_id", $"vec_id",
@@ -1765,17 +1790,29 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
-  val s21Oracle: String =
+  val s21Oracle: String = s21OracleOn("ebp", "sl", "")
+
+  /** DuckDB twin of [[s21OverRepresentatives]]: the one training chain
+    * (coarse + PQ, full-corpus), search CTEs restricted to the signature
+    * representatives — s27's collapsed branch. */
+  private[operators] val s21RepsOracle: String = s21OracleOn("ebr", "slr",
+    s"""
+       vsigs AS (
+         SELECT vec_id,
+           list_sum(list_transform(range(0, 32), m ->
+             CASE WHEN list_sum(list_transform(range(1, 65), i ->
+               embedding[i]::DOUBLE * ((((m + 1) * 37 + i * 101) % 97 % 2) * 2 - 1))) > 0
+             THEN 1::BIGINT << m::INT ELSE 0::BIGINT END)) AS sig
+         FROM embeddings),
+       vreps AS (SELECT MIN(vec_id) AS vec_id FROM vsigs GROUP BY sig),
+       ebr AS (SELECT e.* FROM ebp e JOIN vreps USING (vec_id)),
+       slr AS (SELECT s.* FROM sl s JOIN vreps USING (vec_id)),""")
+
+  /** The IVFADC oracle over assignment/query sources `src` (64-dim rows)
+    * and `slSrc` (per-block slices); `extra` injects the sources' CTEs
+    * after the training chain. */
+  private def s21OracleOn(src: String, slSrc: String, extra: String): String =
     s"""WITH $ivfTrainCte,
-       af AS ${duckAssign("c2")},
-       probes AS (
-         SELECT vec_id, k AS cluster FROM (
-           SELECT e.vec_id, c.k,
-                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                    list_sum(list_transform(range(1, 65), i ->
-                      (e.qe[i] - c.c[i]) * (e.qe[i] - c.c[i]))) ASC, c.k ASC) AS rn
-           FROM ebp e CROSS JOIN c2 c WHERE e.vec_id % 25 = 0)
-         WHERE rn <= $IvfNprobe),
        sl AS (
          SELECT vec_id, b AS blk, qe[b * 8 + 1 : b * 8 + 8] AS sl
          FROM ebp, range(0, $PqM) r(b)),
@@ -1783,13 +1820,22 @@ object Similarity {
        pa0 AS ${pqDuckAssign("pc0")},
        pc1 AS ${pqDuckUpdate("pa0", "pc0")},
        pa1 AS ${pqDuckAssign("pc1")},
-       pc2 AS ${pqDuckUpdate("pa1", "pc1")},
-       codes AS ${pqDuckAssign("pc2")},
+       pc2 AS ${pqDuckUpdate("pa1", "pc1")},$extra
+       af AS ${duckAssign("c2", src)},
+       probes AS (
+         SELECT vec_id, k AS cluster FROM (
+           SELECT e.vec_id, c.k,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                    list_sum(list_transform(range(1, 65), i ->
+                      (e.qe[i] - c.c[i]) * (e.qe[i] - c.c[i]))) ASC, c.k ASC) AS rn
+           FROM $src e CROSS JOIN c2 c WHERE e.vec_id % 25 = 0)
+         WHERE rn <= $IvfNprobe),
+       codes AS ${pqDuckAssign("pc2", slSrc)},
        qtab AS (
          SELECT s.vec_id AS query_id, s.blk, c.k,
                 list_sum(list_transform(range(1, 9), i ->
                   (s.sl[i] - c.c[i]) * (s.sl[i] - c.c[i]))) AS d
-         FROM sl s JOIN pc2 c ON c.blk = s.blk
+         FROM $slSrc s JOIN pc2 c ON c.blk = s.blk
          WHERE s.vec_id % 25 = 0),
        cand AS (
          SELECT p.vec_id AS query_id, x.vec_id

@@ -99,6 +99,13 @@ class RoutingSpec extends SparkSpec {
     assert(ids.forall(repIds), "collapsed branch surfaced a non-representative id")
   }
 
+  test("s27: routes to raw s21 under the gate, to the representative IVFADC above it") {
+    assert(snap(Routing.s27RoutedIvfPq(t)) == snap(Similarity.s21IvfPqAnn(t)))
+    val collapsed = Routing.s27RoutedIvfPq(t, thresholdBp = 0)
+    assert(snap(collapsed) == snap(Similarity.s21OverRepresentatives(t)))
+    assert(collapsed.count() > 0)
+  }
+
   test("d33: routes to the raw band top-k under the gate, to the keeper residual top-k above it") {
     assert(snap(Routing.d33RoutedTopk(t)) == snap(Dedup.d18TopkSimJoin(t)))
     val collapsed = Routing.d33RoutedTopk(t, thresholdBp = 0)
