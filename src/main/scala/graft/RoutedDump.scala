@@ -68,12 +68,19 @@ object RoutedDump {
 
     def t = T(spark, corpusDir)
     // replicate mode: registered doors as-is (the gate decides);
-    // plain mode: thresholds forced to 0 to reach the collapsed branches
+    // plain mode: thresholds forced to 0 to reach the collapsed branches.
+    // d30 is excluded from replicate mode: its raw branch is the one full
+    // all-pairs oracle (d08 — every other door's raw gear is
+    // band-restricted), and DuckDB evaluates the mass-gated-false branch
+    // anyway, so d30 alone costs more than the rest of the ladder
+    // combined. Its gate SQL is the same docMassDuck text every doc door
+    // carries, so estimator parity is still pinned by d31/d32/d33/g15.
     val doors: Seq[(String, () => DataFrame, String)] =
       if (repMult > 0)
-        Routing.defs.toSeq.sortBy(_._1).map { case (name, fn) =>
-          (name, () => fn(spark, corpusDir), Routing.oracles(name))
-        }
+        Routing.defs.toSeq.sortBy(_._1).filterNot(_._1 == "d30_routed_neardup")
+          .map { case (name, fn) =>
+            (name, () => fn(spark, corpusDir), Routing.oracles(name))
+          }
       else Seq(
         ("d30_routed_neardup", () => Routing.d30RoutedNearDup(t, 0), Routing.d30Oracle(0)),
         ("g15_routed_rank", () => Routing.g15RoutedRank(t, 0), Routing.g15Oracle(0)),
