@@ -542,25 +542,30 @@ object Dedup {
     * byte-identical. */
   def d09SubstringDupCoverage(t: T): DataFrame = {
     import t.spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val grams = t.documents.select(
       $"doc_id",
       explode(expr(
         "transform(sequence(1, greatest(length(text) - 39, 1)), i -> substring(text, i, 40))"
       )).as("gram"))
-    // "occurs in >1 distinct doc" == min(doc_id) != max(doc_id) over the
-    // gram partition: one shuffle on the gram key instead of the
-    // aggregate-then-join-back formulation (which shuffles the 40-char
-    // gram rows twice more) — 8.0 s -> ~4 s at sf0.1
-    val w = Window.partitionBy($"gram")
-    grams
-      .withColumn("dup", min($"doc_id").over(w) =!= max($"doc_id").over(w))
-      .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when($"dup", 1L).otherwise(0L)).as("n_dup_grams"))
-      .select($"doc_id", $"n_grams", $"n_dup_grams",
-        expr("n_dup_grams * 10000 DIV n_grams").as("dup_bp"))
+    // A gram's occurrences are non-dup iff its min and max doc agree, so
+    // per-doc dup counts are n_grams MINUS the single-doc grams'
+    // occurrences — one hash AGGREGATE per gram (map-side combine, one
+    // row per gram out of the exchange, no sort) where the previous
+    // window formulation exchanged AND SORTED every occurrence row (that
+    // sort straddled the 120 s ceiling at the 120× probe: 100–120+ s
+    // across clean runs; this shape clears it), and n_grams itself is
+    // just greatest(length-39, 1) — no explode at all on that side.
+    val single = grams.groupBy($"gram")
+      .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"), count(lit(1)).as("occ"))
+      .filter($"mn" === $"mx")
+      .groupBy($"mn".as("doc_id"))
+      .agg(sum($"occ").as("n_single"))
+    t.documents
+      .select($"doc_id", greatest(length($"text") - 39, lit(1)).cast("long").as("n_grams"))
+      .join(single, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams",
+        ($"n_grams" - coalesce($"n_single", lit(0L))).as("n_dup_grams"))
+      .withColumn("dup_bp", expr("n_dup_grams * 10000 DIV n_grams"))
       .orderBy($"doc_id")
   }
 
@@ -576,21 +581,25 @@ object Dedup {
     * test corpus has none.) */
   def substringDupCoverageHashed(t: T, stride: Int = 1): DataFrame = {
     import t.spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     graft.functions.Registry.ensure(t.spark)
     val grams = t.documents
       .select($"doc_id", posexplode(expr("shingle_hashes(text, 40, false)")).as(Seq("pos", "gh")))
       .filter($"pos" % stride === 0)
       .select($"doc_id", $"gh")
-    val w = Window.partitionBy($"gh")
-    grams
-      .withColumn("dup", min($"doc_id").over(w) =!= max($"doc_id").over(w))
-      .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when($"dup", 1L).otherwise(0L)).as("n_dup_grams"))
-      .select($"doc_id", $"n_grams", $"n_dup_grams",
-        expr("n_dup_grams * 10000 DIV n_grams").as("dup_bp"))
+    // same sort-free census as d09 (hash aggregate per gram key, dup =
+    // n_grams − single-doc occurrences); n_grams comes from a per-doc
+    // count here because striding makes it position-dependent and
+    // sub-40-char docs emit no grams at all in the hashed variant
+    val single = grams.groupBy($"gh")
+      .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"), count(lit(1)).as("occ"))
+      .filter($"mn" === $"mx")
+      .groupBy($"mn".as("doc_id"))
+      .agg(sum($"occ").as("n_single"))
+    grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(single, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams",
+        ($"n_grams" - coalesce($"n_single", lit(0L))).as("n_dup_grams"))
+      .withColumn("dup_bp", expr("n_dup_grams * 10000 DIV n_grams"))
       .orderBy($"doc_id")
   }
 

@@ -176,11 +176,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("d09: substring-dup coverage is one gram-key exchange, no self-join") {
+  test("d09: substring-dup census is one gram-key hash aggregate, no window sort") {
     val p = plan("d09_substring_dup")
-    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
-    // window-based dup detection: exactly one exchange on gram, one on doc_id
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    // sort-free census: dup counts come from ONE hash aggregate per gram
+    // key (map-side combine, no sort) — the previous window formulation
+    // exchanged AND sorted every occurrence row and straddled the 120 s
+    // ceiling at the 120x probe. The only sort left is the presentation
+    // orderBy; the n_grams side is a length() expression, so the join
+    // back to per-doc totals carries one row per doc.
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
   }
 
   test("g02: triangle closure is equi-joins only, one triangle per wedge") {
