@@ -106,7 +106,13 @@ object ScaleSmoke {
     // s21 shares that disease through its ADC candidate join (119.7 s at
     // the clean 120x run, one noise-sigma under the ceiling), so it got
     // its door in the same pass
-    "s26_routed_ivf", "s27_routed_ivfpq")
+    "s26_routed_ivf", "s27_routed_ivfpq",
+    // r8 fourth wave — named by GROWTH analysis rather than a breach:
+    // d06 and d21 grow 8.2x/7.4x on 3x data (40x->120x artifacts), the
+    // m² signature, so they got their doors before the cliff (d06 is
+    // doubly bound: replica pairs are true hamming-0 OUTPUT; d21's
+    // candidate stream is m²-fat on both band tables)
+    "d34_routed_simhash", "d35_routed_incremental")
 
   /** Exact/audit arms — broadcast-the-query-set brute force (s01-shaped) or
     * declared all-pairs baselines. Excluded, named in the artifact. s16's
@@ -141,7 +147,9 @@ object ScaleSmoke {
     "d07_dedup_clusters"    -> "d32_routed_cc",
     "d18_topk_sim_join"     -> "d33_routed_topk",
     "s04_ivf_ann"           -> "s26_routed_ivf",
-    "s21_ivfpq_ann"         -> "s27_routed_ivfpq")
+    "s21_ivfpq_ann"         -> "s27_routed_ivfpq",
+    "d06_simhash_pairs"     -> "d34_routed_simhash",
+    "d21_incremental_dedup" -> "d35_routed_incremental")
 
   /** Diagnostic-by-construction arms: d25 MEASURES raw pair mass (its
     * n_pairs_before counts the full m² graph — that is the query's point),

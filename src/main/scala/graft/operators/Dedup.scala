@@ -285,11 +285,33 @@ object Dedup {
     * n/4096 of a lang at uniform spread; widen chunks for bigger corpora).
     * Exact hamming verification then touches candidates only. */
   def d06SimhashPairs(t: T): DataFrame = {
-    import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val sh = t.documents
-      .withColumn("h", expr("shingle_hashes(text, 4, false)"))
-      .select($"doc_id", $"lang", expr(simhashExpr).as("simhash"))
+    simhashPairsOn(simhashFrame(t.documents))
+  }
+
+  /** The (doc_id, lang, simhash) frame both d06 gears pair. */
+  private[graft] def simhashFrame(docs: DataFrame): DataFrame =
+    docs.withColumn("h", expr("shingle_hashes(text, 4, false)"))
+      .select(col("doc_id"), col("lang"), expr(simhashExpr).as("simhash"))
+
+  /** d06 over the simhash representatives — d34's collapsed gear: one doc
+    * per (lang, simhash) before any chunk blocking. On a replica corpus
+    * the raw gear is doubly m²-bound: replicas share their source's
+    * simhash, so the 12-bit chunk buckets grow m-fat AND every replica
+    * pair IS a true hamming-0 pair, so the verified OUTPUT itself grows
+    * m². Collapsing exact-simhash groups to their min-id keeper kills
+    * both; what remains is the hamming-1..3 residual structure between
+    * genuinely different documents. */
+  private[graft] def d06OverSimhashReps(t: T): DataFrame = {
+    graft.functions.Registry.ensure(t.spark)
+    simhashPairsOn(simhashFrame(t.documents)
+      .groupBy(col("lang"), col("simhash")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("lang"), col("simhash")))
+  }
+
+  /** The chunk-block + exact-hamming verify kernel over any simhash frame. */
+  private def simhashPairsOn(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
     val chunks = sh.select($"doc_id", $"lang", $"simhash",
       posexplode(expr("transform(sequence(0, 3), c -> (simhash >> (c * 12)) & 4095)"))
         .as(Seq("chunk", "ckey")))
@@ -316,6 +338,25 @@ object Dedup {
        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ORDER BY doc_a, doc_b"""
+
+  /** DuckDB twin of [[d06OverSimhashReps]] — d34's collapsed branch: the
+    * same sh chain folded to one doc per (lang, simhash) first, pairing
+    * stated as naive all-pairs so the hash also re-proves the chunk
+    * blocking's recall 1.0 on the rep set. */
+  private[graft] val d06RepsOracle: String =
+    s"""WITH th AS (SELECT doc_id, lang,
+         list_transform(range(1, length(text) - 2),
+           i -> ((ascii(substr(text, i::INT, 1))::BIGINT * 31 + ascii(substr(text, i::INT + 1, 1))) * 31
+                 + ascii(substr(text, i::INT + 2, 1))) * 31 + ascii(substr(text, i::INT + 3, 1))) AS h
+       FROM documents),
+       sh AS (SELECT doc_id, lang, $simhashDuck AS simhash FROM th),
+       reps AS (SELECT lang, simhash, MIN(doc_id) AS doc_id
+                FROM sh GROUP BY lang, simhash)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       FROM reps a JOIN reps b ON a.lang = b.lang AND a.doc_id < b.doc_id
        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        ORDER BY doc_a, doc_b"""
 
@@ -1142,8 +1183,31 @@ object Dedup {
     graft.functions.Registry.ensure(t.spark)
     val sigs = minhashSigTable(t.documents)
       .withColumn("m", pmod($"doc_id", lit(5)))
-    val incoming = sigs.filter($"m" === 0)
-    val index = sigs.filter($"m" =!= 0)
+    d21Probe(t, sigs.filter($"m" === 0), sigs.filter($"m" =!= 0))
+  }
+
+  /** d21 against the keeper-collapsed index — d35's collapsed gear: the
+    * index side folded to its band-ownership keepers (d29's linear
+    * collapse, computed over the index subset only) before the probe. On
+    * a replica corpus BOTH band tables grow m-fat buckets, so the
+    * candidate stream of the raw probe is m²-bound even though its output
+    * (one row per incoming doc) is linear; a production index on such a
+    * corpus stores keepers, not every replica — dup_of then names the
+    * keeper, and the match count counts keeper matches (the documented
+    * collapse trade d31/d32 carry). */
+  private[graft] def d21AgainstKeeperIndex(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val sigs = minhashSigTable(t.documents)
+      .withColumn("m", pmod($"doc_id", lit(5)))
+    val indexDocs = t.documents.filter(pmod($"doc_id", lit(5)) =!= 0)
+    d21Probe(t, sigs.filter($"m" === 0),
+      sigs.filter($"m" =!= 0).join(ownershipKeepers(indexDocs), "doc_id"))
+  }
+
+  /** The asymmetric probe kernel: incoming bands probe index bands only. */
+  private def d21Probe(t: T, incoming: DataFrame, index: DataFrame): DataFrame = {
+    import t.spark.implicits._
     val cand = bandRows(incoming, "doc_id")
       .join(bandRows(index, "idx_id"), Seq("band", "bkey"))
       .select($"doc_id", $"idx_id").distinct()
@@ -1169,6 +1233,34 @@ object Dedup {
          cand = """cand AS (
          SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS idx_id
          FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+         WHERE x.m = 0 AND y.m <> 0)""")},
+       ver AS (
+         SELECT c.doc_id, c.idx_id, ${jaccardBpDuck()} AS jaccard_bp
+         FROM cand c JOIN hs a ON a.doc_id = c.doc_id JOIN hs b ON b.doc_id = c.idx_id)
+       SELECT doc_id, COUNT(*) AS n_index_matches, MIN(idx_id) AS dup_of,
+              MAX(jaccard_bp) AS max_jaccard_bp
+       FROM ver WHERE jaccard_bp >= 8000 GROUP BY doc_id ORDER BY doc_id"""
+
+  /** DuckDB twin of [[d21AgainstKeeperIndex]] — d35's collapsed branch:
+    * the same chain with the index side folded to its band-ownership
+    * keepers (owners and kept computed over m <> 0 bands only) before the
+    * probe join. */
+  private[graft] val d21KeeperOracle: String =
+    s"""WITH ${lshBandsDuckCtes(
+         hsCols = "doc_id, doc_id % 5 AS m",
+         bandCols = "doc_id, m",
+         cand = """iowners AS (
+         SELECT b, bkey, MIN(doc_id) AS owner FROM bands WHERE m <> 0 GROUP BY 1, 2),
+       ikept AS (
+         SELECT doc_id FROM (
+           SELECT bands.doc_id, MIN(owner) AS keeper
+           FROM bands JOIN iowners ON iowners.b = bands.b AND iowners.bkey = bands.bkey
+           WHERE bands.m <> 0 GROUP BY 1)
+         WHERE keeper = doc_id),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS idx_id
+         FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+         JOIN ikept k ON k.doc_id = y.doc_id
          WHERE x.m = 0 AND y.m <> 0)""")},
        ver AS (
          SELECT c.doc_id, c.idx_id, ${jaccardBpDuck()} AS jaccard_bp

@@ -326,6 +326,48 @@ object Routing {
        SELECT * FROM (${Similarity.s21RepsOracle}) WHERE $vecMassDuck >= $thresholdBp
        ORDER BY query_id, rk"""
 
+  /** Routed SimHash pairs: raw d06 is doubly m²-bound on a replica corpus —
+    * replicas share their source's simhash, so the 12-bit chunk buckets
+    * grow m-fat AND every replica pair IS a true hamming-0 pair (the
+    * verified OUTPUT itself grows m², d08's output-bound disease plus
+    * g01's candidate disease in one shape; 8.2× growth on 3× data,
+    * 40×→120× probes). Above the gate the same chunk-block + verify
+    * kernel pairs one doc per (lang, simhash) — exact-signature groups
+    * fold to their min-id keeper, leaving the hamming-1..3 residual
+    * structure between genuinely different documents. */
+  def d34RoutedSimhash(t: T, thresholdBp: Int = defaultThresholdBp): DataFrame = {
+    graft.functions.Registry.ensure(t.spark)
+    if (docReplicaMassBp(t.documents) < thresholdBp) Dedup.d06SimhashPairs(t)
+    else Dedup.d06OverSimhashReps(t)
+  }
+
+  def d34Oracle(thresholdBp: Int = defaultThresholdBp): String =
+    s"""SELECT * FROM (${Dedup.d06Oracle}) WHERE $docMassDuck < $thresholdBp
+       UNION ALL
+       SELECT * FROM (${Dedup.d06RepsOracle}) WHERE $docMassDuck >= $thresholdBp
+       ORDER BY doc_a, doc_b"""
+
+  /** Routed incremental dedup: raw d21's OUTPUT is linear (one row per
+    * incoming doc) but its candidate stream is m²-bound on a replica
+    * corpus — band buckets grow m-fat on BOTH the probe and the index
+    * side (7.4× growth on 3× data, 40×→120× probes). Above the gate the
+    * incoming batch probes the keeper-collapsed index (d29's linear
+    * ownership collapse computed over the index subset): a production
+    * index on such a corpus stores keepers, not every replica, so dup_of
+    * names the keeper and the match count counts keeper matches — the
+    * documented collapse trade d31/d32 carry. */
+  def d35RoutedIncremental(t: T, thresholdBp: Int = defaultThresholdBp): DataFrame = {
+    graft.functions.Registry.ensure(t.spark)
+    if (docReplicaMassBp(t.documents) < thresholdBp) Dedup.d21IncrementalDedup(t)
+    else Dedup.d21AgainstKeeperIndex(t)
+  }
+
+  def d35Oracle(thresholdBp: Int = defaultThresholdBp): String =
+    s"""SELECT * FROM (${Dedup.d21Oracle}) WHERE $docMassDuck < $thresholdBp
+       UNION ALL
+       SELECT * FROM (${Dedup.d21KeeperOracle}) WHERE $docMassDuck >= $thresholdBp
+       ORDER BY doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d30_routed_neardup"  -> ((s, d) => d30RoutedNearDup(T(s, d))),
     "g15_routed_rank"     -> ((s, d) => g15RoutedRank(T(s, d))),
@@ -336,6 +378,8 @@ object Routing {
     "d33_routed_topk"     -> ((s, d) => d33RoutedTopk(T(s, d))),
     "s26_routed_ivf"      -> ((s, d) => s26RoutedIvf(T(s, d))),
     "s27_routed_ivfpq"    -> ((s, d) => s27RoutedIvfPq(T(s, d))),
+    "d34_routed_simhash"  -> ((s, d) => d34RoutedSimhash(T(s, d))),
+    "d35_routed_incremental" -> ((s, d) => d35RoutedIncremental(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -348,5 +392,7 @@ object Routing {
     "d33_routed_topk"     -> d33Oracle(),
     "s26_routed_ivf"      -> s26Oracle(),
     "s27_routed_ivfpq"    -> s27Oracle(),
+    "d34_routed_simhash"  -> d34Oracle(),
+    "d35_routed_incremental" -> d35Oracle(),
   )
 }

@@ -106,6 +106,29 @@ class RoutingSpec extends SparkSpec {
     assert(collapsed.count() > 0)
   }
 
+  test("d34: routes to raw d06 under the gate, to simhash-rep pairs above it") {
+    import spark.implicits._
+    assert(snap(Routing.d34RoutedSimhash(t)) == snap(Dedup.d06SimhashPairs(t)))
+    val collapsed = Routing.d34RoutedSimhash(t, thresholdBp = 0)
+    assert(snap(collapsed) == snap(Dedup.d06OverSimhashReps(t)))
+    // the collapsed pairs are a subset of the raw verdict restricted to
+    // representatives, and none of them is a hamming-0 (same-sig) pair
+    val raw = Dedup.d06SimhashPairs(t)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val col = collapsed.select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Long)].collect()
+    assert(col.forall { case (a, b, _) => raw.contains((a, b)) })
+    assert(col.forall(_._3 >= 1), "a same-simhash pair survived the collapse")
+  }
+
+  test("d35: routes to the raw index probe under the gate, to the keeper index above it") {
+    assert(snap(Routing.d35RoutedIncremental(t)) ==
+      snap(Dedup.d21IncrementalDedup(t)))
+    val collapsed = Routing.d35RoutedIncremental(t, thresholdBp = 0)
+    assert(snap(collapsed) == snap(Dedup.d21AgainstKeeperIndex(t)))
+    assert(collapsed.count() > 0)
+  }
+
   test("d33: routes to the raw band top-k under the gate, to the keeper residual top-k above it") {
     assert(snap(Routing.d33RoutedTopk(t)) == snap(Dedup.d18TopkSimJoin(t)))
     val collapsed = Routing.d33RoutedTopk(t, thresholdBp = 0)
