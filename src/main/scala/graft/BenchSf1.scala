@@ -30,13 +30,16 @@ object BenchSf1 {
     * so the plan artifact and the sf1 lane can never drift apart. */
   val headlineKeys: Seq[String] = PlanDump.headline
 
-  def buildSf1(spark: SparkSession, baseDir: String, outDir: String, mult: Int): Unit = {
-    // marker encodes the base dir (same ADVICE-r7 fix as ShareBench's):
-    // switching SPARK_GRAFT_SF_DIR must force a rebuild, not a stale reuse
+  /** Builds (once) the replicated lane corpus under `outRoot-<baseTag>` and
+    * returns that directory. The base tag is in the PATH, not the marker
+    * name (ADVICE r8): a fixed dir with per-base markers let an A→B→A base
+    * sequence reuse B's data under A's surviving marker. */
+  def buildSf1(spark: SparkSession, baseDir: String, outRoot: String, mult: Int): String = {
     val tag = java.util.Base64.getUrlEncoder.withoutPadding()
       .encodeToString(baseDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val marker = java.nio.file.Paths.get(s"$outDir/_GRAFT_SF1_READY_$tag")
-    if (java.nio.file.Files.exists(marker)) return
+    val outDir = s"$outRoot-$tag"
+    val marker = java.nio.file.Paths.get(s"$outDir/_GRAFT_SF1_READY")
+    if (java.nio.file.Files.exists(marker)) return outDir
     val reps = spark.range(mult.toLong).toDF("rep")
     def t(n: String): DataFrame = spark.read.parquet(s"$baseDir/$n.parquet")
     // dimensions copy as-is: 10× more business over the same reference data
@@ -65,6 +68,7 @@ object BenchSf1 {
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     ScaleSmoke.buildScaled(spark, baseDir, outDir, mult)
     java.nio.file.Files.createFile(marker)
+    outDir
   }
 
   def main(args: Array[String]): Unit = {
@@ -84,8 +88,7 @@ object BenchSf1 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dir = s"/tmp/graft-sf1/x$mult"
-    buildSf1(spark, baseDir, dir, mult)
+    val dir = buildSf1(spark, baseDir, s"/tmp/graft-sf1/x$mult", mult)
 
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val results = headlineKeys.map { name =>

@@ -27,16 +27,17 @@ import graft.sharing.{QueryJob, WorkSharingExecutor}
 object ShareBench {
 
 
-  /** Build-once 10× replica corpus for the family rows. The marker encodes
-    * the BASE dir (ADVICE r7): previously a bare _GRAFT_READY persisted
-    * across JVMs while SPARK_GRAFT_SF_DIR could change, so a bench run
-    * after switching base corpora silently reused the stale scaled corpus.
-    * A different base now means a different marker, hence a rebuild. */
+  /** Build-once 10× replica corpus for the family rows. The base tag lives
+    * in the DIRECTORY PATH (ADVICE r8): the r7 fix tagged only the marker
+    * file inside one fixed dir, so an A→B→A base sequence found A's stale
+    * marker still present next to B's data and silently reused the wrong
+    * corpus. One directory per base means a marker can only ever attest
+    * the corpus it sits beside. */
   private def scaledCorpus(spark: SparkSession, base: String): String = {
-    val dir = "/tmp/graft-share/x10"
     val tag = java.util.Base64.getUrlEncoder.withoutPadding()
       .encodeToString(base.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val marker = java.nio.file.Paths.get(s"$dir/_GRAFT_READY_$tag")
+    val dir = s"/tmp/graft-share/x10-$tag"
+    val marker = java.nio.file.Paths.get(s"$dir/_GRAFT_READY")
     if (!java.nio.file.Files.exists(marker)) {
       ScaleSmoke.buildScaled(spark, base, dir, 10)
       java.nio.file.Files.createFile(marker)

@@ -33,8 +33,9 @@ object BroadcastGate {
     * Keying on the sorted file listing rather than the dir path makes the
     * write-once convention self-enforcing: an overwritten parquet dir gets
     * fresh part-file names, hence a fresh key and an automatic recount
-    * (the staleness ADVICE r7 raised against the path-keyed model caches). */
-  private val rowCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    * (the staleness ADVICE r7 raised against the path-keyed model caches).
+    * Bounded LRU per ADVICE r8: rebuilds mint fresh keys without limit. */
+  private val rowCounts = graft.Memo.lru[String, java.lang.Long](256)
 
   private def cachedCount(base: DataFrame): Long = {
     val files = base.inputFiles

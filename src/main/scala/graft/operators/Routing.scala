@@ -51,7 +51,8 @@ object Routing {
     * on either side). */
   val vecThresholdBp = 6000
 
-  private val massCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // bounded LRU (ADVICE r8): corpus rebuilds mint fresh snapshot keys forever
+  private val massCache = graft.Memo.lru[String, java.lang.Long](256)
 
   private def memo(df: DataFrame, kind: String)(compute: => Long): Long = {
     val files = df.inputFiles

@@ -311,10 +311,11 @@ object Similarity {
     * plan-fragment caching structurally cannot cover: the repeated cost of
     * the IVF plane is these driver-side collect loops, not a cacheable
     * plan subtree. */
-  private val ivfModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
-  private val pqModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Long]]]]()
+  // Bounded LRUs (ADVICE r8): model arrays are the LARGEST snapshot-keyed
+  // entries in the JVM (KBs each), so the rebuild-accrual leak bites here
+  // first; 16 live corpora per JVM is generous for any gateway deployment.
+  private val ivfModelCache = graft.Memo.lru[String, Array[Array[Long]]](16)
+  private val pqModelCache = graft.Memo.lru[String, Array[Array[Array[Long]]]](16)
 
   /** Content-snapshot cache key: corpus dir + sorted embedding part files. */
   private def corpusKey(t: T): String = {

@@ -1573,10 +1573,12 @@ object SqlSurface {
   def q136AvroRoundtrip(t: T): DataFrame = {
     import t.spark.implicits._
     val docs = t.documents.select($"doc_id", $"lang", $"n_chars")
-    val dir = "/tmp/graft-avro-rt/" + Integer.toHexString(t.dir.hashCode)
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(t.spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.delete(path, true)
+    // private per-invocation dir (ADVICE r8): a fixed hash-of-dir path let
+    // two concurrent JVMs on one corpus race delete-vs-read, and distinct
+    // corpora could collide on String.hashCode
+    // child path: Hadoop's OutputFormat requires a not-yet-existing dir
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-rt-")
+      .resolve("out").toString
     graft.sources.AvroIO.write(docs, dir)
     graft.sources.AvroIO.read(t.spark, dir)
       .groupBy($"lang")

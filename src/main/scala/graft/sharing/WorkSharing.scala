@@ -296,7 +296,8 @@ object FragmentGate {
   val DefaultKappa = 10.0
   /** Default one-off persist-overhead floor (seconds). */
   val DefaultMinSec = 0.5
-  private val probes = new java.util.concurrent.ConcurrentHashMap[String, Probe]()
+  // bounded LRU (ADVICE r8): plan-hash keys accrue per corpus rebuild
+  private val probes = graft.Memo.lru[String, Probe](256)
 
   /** Reuse-aware verdict for a window with `n` consuming jobs. */
   def share(p: Probe, n: Int, kappa: Double, minSec: Double): Boolean =

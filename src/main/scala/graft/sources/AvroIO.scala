@@ -100,11 +100,14 @@ object AvroIO {
         fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".avro")).minBy(_.getName)
       else p
     val in = fs.open(file)
-    try {
-      val reader = new org.apache.avro.file.DataFileStream(
+    // the reader owns (and closes) the stream once constructed; if its
+    // constructor throws (non-Avro/corrupt header), close the stream here
+    // or the handle leaks (ADVICE r8)
+    val reader =
+      try new org.apache.avro.file.DataFileStream(
         in, new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
-      try reader.getSchema finally reader.close()
-    } finally if (in != null) () // DataFileStream.close closes the stream
+      catch { case e: Throwable => in.close(); throw e }
+    try reader.getSchema finally reader.close()
   }
 
   /** Read an Avro container file (or directory of them) as a DataFrame. */
