@@ -112,7 +112,10 @@ object ScaleSmoke {
     // m² signature, so they got their doors before the cliff (d06 is
     // doubly bound: replica pairs are true hamming-0 OUTPUT; d21's
     // candidate stream is m²-fat on both band tables)
-    "d34_routed_simhash", "d35_routed_incremental")
+    "d34_routed_simhash", "d35_routed_incremental",
+    // r9 — s28 bitext margin mining's candidate stream is the s02
+    // cross-side band join, so it ships with its door from day one
+    "s28_bitext_margin", "s29_routed_bitext")
 
   /** Exact/audit arms — broadcast-the-query-set brute force (s01-shaped) or
     * declared all-pairs baselines. Excluded, named in the artifact. s16's
@@ -149,7 +152,8 @@ object ScaleSmoke {
     "s04_ivf_ann"           -> "s26_routed_ivf",
     "s21_ivfpq_ann"         -> "s27_routed_ivfpq",
     "d06_simhash_pairs"     -> "d34_routed_simhash",
-    "d21_incremental_dedup" -> "d35_routed_incremental")
+    "d21_incremental_dedup" -> "d35_routed_incremental",
+    "s28_bitext_margin"     -> "s29_routed_bitext")
 
   /** Diagnostic-by-construction arms: d25 MEASURES raw pair mass (its
     * n_pairs_before counts the full m² graph — that is the query's point),

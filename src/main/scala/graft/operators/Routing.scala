@@ -369,6 +369,26 @@ object Routing {
        SELECT * FROM (${Dedup.d21KeeperOracle}) WHERE $docMassDuck >= $thresholdBp
        ORDER BY doc_id"""
 
+  /** Routed bitext margin mining: raw s28's candidate stream is the same
+    * cross-side band-bucket join as s02 — m²-bound on a replica corpus
+    * (m-fat buckets on both language sides, and every cross-side replica
+    * pair scores as a true high-margin candidate). Above the gate the SAME
+    * margin kernel (directional k-NN means, per-source argmax, 1.06 milli
+    * threshold) mines over the signature representatives — replicas fold
+    * before any pairing, so the mined pair names each side's keeper, the
+    * d31/d32 collapse trade. */
+  def s29RoutedBitext(t: T, thresholdBp: Int = vecThresholdBp): DataFrame = {
+    graft.functions.Registry.ensure(t.spark)
+    if (vecReplicaMassBp(t.embeddings) < thresholdBp) Similarity.s28BitextMargin(t)
+    else Similarity.s28OverRepresentatives(t)
+  }
+
+  def s29Oracle(thresholdBp: Int = vecThresholdBp): String =
+    s"""SELECT * FROM (${Similarity.s28Oracle}) WHERE $vecMassDuck < $thresholdBp
+       UNION ALL
+       SELECT * FROM (${Similarity.s28RepsOracle}) WHERE $vecMassDuck >= $thresholdBp
+       ORDER BY src_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d30_routed_neardup"  -> ((s, d) => d30RoutedNearDup(T(s, d))),
     "g15_routed_rank"     -> ((s, d) => g15RoutedRank(T(s, d))),
@@ -381,6 +401,7 @@ object Routing {
     "s27_routed_ivfpq"    -> ((s, d) => s27RoutedIvfPq(T(s, d))),
     "d34_routed_simhash"  -> ((s, d) => d34RoutedSimhash(T(s, d))),
     "d35_routed_incremental" -> ((s, d) => d35RoutedIncremental(T(s, d))),
+    "s29_routed_bitext"   -> ((s, d) => s29RoutedBitext(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -395,5 +416,6 @@ object Routing {
     "s27_routed_ivfpq"    -> s27Oracle(),
     "d34_routed_simhash"  -> d34Oracle(),
     "d35_routed_incremental" -> d35Oracle(),
+    "s29_routed_bitext"   -> s29Oracle(),
   )
 }

@@ -2019,6 +2019,139 @@ object Similarity {
                 THEN 1 ELSE 0 END::BIGINT AS retrain
        FROM g ORDER BY cluster"""
 
+  /** Forward/backward neighborhood size for the bitext margin (Artetxe &
+    * Schwenk use k=4 in the WikiMatrix configuration). */
+  private[graft] val BitextK = 4
+
+  /** Mining threshold in milli: margin ≥ 1.06 — the published CCMatrix
+    * operating point. */
+  private[graft] val BitextMarginMilli = 1060L
+
+  /** s28 — margin-based bitext mining (Artetxe & Schwenk, ACL 2019; the
+    * CCMatrix/WikiMatrix recipe for mining parallel translation pairs, a
+    * first-class training-data op for multilingual models). The embeddings
+    * table's `label` parity stands in for the two language sides (the
+    * corpus has no second language; parity gives two disjoint populated
+    * sides deterministically). For a cross-side candidate pair (x, y) the
+    * margin is ratio-style: cos(x,y) / mean of the two directional k-NN
+    * neighborhoods, and a pair is MINED when its margin clears 1.06 — the
+    * device that suppresses hub vectors which are merely globally close to
+    * everything.
+    *
+    * Scale shape: candidates come from the ONE hyperplane banding contract
+    * (cross-side same-bucket join, ids-only until the gated embedding
+    * rejoin — s02's plan discipline), both directional k-NN means are
+    * `topk_scored` partial aggregates over the candidate stream (no window
+    * exchange), and the per-source argmax is the same aggregate at k=1.
+    * All post-cosine arithmetic is integer (floor-bp cosines, DIV means,
+    * DIV margin) so the oracle is hash-exact. Raw kernel is m²-bound on a
+    * replica corpus exactly like s02 (the candidate stream is the
+    * disease), hence the [[graft.operators.Routing.s29RoutedBitext]] door
+    * searches signature representatives above the vector mass gate. */
+  def s28BitextMargin(t: T): DataFrame = s28On(t, t.embeddings)
+
+  /** The collapsed gear: mining over one vector per 32-bit signature —
+    * replicas fold before any pairing, the s24/s26 device. */
+  private[operators] def s28OverRepresentatives(t: T): DataFrame =
+    s28On(t, sigRepresentatives(t.embeddings))
+
+  private def s28On(t: T, emb: DataFrame): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val sb = idBandsOf(emb.filter($"label" % 2 === 0))
+      .select($"vec_id".as("src_id"), $"tbl", $"bucket")
+    val tb = idBandsOf(emb.filter($"label" % 2 === 1))
+      .select($"vec_id".as("tgt_id"), $"tbl".as("tt"), $"bucket".as("tbk"))
+    val cand = sb.join(tb, $"tbl" === $"tt" && $"bucket" === $"tbk")
+      .select($"src_id", $"tgt_id").distinct()
+    val hint = BroadcastGate.vectorHint(emb)
+    val se = emb.select($"vec_id".as("src_id"), $"embedding".as("s_emb"))
+    val te = emb.select($"vec_id".as("tgt_id"), $"embedding".as("t_emb"))
+    val scored = cand.join(hint(se), "src_id").join(hint(te), "tgt_id")
+      .select($"src_id", $"tgt_id",
+        expr("cast(floor(cosine_sim(s_emb, t_emb) * 10000) AS bigint)").as("cos_bp"))
+    // directional k-NN means over the candidate stream: one partial top-k
+    // per direction, integer mean via DIV (sum of <= k exact-integer
+    // doubles is exact, so the cast back to long is lossless)
+    def knnMean(part: String, id: String, out: String): DataFrame =
+      rankTopK(scored.withColumn("s", $"cos_bp".cast("double")), part, "s", id, BitextK)
+        .groupBy(col(part))
+        .agg(sum(col("s")).cast("long").as("ssum"), count(lit(1)).as("nn"))
+        .select(col(part), expr("ssum DIV nn").as(out))
+    val margins = scored
+      .join(knnMean("src_id", "tgt_id", "mf_bp"), "src_id")
+      .join(knnMean("tgt_id", "src_id", "mb_bp"), "tgt_id")
+      .withColumn("margin_milli",
+        expr("CASE WHEN mf_bp + mb_bp > 0 THEN cos_bp * 2000 DIV (mf_bp + mb_bp) ELSE 0L END"))
+    rankTopK(margins.withColumn("m", $"margin_milli".cast("double")),
+        "src_id", "m", "tgt_id", 1)
+      .select($"src_id", $"tgt_id")
+      .join(margins, Seq("src_id", "tgt_id"))
+      .select($"src_id", $"tgt_id", $"cos_bp", $"margin_milli",
+        expr(s"CASE WHEN margin_milli >= $BitextMarginMilli THEN 1L ELSE 0L END").as("mined"))
+      .orderBy($"src_id")
+  }
+
+  /** DuckDB twin of the s28 chain, parameterized like [[probeCandCtesFrom]]
+    * so the routed door's representative branch reuses the ONE sigs text. */
+  private[operators] def s28CtesFrom(mid: String, bandSrc: String): String =
+    s"""sigs AS (
+         SELECT vec_id, embedding,
+           list_sum(list_transform(range(0, 32), m ->
+             CASE WHEN list_sum(list_transform(range(1, 65), i ->
+               embedding[i]::DOUBLE * ((((m + 1) * 37 + i * 101) % 97 % 2) * 2 - 1))) > 0
+             THEN 1::BIGINT << m::INT ELSE 0::BIGINT END)) AS sig
+         FROM embeddings),
+       $mid
+       bands AS (
+         SELECT vec_id, t AS tbl, (sig >> (t * 8)::INT) & 255 AS bucket
+         FROM $bandSrc, range(0, 4) r(t)),
+       cand AS (
+         SELECT DISTINCT s.vec_id AS src_id, c.vec_id AS tgt_id
+         FROM bands s JOIN bands c ON s.tbl = c.tbl AND s.bucket = c.bucket
+         JOIN embeddings es ON es.vec_id = s.vec_id AND es.label % 2 = 0
+         JOIN embeddings ec ON ec.vec_id = c.vec_id AND ec.label % 2 = 1),
+       scored AS (
+         SELECT src_id, tgt_id,
+                CAST(FLOOR((${duckCos("a", "b")}) * 10000) AS BIGINT) AS cos_bp
+         FROM cand JOIN embeddings a ON a.vec_id = src_id
+                   JOIN embeddings b ON b.vec_id = tgt_id),
+       fwd AS (
+         SELECT src_id, (SUM(cos_bp) // COUNT(*))::BIGINT AS mf_bp FROM (
+           SELECT src_id, cos_bp,
+                  ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos_bp DESC, tgt_id) AS rn
+           FROM scored) f WHERE rn <= $BitextK GROUP BY src_id),
+       bwd AS (
+         SELECT tgt_id, (SUM(cos_bp) // COUNT(*))::BIGINT AS mb_bp FROM (
+           SELECT tgt_id, cos_bp,
+                  ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cos_bp DESC, src_id) AS rn
+           FROM scored) g WHERE rn <= $BitextK GROUP BY tgt_id),
+       margins AS (
+         SELECT s.src_id, s.tgt_id, s.cos_bp,
+                CASE WHEN mf_bp + mb_bp > 0
+                     THEN (s.cos_bp * 2000 // (mf_bp + mb_bp))::BIGINT
+                     ELSE 0::BIGINT END AS margin_milli
+         FROM scored s JOIN fwd USING (src_id) JOIN bwd USING (tgt_id)),
+       best AS (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin_milli DESC, tgt_id) AS rn
+         FROM margins)"""
+
+  private[operators] val s28Select: String =
+    s"""SELECT src_id, tgt_id, cos_bp, margin_milli,
+              (CASE WHEN margin_milli >= $BitextMarginMilli THEN 1 ELSE 0 END)::BIGINT AS mined
+       FROM best WHERE rn = 1 ORDER BY src_id"""
+
+  val s28Oracle: String =
+    s"""WITH ${s28CtesFrom("", "sigs")}
+       $s28Select"""
+
+  /** DuckDB twin of [[s28OverRepresentatives]] — s29's collapsed branch. */
+  private[graft] val s28RepsOracle: String =
+    s"""WITH ${s28CtesFrom(
+          "reps AS (SELECT MIN(vec_id) AS vec_id FROM sigs GROUP BY sig),",
+          "(SELECT s.* FROM sigs s JOIN reps USING (vec_id)) s2")}
+       $s28Select"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk"       -> ((s, d) => s01CosineTopK(T(s, d))),
     "s02_hyperplane_lsh"    -> ((s, d) => s02HyperplaneLsh(T(s, d))),
@@ -2043,6 +2176,7 @@ object Similarity {
     "s21_ivfpq_ann"         -> ((s, d) => s21IvfPqAnn(T(s, d))),
     "s22_mrr_eval"          -> ((s, d) => s22MrrEval(T(s, d))),
     "s25_index_drift"       -> ((s, d) => s25IndexDrift(T(s, d))),
+    "s28_bitext_margin"     -> ((s, d) => s28BitextMargin(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2069,5 +2203,6 @@ object Similarity {
     "s21_ivfpq_ann"         -> s21Oracle,
     "s22_mrr_eval"          -> s22Oracle,
     "s25_index_drift"       -> s25Oracle,
+    "s28_bitext_margin"     -> s28Oracle,
   )
 }

@@ -129,6 +129,20 @@ class RoutingSpec extends SparkSpec {
     assert(collapsed.count() > 0)
   }
 
+  test("s29: routes to raw s28 under the gate, to the representative mining above it") {
+    import spark.implicits._
+    assert(snap(Routing.s29RoutedBitext(t)) == snap(Similarity.s28BitextMargin(t)))
+    val collapsed = Routing.s29RoutedBitext(t, thresholdBp = 0)
+    assert(snap(collapsed) == snap(Similarity.s28OverRepresentatives(t)))
+    assert(collapsed.count() > 0)
+    // the rep filter reached both mining sides
+    val repIds = Similarity.sigRepresentatives(t.embeddings)
+      .select($"vec_id").as[Long].collect().toSet
+    val ids = collapsed.select($"src_id").as[Long].collect() ++
+      collapsed.select($"tgt_id").as[Long].collect()
+    assert(ids.forall(repIds), "collapsed branch surfaced a non-representative id")
+  }
+
   test("d33: routes to the raw band top-k under the gate, to the keeper residual top-k above it") {
     assert(snap(Routing.d33RoutedTopk(t)) == snap(Dedup.d18TopkSimJoin(t)))
     val collapsed = Routing.d33RoutedTopk(t, thresholdBp = 0)

@@ -7,6 +7,45 @@ class SimilaritySpec extends SparkSpec {
 
   private def t = T(spark, sfDir)
 
+  test("s28: the margin device mines the mutual pair and suppresses the hub") {
+    import spark.implicits._
+    // constructed corpus on a shared dominant axis: every vector is
+    // e0 + jitter with |jitter|_1 < 1, so no ±1 hyperplane dot can flip —
+    // all rows share ONE 32-bit sig and the candidate set is exactly the
+    // full cross-side product (banding is deterministic here, not lucky).
+    def vec(c: (Int, Float)*): Array[Float] = {
+      val a = new Array[Float](64); a(0) = 1.0f
+      c.foreach { case (i, v) => a(i) = v }; a
+    }
+    val rows = Seq(
+      (2L, vec(1 -> 0.45f), 0L), // a1 — true source (shares axis 1 with b1)
+      (4L, vec(2 -> 0.45f), 0L),
+      (6L, vec(3 -> 0.45f), 0L),
+      (8L, vec(4 -> 0.45f), 0L),
+      (1L, vec(1 -> 0.44f), 1L), // b1 — a1's translation
+      (3L, vec(5 -> 0.45f), 1L),
+      (5L, vec(6 -> 0.45f), 1L),
+      (7L, vec(7 -> 0.45f), 1L),
+      (9L, vec(), 1L))           // the hub: cos 0.9119 with EVERY source
+    val dir = java.nio.file.Files.createTempDirectory("graft-s28").toString
+    rows.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.s28BitextMargin(T(spark, dir)).collect()
+    assert(out.length == 4, s"one best pair per source: ${out.toSeq}")
+    val best = out.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    // the mutual pair clears 1.06 because both directional neighborhood
+    // means sit well under its cosine
+    assert(best(2L)._1 == 1L && best(2L)._3 == 1L, s"a1 must mine b1: $best")
+    // every filler source's best RAW cosine is the hub (0.9119 > 0.8316),
+    // but the hub's own dense backward neighborhood drags the margin to
+    // ~1.034 < 1.06 — margin, not cosine, decides what is mined
+    Seq(4L, 6L, 8L).foreach { a =>
+      assert(best(a)._1 == 9L && best(a)._3 == 0L,
+        s"hub must win on cosine yet be suppressed for $a: $best")
+    }
+  }
+
   test("s25: concentrated far-from-centroid arrivals flip exactly their cell's retrain flag") {
     import spark.implicits._
     // constructed corpus: 8 axis-anchor cells. Indexed mass (30/cell) sits
