@@ -381,6 +381,70 @@ object TextHashOps {
       }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
+
+  /** t25's per-doc Gopher repetition census (Rae et al. 2021, app. A1.1)
+    * in one pass: for n in {2, 3} over the literal single-space word split,
+    * the character mass (count × chars, internal spaces included) of the
+    * most frequent word n-gram, and the repeated mass Σ (cnt−1) × chars of
+    * every duplicated n-gram. Because the split is on the literal ' ', an
+    * n-gram joined by ' ' IS a substring of the doc — gram identity is
+    * substring equality and gram chars are code points, exactly
+    * `length(concat_ws(' ', slice(w, i, n)))`. The HOF formulation of the
+    * same census costs ~1000 boxed lambda steps per doc; the explode →
+    * groupBy(doc, gram) one shuffles two wide string rows per token (1.93×
+    * growth on 1.33× data at the 160× probe — spill, not algorithm). */
+  def gopherMasses(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val len = str.length
+    var nw = 1
+    var i = 0
+    while (i < len) { if (str.charAt(i) == ' ') nw += 1; i += 1 }
+    val starts = new Array[Int](nw)
+    val ends = new Array[Int](nw)
+    val cps = new Array[Long](nw)
+    var w = 0
+    starts(0) = 0
+    i = 0
+    while (i < len) {
+      if (str.charAt(i) == ' ') { ends(w) = i; w += 1; starts(w) = i + 1 }
+      i += 1
+    }
+    ends(w) = len
+    var k = 0
+    while (k < nw) { cps(k) = str.codePointCount(starts(k), ends(k)); k += 1 }
+
+    def masses(n: Int): (Long, Long) = {
+      if (nw < n) return (0L, 0L)
+      // value = {count, chars}: equal grams always have equal char counts
+      val m = new java.util.HashMap[String, Array[Long]]()
+      var i = 0
+      while (i + n <= nw) {
+        val key = str.substring(starts(i), ends(i + n - 1))
+        val e = m.get(key)
+        if (e == null) {
+          var cl = (n - 1).toLong
+          var j = 0
+          while (j < n) { cl += cps(i + j); j += 1 }
+          m.put(key, Array(1L, cl))
+        } else e(0) += 1L
+        i += 1
+      }
+      var top = 0L
+      var dup = 0L
+      val it = m.values().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val mass = e(0) * e(1)
+        if (mass > top) top = mass
+        if (e(0) > 1L) dup += (e(0) - 1L) * e(1)
+      }
+      (top, dup)
+    }
+    val (t2, d2) = masses(2)
+    val (t3, d3) = masses(3)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](t2, d2, t3, d3))
+  }
 }
 
 /** text -> array<long> of char-k-gram polynomial hashes. */
@@ -562,6 +626,27 @@ case class JaccardBpWords(left: Expression, right: Expression) extends BinaryExp
 /** Session registration so the expressions are usable from SQL text and
   * `expr(...)` strings: shingle_hashes(text, k, distinct), minhash_sig(h, n),
   * simhash48(h), jaccard_bp(a, b), cosine_sim(a, b). */
+/** text -> struct<top2,dup2,top3,dup3 bigint>: per-doc Gopher repetition
+  * masses (t25's census plane, one codegen'd static call per row). */
+case class GopherMasses(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = GopherMasses.resultType
+  override def inputTypes = Seq(StringType)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.gopherMasses(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.gopherMasses($c)")
+  override protected def withNewChildInternal(c: Expression): GopherMasses = copy(child = c)
+  override def prettyName: String = "gopher_masses"
+}
+
+object GopherMasses {
+  val resultType: DataType = StructType(Seq(
+    StructField("top2", LongType, nullable = false),
+    StructField("dup2", LongType, nullable = false),
+    StructField("top3", LongType, nullable = false),
+    StructField("dup3", LongType, nullable = false)))
+}
+
 object Registry {
   private def intLit(e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
@@ -589,6 +674,7 @@ object Registry {
     "bits_to_words"  -> (es => BitsToWords(es.head, intLit(es(1)))),
     "jaccard_bp_words" -> (es => JaccardBpWords(es.head, es(1))),
     "dot_d"          -> (es => DotD(es.head, es(1))),
+    "gopher_masses"  -> (es => GopherMasses(es.head)),
     "topk_longs"     -> (es => TopKLongs(es.head, intLit(es(1)))),
     "topk_scored"    -> (es => TopKScored(es.head, es(1), intLit(es(2)),
       if (es.length > 3) boolLit(es(3)) else true)),

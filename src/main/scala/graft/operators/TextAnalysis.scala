@@ -1083,37 +1083,25 @@ object TextAnalysis {
     * n-grams". `flagged` applies Gopher-calibrated cutoffs (top-2-gram
     * >20 %, top-3-gram >18 %, repeated-2-gram mass >15 %).
     *
-    * Scale shape: ONE corpus scan (both gram orders come out of one
-    * flatten-transform explode), one partial-aggregated groupBy per level —
-    * the same census plane as [[docWordCounts]], linear in corpus tokens. */
+    * Scale shape: the metric is PER-DOC, so no row of the gram stream ever
+    * needs to leave its document — the whole census is ONE codegen'd static
+    * call per row ([[graft.functions.TextHashOps.gopherMasses]]: a hash-map
+    * count pass per gram order inside the scan), zero shuffle before the
+    * output sort. The previous explode → groupBy(doc, gram) formulation
+    * shuffled two wide string-keyed rows per token and grew 1.93× on 1.33×
+    * data at the 160× probe (spill, not algorithm) — the SimHash lesson
+    * (TextExprs.scala header) applied to the word-gram census. */
   def t25GopherRepetition(t: T): DataFrame = {
     import t.spark.implicits._
-    val grams = t.documents
+    graft.functions.Registry.ensure(t.spark)
+    t.documents
       .select($"doc_id", length($"text").cast("long").as("dlen"),
-        split($"text", " ").as("w"))
-      .select($"doc_id", $"dlen", explode(expr(
-        """flatten(transform(array(2, 3), n ->
-             if(size(w) >= n,
-                transform(sequence(1, size(w) - n + 1),
-                  i -> named_struct('n', n, 'gram', concat_ws(' ', slice(w, i, n)))),
-                array())))""")).as("g"))
-      .select($"doc_id", $"dlen", $"g.n".as("n"), $"g.gram".as("gram"))
-    val perN = grams
-      .groupBy($"doc_id", $"dlen", $"n", $"gram").agg(count(lit(1)).as("cnt"))
-      .groupBy($"doc_id", $"dlen", $"n")
-      .agg(max($"cnt" * length($"gram")).cast("long").as("top_mass"),
-        sum(when($"cnt" > 1, ($"cnt" - 1) * length($"gram")).otherwise(0L))
-          .cast("long").as("dup_mass"))
-    perN.groupBy($"doc_id")
-      .agg(
-        (coalesce(max(when($"n" === 2, $"top_mass")), lit(0L)) * 10000 / max($"dlen"))
-          .cast("long").as("top2_bp"),
-        (coalesce(max(when($"n" === 3, $"top_mass")), lit(0L)) * 10000 / max($"dlen"))
-          .cast("long").as("top3_bp"),
-        (coalesce(max(when($"n" === 2, $"dup_mass")), lit(0L)) * 10000 / max($"dlen"))
-          .cast("long").as("dup2_bp"),
-        (coalesce(max(when($"n" === 3, $"dup_mass")), lit(0L)) * 10000 / max($"dlen"))
-          .cast("long").as("dup3_bp"))
+        expr("gopher_masses(text)").as("m"))
+      .select($"doc_id",
+        ($"m.top2" * 10000 / $"dlen").cast("long").as("top2_bp"),
+        ($"m.top3" * 10000 / $"dlen").cast("long").as("top3_bp"),
+        ($"m.dup2" * 10000 / $"dlen").cast("long").as("dup2_bp"),
+        ($"m.dup3" * 10000 / $"dlen").cast("long").as("dup3_bp"))
       .select($"doc_id", $"top2_bp", $"top3_bp", $"dup2_bp", $"dup3_bp",
         ($"top2_bp" > 2000 || $"top3_bp" > 1800 || $"dup2_bp" > 1500).as("flagged"))
       .orderBy($"doc_id")
