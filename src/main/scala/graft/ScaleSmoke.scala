@@ -114,8 +114,9 @@ object ScaleSmoke {
     // candidate stream is m²-fat on both band tables)
     "d34_routed_simhash", "d35_routed_incremental",
     // r9 — s28 bitext margin mining's candidate stream is the s02
-    // cross-side band join, so it ships with its door from day one
-    "s28_bitext_margin", "s29_routed_bitext")
+    // cross-side band join, so it ships with its door from day one;
+    // p32's model/score passes are the newest linear curation shape
+    "s28_bitext_margin", "s29_routed_bitext", "p32_dsir_resample")
 
   /** Exact/audit arms — broadcast-the-query-set brute force (s01-shaped) or
     * declared all-pairs baselines. Excluded, named in the artifact. s16's

@@ -1535,6 +1535,98 @@ object Pipeline {
        ORDER BY cut_bp"""
   }
 
+  /** DSIR hashed-bigram model size: 2^8 buckets, the feature-hashing trick
+    * at demo scale (the paper uses 10^4; the bucket count only moves
+    * collision rate, not the plan shape). */
+  private val DsirBuckets = 256
+  /** The target-distribution side: src0, the same holdout convention as
+    * p04/p12's contamination screens. */
+  private val DsirTarget = "src0"
+
+  /** p32 — DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score every
+    * raw-side document by how much its hashed-bigram distribution looks
+    * like the target side, then keep the top quarter. Bucket models are
+    * add-one smoothed counts over `poly_hash(bigram) mod 256` (the p12
+    * Horner family, so the DuckDB twin reproduces the exact buckets); the
+    * per-bucket log-likelihood ratio is the established integer-bit device
+    * (`length(bin(x)) − 1`, t06's surprisal), so a doc's score is the exact
+    * integer Σ count_b · llr_b and the oracle is hash-exact. Selection is
+    * the deterministic restatement of the paper's Gumbel resampling: top
+    * ceil(n/4) by (score, doc_id).
+    *
+    * Scale shape: the model pass is explode → 256-row groupBy (map-side
+    * partials collapse each partition to ≤256 rows); scoring is a broadcast
+    * join of the 256-row llr table against the gram stream folded per doc;
+    * selection is TakeOrdered (no single-partition window). Everything is
+    * linear in corpus tokens with one tiny broadcast. */
+  def p32DsirResample(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    val g = t.documents
+      .select($"doc_id", $"source", split($"text", " ").as("w"))
+      .select($"doc_id", $"source", explode(expr(
+        """CASE WHEN size(w) >= 2
+             THEN transform(sequence(1, size(w) - 1),
+                            i -> concat_ws(' ', slice(w, i, 2)))
+             ELSE array() END""")).as("gram"))
+      .select($"doc_id", $"source", expr(s"poly_hash(gram) % $DsirBuckets").as("b"))
+    val c = g.groupBy($"b").agg(
+      sum(when($"source" === DsirTarget, 1L).otherwise(0L)).as("ct"),
+      sum(when($"source" =!= DsirTarget, 1L).otherwise(0L)).as("cr"))
+    val tot = c.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
+    val llr = broadcast(c.crossJoin(broadcast(tot))
+      .select($"b",
+        (expr(s"length(bin((ct + 1) * (nr + $DsirBuckets))) - 1")
+          - expr(s"length(bin((cr + 1) * (nt + $DsirBuckets))) - 1"))
+          .cast("long").as("w")))
+    val raw = t.documents.filter($"source" =!= DsirTarget)
+    val ds = g.filter($"source" =!= DsirTarget).join(llr, "b")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"w").as("score_bits"))
+    val scored = raw.select($"doc_id")
+      .join(ds, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"score_bits", lit(0L)).as("score_bits"))
+    val k = ((raw.count() + 3) / 4).toInt
+    val top = scored.orderBy($"score_bits".desc, $"doc_id").limit(k)
+      .select($"doc_id", lit(true).as("sel"))
+    scored.join(top, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_bigrams", $"score_bits",
+        coalesce($"sel", lit(false)).as("selected"))
+      .orderBy($"doc_id")
+  }
+
+  val p32Oracle: String =
+    s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+       g AS (SELECT doc_id, source,
+               unnest(list_transform(range(1, len(ts)),
+                        i -> array_to_string(list_slice(ts, i, i + 1), ' '))) AS gram
+             FROM tok),
+       h AS (SELECT doc_id, source,
+               list_reduce([0] || list_transform(range(1, length(gram) + 1),
+                   i -> ascii(substr(gram, i::INT, 1))::BIGINT),
+                 (acc, x) -> (acc * 31 + x) % 2147483647) % $DsirBuckets AS b
+             FROM g),
+       c AS (SELECT b,
+               SUM(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END)::BIGINT AS ct,
+               SUM(CASE WHEN source <> '$DsirTarget' THEN 1 ELSE 0 END)::BIGINT AS cr
+             FROM h GROUP BY b),
+       tot AS (SELECT SUM(ct)::BIGINT AS nt, SUM(cr)::BIGINT AS nr FROM c),
+       llr AS (SELECT b, ((length(bin((ct + 1) * (nr + $DsirBuckets))) - 1)
+                      - (length(bin((cr + 1) * (nt + $DsirBuckets))) - 1))::BIGINT AS w
+               FROM c, tot),
+       ds AS (SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams, SUM(w)::BIGINT AS score_bits
+              FROM h JOIN llr USING (b) WHERE source <> '$DsirTarget' GROUP BY doc_id),
+       scored AS (SELECT d.doc_id, COALESCE(n_bigrams, 0)::BIGINT AS n_bigrams,
+                         COALESCE(score_bits, 0)::BIGINT AS score_bits
+                  FROM documents d LEFT JOIN ds USING (doc_id)
+                  WHERE d.source <> '$DsirTarget'),
+       rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score_bits DESC, doc_id) AS rn,
+                     COUNT(*) OVER () AS n FROM scored)
+       SELECT doc_id, n_bigrams, score_bits, rn <= (n + 3) // 4 AS selected
+       FROM rk ORDER BY doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_train_test_split" -> ((s, d) => p01TrainTestSplit(T(s, d))),
     "p02_text_normalize"   -> ((s, d) => p02TextNormalize(T(s, d))),
@@ -1567,6 +1659,7 @@ object Pipeline {
     "p29_curation_funnel"     -> ((s, d) => p29CurationFunnel(T(s, d))),
     "p30_filter_agreement"    -> ((s, d) => p30FilterAgreement(T(s, d))),
     "p31_code_threshold_sweep" -> ((s, d) => p31CodeThresholdSweep(T(s, d))),
+    "p32_dsir_resample"        -> ((s, d) => p32DsirResample(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1601,5 +1694,6 @@ object Pipeline {
     "p29_curation_funnel"     -> p29Oracle,
     "p30_filter_agreement"    -> p30Oracle,
     "p31_code_threshold_sweep" -> p31Oracle,
+    "p32_dsir_resample"        -> p32Oracle,
   )
 }

@@ -56,6 +56,35 @@ class CurationSpec extends SparkSpec {
     dir
   }
 
+  test("p32: raw docs that speak the target's language are the ones resampled") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-p32").toString
+    val targetText = ("alpha beta gamma delta epsilon " * 12).trim
+    val likeText = ("alpha beta gamma delta epsilon " * 10).trim
+    val junkText = ("omega sigma tau phi chi " * 10).trim
+    val docs =
+      (0L to 2L).map(i => (i, targetText, "en", "src0")) ++
+      Seq((10L, likeText, "en", "src1"), (11L, likeText, "en", "src1")) ++
+      (12L to 17L).map(i => (i, junkText, "en", "src1"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Pipeline.p32DsirResample(T(spark, dir)).collect()
+    // only the raw side is scored; k = ceil(8/4) = 2 and the two
+    // target-vocabulary docs out-score every junk doc
+    assert(out.length == 8)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    val selected = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(selected == Set(10L, 11L), s"selected $selected")
+    val likeScore = byId(10L).getLong(2)
+    val junkScore = byId(12L).getLong(2)
+    assert(likeScore > junkScore,
+      s"target-like $likeScore must out-score junk $junkScore")
+    // junk bigrams never occur on the target side: add-one smoothing puts
+    // their llr strictly negative, so the junk score is negative too
+    assert(junkScore < 0L, s"junk score $junkScore")
+  }
+
   /** Independent reimplementation of t25's mass arithmetic: sliding-window
     * word n-gram census; top = max cnt*chars, dup = sum (cnt-1)*chars. */
   private def masses(text: String, n: Int): (Long, Long) = {

@@ -207,6 +207,13 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("p32: llr model joins via broadcast; selection is TakeOrdered, no global window") {
+    val p = plan("p32_dsir_resample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("p12: bloom screen broadcasts the bit set and never misses an exact hit") {
     val p = plan("p12_bloom_contamination")
     assert(p.contains("BroadcastHashJoin"), p)
