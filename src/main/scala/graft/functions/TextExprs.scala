@@ -445,6 +445,46 @@ object TextHashOps {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](t2, d2, t3, d3))
   }
+
+  /** The CDC chunk pipeline of Dedup.cdcChunkHashes in one pass: non-empty
+    * tokens of the single-space split, each Horner-hashed (seed 7, base 31,
+    * mod 1e9+7); a token whose hash ≡ 0 (mod 8) CLOSES its chunk; each
+    * chunk's id is the number of boundaries strictly before it and its
+    * hash is the ordered (a·131+x) mod 2^31−1 fold of its token hashes.
+    * Returns array<struct<cid, chunk_hash, n_toks>> — one row per CHUNK
+    * after explode (~1/8 of the token count), where the window formulation
+    * shuffled and sorted the full token stream twice (the per-doc
+    * running-boundary window, then the collect_list re-sort). */
+  def cdcChunks(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    val out = new java.util.ArrayList[Any]()
+    var cid = 0L
+    var fold = 0L
+    var n = 0L
+    var i = 0
+    while (i <= len) {
+      var j = i
+      while (j < len && str.charAt(j) != ' ') j += 1
+      if (j > i) {
+        var h = 7L
+        var k = i
+        while (k < j) { h = (h * 31 + str.charAt(k)) % 1000000007L; k += 1 }
+        fold = (fold * 131 + h) % 2147483647L
+        n += 1L
+        if (h % 8 == 0) {
+          out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](cid, fold, n)))
+          cid += 1L; fold = 0L; n = 0L
+        }
+      }
+      i = j + 1
+    }
+    if (n > 0L)
+      out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](cid, fold, n)))
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** text -> array<long> of char-k-gram polynomial hashes. */
@@ -647,6 +687,28 @@ object GopherMasses {
     StructField("dup3", LongType, nullable = false)))
 }
 
+/** text -> array<struct<cid,chunk_hash,n_toks bigint>>: content-defined
+  * chunks (the d23/d24 pipeline front, one codegen'd call per doc). */
+case class CdcChunks(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = CdcChunks.resultType
+  override def inputTypes = Seq(StringType)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.cdcChunks(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.cdcChunks($c)")
+  override protected def withNewChildInternal(c: Expression): CdcChunks = copy(child = c)
+  override def prettyName: String = "cdc_chunks"
+}
+
+object CdcChunks {
+  val resultType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("chunk_hash", LongType, nullable = false),
+      StructField("n_toks", LongType, nullable = false))),
+    containsNull = false)
+}
+
 object Registry {
   private def intLit(e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
@@ -675,6 +737,7 @@ object Registry {
     "jaccard_bp_words" -> (es => JaccardBpWords(es.head, es(1))),
     "dot_d"          -> (es => DotD(es.head, es(1))),
     "gopher_masses"  -> (es => GopherMasses(es.head)),
+    "cdc_chunks"     -> (es => CdcChunks(es.head)),
     "topk_longs"     -> (es => TopKLongs(es.head, intLit(es(1)))),
     "topk_scored"    -> (es => TopKScored(es.head, es(1), intLit(es(2)),
       if (es.length > 3) boolLit(es(3)) else true)),

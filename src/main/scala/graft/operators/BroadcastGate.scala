@@ -77,4 +77,19 @@ object BroadcastGate {
       .map(_.toLong).getOrElse(500000L)
     if (cachedCount(base) <= limit) broadcast(_) else identity
   }
+
+  /** The same gate for derived CENSUS frames (chunk_hash → aggregate):
+    * their row count is the corpus's DISTINCT chunk count, which is
+    * constant in the replica multiplier — exactly the side a replica-heavy
+    * corpus wants broadcast, because the other side (the full chunk
+    * stream) is what grows m-fold. Counting the derived frame runs the
+    * census once; the memo keys on the corpus file snapshot + plan hash,
+    * so it is one extra linear job per (corpus, shape) per JVM — the
+    * vectorHint amortization. Rows are two longs (~50 B with overhead),
+    * hence the 4M default (~200 MB). */
+  def censusHint(census: DataFrame): DataFrame => DataFrame = {
+    val limit = census.sparkSession.conf.getOption("spark.graft.census.broadcastMaxRows")
+      .map(_.toLong).getOrElse(4000000L)
+    if (cachedCount(census) <= limit) broadcast(_) else identity
+  }
 }

@@ -1407,31 +1407,26 @@ object Dedup {
     * chunk_hash). Factored out so specs can feed synthetic edits and assert
     * the content-defined locality property directly. */
   def cdcChunkHashes(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import docs.sparkSession.implicits._
-    val toks = docs
-      .select($"doc_id",
-        posexplode(expr("filter(split(text, ' '), x -> x <> '')")).as(Seq("pos", "tok")))
-      .withColumn("h", expr(tokHashSpark("tok")))
-    // boundary tokens CLOSE their chunk: chunk id = # boundaries strictly
-    // before this position (exclusive-prefix running sum, per-doc window)
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    toks
-      .withColumn("cid", coalesce(
-        sum(when($"h" % 8 === 0, 1L).otherwise(0L)).over(w), lit(0L)))
-      .groupBy($"doc_id", $"cid")
-      .agg(expr(hashFoldSpark(
-        "transform(array_sort(collect_list(struct(pos, h))), s -> s.h)"))
-        .as("chunk_hash"),
-        count(lit(1)).as("n_toks"))
+    graft.functions.Registry.ensure(docs.sparkSession)
+    // chunking is PER-DOC: one codegen'd cdc_chunks call per row (the t25
+    // census lesson) — the prior formulation shuffled+sorted the full
+    // token stream twice (per-doc boundary window, then the collect_list
+    // re-sort) and its wall-clock swung 2x run-to-run at the 160x probe
+    docs.select($"doc_id", explode(expr("cdc_chunks(text)")).as("c"))
+      .select($"doc_id", $"c.cid".as("cid"), $"c.chunk_hash".as("chunk_hash"),
+        $"c.n_toks".as("n_toks"))
   }
 
   def d23CdcChunks(t: T): DataFrame = {
     import t.spark.implicits._
     val chunks = cdcChunkHashes(t.documents.select($"doc_id", $"text"))
     val census = chunks.groupBy($"chunk_hash").agg(count(lit(1)).as("n_copies"))
-    chunks.join(census, "chunk_hash")
+    // the census has one row per DISTINCT chunk — constant in the replica
+    // multiplier — so above the gate it broadcasts and the m-growing chunk
+    // stream never shuffles; per-doc aggregation is then map-side partial
+    val hint = BroadcastGate.censusHint(census)
+    chunks.join(hint(census), "chunk_hash")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when($"n_copies" > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
@@ -1905,12 +1900,17 @@ object Dedup {
     * partitioned by chunk_hash + one per-doc rollup — all keyed shuffles on
     * ids/hashes, never pairs. */
   def d24ChunkDedupRewrite(t: T): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import t.spark.implicits._
     val chunks = cdcChunkHashes(t.documents.select($"doc_id", $"text"))
-    val keeperW = Window.partitionBy($"chunk_hash").orderBy($"doc_id", $"cid")
+    // keeper = lexicographic MIN (doc_id, cid) per chunk hash — the same
+    // election row_number() picked, as a partial-aggregated census that
+    // broadcasts above the gate instead of window-sorting the chunk stream
+    val keepers = chunks.groupBy($"chunk_hash")
+      .agg(min(struct($"doc_id", $"cid")).as("k"))
+    val hint = BroadcastGate.censusHint(keepers)
     chunks
-      .withColumn("keep", row_number().over(keeperW) === 1)
+      .join(hint(keepers), "chunk_hash")
+      .withColumn("keep", $"doc_id" === $"k.doc_id" && $"cid" === $"k.cid")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
