@@ -1560,10 +1560,11 @@ object Pipeline {
     * join of the 256-row llr table against the gram stream folded per doc;
     * selection is TakeOrdered (no single-partition window). Everything is
     * linear in corpus tokens with one tiny broadcast. */
-  def p32DsirResample(t: T): DataFrame = {
-    import t.spark.implicits._
-    graft.functions.Registry.ensure(t.spark)
-    val g = t.documents
+  /** The hashed-bigram stream of a documents frame: one row per bigram
+    * occurrence, bucketed by the p12 Horner hash. */
+  private def dsirBigramBuckets(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", $"source", split($"text", " ").as("w"))
       .select($"doc_id", $"source", explode(expr(
         """CASE WHEN size(w) >= 2
@@ -1571,17 +1572,51 @@ object Pipeline {
                             i -> concat_ws(' ', slice(w, i, 2)))
              ELSE array() END""")).as("gram"))
       .select($"doc_id", $"source", expr(s"poly_hash(gram) % $DsirBuckets").as("b"))
-    val c = g.groupBy($"b").agg(
-      sum(when($"source" === DsirTarget, 1L).otherwise(0L)).as("ct"),
-      sum(when($"source" =!= DsirTarget, 1L).otherwise(0L)).as("cr"))
-    val tot = c.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
-    val llr = broadcast(c.crossJoin(broadcast(tot))
-      .select($"b",
-        (expr(s"length(bin((ct + 1) * (nr + $DsirBuckets))) - 1")
-          - expr(s"length(bin((cr + 1) * (nt + $DsirBuckets))) - 1"))
-          .cast("long").as("w")))
+  }
+
+  /** The trained DSIR model: per-bucket integer-bit llr, collected to the
+    * driver (256 longs — smaller than an IVF centroid set) and memoized per
+    * corpus file snapshot like the other trained models, so the scoring
+    * pass carries it as a plan literal instead of recomputing the census
+    * for every action that consumes the scored frame. */
+  private val dsirModels = graft.Memo.lru[String, Array[Long]](64)
+
+  private def dsirLlr(docs: DataFrame): Array[Long] = {
+    def train(): Array[Long] = {
+      import docs.sparkSession.implicits._
+      val rows = dsirBigramBuckets(docs).groupBy($"b").agg(
+          sum(when($"source" === DsirTarget, 1L).otherwise(0L)).as("ct"),
+          sum(when($"source" =!= DsirTarget, 1L).otherwise(0L)).as("cr"))
+        .collect().map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
+      val ct = new Array[Long](DsirBuckets)
+      val cr = new Array[Long](DsirBuckets)
+      rows.foreach { case (b, t, r) => ct(b) = t; cr(b) = r }
+      val nt = ct.sum + DsirBuckets
+      val nr = cr.sum + DsirBuckets
+      def ilog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+      Array.tabulate(DsirBuckets)(b =>
+        ilog2((ct(b) + 1) * nr) - ilog2((cr(b) + 1) * nt))
+    }
+    val files = docs.inputFiles
+    if (files.isEmpty) train()
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update("dsir".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      files.sorted.foreach(f => md.update(f.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      dsirModels.computeIfAbsent(
+        java.util.Base64.getEncoder.encodeToString(md.digest()), _ => train())
+    }
+  }
+
+  def p32DsirResample(t: T): DataFrame = {
+    import t.spark.implicits._
+    graft.functions.Registry.ensure(t.spark)
+    // scoring pass: per-gram llr via a 256-slot literal lookup — one scan,
+    // no joins, map-side partials fold each doc before the exchange
+    val llrLit = dsirLlr(t.documents).mkString("array(", "L, ", "L)")
     val raw = t.documents.filter($"source" =!= DsirTarget)
-    val ds = g.filter($"source" =!= DsirTarget).join(llr, "b")
+    val ds = dsirBigramBuckets(raw)
+      .select($"doc_id", expr(s"element_at($llrLit, int(b) + 1)").as("w"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"w").as("score_bits"))
     val scored = raw.select($"doc_id")

@@ -207,11 +207,15 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("p32: llr model joins via broadcast; selection is TakeOrdered, no global window") {
+  test("p32: llr scores via a plan literal (no model join); selection is TakeOrdered, no global window") {
     val p = plan("p32_dsir_resample")
+    // the trained 256-bucket llr rides in the projection as an array
+    // literal, so the scoring pass has NO join before the per-doc fold;
+    // the remaining joins (empty-doc totality, top-k flag) broadcast
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("p12: bloom screen broadcasts the bit set and never misses an exact hit") {
