@@ -1,9 +1,9 @@
 package graft
 
-/** Bounded JVM-wide memo maps (ADVICE r8).
+/** Bounded JVM-wide memo maps (ADVICE r8, lock scope narrowed r10).
   *
   * The snapshot-keyed caches (replica-mass estimates, broadcast-gate row
-  * counts, fragment-probe verdicts, trained IVF/PQ models) key on a
+  * counts, fragment-probe verdicts, trained IVF/PQ/DSIR models) key on a
   * corpus's leaf-file listing, so a long-lived gateway JVM that repeatedly
   * rebuilds corpora accumulates one entry per (rebuild, estimator) without
   * bound. Each entry is small, but "small × forever" is still a leak — so
@@ -12,13 +12,76 @@ package graft
   */
 object Memo {
 
-  /** Access-ordered LRU capped at `max` entries, wrapped for thread safety
-    * (`Collections.synchronizedMap` synchronizes the Java-8 default methods
-    * — `computeIfAbsent`/`putIfAbsent` — on the same mutex). */
-  def lru[K, V](max: Int): java.util.Map[K, V] =
-    java.util.Collections.synchronizedMap(
+  /** Access-ordered LRU capped at `max` entries.
+    *
+    * Thread safety: every map access holds a single mutex, but
+    * `computeIfAbsent` runs the mapping body OUTSIDE it — the memoized
+    * computations are multi-second Spark jobs (broadcast-gate counts,
+    * IVF/PQ/DSIR training), and a map-wide mutex held across one would
+    * serialize unrelated keys JVM-wide in exactly the concurrent-gateway
+    * scenario the bound targets. The trade is the standard one: two racing
+    * first-touches of the SAME key may both compute; `putIfAbsent` keeps
+    * the winner so every caller still sees one stable value.
+    */
+  def lru[K, V](max: Int): java.util.Map[K, V] = new LruMap[K, V](max)
+
+  /** Stable memo key for a file-backed frame: MD5 over tag + the analyzed
+    * plan's semanticHash + the sorted leaf-file snapshot. None when the
+    * frame reads no files (no stable snapshot to key on — caller computes
+    * uncached). The plan hash keeps a frame DERIVED from the same files
+    * (a filter, a projection, a replication) from silently reusing the
+    * base frame's entry (ADVICE r9); the file listing rather than the dir
+    * path makes the write-once convention self-enforcing — an overwritten
+    * parquet dir gets fresh part-file names, hence a fresh key. */
+  def snapshotKey(df: org.apache.spark.sql.DataFrame, tag: String): Option[String] = {
+    val files = df.inputFiles
+    if (files.isEmpty) None
+    else {
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(tag.getBytes(utf8))
+      md.update(df.queryExecution.analyzed.canonicalized.semanticHash().toString.getBytes(utf8))
+      files.sorted.foreach(f => md.update(f.getBytes(utf8)))
+      Some(java.util.Base64.getEncoder.encodeToString(md.digest()))
+    }
+  }
+
+  private final class LruMap[K, V](max: Int) extends java.util.AbstractMap[K, V] {
+    private[this] val inner =
       new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
         override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
           size() > max
-      })
+      }
+    private[this] val lock = new Object
+
+    override def get(key: Any): V = lock.synchronized(inner.get(key))
+    override def put(key: K, value: V): V = lock.synchronized(inner.put(key, value))
+    override def putIfAbsent(key: K, value: V): V =
+      lock.synchronized(inner.putIfAbsent(key, value))
+    override def remove(key: Any): V = lock.synchronized(inner.remove(key))
+    override def containsKey(key: Any): Boolean =
+      lock.synchronized(inner.containsKey(key))
+    override def size(): Int = lock.synchronized(inner.size())
+    override def clear(): Unit = lock.synchronized(inner.clear())
+
+    override def computeIfAbsent(
+        key: K, f: java.util.function.Function[_ >: K, _ <: V]): V = {
+      val existing = lock.synchronized(inner.get(key))
+      if (existing != null) existing
+      else {
+        val computed = f.apply(key) // outside the lock — may run Spark jobs
+        if (computed == null) computed
+        else {
+          val prior = lock.synchronized(inner.putIfAbsent(key, computed))
+          if (prior != null) prior else computed
+        }
+      }
+    }
+
+    /** Snapshot view for iteration/debug; not a live view, which is fine
+      * for memo caches that are only ever read point-wise. */
+    override def entrySet(): java.util.Set[java.util.Map.Entry[K, V]] =
+      lock.synchronized(
+        new java.util.LinkedHashSet[java.util.Map.Entry[K, V]](inner.entrySet()))
+  }
 }

@@ -37,20 +37,14 @@ object BroadcastGate {
     * Bounded LRU per ADVICE r8: rebuilds mint fresh keys without limit. */
   private val rowCounts = graft.Memo.lru[String, java.lang.Long](256)
 
-  private def cachedCount(base: DataFrame): Long = {
-    val files = base.inputFiles
-    if (files.isEmpty) base.count() // non-file relation: no stable snapshot to key on
-    else {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      // plan hash too: a frame DERIVED from the same files (a filter, a
-      // replication) must not reuse the base table's cached count
-      md.update(base.queryExecution.analyzed.canonicalized.semanticHash().toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      files.sorted.foreach(f => md.update(f.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      rowCounts.computeIfAbsent(
-        java.util.Base64.getEncoder.encodeToString(md.digest()), _ => base.count())
+  private def cachedCount(base: DataFrame): Long =
+    // plan hash in the key too (via snapshotKey): a frame DERIVED from the
+    // same files (a filter, a replication) must not reuse the base table's
+    // cached count
+    graft.Memo.snapshotKey(base, "count") match {
+      case None      => base.count() // non-file relation: no stable snapshot to key on
+      case Some(key) => rowCounts.computeIfAbsent(key, _ => base.count())
     }
-  }
 
   /** One decision per pipeline: returns the broadcast hint or identity,
     * from ONE (memoized) count of `base` (pass the narrowest stable proxy

@@ -54,21 +54,13 @@ object Routing {
   // bounded LRU (ADVICE r8): corpus rebuilds mint fresh snapshot keys forever
   private val massCache = graft.Memo.lru[String, java.lang.Long](256)
 
-  private def memo(df: DataFrame, kind: String)(compute: => Long): Long = {
-    val files = df.inputFiles
-    if (files.isEmpty) compute // non-file relation: no stable snapshot to key on
-    else {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.update(kind.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // plan hash too: a frame DERIVED from the same files must not reuse
-      // the base table's cached mass
-      md.update(df.queryExecution.analyzed.canonicalized.semanticHash().toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      files.sorted.foreach(f => md.update(f.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      massCache.computeIfAbsent(
-        java.util.Base64.getEncoder.encodeToString(md.digest()), _ => compute)
+  private def memo(df: DataFrame, kind: String)(compute: => Long): Long =
+    // plan hash in the key too (via snapshotKey): a frame DERIVED from the
+    // same files must not reuse the base table's cached mass
+    graft.Memo.snapshotKey(df, kind) match {
+      case None      => compute // non-file relation: no stable snapshot to key on
+      case Some(key) => massCache.computeIfAbsent(key, _ => compute)
     }
-  }
 
   /** Replica mass of a document corpus in bp — d01's exact-key census
     * folded to one scalar: (n − distinct keys) · 10000 / n. */
@@ -167,9 +159,44 @@ object Routing {
   def d31RoutedBbit(t: T, thresholdBp: Int = defaultThresholdBp): DataFrame = {
     graft.functions.Registry.ensure(t.spark)
     if (docReplicaMassBp(t.documents) < thresholdBp) Dedup.d22BbitMinhash(t)
-    else Dedup.bbitScoreOnPairs(t.spark,
-      t.documents.join(Dedup.ownershipKeepers(t.documents), "doc_id"),
-      Dedup.d29FrontCollapsePairs(t, 4200))
+    else {
+      // ONE keeper election, materialized (ids only — tiny), shared by the
+      // kept-docs frame and the residual-pair kernel: the naive composition
+      // evaluated ownershipKeepers twice — two full-corpus shingle+minhash
+      // passes — which made this the slowest door at 160× (42.4 s,
+      // VERDICT r9 wrong-#3)
+      val keepers = Dedup.ownershipKeepers(t.documents).localCheckpoint()
+      val kept = t.documents.join(keepers, "doc_id")
+      Dedup.bbitScoreOnPairs(t.spark, kept, Dedup.prefixJaccardPairs(kept, 4200))
+    }
+  }
+
+  /** The d30 discipline as a COMPOSABLE stage (VERDICT r9 missing-2):
+    * near-dup keeper ids over an arbitrary document frame, gear chosen by
+    * the CORPUS's replica mass. The gate measures the front-door corpus,
+    * not the stage input, because p29 feeds this its exact-dedup
+    * SURVIVORS — a frame whose replica mass is zero BY CONSTRUCTION (the
+    * estimator's 64-char-prefix key IS the exact-dedup key), so gating on
+    * the stage input could never fire; the corpus verdict is also the one
+    * decision all sibling stages share (one linear job, memoized).
+    *
+    * Raw gear: d04 LSH pairs → CC → d12 longest-doc keeper (p29's
+    * historical stage). Collapsed gear: d29's bucket-ownership collapse
+    * FIRST (linear — no pair enumeration over replica clusters), then the
+    * same CC+keeper over the residual prefix-filter pairs among ownership
+    * keepers only. On a replica-heavy corpus the collapsed keeper is the
+    * bucket owner (first arrival) rather than the longest member — the
+    * documented d31/d32 collapse trade, proven in spec. */
+  def nearDupKeepers(corpus: DataFrame, docs: DataFrame,
+      thresholdBp: Int = defaultThresholdBp): DataFrame = {
+    graft.functions.Registry.ensure(docs.sparkSession)
+    if (docReplicaMassBp(corpus) < thresholdBp)
+      Dedup.keeperIdsOf(docs, Dedup.lshPairs(docs))
+    else {
+      val keepers = Dedup.ownershipKeepers(docs).localCheckpoint()
+      val kept = docs.join(keepers, "doc_id")
+      Dedup.keeperIdsOf(kept, Dedup.prefixJaccardPairs(kept, 8000))
+    }
   }
 
   /** Collapsed branch: d29's kept set + implementation-independent

@@ -1570,6 +1570,23 @@ object SqlSurface {
     * is lossless — the strongest check available with no Avro support in
     * the oracle engine (reference example surface:
     * sparksql-server/examples/src/main/resources/users.avro). */
+  /** Temp roots created by q136 in this JVM, removed at exit (ADVICE r9:
+    * per-invocation dirs fixed the r8 delete-vs-read race but accreted in
+    * /tmp without bound). Deletion must wait for JVM exit — the DataFrame
+    * q136 returns reads the Avro dir lazily, so an eager delete of a prior
+    * invocation's dir could race a still-pending read. */
+  private val avroTempRoots =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.nio.file.Path]())
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      avroTempRoots.forEach { root =>
+        try {
+          java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: java.io.IOException => () }
+      }))
+  }
+
   def q136AvroRoundtrip(t: T): DataFrame = {
     import t.spark.implicits._
     val docs = t.documents.select($"doc_id", $"lang", $"n_chars")
@@ -1577,8 +1594,9 @@ object SqlSurface {
     // two concurrent JVMs on one corpus race delete-vs-read, and distinct
     // corpora could collide on String.hashCode
     // child path: Hadoop's OutputFormat requires a not-yet-existing dir
-    val dir = java.nio.file.Files.createTempDirectory("graft-avro-rt-")
-      .resolve("out").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-avro-rt-")
+    avroTempRoots.add(root)
+    val dir = root.resolve("out").toString
     graft.sources.AvroIO.write(docs, dir)
     graft.sources.AvroIO.read(t.spark, dir)
       .groupBy($"lang")

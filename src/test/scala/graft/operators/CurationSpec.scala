@@ -85,6 +85,117 @@ class CurationSpec extends SparkSpec {
     assert(junkScore < 0L, s"junk score $junkScore")
   }
 
+  /** Replica-heavy corpus for the routed near-dedup stage: three byte
+    * replicas push the 64-char-prefix mass to 4000 bp (≥ the 2000 bp
+    * gate), and one near-dup pair (4, 5) differs INSIDE the first 64 chars
+    * so exact dedup keeps both and the gear choice decides its keeper —
+    * raw keeps the LONGEST member (doc 5), the collapsed gear keeps the
+    * bucket OWNER (doc 4, first arrival). */
+  private lazy val replicaDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-routedfunnel").toString
+    val base = ("the heavy analytics engine and the storage layer stream rows " +
+      "into a merge sort while the planner is folding constants and pruning " +
+      "columns for every scan stage under a shared cost model with stats " +
+      "and the executor keeps a partial aggregate in the hash table so the " +
+      "exchange only carries one row per group while the broadcast side is " +
+      "pinned in memory and every probe of the join is a constant lookup " +
+      "against the built relation with no spill and no sort of the rows").trim
+    val other = ("a compact vector index keeps the centroid table in memory and is " +
+      "probing only the nearest buckets while the reranker is scoring the " +
+      "candidates with exact distances over the quantized codes and the " +
+      "planner is reading the stats to prune every partition of the scan").trim
+    val rows = Seq(
+      (100L, "the frozen benchmark suite holds out a fixed evaluation set of " +
+        "questions and answers that no training document may quote", "en", "src0"),
+      // three byte replicas -> mass (5-3)/5 = 4000 bp over the train side
+      (1L, other, "en", "src1"), (2L, other, "en", "src1"), (3L, other, "en", "src1"),
+      // near pair: one-word edit inside the first 64 chars, doc 5 longer
+      (4L, base, "en", "src1"),
+      (5L, base.replace("heavy", "heavier"), "en", "src1"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("routed near-dedup stage: the gear flips on replica mass, keeper identity proves it") {
+    import spark.implicits._
+    val t = T(spark, replicaDir)
+    assert(Routing.docReplicaMassBp(t.documents) >= Routing.defaultThresholdBp)
+    val eDocs = t.documents.filter($"source" =!= "src0")
+      .select($"doc_id", $"text", $"n_chars")
+      // exact-collapsed survivors, as p29 feeds the stage
+      .filter($"doc_id".isin(1L, 4L, 5L))
+    // raw gear (gate forced out of reach): longest member of the near pair
+    val raw = Routing.nearDupKeepers(t.documents, eDocs, thresholdBp = 1000000)
+      .collect().map(_.getLong(0)).toSet
+    assert(raw == Set(1L, 5L), s"raw kept $raw")
+    // default gate: collapsed gear -> bucket owner (first arrival) wins
+    val routed = Routing.nearDupKeepers(t.documents, eDocs)
+      .collect().map(_.getLong(0)).toSet
+    assert(routed == Set(1L, 4L), s"routed kept $routed")
+  }
+
+  test("p29 funnel inherits the routed stage: near-dedup tokens are the OWNER's on a replica corpus") {
+    import spark.implicits._
+    val t = T(spark, replicaDir)
+    val out = Pipeline.p29CurationFunnel(t).collect()
+      .map(r => r.getString(1) -> r).toMap
+    val tok: Long => Long = id => t.documents.filter($"doc_id" === id)
+      .select(size(split($"text", " ")).cast("long")).head().getLong(0)
+    assert(out("raw").getLong(2) === 5L)
+    assert(out("exact_dedup").getLong(2) === 3L) // {1, 4, 5}
+    assert(out("near_dedup").getLong(2) === 2L)
+    // doc 4 (owner), NOT doc 5 (longest) — the collapsed gear decided
+    assert(out("near_dedup").getLong(3) === tok(1L) + tok(4L),
+      s"near_dedup tokens ${out("near_dedup").getLong(3)} != ${tok(1L)} + ${tok(4L)}")
+  }
+
+  test("p32: k stays a Long — no Int truncation past 8.6B docs (VERDICT r9 #1)") {
+    assert(Pipeline.dsirK(0L) === 0L)
+    assert(Pipeline.dsirK(1L) === 1L)
+    assert(Pipeline.dsirK(8L) === 2L)
+    assert(Pipeline.dsirK(9L) === 3L)
+    // the old ((n + 3) / 4).toInt wrapped here: 10 B docs -> k 2.5 B > Int.MaxValue
+    assert(Pipeline.dsirK(10000000000L) === 2500000000L)
+    // and no n + 3 wrap at the extreme either
+    assert(Pipeline.dsirK(Long.MaxValue) === Long.MaxValue / 4 + 1)
+  }
+
+  test("p32: radix descent finds exact order statistics, any sign, with duplicates") {
+    import spark.implicits._
+    val vals: Seq[Long] = Seq(-9000000000L, -12L, -12L, 0L, 3L, 3L, 3L,
+      17L, 255L, 65536L, 4294967296L, Long.MaxValue, Long.MinValue)
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    for (j <- 1 to sorted.length)
+      assert(Pipeline.kthSmallestLong(df, j.toLong) === sorted(j - 1),
+        s"rank $j")
+  }
+
+  test("p32: cutoff inside a tie group breaks ties by smallest doc_id") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-p32-tie").toString
+    val targetText = ("alpha beta gamma delta epsilon " * 12).trim
+    val likeText = ("alpha beta gamma delta epsilon " * 10).trim
+    val junkText = ("omega sigma tau phi chi " * 10).trim
+    // 1 target-like + 7 identically-scored junk docs: k = ceil(8/4) = 2, so
+    // the cutoff lands INSIDE the junk tie group and exactly one junk doc
+    // is taken — the smallest doc_id, per the oracle's (score desc, doc_id)
+    val docs =
+      (0L to 2L).map(i => (i, targetText, "en", "src0")) ++
+      Seq((30L, likeText, "en", "src1")) ++
+      (31L to 37L).map(i => (i, junkText, "en", "src1"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Pipeline.p32DsirResample(T(spark, dir)).collect()
+    assert(out.length == 8)
+    val selected = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(selected == Set(30L, 31L), s"selected $selected")
+  }
+
   /** Independent reimplementation of t25's mass arithmetic: sliding-window
     * word n-gram census; top = max cnt*chars, dup = sum (cnt-1)*chars. */
   private def masses(text: String, n: Int): (Long, Long) = {

@@ -207,13 +207,15 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("p32: llr scores via a plan literal (no model join); selection is TakeOrdered, no global window") {
+  test("p32: llr scores via a plan literal (no model join); selection is a predicate, no single-partition top-k") {
     val p = plan("p32_dsir_resample")
     // the trained 256-bucket llr rides in the projection as an array
     // literal, so the scoring pass has NO join before the per-doc fold;
-    // the remaining joins (empty-doc totality, top-k flag) broadcast
+    // the remaining join (empty-doc totality) broadcasts
     assert(p.contains("BroadcastHashJoin"), p)
-    assert(p.contains("TakeOrderedAndProject"), p)
+    // VERDICT r9 #1: selection is the census-derived rank-threshold
+    // PREDICATE — no quarter-corpus TakeOrdered funnel, no global window
+    assert(!p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Window"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
