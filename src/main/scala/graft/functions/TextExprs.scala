@@ -455,6 +455,83 @@ object TextHashOps {
     * after explode (~1/8 of the token count), where the window formulation
     * shuffled and sorted the full token stream twice (the per-doc
     * running-boundary window, then the collect_list re-sort). */
+  /** text + llr table -> (n_bigrams, score_bits): the p32 DSIR scoring
+    * pass in one call (t25's census device on the bigram plane). Tokens
+    * are the single-space split with empty fields kept (split()'s
+    * contract); each consecutive pair's gram string w_i + ' ' + w_{i+1}
+    * is EXACTLY the source span from token i's start to token i+1's end,
+    * so the hash ([[polyHash]]'s Horner base 31 mod P per UTF-16 char)
+    * runs over the original string with zero allocation per gram. Bucket
+    * = hash mod llr.length; score = Σ llr(bucket). Matches the
+    * explode → element_at lookup → sum pipeline bit for bit. */
+  def bigramBucketScore(s: UTF8String, llr: Array[Long]): InternalRow = {
+    val str = s.toString
+    val len = str.length
+    var nw = 1
+    var i = 0
+    while (i < len) { if (str.charAt(i) == ' ') nw += 1; i += 1 }
+    if (nw < 2)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L))
+    val starts = new Array[Int](nw)
+    val ends = new Array[Int](nw)
+    var w = 0
+    starts(0) = 0
+    i = 0
+    while (i < len) {
+      if (str.charAt(i) == ' ') { ends(w) = i; w += 1; starts(w) = i + 1 }
+      i += 1
+    }
+    ends(w) = len
+    val buckets = llr.length
+    var score = 0L
+    var g = 0
+    while (g < nw - 1) {
+      var h = 0L
+      var j = starts(g)
+      val e = ends(g + 1)
+      while (j < e) { h = (h * 31 + str.charAt(j)) % P; j += 1 }
+      score += llr((h % buckets).toInt)
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any]((nw - 1).toLong, score))
+  }
+
+  /** text + stopword set -> (n_tok, max_freq, n_stop): the quality-cascade
+    * token census (p11/p29/p30's shared stage-1 frame) in one call. Tokens
+    * are the single-space split with empty fields kept, matching
+    * explode(split(text, ' ')): n_tok counts ALL tokens (the empty token
+    * groups too), max_freq is the modal token's count, n_stop counts exact
+    * stoplist membership — the integer arithmetic of the explode →
+    * groupBy(doc, tok) → groupBy(doc) pipeline without its corpus-tokens
+    * exchange or the boxed IN-filter lambda. */
+  def qualityCensus(s: UTF8String, stops: java.util.HashSet[String]): InternalRow = {
+    val str = s.toString
+    val counts = new java.util.HashMap[String, Array[Long]]()
+    var nTok = 0L
+    var nStop = 0L
+    var start = 0
+    var i = 0
+    val len = str.length
+    while (i <= len) {
+      if (i == len || str.charAt(i) == ' ') {
+        val tok = str.substring(start, i)
+        nTok += 1L
+        if (stops.contains(tok)) nStop += 1L
+        val e = counts.get(tok)
+        if (e == null) counts.put(tok, Array(1L)) else e(0) += 1L
+        start = i + 1
+      }
+      i += 1
+    }
+    var maxFreq = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next()(0); if (c > maxFreq) maxFreq = c }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, maxFreq, nStop))
+  }
+
   def cdcChunks(s: UTF8String): ArrayData = {
     val str = s.toString
     val len = str.length
@@ -709,6 +786,109 @@ object CdcChunks {
     containsNull = false)
 }
 
+/** (text, FOLDABLE array<long> llr) -> struct<n_bigrams,score_bits>: the
+  * p32 DSIR scoring pass, one codegen'd call per doc. The llr table is the
+  * TRAINED model riding the plan as a literal — it is required foldable,
+  * evaluated ONCE into a long[], and shared with generated code through a
+  * codegen reference object (defineCodeGen would instead re-evaluate the
+  * 256-slot array child per row). */
+case class BigramBucketScore(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType, ArrayType(LongType))
+  override def dataType: DataType = BigramBucketScore.resultType
+  override def nullable: Boolean = left.nullable
+
+  private lazy val llrArr: Array[Long] = {
+    require(right.foldable, "bigram_bucket_score: the llr table must be foldable")
+    val a = right.eval(null).asInstanceOf[ArrayData].toLongArray()
+    require(a.nonEmpty, "bigram_bucket_score: the llr table must be non-empty")
+    a
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) null
+    else TextHashOps.bigramBucketScore(t.asInstanceOf[UTF8String], llrArr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val llrRef = ctx.addReferenceObj("dsirLlr", llrArr, "long[]")
+    val t = left.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${t.code}
+        boolean ${ev.isNull} = ${t.isNull};
+        InternalRow ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} =
+            graft.functions.TextHashOps.bigramBucketScore(${t.value}, $llrRef);
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BigramBucketScore =
+    copy(left = l, right = r)
+  override def prettyName: String = "bigram_bucket_score"
+}
+
+object BigramBucketScore {
+  val resultType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("score_bits", LongType, nullable = false)))
+}
+
+/** (text, FOLDABLE array<string> stops) -> struct<n_tok,max_freq,n_stop>:
+  * the quality-cascade token census, one codegen'd call per doc. The
+  * stoplist is evaluated ONCE into a HashSet and shared with generated
+  * code through a codegen reference object. */
+case class QualityCensus(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType, ArrayType(StringType))
+  override def dataType: DataType = QualityCensus.resultType
+  override def nullable: Boolean = left.nullable
+
+  private lazy val stopSet: java.util.HashSet[String] = {
+    require(right.foldable, "quality_census: the stoplist must be foldable")
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    val set = new java.util.HashSet[String](arr.numElements() * 2)
+    var i = 0
+    while (i < arr.numElements()) { set.add(arr.getUTF8String(i).toString); i += 1 }
+    set
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) null
+    else TextHashOps.qualityCensus(t.asInstanceOf[UTF8String], stopSet)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val stopsRef = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+    val t = left.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${t.code}
+        boolean ${ev.isNull} = ${t.isNull};
+        InternalRow ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} =
+            graft.functions.TextHashOps.qualityCensus(${t.value}, $stopsRef);
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QualityCensus =
+    copy(left = l, right = r)
+  override def prettyName: String = "quality_census"
+}
+
+object QualityCensus {
+  val resultType: DataType = StructType(Seq(
+    StructField("n_tok", LongType, nullable = false),
+    StructField("max_freq", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false)))
+}
+
 object Registry {
   private def intLit(e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
@@ -738,6 +918,8 @@ object Registry {
     "dot_d"          -> (es => DotD(es.head, es(1))),
     "gopher_masses"  -> (es => GopherMasses(es.head)),
     "cdc_chunks"     -> (es => CdcChunks(es.head)),
+    "bigram_bucket_score" -> (es => BigramBucketScore(es.head, es(1))),
+    "quality_census" -> (es => QualityCensus(es.head, es(1))),
     "topk_longs"     -> (es => TopKLongs(es.head, intLit(es(1)))),
     "topk_scored"    -> (es => TopKScored(es.head, es(1), intLit(es(2)),
       if (es.length > 3) boolLit(es(3)) else true)),

@@ -1181,9 +1181,22 @@ object Dedup {
   def d21IncrementalDedup(t: T): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val sigs = minhashSigTable(t.documents)
+    val bands = d21Bands(t)
+    d21Probe(t, bands.filter($"m" === 0), bands.filter($"m" =!= 0))
+  }
+
+  /** The full corpus's band table with the ingest-blocking column, from ONE
+    * evaluation of the shingle+minhash pipeline, materialized NARROW —
+    * (doc_id, band, bkey, m), 4 rows/doc. The naive d21 tree re-derived
+    * the signature pipeline once per consumer (band build on each side,
+    * the ownership census twice, and both verify sides), which is the
+    * superlinear growth signature the 120×→160× diff flagged on d35
+    * (VERDICT r9 wrong-#2 — the d31 disease in its incremental shape). */
+  private def d21Bands(t: T): DataFrame = {
+    import t.spark.implicits._
+    bandRows(minhashSigTable(t.documents))
       .withColumn("m", pmod($"doc_id", lit(5)))
-    d21Probe(t, sigs.filter($"m" === 0), sigs.filter($"m" =!= 0))
+      .localCheckpoint()
   }
 
   /** d21 against the keeper-collapsed index — d35's collapsed gear: the
@@ -1198,22 +1211,37 @@ object Dedup {
   private[graft] def d21AgainstKeeperIndex(t: T): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    val sigs = minhashSigTable(t.documents)
-      .withColumn("m", pmod($"doc_id", lit(5)))
-    val indexDocs = t.documents.filter(pmod($"doc_id", lit(5)) =!= 0)
-    d21Probe(t, sigs.filter($"m" === 0),
-      sigs.filter($"m" =!= 0).join(ownershipKeepers(indexDocs), "doc_id"))
+    val bands = d21Bands(t)
+    val ixBands = bands.filter($"m" =!= 0)
+    // ownership keepers of the index subset, derived from the SAME
+    // materialized band table — zero extra signature passes
+    val owners = ixBands.groupBy($"band", $"bkey").agg(min($"doc_id").as("owner"))
+    val keepers = ixBands.join(owners, Seq("band", "bkey"))
+      .groupBy($"doc_id").agg(min($"owner").as("keeper"))
+      .filter($"doc_id" === $"keeper").select($"doc_id")
+      .localCheckpoint() // ids only; restricts cand AND the verify side
+    d21Probe(t, bands.filter($"m" === 0), ixBands.join(keepers, "doc_id"),
+      ixIds = Some(keepers))
   }
 
-  /** The asymmetric probe kernel: incoming bands probe index bands only. */
-  private def d21Probe(t: T, incoming: DataFrame, index: DataFrame): DataFrame = {
+  /** The asymmetric probe kernel over NARROW band tables: incoming bands
+    * probe index bands only. The shingle arrays join in per side as
+    * h-only projections (column pruning drops the 32-perm minhash work),
+    * with the index side optionally restricted to `ixIds` so a collapsed
+    * index never ships non-keeper arrays through the verify join. */
+  private def d21Probe(t: T, inBands: DataFrame, ixBands: DataFrame,
+      ixIds: Option[DataFrame] = None): DataFrame = {
     import t.spark.implicits._
-    val cand = bandRows(incoming, "doc_id")
-      .join(bandRows(index, "idx_id"), Seq("band", "bkey"))
+    val cand = inBands.select($"doc_id", $"band", $"bkey")
+      .join(ixBands.select($"doc_id".as("idx_id"), $"band", $"bkey"),
+        Seq("band", "bkey"))
       .select($"doc_id", $"idx_id").distinct()
+    val hs = t.documents.select($"doc_id", array_sort(expr(shingleHashes)).as("h"))
     val hint = BroadcastGate.shingleHint(t.documents)
-    val ha = incoming.select($"doc_id", $"h".as("ha"))
-    val hb = index.select($"doc_id".as("idx_id"), $"h".as("hb"))
+    val ha = hs.filter(pmod($"doc_id", lit(5)) === 0).select($"doc_id", $"h".as("ha"))
+    val hbBase = hs.filter(pmod($"doc_id", lit(5)) =!= 0)
+    val hb = ixIds.fold(hbBase)(ids => hbBase.join(ids, "doc_id"))
+      .select($"doc_id".as("idx_id"), $"h".as("hb"))
     cand.join(hint(ha), "doc_id").join(hint(hb), "idx_id")
       .select($"doc_id", $"idx_id", expr("jaccard_bp_sorted(ha, hb)").as("jaccard_bp"))
       .filter($"jaccard_bp" >= 8000)

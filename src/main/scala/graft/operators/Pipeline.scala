@@ -406,17 +406,17 @@ object Pipeline {
     * p11's report body, and the funnel's (p29) stage-1 predicate. */
   private[graft] def qualityFlags(t: T): DataFrame = {
     import t.spark.implicits._
-    val census = t.documents
-      .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("n"))
-      .groupBy($"doc_id")
-      .agg(sum($"n").as("n_tok"), max($"n").as("max_freq"))
-    val allStops = stopAll.map(v => s"'$v'").mkString("(", ",", ")")
+    graft.functions.Registry.ensure(t.spark)
+    // ONE codegen'd quality_census call per doc (the t25 device on the
+    // quality plane): the old explode → groupBy(doc, tok) census exchanged
+    // corpus-tokens rows and re-joined them — the funnel's last remaining
+    // big shuffle — and the stopword count ran a boxed IN-filter lambda
+    val stopsLit = stopAll.map(v => s"'$v'").mkString("array(", ",", ")")
     t.documents
-      .select($"doc_id", $"text", length($"text").cast("long").as("len"),
-        expr(s"size(filter(split(text, ' '), x -> x IN $allStops))")
-          .cast("long").as("n_stop"))
-      .join(census, "doc_id")
+      .select($"doc_id", length($"text").cast("long").as("len"),
+        expr(s"quality_census(text, $stopsLit)").as("qc"))
+      .select($"doc_id", $"len", $"qc.n_tok".as("n_tok"),
+        $"qc.max_freq".as("max_freq"), $"qc.n_stop".as("n_stop"))
       // mean word length in centi-chars: single-space-joined corpus =>
       // non-space chars = len - (n_tok - 1)
       .withColumn("mwl_centi", expr("(len - n_tok + 1) * 100 DIV n_tok"))
@@ -1714,18 +1714,16 @@ object Pipeline {
   def p32DsirResample(t: T): DataFrame = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
-    // scoring pass: per-gram llr via a 256-slot literal lookup — one scan,
-    // no joins, map-side partials fold each doc before the exchange
+    // scoring pass: ONE codegen'd bigram_bucket_score call per doc (t25's
+    // census device on the DSIR plane) — no gram explode, no per-doc
+    // fold shuffle, no empty-doc totality join; the trained llr rides the
+    // plan as a literal and the generated code reads it as a long[]
     val llrLit = dsirLlr(t.documents).mkString("array(", "L, ", "L)")
     val raw = t.documents.filter($"source" =!= DsirTarget)
-    val ds = dsirBigramBuckets(raw)
-      .select($"doc_id", expr(s"element_at($llrLit, int(b) + 1)").as("w"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum($"w").as("score_bits"))
-    val scored = raw.select($"doc_id")
-      .join(ds, Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
-        coalesce($"score_bits", lit(0L)).as("score_bits"))
+    val scored = raw
+      .select($"doc_id", expr(s"bigram_bucket_score(text, $llrLit)").as("sb"))
+      .select($"doc_id", $"sb.n_bigrams".as("n_bigrams"),
+        $"sb.score_bits".as("score_bits"))
     // top-ceil(n/4) by (score desc, doc_id asc) as a PREDICATE — the rank
     // threshold comes from the census/radix decision above, so no row
     // stream ever funnels through a single-partition top-k

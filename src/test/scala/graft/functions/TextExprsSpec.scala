@@ -183,6 +183,71 @@ class TextExprsSpec extends SparkSpec {
     assert(SCTest.check(SCTest.Parameters.default, prop).passed)
   }
 
+  test("bigram_bucket_score == the exploded element_at pipeline, codegen on and off") {
+    Registry.ensure(spark)
+    import spark.implicits._
+    // edge shapes: empty, one word, plain, double space (empty token),
+    // leading/trailing space, repeated bigrams, non-ASCII chars
+    val texts = Seq("", "one", "alpha beta gamma alpha beta",
+      "a  b", " lead", "trail ", "héllo wörld héllo wörld wörld",
+      "x y x y x y x y")
+    val llr = Array.tabulate(256)(i => (i % 7 - 3).toLong)
+    val llrLit = llr.mkString("array(", "L, ", "L)")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def naive() = df
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(w) >= 2
+             THEN transform(sequence(1, size(w) - 1),
+                            i -> concat_ws(' ', slice(w, i, 2)))
+             ELSE array() END""")).as("gram"))
+      .select($"doc_id", expr(s"element_at($llrLit, int(poly_hash(gram) % 256) + 1)").as("v"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def fused() = df
+      .select($"doc_id", expr(s"bigram_bucket_score(text, $llrLit)").as("sb"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toMap
+    val expected = naive()
+    val on = fused()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try fused() finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(on == off)
+    texts.indices.map(_.toLong).foreach { id =>
+      val exp = expected.getOrElse(id, (0L, 0L)) // no-bigram docs: (0, 0)
+      assert(on(id) == exp, s"doc $id: ${on(id)} vs $exp")
+    }
+  }
+
+  test("quality_census == the exploded token census, codegen on and off") {
+    Registry.ensure(spark)
+    import spark.implicits._
+    val texts = Seq("", "one", "the quick the quick the", "a  b", " lead",
+      "trail ", "and and and and of of the", "x", "the the")
+    val stops = Seq("the", "and", "of")
+    val stopsLit = stops.map(s => s"'$s'").mkString("array(", ",", ")")
+    val inList = stops.map(s => s"'$s'").mkString("(", ",", ")")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def naive() = df
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("n"))
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_tok"), max($"n").as("max_freq"),
+        sum(expr(s"CASE WHEN tok IN $inList THEN n ELSE 0 END")).as("n_stop"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def fused() = df
+      .select($"doc_id", expr(s"quality_census(text, $stopsLit)").as("qc"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1), r.getStruct(1).getLong(2))).toMap
+    val expected = naive()
+    val on = fused()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try fused() finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(on == off)
+    assert(on == expected, s"$on vs $expected")
+  }
+
   test("codegen path == interpreted path (whole-stage codegen on/off)") {
     Registry.ensure(spark)
     import spark.implicits._

@@ -207,17 +207,19 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("p32: llr scores via a plan literal (no model join); selection is a predicate, no single-partition top-k") {
+  test("p32: one codegen'd scoring call, no joins; selection is a predicate, no single-partition top-k") {
     val p = plan("p32_dsir_resample")
-    // the trained 256-bucket llr rides in the projection as an array
-    // literal, so the scoring pass has NO join before the per-doc fold;
-    // the remaining join (empty-doc totality) broadcasts
-    assert(p.contains("BroadcastHashJoin"), p)
+    // the trained 256-bucket llr rides inside the codegen'd
+    // bigram_bucket_score projection — no gram explode, no per-doc fold
+    // shuffle, no empty-doc totality join: the whole scoring pass is one
+    // scan, and the only exchange left is the final doc_id sort
+    assert(p.contains("bigram_bucket_score"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
     // VERDICT r9 #1: selection is the census-derived rank-threshold
     // PREDICATE — no quarter-corpus TakeOrdered funnel, no global window
     assert(!p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Window"), p)
-    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("p12: bloom screen broadcasts the bit set and never misses an exact hit") {
