@@ -211,6 +211,14 @@ object ScaleSmoke {
           case e: Throwable => Left(e.getClass.getSimpleName)
         }
       System.err.println(s"[smoke] $name -> $outcome")
+      // row independence: drop this row's lingering cache and checkpoint
+      // blocks before the next one starts. localCheckpoint blocks are only
+      // freed by the ContextCleaner after their RDDs are GC'd, so 41
+      // accumulated rows' worth inflated LATE-ladder rows by 20-60 % at
+      // 200× (measured: w14 26.4 s in-ladder vs 16.1 s solo, same code) —
+      // a harness artifact, not operator growth. Outside the timed span.
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
       name -> outcome
     }
     val qs = results.map {
