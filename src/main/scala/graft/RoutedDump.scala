@@ -101,6 +101,7 @@ object RoutedDump {
         ("d34_routed_simhash", () => Routing.d34RoutedSimhash(t, 0), Routing.d34Oracle(0)),
         ("d35_routed_incremental", () => Routing.d35RoutedIncremental(t, 0), Routing.d35Oracle(0)),
         ("s29_routed_bitext", () => Routing.s29RoutedBitext(t, 0), Routing.s29Oracle(0)),
+        ("d36_routed_substring", () => Routing.d36RoutedSubstring(t, 0L), Routing.d36Oracle(0L)),
       )
     doors.foreach { case (name, fn, _) =>
       try fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")

@@ -116,7 +116,13 @@ object ScaleSmoke {
     // r9 — s28 bitext margin mining's candidate stream is the s02
     // cross-side band join, so it ships with its door from day one;
     // p32's model/score passes are the newest linear curation shape
-    "s28_bitext_margin", "s29_routed_bitext", "p32_dsir_resample")
+    "s28_bitext_margin", "s29_routed_bitext", "p32_dsir_resample",
+    // r11 — d09 was the slowest non-ceiling ladder row (78.8 s at 200×,
+    // the corpus-chars × 40-char-string gram exchange); its door
+    // dispatches the exact census vs d28's strided int64-hash gear on
+    // CHAR MASS (the width hazard), not replica mass (there is no pair
+    // output to m²-bound here)
+    "d36_routed_substring")
 
   /** Exact/audit arms — broadcast-the-query-set brute force (s01-shaped) or
     * declared all-pairs baselines. Excluded, named in the artifact. s16's
@@ -161,7 +167,11 @@ object ScaleSmoke {
     "s21_ivfpq_ann"         -> "s27_routed_ivfpq",
     "d06_simhash_pairs"     -> "d34_routed_simhash",
     "d21_incremental_dedup" -> "d35_routed_incremental",
-    "s28_bitext_margin"     -> "s29_routed_bitext")
+    "s28_bitext_margin"     -> "s29_routed_bitext",
+    // not m²-bound (the exact census is linear) but WIDTH-bound: the raw
+    // row stays a measured baseline of the 40-char-string shuffle the
+    // char-mass door retires at scale
+    "d09_substring_dup"     -> "d36_routed_substring")
 
   /** Diagnostic-by-construction arms: d25 MEASURES raw pair mass (its
     * n_pairs_before counts the full m² graph — that is the query's point),

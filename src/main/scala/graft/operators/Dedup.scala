@@ -567,6 +567,29 @@ object Dedup {
        WHERE len(list_intersect(a.h, b.h)) * 10000 // (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 8000
        ORDER BY doc_a, doc_b"""
 
+  /** The NAIVE all-pairs statement of d08's near-dup semantic — the d08
+    * ORACLE translated to Spark (hs self-join, exact Jaccard filter), NOT
+    * the PPJoin kernel. Never registered as a query: it is the recognition
+    * template for the opt-in audit rewrite
+    * ([[graft.plans.PairJoinAudit.tryRewrite]]). A user plan canonically
+    * equal to this kernel over some documents leaf states exactly the d30
+    * door's raw-branch semantics (d08's spec proves the PPJoin's recall is
+    * 1.0 against this definition), so the rewrite can substitute the
+    * door's routed choice: the PPJoin below the replica-mass gate (same
+    * answer, no all-pairs enumeration), the d29 collapse above it (the
+    * door's oracle-pinned collapse semantics). */
+  private[graft] def naiveNearDupPairs(docs: DataFrame, thresholdBp: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.Registry.ensure(spark)
+    val hs = docs.select($"doc_id", expr(shingleHashes).as("h"))
+    hs.as("a").join(hs.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+        expr("jaccard_bp(a.h, b.h)") >= lit(thresholdBp))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("jaccard_bp(a.h, b.h)").as("jaccard_bp"))
+  }
+
   /** Exact substring-level duplication coverage (the signal behind
     * suffix-array dedup, Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", ACL 2022): slide a 40-char window over every
@@ -1798,19 +1821,26 @@ object Dedup {
     * a per-doc coverage estimate over the SAMPLED gram positions. */
   def d28StridedGramCensus(t: T, k: Int = 40, stride: Int = 4): DataFrame = {
     import t.spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     graft.functions.Registry.ensure(t.spark)
     val grams = t.documents
       .select($"doc_id", explode(expr(s"gram_hashes_mod(text, $k, $stride)")).as("gh"))
-    val w = Window.partitionBy($"gh")
-    grams
-      .withColumn("dup", min($"doc_id").over(w) =!= max($"doc_id").over(w))
-      .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when($"dup", 1L).otherwise(0L)).as("n_dup_grams"))
-      .select($"doc_id", $"n_grams", $"n_dup_grams",
-        expr("n_dup_grams * 10000 DIV n_grams").as("dup_bp"))
+    // sort-free census, the same shape d09 moved to in r10: a gram's
+    // occurrences are non-dup iff its min and max doc agree, so per-doc dup
+    // counts are n_grams MINUS the single-doc grams' occurrences — one hash
+    // AGGREGATE per gram key with map-side combine. The previous
+    // Window.partitionBy(gh) formulation exchanged AND SORTED every gram
+    // occurrence row (WindowExec sorts each partition even for min/max
+    // frames) — the exact n·log n class the r10 d09 rewrite retired.
+    val single = grams.groupBy($"gh")
+      .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"), count(lit(1)).as("occ"))
+      .filter($"mn" === $"mx")
+      .groupBy($"mn".as("doc_id"))
+      .agg(sum($"occ").as("n_single"))
+    grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(single, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams",
+        ($"n_grams" - coalesce($"n_single", lit(0L))).as("n_dup_grams"))
+      .withColumn("dup_bp", expr("n_dup_grams * 10000 DIV n_grams"))
       .orderBy($"doc_id")
   }
 
@@ -1891,10 +1921,15 @@ object Dedup {
       .select(col("owner").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
 
-  def d29FrontCollapsePairs(t: T, thresholdBp: Int = 4200): DataFrame = {
-    graft.functions.Registry.ensure(t.spark)
-    prefixJaccardPairs(
-      t.documents.join(ownershipKeepers(t.documents), "doc_id"), thresholdBp)
+  def d29FrontCollapsePairs(t: T, thresholdBp: Int = 4200): DataFrame =
+    d29FrontCollapsePairsDocs(t.documents, thresholdBp)
+
+  /** [[d29FrontCollapsePairs]] over a bare documents frame — the audit
+    * rewrite ([[graft.plans.PairJoinAudit]]) builds the door branch on the
+    * USER's own relation leaf, which arrives as a DataFrame, not a [[T]]. */
+  def d29FrontCollapsePairsDocs(docs: DataFrame, thresholdBp: Int = 4200): DataFrame = {
+    graft.functions.Registry.ensure(docs.sparkSession)
+    prefixJaccardPairs(docs.join(ownershipKeepers(docs), "doc_id"), thresholdBp)
   }
 
   /** `thresholdBp` threaded into the SQL like d26's (ADVICE r7). */

@@ -84,6 +84,23 @@ object Routing {
       if (n == 0) 0L else (n - r.getLong(1)) * 10000 / n
     }
 
+  /** Corpus character mass — the substring census's true cost driver: the
+    * d09 gram exchange is corpus-chars × key-width rows, linear but WIDE
+    * (a 40-char string key per character position), not pair-bound. One
+    * linear scalar aggregate, memoized like the replica-mass estimators. */
+  private[graft] def docCharMass(docs: DataFrame): Long =
+    memo(docs, "chars") {
+      val r = docs.agg(sum(length(col("text")).cast("long"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+
+  /** d36's gate: ~13× the sf0.1 corpus (1.49 M chars). Below it the exact
+    * string census is cheap and its DuckDB twin byte-identical; above it
+    * the 40-char-string shuffle keys dominate the row's cost (r10 ladder:
+    * slowest non-ceiling row, 78.8 s at 200× = 297 M chars) and the
+    * int64-hash strided gear is the one that scales. */
+  val charMassThreshold: Long = 20000000L
+
   /** The document estimator in DuckDB — scalar subquery gating each branch. */
   private val docMassDuck: String =
     "(SELECT (COUNT(*) - COUNT(DISTINCT md5(substr(text, 1, 64)))) * 10000 // COUNT(*) FROM documents)"
@@ -103,11 +120,19 @@ object Routing {
     * set (the fully-linear front collapse; 13.4 s at the 100× probe where
     * the raw gear's own OUTPUT is m²-bound). One threshold, one verify
     * kernel, two plans — the choice is the policy's, not the caller's. */
-  def d30RoutedNearDup(t: T, thresholdBp: Int = defaultThresholdBp): DataFrame = {
-    graft.functions.Registry.ensure(t.spark)
-    if (docReplicaMassBp(t.documents) < thresholdBp)
-      Dedup.prefixJaccardPairs(t.documents, 8000)
-    else Dedup.d29FrontCollapsePairs(t, 8000)
+  def d30RoutedNearDup(t: T, thresholdBp: Int = defaultThresholdBp): DataFrame =
+    d30DoorBranch(t.documents, thresholdBp)
+
+  /** The d30 branch choice over a bare documents frame — shared by the
+    * registered query above and by the audit rewrite
+    * ([[graft.plans.PairJoinAudit.tryRewrite]]), which substitutes it for
+    * a user's naive all-pairs plan built on the user's own relation leaf. */
+  private[graft] def d30DoorBranch(docs: DataFrame,
+      thresholdBp: Int = defaultThresholdBp): DataFrame = {
+    graft.functions.Registry.ensure(docs.sparkSession)
+    if (docReplicaMassBp(docs) < thresholdBp)
+      Dedup.prefixJaccardPairs(docs, 8000)
+    else Dedup.d29FrontCollapsePairsDocs(docs, 8000)
   }
 
   def d30Oracle(thresholdBp: Int = defaultThresholdBp): String =
@@ -416,6 +441,32 @@ object Routing {
        SELECT * FROM (${Similarity.s28RepsOracle}) WHERE $vecMassDuck >= $thresholdBp
        ORDER BY src_id"""
 
+  /** Routed substring-dup census (VERDICT r10 missing-1 — the last heavy
+    * shape outside the routing plane): below the char-mass gate, d09's
+    * exact 40-char-string gram census (byte-identical DuckDB twin; a
+    * sub-40-char doc emits one short gram); above it, d28's strided
+    * int64-hash census (~5× narrower shuffle keys, stride-4 cuts gram rows
+    * 4× again — the 100 TB gear; sub-40-char docs emit no grams and dup_bp
+    * covers the sampled positions). Unlike d30–d35 the hazard here is not
+    * m²-bound pair output — the exact census is linear — but shuffle
+    * WIDTH, so the estimator is corpus character mass, not replica mass.
+    * Reference analog: the cost-model dispatch discipline in
+    * sparksql-server/src/main/scala/optimizer/OptimizationExecutor.scala:36-76. */
+  def d36RoutedSubstring(t: T, thresholdChars: Long = charMassThreshold): DataFrame = {
+    graft.functions.Registry.ensure(t.spark)
+    if (docCharMass(t.documents) < thresholdChars) Dedup.d09SubstringDupCoverage(t)
+    else Dedup.d28StridedGramCensus(t)
+  }
+
+  private val charMassDuck: String =
+    "(SELECT COALESCE(SUM(length(text)), 0) FROM documents)"
+
+  def d36Oracle(thresholdChars: Long = charMassThreshold): String =
+    s"""SELECT * FROM (${Dedup.d09Oracle}) WHERE $charMassDuck < $thresholdChars
+       UNION ALL
+       SELECT * FROM (${Dedup.d28Oracle}) WHERE $charMassDuck >= $thresholdChars
+       ORDER BY doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d30_routed_neardup"  -> ((s, d) => d30RoutedNearDup(T(s, d))),
     "g15_routed_rank"     -> ((s, d) => g15RoutedRank(T(s, d))),
@@ -429,6 +480,7 @@ object Routing {
     "d34_routed_simhash"  -> ((s, d) => d34RoutedSimhash(T(s, d))),
     "d35_routed_incremental" -> ((s, d) => d35RoutedIncremental(T(s, d))),
     "s29_routed_bitext"   -> ((s, d) => s29RoutedBitext(T(s, d))),
+    "d36_routed_substring" -> ((s, d) => d36RoutedSubstring(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -444,5 +496,6 @@ object Routing {
     "d34_routed_simhash"  -> d34Oracle(),
     "d35_routed_incremental" -> d35Oracle(),
     "s29_routed_bitext"   -> s29Oracle(),
+    "d36_routed_substring" -> d36Oracle(),
   )
 }

@@ -1580,10 +1580,16 @@ object SqlSurface {
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       avroTempRoots.forEach { root =>
+        // per-root NonFatal guard (ADVICE r10): Files.walk's iteration throws
+        // UncheckedIOException (a RuntimeException) — an IOException-only
+        // catch let one bad root kill the hook thread and leak the rest; the
+        // stream also holds directory handles until closed
         try {
-          java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-        } catch { case _: java.io.IOException => () }
+          finally walk.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
       }))
   }
 
