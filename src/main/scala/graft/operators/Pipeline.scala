@@ -1689,7 +1689,7 @@ object Pipeline {
     * `raw.count()` job too). `scored` is persisted across the census and
     * tie-break jobs and unpersisted before returning, so the whole
     * decision costs one materialization of the scoring pass. */
-  private def dsirCutoff(docs: DataFrame, scored: DataFrame): (Long, Long) = {
+  private[operators] def dsirCutoff(docs: DataFrame, scored: DataFrame): (Long, Long) = {
     def compute(): (Long, Long) = {
       import scored.sparkSession.implicits._
       scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

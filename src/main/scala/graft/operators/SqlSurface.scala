@@ -1614,6 +1614,35 @@ object SqlSurface {
     """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS total_chars
        FROM documents GROUP BY lang ORDER BY lang"""
 
+  /** Persistent session-catalog table (VERDICT r10 next-6): `CREATE TABLE
+    * ... AS SELECT` against the shared catalog, then the result read back
+    * FROM THE TABLE — not the temp view. The reference only ever had
+    * per-connection temp tables (reference: sparksql-server/src/main/scala/
+    * listener/DAGListener.scala:155-162); a catalog table lives in
+    * SharedState, so it survives the connection that created it —
+    * QueryGatewaySpec proves a second connection reads a table the first
+    * one persisted. Summary-shaped on purpose: at 100 TB a persisted
+    * artifact is an aggregate or a curated subset, not a copy of the
+    * corpus, so the CTAS write stays a few KB at any input scale. */
+  def q137CtasCatalog(t: T): DataFrame = {
+    val s = t.spark
+    t.orders.createOrReplaceTempView("graft_q137_src")
+    s.sql("DROP TABLE IF EXISTS graft_q137_priority_summary")
+    // integral measures only (count, key extrema): a DOUBLE sum would make
+    // the cross-engine hash compare float-order-sensitive
+    s.sql("""CREATE TABLE graft_q137_priority_summary USING parquet AS
+             SELECT o_orderpriority AS priority, count(*) AS n_orders,
+                    min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+             FROM graft_q137_src GROUP BY o_orderpriority""")
+    s.sql("""SELECT priority, n_orders, first_key, last_key
+             FROM graft_q137_priority_summary ORDER BY priority""")
+  }
+
+  val q137Oracle: String =
+    """SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+              MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+       FROM orders GROUP BY o_orderpriority ORDER BY priority"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_substring_index" -> ((s, d) => q82SubstringIndex(T(s, d))),
     "q83_pad_fns"         -> ((s, d) => q83PadFns(T(s, d))),
@@ -1670,6 +1699,7 @@ object SqlSurface {
     "q134_nulls_ordering"  -> ((s, d) => q134NullsOrdering(T(s, d))),
     "q135_zorder_layout"   -> ((s, d) => q135ZorderLayout(T(s, d))),
     "q136_avro_roundtrip"  -> ((s, d) => q136AvroRoundtrip(T(s, d))),
+    "q137_ctas_catalog"    -> ((s, d) => q137CtasCatalog(T(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1728,5 +1758,6 @@ object SqlSurface {
     "q134_nulls_ordering"  -> q134Oracle,
     "q135_zorder_layout"   -> q135Oracle,
     "q136_avro_roundtrip"  -> q136Oracle,
+    "q137_ctas_catalog"    -> q137Oracle,
   )
 }

@@ -240,8 +240,13 @@ object PairJoinAudit extends Logging {
           case sub if !replaced && sub.output.length == canon.output.length &&
               sub.canonicalized == canon =>
             replaced = true
+            // splice the OPTIMIZED branch: once-batches like
+            // ReplaceDeduplicateWithAggregate already ran on the host plan,
+            // so an analyzed subtree's Deduplicate would survive to physical
+            // planning and fail there; an optimized subtree is closed under
+            // the remaining fixed-point batches
             val door = withBuildGuard {
-              graft.operators.Routing.d30DoorBranch(docs).queryExecution.analyzed
+              graft.operators.Routing.d30DoorBranch(docs).queryExecution.optimizedPlan
             }
             Project(sub.output.zip(door.output).map { case (o, n) =>
               Alias(n, o.name)(exprId = o.exprId) }, door)

@@ -196,6 +196,42 @@ class CurationSpec extends SparkSpec {
     assert(selected == Set(30L, 31L), s"selected $selected")
   }
 
+  test("p32: cutoff decision is exact on a corpus with ~n distinct scores (r10 wrong-2)") {
+    import spark.implicits._
+    // The r10 census collected O(#distinct score) rows to the driver; the
+    // r11 decision runs entirely through the bounded radix descent (≤ 4
+    // jobs, ≤ 65536-row digit censuses — proven exact by the radix spec
+    // above). This spec pins the DECISION's contract on the adversarial
+    // shape that motivated the rewrite: every doc a distinct score, plus a
+    // tie group planted exactly across the k-boundary, plus negatives.
+    def check(scores: Seq[Long]): Unit = {
+      val n = scores.length.toLong
+      val rows = scores.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val scored = rows.toDF("doc_id", "score_bits")
+      // in-memory frame: no file snapshot, so the memo is bypassed and the
+      // decision recomputes for each constructed corpus
+      val (cut, tie) = Pipeline.dsirCutoff(scored, scored)
+      val k = Pipeline.dsirK(n)
+      val want = rows.sortBy { case (id, s) => (-s, id) }.take(k.toInt)
+        .map(_._1).toSet
+      val got = rows.filter { case (id, s) =>
+        s > cut || (s == cut && id <= tie) }.map(_._1).toSet
+      assert(got == want, s"n=$n cut=$cut tie=$tie")
+    }
+    val rnd = new scala.util.Random(41)
+    // ~n distinct: 4001 draws across the full signed-long range
+    check(Seq.fill(4001)(rnd.nextLong()))
+    // all-distinct dense ascending (cutoff between adjacent values)
+    check((0L until 1000L).map(i => i - 500L))
+    // tie group of 64 planted so the k-boundary lands inside it
+    check((0L until 900L).map(_ => 7L) ++ Seq.fill(64)(100L) ++
+      (0L until 36L).map(i => 200L + i))
+    // whole-tie-group selection (tie sentinel = Long.MaxValue path)
+    check(Seq(9L, 9L, 1L, 1L, 1L, 1L, 1L, 1L))
+    // negative-heavy corpus: sign-bit bias correctness end to end
+    check(Seq.fill(257)(rnd.nextLong() | Long.MinValue) ++ Seq(5L, -5L))
+  }
+
   /** Independent reimplementation of t25's mass arithmetic: sliding-window
     * word n-gram census; top = max cnt*chars, dup = sum (cnt-1)*chars. */
   private def masses(text: String, n: Int): (Long, Long) = {

@@ -143,6 +143,23 @@ class RoutingSpec extends SparkSpec {
     assert(ids.forall(repIds), "collapsed branch surfaced a non-representative id")
   }
 
+  test("d36: routes to the exact string census under the char-mass gate, to d28's strided census above it") {
+    import spark.implicits._
+    // the estimator is CHARACTER mass, not replica mass — the substring
+    // census's hazard is shuffle width (corpus-chars × 40-char string
+    // keys), linear in chars and independent of replication
+    val mass = Routing.docCharMass(t.documents)
+    val expected = t.documents
+      .agg(sum(length($"text").cast("long"))).head().getLong(0)
+    assert(mass == expected, s"char mass $mass != corpus sum $expected")
+    assert(mass < Routing.charMassThreshold,
+      s"shipped corpus char mass $mass should sit under the gate")
+    assert(snap(Routing.d36RoutedSubstring(t)) ==
+      snap(Dedup.d09SubstringDupCoverage(t)))
+    assert(snap(Routing.d36RoutedSubstring(t, thresholdChars = 0L)) ==
+      snap(Dedup.d28StridedGramCensus(t)))
+  }
+
   test("d33: routes to the raw band top-k under the gate, to the keeper residual top-k above it") {
     assert(snap(Routing.d33RoutedTopk(t)) == snap(Dedup.d18TopkSimJoin(t)))
     val collapsed = Routing.d33RoutedTopk(t, thresholdBp = 0)

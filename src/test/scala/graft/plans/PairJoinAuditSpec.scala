@@ -68,6 +68,50 @@ class PairJoinAuditSpec extends SparkSpec {
     assert(msg.get.contains("d30_routed_neardup"), msg.get)
   }
 
+  test("opt-in rewrite: a naive all-pairs near-dup query is rewritten to the d30 door") {
+    import org.apache.spark.sql.SparkSession
+    // a REAL extensions session (the production injection path), sharing
+    // the test SparkContext — extraOptimizations would place the rule in
+    // the wrong batch
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      Tables.register(s2, sfDir)
+      // the d08-oracle shape a user would write: the exact naive kernel
+      // (shingle self-join, exact Jaccard >= 0.8) the audit's template states
+      val naiveSql =
+        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  jaccard_bp(a.h, b.h) AS jaccard_bp
+           FROM (SELECT doc_id, shingle_hashes(text, 4, true) AS h FROM documents) a
+           JOIN (SELECT doc_id, shingle_hashes(text, 4, true) AS h FROM documents) b
+             ON a.doc_id < b.doc_id AND jaccard_bp(a.h, b.h) >= 8000"""
+      // default (warn-only): the naive plan survives untouched
+      val off = s2.sql(naiveSql)
+      val offCanon = off.queryExecution.optimizedPlan.canonicalized
+      val expected = off.collect().map(_.toString).sorted.toSeq
+      s2.conf.set(PairJoinAudit.RewriteFlag, "true")
+      val on = s2.sql(naiveSql)
+      val onCanon = on.queryExecution.optimizedPlan.canonicalized
+      assert(onCanon != offCanon, "flag on: the plan must be rewritten")
+      // the door's kernel (PPJoin prefix index), not the all-pairs join:
+      // the spliced branch carries the positional-filter candidate join
+      val onPlan = on.queryExecution.optimizedPlan.toString
+      assert(onPlan.contains("indexable"), onPlan.take(2000))
+      // and the rewrite preserves the declared semantics byte-for-byte
+      // (d30's below-gate branch is recall-1.0 against this definition)
+      assert(on.collect().map(_.toString).sorted.toSeq == expected)
+      assert(expected.nonEmpty, "non-vacuous: the corpus must surface pairs")
+    } finally {
+      s2.conf.unset(PairJoinAudit.RewriteFlag)
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("gateway surfaces the verdict as a warn line; clean statements get none") {
     val gw = new graft.server.QueryGateway(spark, s => Tables.register(s, sfDir))
     try {

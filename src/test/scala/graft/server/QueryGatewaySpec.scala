@@ -14,14 +14,18 @@ class QueryGatewaySpec extends SparkSpec {
   }
 
   /** Reads one response: "ok" + rows until the "done <n>[ truncated]" trailer,
-    * or an "error ..." line (header or mid-stream). */
+    * or an "error ..." line (header or mid-stream). Plan-audit `warn` lines
+    * are counted in [[warnCount]] rather than returned as rows, so result
+    * assertions stay byte-identical whether or not the audit fired. */
+  private val warnCount = new java.util.concurrent.atomic.AtomicLong()
   private def readResponse(in: BufferedReader): (String, List[String], String) = {
     val head = in.readLine()
     if (head != "ok") return (head, Nil, head)
     val rows = List.newBuilder[String]
     var line = in.readLine()
     while (!line.startsWith("done") && !line.startsWith("error")) {
-      rows += line
+      if (line.startsWith("warn ")) warnCount.incrementAndGet()
+      else rows += line
       line = in.readLine()
     }
     (head, rows.result(), line)
@@ -117,11 +121,19 @@ class QueryGatewaySpec extends SparkSpec {
     Tables.register(spark, sfDir) // windowed jobs run on the root session
     val gw = new QueryGateway(spark, s => Tables.register(s, sfDir),
       maxHintPriority = 9, batching = Some(win))
+    // the adversarial statement (VERDICT r10 next-5): user-authored
+    // pair-enumerating SQL mixed into the load — every issue must fire the
+    // audit's warn line (and, cold, its linear mass census) WITHOUT
+    // breaking the latency contract or the responses of its neighbors
+    val adversarial =
+      "SELECT count(*) AS n FROM documents a JOIN documents b " +
+        "ON substring(a.text, 1, 64) = substring(b.text, 1, 64) AND a.doc_id < b.doc_id"
     val stmts = Seq(
       "SELECT count(*) AS n FROM lineitem",
       "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
       "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
-      "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang")
+      "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+      adversarial)
     val expected = stmts.map(s => s -> spark.sql(s).toJSON.collect().toList).toMap
     try {
       import scala.concurrent.{Await, Future}
@@ -129,6 +141,7 @@ class QueryGatewaySpec extends SparkSpec {
       import scala.concurrent.ExecutionContext.Implicits.global
       val nClients = 8
       DeadlineTelemetry.reset()
+      warnCount.set(0L)
       // soft-deadline budget per hinted statement: generous vs the isolated
       // latency, tight enough that real queueing under the 8-client load
       // shows up as a measured miss rate, not a hidden stall
@@ -171,10 +184,18 @@ class QueryGatewaySpec extends SparkSpec {
       val nHinted = (0 until nClients).count(_ % 3 == 2) * stmts.size
       assert(dTotal == nHinted, s"deadline telemetry $dTotal != hinted $nHinted")
       assert(dMissed >= 0 && dMissed <= dTotal)
+      // audit-under-load (VERDICT r10 next-5): every adversarial issue — one
+      // per client under the rotation — fired a warn line, and firing it
+      // (incl. the one cold mass census) broke neither the responses above
+      // nor the deadline accounting
+      val nAdversarial = nClients // each client issues `adversarial` once
+      assert(warnCount.get == nAdversarial,
+        s"audit warns ${warnCount.get} != adversarial statements $nAdversarial")
       val line = f"""{"metric":"gateway_soak","clients":$nClients,"statements":${ls.length},""" +
         f""""p50_ms":${msAt(0.5)}%.1f,"p95_ms":${msAt(0.95)}%.1f,"max_ms":${ls.last / 1e6}%.1f,""" +
         f""""deadline_budget_ms":$deadlineBudgetMs,"deadline_stmts":$dTotal,""" +
-        f""""deadline_misses":$dMissed,"deadline_lateness_ms":$dLateMs}"""
+        f""""deadline_misses":$dMissed,"deadline_lateness_ms":$dLateMs,""" +
+        f""""adversarial_stmts":$nAdversarial,"audit_warns":${warnCount.get}}"""
       info(line)
       java.nio.file.Files.write(java.nio.file.Paths.get("GWSOAK.json"),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -245,6 +266,33 @@ class QueryGatewaySpec extends SparkSpec {
       o2.println("SELECT x FROM mine")
       assert(readResponse(i2)._1.startsWith("error "))
       s1.close(); s2.close()
+    } finally gw.close()
+  }
+
+  test("catalog tables persist across connections (VERDICT r10 next-6)") {
+    // the reference's registerTempTable died with its connection
+    // (DAGListener.scala:155-162); a catalog CTAS lives in SharedState —
+    // connection 2 must read what connection 1 persisted after it quit
+    val gw = new QueryGateway(spark, s => Tables.register(s, sfDir))
+    try {
+      val (s1, o1, i1) = connect(gw.boundPort)
+      o1.println("DROP TABLE IF EXISTS gw_persisted")
+      assert(readResponse(i1)._1 == "ok")
+      o1.println("CREATE TABLE gw_persisted USING parquet AS " +
+        "SELECT r_regionkey, r_name FROM region")
+      assert(readResponse(i1)._1 == "ok")
+      o1.println("quit")
+      s1.close()
+      val (s2, o2, i2) = connect(gw.boundPort)
+      val (h, rows, trailer) = {
+        o2.println("SELECT count(*) AS n FROM gw_persisted")
+        readResponse(i2)
+      }
+      assert(h == "ok" && trailer == "done 1", (h, trailer))
+      assert(rows.head.contains("\"n\":5"), rows)
+      o2.println("DROP TABLE gw_persisted")
+      assert(readResponse(i2)._1 == "ok")
+      s2.close()
     } finally gw.close()
   }
 
