@@ -1628,6 +1628,17 @@ object SqlSurface {
     val s = t.spark
     t.orders.createOrReplaceTempView("graft_q137_src")
     s.sql("DROP TABLE IF EXISTS graft_q137_priority_summary")
+    // a FRESH JVM's in-memory catalog has no entry for the table, so the
+    // DROP above no-ops — but the previous JVM's warehouse DIRECTORY
+    // survives and CTAS refuses an existing location; clear the orphan
+    // (managed-table location = warehouse/<lowercased name>)
+    locally {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier("graft_q137_priority_summary")))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+    }
     // integral measures only (count, key extrema): a DOUBLE sum would make
     // the cross-engine hash compare float-order-sensitive
     s.sql("""CREATE TABLE graft_q137_priority_summary USING parquet AS

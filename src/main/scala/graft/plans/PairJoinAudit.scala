@@ -287,9 +287,16 @@ case class PairJoinAuditRule(session: SparkSession) extends Rule[LogicalPlan] {
       }
     }
     PairJoinAudit.detect(plan).foreach { f =>
-      logWarning(s"[graft-audit] pair-enumerating self-join on derived keys over " +
-        s"'${f.relation}' — raw plans of this shape are m2-bound on replica-heavy " +
-        "corpora; see graft.operators.Routing for the routed doors")
+      // log dedup keyed on the FINDING (shared leaf + join signature), not
+      // the whole-plan hash: mid-fixed-point the same query re-presents
+      // under a different plan hash every iteration a rule fires, so the
+      // `seen` guard above cannot stop the 3-5 duplicate warnings one
+      // flagged statement used to emit (seen in the r11 ExchangeAudit log)
+      val warnKey = f.relation + ":" + f.leaf.canonicalized.semanticHash().toString
+      if (PairJoinAuditRule.warned.putIfAbsent(warnKey, java.lang.Boolean.TRUE) == null)
+        logWarning(s"[graft-audit] pair-enumerating self-join on derived keys over " +
+          s"'${f.relation}' — raw plans of this shape are m2-bound on replica-heavy " +
+          "corpora; see graft.operators.Routing for the routed doors")
     }
     PairJoinAuditRule.seen.put(key, java.lang.Boolean.TRUE)
     plan
@@ -297,6 +304,12 @@ case class PairJoinAuditRule(session: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object PairJoinAuditRule {
-  // once-per-plan log dedup; bounded so a long-lived gateway JVM can't leak
+  // once-per-plan inspection dedup; bounded so a long-lived gateway JVM
+  // can't leak
   private val seen = graft.Memo.lru[String, java.lang.Boolean](1024)
+  // once-per-finding log dedup (relation + leaf snapshot), coarser than
+  // `seen` on purpose — the advisory log names the HAZARD, and one line per
+  // flagged relation per JVM is the useful rate; the gateway's per-statement
+  // `warn` protocol line is unaffected
+  private val warned = graft.Memo.lru[String, java.lang.Boolean](256)
 }
