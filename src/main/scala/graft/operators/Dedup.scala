@@ -1895,7 +1895,12 @@ object Dedup {
     * ownership-rule retune edits exactly here (the ADVICE-r6 rule the
     * banding helpers already follow). */
   private[graft] def ownershipCensus(docs: DataFrame): DataFrame = {
-    val bands = bandRows(minhashSigTable(docs))
+    // the bucket aggregate joins back to its own input, and without a
+    // materialization BOTH branches recompute the full shingle+minhash
+    // pass (GrowthProbe r11: the census stage carried ~55 % of the d29
+    // kernel's wall, a third of it the duplicated sig computation) — the
+    // same self-join device prefixJaccardPairs already uses
+    val bands = bandRows(minhashSigTable(docs)).localCheckpoint()
     val owners = bands.groupBy(col("band"), col("bkey"))
       .agg(min(col("doc_id")).as("owner"))
     bands.join(owners, Seq("band", "bkey"))
