@@ -39,7 +39,7 @@ object Bench {
     // cold-JVM re-measure attributing s23's vec-mass census to s23 reads as
     // "first touch", not a regression
     val firstTouch = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => only(kv._1)).map { case (name, fn) =>
+    def onePass(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val m0 = Memo.misses
       // noop sink: materializes every output column (count() would let
@@ -47,8 +47,30 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       if (Memo.misses > m0) firstTouch += name
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => only(kv._1))
+    val pass1 = queries.map { case (name, fn) => name -> onePass(name, fn) }
+    // De-noised headline (VERDICT r11 wrong-2/next-2): this VM shows
+    // documented 2-4× per-row swings between back-to-back identical runs
+    // (m01 6.8↔21.2 s in r11), so a single-run total is hostage to the
+    // instrument. Every row at or above the probe floor re-runs twice more
+    // and reports its MEDIAN-of-3; sub-floor rows keep their single run
+    // (they cannot move the total materially, and skipping them keeps the
+    // bench ~2× instead of 3× wall). The per-row min-max spread of the
+    // re-run rows is emitted alongside, so a round-over-round delta can be
+    // judged against the measured noise band row by row.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val probeFloor = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_FLOOR_SEC", "1.0").toDouble
+    val lookup = queries.toMap
+    val runs: Map[String, Seq[Double]] = pass1.map { case (name, t1) =>
+      if (reps <= 1 || t1 < probeFloor) name -> Seq(t1)
+      else name -> (t1 +: (2 to reps).map(_ => onePass(name, lookup(name))))
+    }.toMap
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val results = pass1.map { case (name, _) => name -> median(runs(name)) }
+    val spread = results.collect { case (name, _) if runs(name).size > 1 =>
+      name -> (runs(name).max - runs(name).min) }
     // explicit ROOT locale: the f-interpolator uses the JVM default locale,
     // which can render "1,234" and break the JSON line on comma-decimal hosts
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
@@ -67,9 +89,14 @@ object Bench {
     // +N s in a 200-entry map
     val ceiling = sys.env.getOrElse("SPARK_GRAFT_CEILING_SEC", "30").toDouble
     val breaches = results.filter(_._2 > ceiling).map(_._1)
+    val spreadJson = spread.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val breachJson =
       s""","ceiling_sec":${fmt(ceiling)},"breaches":[${breaches.map("\"" + _ + "\"").mkString(",")}]""" +
-        s""","first_touch":[${firstTouch.map("\"" + _ + "\"").mkString(",")}]"""
+        s""","first_touch":[${firstTouch.distinct.map("\"" + _ + "\"").mkString(",")}]""" +
+        s""","reps":$reps,"probe_floor_sec":${fmt(probeFloor)}"""
+    // the full spread map goes to the file artifact only — the compact
+    // stdout line must keep fitting a log-tail capture window
     println(line(results))
     println(line(results.sortBy(-_._2).take(10),
       s""","n_queries":${results.size}$breachJson"""))
@@ -78,7 +105,7 @@ object Bench {
     // every timing, not the 10 slowest
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line(results, s""","n_queries":${results.size}$breachJson""") + "\n")
+      (line(results, s""","n_queries":${results.size}$breachJson,"spread":$spreadJson""") + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()

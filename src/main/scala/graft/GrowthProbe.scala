@@ -42,10 +42,16 @@ object GrowthProbe {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
     def timed(body: => Unit): Double = {
+      // cleanup BEFORE the window opens (ADVICE r11: clearing the cache and
+      // running a full GC inside the timed region charged the previous
+      // stage's teardown to this stage's seconds — a bias in the very
+      // ratios the probe compares). The band-frame memo is cleared too so
+      // each cumulative stage rebuilds the full prefix it claims to time.
+      spark.sharedState.cacheManager.clearCache()
+      graft.operators.Dedup.clearBandMemo()
+      System.gc()
       val t0 = System.nanoTime()
       body
-      spark.sharedState.cacheManager.clearCache()
-      System.gc()
       (System.nanoTime() - t0) / 1e9
     }
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)

@@ -349,6 +349,37 @@ object ShareBench {
           try ex.runBatch(gJobs, gFrags) finally ex.shutdown() })
       lines2 += s"""{"workload":"graph_family","window":6,"separate":$sepG,"fragment_shared":$fragG}"""
     }
+    // ownership family (r12): the cross-door reuse the snapshot-memoized
+    // band frame buys (VERDICT r11 next-5). d29/d32/d33/w14 all contain the
+    // shingle+minhash+band pass as their prefix; on the 10× replica corpus
+    // every door routes to its collapsed (ownership) gear, so a window
+    // running the four pays the sig pass once when the memo is allowed to
+    // live across jobs ("shared") vs rebuilt per job ("separate" — the
+    // pre-r12 behavior, where each call localCheckpoint'd its own copy).
+    // Unlike the fragment-family rows this sharing needs no executor
+    // plumbing: the memo IS the shared materialization, so the cells time
+    // plain sequential batches with the memo cleared per-job vs per-batch.
+    if (only("ownership_family")) {
+      import graft.operators.{Dedup, Routing}
+      val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val oDir = scaledCorpus(spark, base)
+      def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+      val oJobs: Seq[(String, () => DataFrame)] = Seq(
+        "d29" -> (() => Dedup.d29FrontCollapsePairs(T(spark, oDir))),
+        "d32" -> (() => Routing.d32RoutedCc(T(spark, oDir))),
+        "d33" -> (() => Routing.d33RoutedTopk(T(spark, oDir))),
+        "w14" -> (() => graft.streaming.StreamOps.w14NearDupFrontDoor(T(spark, oDir))))
+      def runAll(clearPerJob: Boolean): Unit = {
+        Dedup.clearBandMemo()
+        oJobs.foreach { case (_, b) =>
+          if (clearPerJob) Dedup.clearBandMemo()
+          noop(b())
+        }
+      }
+      val (sepO, sharedO) = pairedMedian(spark)(runAll(clearPerJob = true),
+        runAll(clearPerJob = false))
+      lines2 += s"""{"workload":"ownership_family","window":4,"separate":$sepO,"band_memo_shared":$sharedO}"""
+    }
     // IVF family: the newest plane — s04's offline search, w15's serving
     // twin, the IVFPQ composition and the MRR gate all contain the trained
     // corpus-assignment subtree (identical centroid literals: deterministic

@@ -207,11 +207,32 @@ object Dedup {
       .select($"doc_id", $"h", $"sig")
   }
 
-  /** 4 bands × 8 rows of a 32-slot `sig` column → (idName, band, bkey). */
+  /** 4 bands × 8 rows of a 32-slot `sig` column → (idName, band, bkey).
+    *
+    * `bkey` is the int64 XxHash64 of the band's 8-slot signature slice, NOT
+    * the slice itself: through r11 it was an 8-int comma-concat STRING
+    * (~90-170 bytes/row), and GrowthProbe measured ~55 % of the d29
+    * kernel's wall in the (band,bkey) ownership exchange carrying that
+    * key — the d09 width disease paid by every banding consumer
+    * (d04-family candidates, d29/d31/d32/d33/d35 ownership doors, w14's
+    * streaming state, d21's incremental index). The hash key is 8 bytes.
+    *
+    * Correctness: bkey is only ever a shuffle/group/join key — no query
+    * outputs it — so results are unchanged unless two DISTINCT 8-slot
+    * slices collide in 64 bits. Banding is already probabilistic (the
+    * (b,r) S-curve admits false-positive candidates at ~1e-2 rates, and
+    * every consumer either exact-verifies candidates or documents the
+    * collapse trade), so a 2^-64 per-bucket-pair merge is ~20 orders of
+    * magnitude below the noise floor of the method itself; at 10^12 band
+    * rows the birthday bound is still < 3 %, and a collision's effect is
+    * one spurious candidate (killed by verify) or one conservative
+    * ownership merge. The DuckDB oracles keep the exact string key — same
+    * grouping on collision-free data — which is what pins this argument:
+    * any test-corpus collision would hash-mismatch the gate. */
   private[graft] def bandRows(sigs: DataFrame, idName: String = "doc_id"): DataFrame =
     sigs.select(col("doc_id").as(idName), expr(
       """explode(transform(sequence(0, 3), b -> struct(b AS band,
-           concat_ws(',', transform(slice(sig, b * 8 + 1, 8), x -> cast(x AS string))) AS bkey)))""").as("bk"))
+           xxhash64(slice(sig, b * 8 + 1, 8)) AS bkey)))""").as("bk"))
       .select(col(idName), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
 
   /** Distinct candidate pairs (doc_a < doc_b) sharing ≥1 band bucket. */
@@ -590,6 +611,29 @@ object Dedup {
         expr("jaccard_bp(a.h, b.h)").as("jaccard_bp"))
   }
 
+  /** The naive SYMMETRIC near-dup edge enumeration — the CLUSTER-pipeline
+    * front a user writes when feeding their own connected-components pass
+    * (GraphFrames, iterative SQL): both orientations of every qualifying
+    * pair, `a.doc_id <> b.doc_id` instead of `<`. Never registered as a
+    * query: it is the second recognition template for the opt-in audit
+    * rewrite (VERDICT r11 next-3, the d32 shape the warn verdict names).
+    * The spliced replacement is [[graft.operators.Routing.d32EdgeBranch]] —
+    * the d30 door's oriented pairs plus their flips, which below the
+    * replica-mass gate is byte-identical to this definition (the PPJoin's
+    * recall is 1.0 against the oriented kernel, d08's proof obligation)
+    * and above it is the d29 collapse's documented residual-edge trade. */
+  private[graft] def naiveClusterEdges(docs: DataFrame, thresholdBp: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.Registry.ensure(spark)
+    val hs = docs.select($"doc_id", expr(shingleHashes).as("h"))
+    hs.as("a").join(hs.as("b"),
+        col("a.doc_id") =!= col("b.doc_id") &&
+        expr("jaccard_bp(a.h, b.h)") >= lit(thresholdBp))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("jaccard_bp(a.h, b.h)").as("jaccard_bp"))
+  }
+
   /** Exact substring-level duplication coverage (the signal behind
     * suffix-array dedup, Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", ACL 2022): slide a 40-char window over every
@@ -736,10 +780,13 @@ object Dedup {
       .localCheckpoint() // both configs and the verify reuse it
     val hint = BroadcastGate.shingleHint(t.documents)
     def stats(nBands: Int, rowsPer: Int): DataFrame = {
+      // hashed int64 band key, like [[bandRows]] (r12): the candidate
+      // self-join shuffles 8 bytes per row instead of the slice string;
+      // the oracle keeps the exact string key — same grouping unless two
+      // distinct slices collide in 64 bits (see bandRows' collision note)
       val bands = sigs.select($"doc_id", expr(
         s"""explode(transform(sequence(0, ${nBands - 1}, 1), b -> struct(b AS band,
-             concat_ws(',', transform(slice(sig, b * $rowsPer + 1, $rowsPer),
-               x -> cast(x AS string))) AS bkey)))""").as("bk"))
+             xxhash64(slice(sig, b * $rowsPer + 1, $rowsPer)) AS bkey)))""").as("bk"))
         .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
       val cand = bands.as("x").join(bands.as("y"),
           $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
@@ -1217,9 +1264,11 @@ object Dedup {
     * (VERDICT r9 wrong-#2 — the d31 disease in its incremental shape). */
   private def d21Bands(t: T): DataFrame = {
     import t.spark.implicits._
-    bandRows(minhashSigTable(t.documents))
+    // the blocking column is a projection over the snapshot-memoized
+    // checkpointed band frame — d21/d35 share the sig pass with the
+    // ownership-family doors instead of materializing their own twin
+    checkpointedBands(t.documents)
       .withColumn("m", pmod($"doc_id", lit(5)))
-      .localCheckpoint()
   }
 
   /** d21 against the keeper-collapsed index — d35's collapsed gear: the
@@ -1894,13 +1943,39 @@ object Dedup {
     * the band-disjointness spec all derive from this frame, so an
     * ownership-rule retune edits exactly here (the ADVICE-r6 rule the
     * banding helpers already follow). */
+  /** Snapshot-memoized, localCheckpoint'd band table per corpus (VERDICT
+    * r11 next-5 + ADVICE r11): the shingle+minhash+band pass is the shared
+    * prefix of every ownership-family door (d29/d31/d32/d33/d35, w14's
+    * batch twin, p29's funnel stage, d26, g14/g15) and of d21's
+    * incremental index, so a window running several of them — or a
+    * long-lived gateway JVM re-running one per statement — pays the sig
+    * pass ONCE per corpus snapshot instead of once per call. Keyed like
+    * every other snapshot memo (plan hash + leaf-file listing); bounded
+    * LRU, so evicted frames free their checkpoint blocks on GC. Non-file
+    * frames (test-local data) get an uncached per-call checkpoint, as
+    * before. */
+  private val bandFrames = graft.Memo.lru[String, DataFrame](8)
+
+  private[graft] def checkpointedBands(docs: DataFrame): DataFrame = {
+    def build() = bandRows(minhashSigTable(docs)).localCheckpoint()
+    graft.Memo.snapshotKey(docs, "band-rows") match {
+      case Some(k) => bandFrames.computeIfAbsent(k, _ => build())
+      case None    => build()
+    }
+  }
+
+  /** Probe/bench hook: forget memoized band frames. GrowthProbe clears
+    * between stages so cumulative stage timings stay cumulative; the
+    * ShareBench ownership row clears per-job in its "separate" cell. */
+  private[graft] def clearBandMemo(): Unit = bandFrames.clear()
+
   private[graft] def ownershipCensus(docs: DataFrame): DataFrame = {
     // the bucket aggregate joins back to its own input, and without a
     // materialization BOTH branches recompute the full shingle+minhash
     // pass (GrowthProbe r11: the census stage carried ~55 % of the d29
     // kernel's wall, a third of it the duplicated sig computation) — the
     // same self-join device prefixJaccardPairs already uses
-    val bands = bandRows(minhashSigTable(docs)).localCheckpoint()
+    val bands = checkpointedBands(docs)
     val owners = bands.groupBy(col("band"), col("bkey"))
       .agg(min(col("doc_id")).as("owner"))
     bands.join(owners, Seq("band", "bkey"))

@@ -135,6 +135,30 @@ object Routing {
     else Dedup.d29FrontCollapsePairsDocs(docs, 8000)
   }
 
+  /** The d30 door's pair set as a SYMMETRIC edge list (both orientations) —
+    * the audit rewrite's replacement for a user's naive cluster-edge
+    * enumeration ([[Dedup.naiveClusterEdges]]): below the mass gate the
+    * union of the oriented PPJoin pairs and their flips is exactly the
+    * naive `a <> b` definition (recall 1.0, d08's proof); above it the d29
+    * collapse's residual edges, symmetrized the same way. */
+  private[graft] def d32EdgeBranch(docs: DataFrame,
+      thresholdBp: Int = defaultThresholdBp): DataFrame = {
+    val oriented = d30DoorBranch(docs, thresholdBp)
+    oriented.union(oriented.select(col("doc_b").as("doc_a"),
+      col("doc_a").as("doc_b"), col("jaccard_bp")))
+  }
+
+  /** The s24 branch choice over a bare vector frame — the embedding-side
+    * twin of [[d30DoorBranch]], spliced by the audit rewrite for a user's
+    * naive wide band self-join ([[Similarity.naiveAnnPairs]]). Unordered:
+    * it lands as a subtree of the user's plan. */
+  private[graft] def s24DoorBranch(emb: DataFrame,
+      thresholdBp: Int = vecThresholdBp): DataFrame = {
+    graft.functions.Registry.ensure(emb.sparkSession)
+    if (vecReplicaMassBp(emb) < thresholdBp) Similarity.s02PairsOn(emb)
+    else Similarity.s02PairsOn(Similarity.sigRepresentatives(emb))
+  }
+
   def d30Oracle(thresholdBp: Int = defaultThresholdBp): String =
     s"""SELECT * FROM (${Dedup.d08Oracle}) WHERE $docMassDuck < $thresholdBp
        UNION ALL

@@ -188,19 +188,49 @@ object Similarity {
     s02On(t, sigRepresentatives(t.embeddings))
 
   /** The s02 kernel over an arbitrary vector frame. */
-  private def s02On(t: T, emb: DataFrame): DataFrame = {
-    import t.spark.implicits._
-    graft.functions.Registry.ensure(t.spark)
+  private def s02On(t: T, emb: DataFrame): DataFrame =
+    s02PairsOn(emb).orderBy(col("query_id"), col("neighbor_id"))
+
+  /** [[s02On]] without the presentation sort — the audit rewrite
+    * ([[graft.plans.PairJoinAudit.tryRewrite]]) splices this as a SUBTREE
+    * of a user plan, where an embedded Sort would be dead weight. */
+  private[graft] def s02PairsOn(emb: DataFrame): DataFrame = {
+    graft.functions.Registry.ensure(emb.sparkSession)
     // ids-only band join + distinct; embeddings rejoin after dedup so the
     // candidate shuffle stays narrow (see d13 — 20x-scale smoke finding)
     val cand = probeCandIdsOf(emb)
     val hint = BroadcastGate.vectorHint(emb)
-    val qe = emb.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
-    val ce = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val qe = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val ce = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
     cand.join(hint(qe), "query_id").join(hint(ce), "neighbor_id")
-      .select($"query_id", $"neighbor_id",
+      .select(col("query_id"), col("neighbor_id"),
         (round(expr("cosine_sim(q_emb, c_emb)"), 4) + lit(0.0)).as("cosine"))
-      .orderBy($"query_id", $"neighbor_id")
+  }
+
+  /** The NAIVE statement of s02's probe semantic — the hyperplane band
+    * self-join a user writes by hand: embeddings carried THROUGH the
+    * (tbl, bucket) band join (the width hazard), candidates enumerated
+    * directly from the bucket collision (m²-bound on a replica corpus —
+    * every replica pair shares every bucket). Never registered as a query:
+    * it is the embedding-side recognition template for the opt-in audit
+    * rewrite (VERDICT r11 next-3). The spliced replacement is
+    * [[graft.operators.Routing.s24DoorBranch]]: below the vec-mass gate the
+    * same definition computed narrow (ids-only candidates, embeddings
+    * rejoined after the distinct) — byte-identical answers; above it the
+    * s24 collapse over signature representatives (the door's oracle-pinned
+    * trade). */
+  private[graft] def naiveAnnPairs(emb: DataFrame): DataFrame = {
+    graft.functions.Registry.ensure(emb.sparkSession)
+    val bands = hyperplaneSigsOf(emb)
+      .select(col("vec_id"), col("embedding"), expr(bandExpr).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+    bands.as("q").join(bands.as("c"),
+        col("q.tbl") === col("c.tbl") && col("q.bucket") === col("c.bucket") &&
+          col("q.vec_id") % 25 === 0 && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        (round(expr("cosine_sim(q.embedding, c.embedding)"), 4) + lit(0.0)).as("cosine"))
+      .distinct()
   }
 
   /** DuckDB twin of [[probeCandIds]]: sigs → bands → probe candidates —

@@ -1623,7 +1623,14 @@ object SqlSurface {
     * QueryGatewaySpec proves a second connection reads a table the first
     * one persisted. Summary-shaped on purpose: at 100 TB a persisted
     * artifact is an aggregate or a curated subset, not a copy of the
-    * corpus, so the CTAS write stays a few KB at any input scale. */
+    * corpus, so the CTAS write stays a few KB at any input scale.
+    *
+    * Single-writer assumption (ADVICE r11): the DROP → orphan-dir delete →
+    * CTAS sequence on this FIXED table name is not safe under concurrent
+    * invocation — two sessions racing here can delete the location out
+    * from under each other's CTAS or read. Fine for the sequential
+    * bench/verify harness this query serves; a concurrent-gateway caller
+    * would derive a session-unique table name instead. */
   def q137CtasCatalog(t: T): DataFrame = {
     val s = t.spark
     t.orders.createOrReplaceTempView("graft_q137_src")

@@ -183,7 +183,15 @@ object PairJoinAudit extends Logging {
             "on replica-heavy corpora"
       }
       val doorTxt = door.map(d => s"; routed alternative: $d").getOrElse("")
-      s"pair-enumerating self-join on derived keys over '${f.relation}' — $massTxt$doorTxt"
+      // ADVICE r11: say what the session's rewrite flag means for THIS
+      // statement — a client seeing the warn should know whether the naive
+      // kernel was already executed as the door or how to opt in
+      val flagTxt =
+        if (session.conf.getOption(RewriteFlag).exists(_.toBoolean))
+          s"; $RewriteFlag=true is set for this session — a statement matching " +
+            "a naive kernel template executes as the routed door"
+        else s"; SET $RewriteFlag=true to auto-rewrite matching naive kernels"
+      s"pair-enumerating self-join on derived keys over '${f.relation}' — $massTxt$doorTxt$flagTxt"
     }
 
   /** Session flag that upgrades the audit from warn-only to detect→rewrite
@@ -193,6 +201,12 @@ object PairJoinAudit extends Logging {
     * in; this is the same discipline on the hazard side). Default off:
     * warn-only remains the shipped behavior. */
   val RewriteFlag = "spark.graft.audit.rewrite"
+
+  /** Process-wide count of rewrites actually applied — the soak artifact
+    * (GWSOAK.json `audit_rewrites`) and the gateway spec read it to prove
+    * the opt-in path FIRED, not merely that the flag was set. */
+  private val rewriteCounter = new java.util.concurrent.atomic.LongAdder
+  def rewritesApplied: Long = rewriteCounter.sum()
 
   /** Re-entrancy guard: building/optimizing the kernel template or the
     * door branch runs the optimizer, which runs [[PairJoinAuditRule]]
@@ -211,47 +225,73 @@ object PairJoinAudit extends Logging {
     try body finally building.set(java.lang.Boolean.FALSE)
   }
 
+  /** One recognizable naive kernel and its routed replacement: `applies`
+    * gates on the shared leaf's column set (cheap — no plan building for a
+    * leaf no template can cover), `template` states the naive kernel over
+    * the plan's OWN leaf (optimized canon memoized per corpus snapshot),
+    * `door` builds the spliced branch. VERDICT r11 next-3 extends the
+    * family from the single d30 template to the two shapes the warn
+    * verdict already named: the symmetric cluster-edge enumeration (d32's
+    * front) and the naive wide hyperplane band self-join (s24's kernel). */
+  private final case class KernelDoor(tag: String,
+      applies: Set[String] => Boolean,
+      template: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      door: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+
+  private val kernelDoors = Seq(
+    KernelDoor("neardup", c => c("text") && c("doc_id"),
+      d => graft.operators.Dedup.naiveNearDupPairs(d, 8000),
+      d => graft.operators.Routing.d30DoorBranch(d)),
+    KernelDoor("cluster_edges", c => c("text") && c("doc_id"),
+      d => graft.operators.Dedup.naiveClusterEdges(d, 8000),
+      d => graft.operators.Routing.d32EdgeBranch(d)),
+    KernelDoor("ann", c => c("embedding") && c("vec_id"),
+      e => graft.operators.Similarity.naiveAnnPairs(e),
+      e => graft.operators.Routing.s24DoorBranch(e)))
+
   /** The opt-in rewrite: if some subtree of `plan` is canonically equal to
-    * the NAIVE near-dup kernel ([[graft.operators.Dedup.naiveNearDupPairs]]
-    * at d30's 8000 bp) built over the plan's OWN shared leaf, substitute
-    * the d30 door branch for that subtree (PPJoin below the replica-mass
-    * gate — same declared semantics, no all-pairs enumeration; d29
-    * collapse above it — the door's oracle-pinned answer). Output
-    * attributes are preserved by an exprId-keeping Project, so consumers
-    * above the matched subtree are untouched. Returns None when nothing
-    * matched — the caller falls back to the warn path. */
+    * one of the NAIVE kernel templates ([[kernelDoors]]) built over the
+    * plan's OWN shared leaf, substitute that template's routed door branch
+    * for the subtree (the exact-kernel gear below the replica-mass gate —
+    * same declared semantics, no all-pairs enumeration; the collapse gear
+    * above it — the door's oracle-pinned answer). Output attributes are
+    * preserved by an exprId-keeping Project, so consumers above the
+    * matched subtree are untouched. Returns None when nothing matched —
+    * the caller falls back to the warn path. */
   def tryRewrite(plan: LogicalPlan, session: SparkSession): Option[LogicalPlan] =
     detect(plan).flatMap { f =>
       val cols = f.leaf.output.map(_.name).toSet
-      if (!cols.contains("text") || !cols.contains("doc_id")) None
+      val doors = kernelDoors.filter(_.applies(cols))
+      if (doors.isEmpty) None
       else {
-        val docs = org.apache.spark.sql.GraftSqlShim.ofRows(session, f.leaf)
-        val canon = withBuildGuard {
-          def compute(): LogicalPlan =
-            graft.operators.Dedup.naiveNearDupPairs(docs, 8000)
-              .queryExecution.optimizedPlan.canonicalized
-          graft.Memo.snapshotKey(docs, "audit-kernel") match {
-            case None      => compute()
-            case Some(key) => kernelCanons.computeIfAbsent(key, _ => compute())
-          }
-        }
-        var replaced = false
-        val out = plan.transformUp {
-          case sub if !replaced && sub.output.length == canon.output.length &&
-              sub.canonicalized == canon =>
-            replaced = true
-            // splice the OPTIMIZED branch: once-batches like
-            // ReplaceDeduplicateWithAggregate already ran on the host plan,
-            // so an analyzed subtree's Deduplicate would survive to physical
-            // planning and fail there; an optimized subtree is closed under
-            // the remaining fixed-point batches
-            val door = withBuildGuard {
-              graft.operators.Routing.d30DoorBranch(docs).queryExecution.optimizedPlan
+        val frame = org.apache.spark.sql.GraftSqlShim.ofRows(session, f.leaf)
+        doors.view.flatMap { kd =>
+          val canon = withBuildGuard {
+            def compute(): LogicalPlan =
+              kd.template(frame).queryExecution.optimizedPlan.canonicalized
+            graft.Memo.snapshotKey(frame, s"audit-kernel-${kd.tag}") match {
+              case None      => compute()
+              case Some(key) => kernelCanons.computeIfAbsent(key, _ => compute())
             }
-            Project(sub.output.zip(door.output).map { case (o, n) =>
-              Alias(n, o.name)(exprId = o.exprId) }, door)
-        }
-        if (replaced) Some(out) else None
+          }
+          var replaced = false
+          val out = plan.transformUp {
+            case sub if !replaced && sub.output.length == canon.output.length &&
+                sub.canonicalized == canon =>
+              replaced = true
+              // splice the OPTIMIZED branch: once-batches like
+              // ReplaceDeduplicateWithAggregate already ran on the host plan,
+              // so an analyzed subtree's Deduplicate would survive to physical
+              // planning and fail there; an optimized subtree is closed under
+              // the remaining fixed-point batches
+              val door = withBuildGuard {
+                kd.door(frame).queryExecution.optimizedPlan
+              }
+              Project(sub.output.zip(door.output).map { case (o, n) =>
+                Alias(n, o.name)(exprId = o.exprId) }, door)
+          }
+          if (replaced) { rewriteCounter.increment(); Some(out) } else None
+        }.headOption
       }
     }
 }
@@ -278,10 +318,20 @@ case class PairJoinAuditRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (rewriteOn) {
       PairJoinAudit.tryRewrite(plan, session) match {
         case Some(rewritten) =>
-          logInfo(s"[graft-audit] rewrote a naive all-pairs near-dup plan to the " +
-            "d30 routed door (spark.graft.audit.rewrite=true)")
+          logInfo(s"[graft-audit] rewrote a naive pair-enumerating kernel to its " +
+            "routed door (spark.graft.audit.rewrite=true)")
+          // ADVICE r11: the spliced door is itself a derived-key self-join
+          // over the same leaf (the PPJoin / band index), so the re-entered
+          // rewritten plan would trip detect() and log the m²-hazard
+          // advisory about a plan the audit installed — pre-seed the
+          // advisory-log dedup with the rewritten plan's own finding key
+          PairJoinAudit.detect(rewritten).foreach { rf =>
+            val k = rf.relation + ":" + rf.leaf.canonicalized.semanticHash().toString
+            PairJoinAuditRule.warned.putIfAbsent(k, java.lang.Boolean.TRUE)
+          }
           // not marked seen: the rewritten plan re-enters under a new hash
-          // and settles through the warn path below
+          // and settles (silently, per the pre-seed above) through the
+          // warn path below
           return rewritten
         case None => ()
       }

@@ -534,7 +534,10 @@ object StreamOps {
               n_events, peak_minute
        FROM bucket ORDER BY event_type, bucket_start"""
 
-  final case class BandRow(doc_id: Long, band: Int, bkey: String)
+  // bkey is the int64 hashed band key (see [[graft.operators.Dedup.bandRows]],
+  // r12) — 8 bytes of keyed streaming state per bucket instead of a
+  // 90-170-byte string, the same width cut the batch ownership exchange took
+  final case class BandRow(doc_id: Long, band: Int, bkey: Long)
   final case class OwnRow(doc_id: Long, band: Int, owned: Boolean)
 
   /** Streaming NEAR-dup front door: each arriving document's 4 MinHash band
@@ -558,7 +561,7 @@ object StreamOps {
       .groupByKey(r => (r.band, r.bkey))
       .flatMapGroupsWithState[Long, OwnRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: (Int, String), rows: Iterator[BandRow], state: GroupState[Long]) =>
+        (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[Long]) =>
           // within-batch arrival order = doc_id order (the in-order-delivery
           // contract w04/w11 state), so the claim is deterministic
           val sorted = rows.toArray.sortBy(_.doc_id)

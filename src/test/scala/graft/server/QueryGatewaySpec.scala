@@ -189,13 +189,72 @@ class QueryGatewaySpec extends SparkSpec {
       // (incl. the one cold mass census) broke neither the responses above
       // nor the deadline accounting
       val nAdversarial = nClients // each client issues `adversarial` once
-      assert(warnCount.get == nAdversarial,
-        s"audit warns ${warnCount.get} != adversarial statements $nAdversarial")
+      val warnsMain = warnCount.get // before the rewrite phase warns too
+      assert(warnsMain == nAdversarial,
+        s"audit warns $warnsMain != adversarial statements $nAdversarial")
+      // opt-in rewrite under load (VERDICT r11 next-6): a second,
+      // non-batched gateway on a REAL extensions session (the rewrite runs
+      // in the optimizer, so the session needs the production injection;
+      // the windowed path above runs statements on the executor's root
+      // session, where a per-connection SET cannot reach — the same
+      // documented trade as temp views). Each client opts in over the wire
+      // with plain SET, issues the naive all-pairs kernel, and must get the
+      // byte-identical isolated-naive answer while the rewrite counter
+      // proves the door actually executed.
+      // the BARE kernel (an aggregate above it would let column pruning
+      // narrow the subtree out of canonical template equality); responses
+      // compare as sorted sets since the two plans stream in different
+      // physical orders
+      val naiveKernel =
+        ("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, jaccard_bp(a.h, b.h) AS jaccard_bp " +
+          "FROM (SELECT doc_id, shingle_hashes(text, 4, true) AS h FROM documents) a " +
+          "JOIN (SELECT doc_id, shingle_hashes(text, 4, true) AS h FROM documents) b " +
+          "ON a.doc_id < b.doc_id AND jaccard_bp(a.h, b.h) >= 8000")
+      val (nRewriteClients, nRewrites) = {
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        org.apache.spark.sql.SparkSession.clearDefaultSession()
+        val s2 = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+          .config("spark.sql.shuffle.partitions", "4")
+          .withExtensions(new graft.functions.GraftExtensions)
+          .getOrCreate()
+        try {
+          Tables.register(s2, sfDir)
+          val expectedNaive = s2.sql(naiveKernel).toJSON.collect().toList.sorted
+          val gw2 = new QueryGateway(s2, s => Tables.register(s, sfDir))
+          try {
+            val r0 = graft.plans.PairJoinAudit.rewritesApplied
+            val nRw = 4
+            val rwClients = (0 until nRw).map { c =>
+              Future {
+                val (sock, out, in) = connect(gw2.boundPort)
+                try {
+                  out.println("SET spark.graft.audit.rewrite=true")
+                  readResponse(in)
+                  out.println(naiveKernel)
+                  val (head, rows, trailer) = readResponse(in)
+                  assert(head == "ok" && trailer.startsWith("done"), s"rw client $c: $head/$trailer")
+                  assert(rows.sorted == expectedNaive,
+                    s"rw client $c diverged from the naive isolated answer: $rows")
+                } finally sock.close()
+              }
+            }
+            rwClients.foreach(Await.result(_, 5.minutes))
+            (nRw, graft.plans.PairJoinAudit.rewritesApplied - r0)
+          } finally gw2.close()
+        } finally {
+          s2.conf.unset(graft.plans.PairJoinAudit.RewriteFlag)
+          org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+          org.apache.spark.sql.SparkSession.setActiveSession(spark)
+        }
+      }
+      assert(nRewrites == nRewriteClients,
+        s"rewrites applied $nRewrites != opted-in statements $nRewriteClients")
       val line = f"""{"metric":"gateway_soak","clients":$nClients,"statements":${ls.length},""" +
         f""""p50_ms":${msAt(0.5)}%.1f,"p95_ms":${msAt(0.95)}%.1f,"max_ms":${ls.last / 1e6}%.1f,""" +
         f""""deadline_budget_ms":$deadlineBudgetMs,"deadline_stmts":$dTotal,""" +
         f""""deadline_misses":$dMissed,"deadline_lateness_ms":$dLateMs,""" +
-        f""""adversarial_stmts":$nAdversarial,"audit_warns":${warnCount.get}}"""
+        f""""adversarial_stmts":$nAdversarial,"audit_warns":$warnsMain,""" +
+        f""""rewrite_clients":$nRewriteClients,"audit_rewrites":$nRewrites}"""
       info(line)
       java.nio.file.Files.write(java.nio.file.Paths.get("GWSOAK.json"),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -275,6 +334,17 @@ class QueryGatewaySpec extends SparkSpec {
     // connection 2 must read what connection 1 persisted after it quit
     val gw = new QueryGateway(spark, s => Tables.register(s, sfDir))
     try {
+      // orphan-location guard (ADVICE r11): if a prior JVM aborted between
+      // CTAS and DROP, the warehouse dir survives while the fresh in-memory
+      // catalog makes DROP IF EXISTS a no-op — the exact hazard q137's
+      // comment documents; reuse its defaultTablePath + delete device
+      locally {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.defaultTablePath(
+            org.apache.spark.sql.catalyst.TableIdentifier("gw_persisted")))
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) { fs.delete(loc, true); () }
+      }
       val (s1, o1, i1) = connect(gw.boundPort)
       o1.println("DROP TABLE IF EXISTS gw_persisted")
       assert(readResponse(i1)._1 == "ok")
