@@ -228,6 +228,11 @@ object ScaleSmoke {
       // 200× (measured: w14 26.4 s in-ladder vs 16.1 s solo, same code) —
       // a harness artifact, not operator growth. Outside the timed span.
       spark.sharedState.cacheManager.clearCache()
+      // the r12 snapshot-memoized band frame would otherwise carry warm
+      // across rows (and pin its checkpoint blocks) — each ladder row must
+      // price its door COLD; the cross-door reuse is SHAREBENCH's
+      // ownership_family row, not the ladder's business
+      graft.operators.Dedup.clearBandMemo()
       System.gc()
       name -> outcome
     }

@@ -236,20 +236,30 @@ object Dedup {
       .select(col(idName), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
 
   /** Distinct candidate pairs (doc_a < doc_b) sharing ≥1 band bucket. */
-  private[operators] def bandCandidates(sigs: DataFrame): DataFrame = {
-    val bands = bandRows(sigs)
+  private[operators] def bandCandidates(sigs: DataFrame): DataFrame =
+    candidatesFromBands(bandRows(sigs))
+
+  /** [[bandCandidates]] over the snapshot-memoized checkpointed band frame
+    * (r12): the naive shape evaluated the shingle+minhash pipeline once per
+    * join SIDE (the band self-join's two inputs are two copies of the
+    * subtree); the checkpoint collapses that to one pass, and the memo
+    * shares it with the ownership-family doors and d21's index in the same
+    * JVM. */
+  private[operators] def bandCandidatesOf(docs: DataFrame): DataFrame =
+    candidatesFromBands(checkpointedBands(docs))
+
+  private def candidatesFromBands(bands: DataFrame): DataFrame =
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
-  }
 
   /** The d04 pipeline on any (doc_id, text) frame — factored so d25/d26 can
     * re-pair a keeper-collapsed subset with the identical index. */
   def lshPairs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val sigs = minhashSigTable(docs)
-    val cand = bandCandidates(sigs)
+    val cand = bandCandidatesOf(docs)
     val hint = BroadcastGate.shingleHint(docs)
     val ha = sigs.select($"doc_id".as("doc_a"), $"h".as("ha"))
     val hb = sigs.select($"doc_id".as("doc_b"), $"h".as("hb"))
@@ -1132,7 +1142,7 @@ object Dedup {
     import spark.implicits._
     graft.functions.Registry.ensure(spark)
     val sigs = minhashSigTable(docs)
-    val cand = bandCandidates(sigs)
+    val cand = bandCandidatesOf(docs)
     val hint = BroadcastGate.shingleHint(docs)
     val ha = sigs.select($"doc_id".as("doc_a"), $"h".as("ha"))
     val hb = sigs.select($"doc_id".as("doc_b"), $"h".as("hb"))
@@ -1203,7 +1213,7 @@ object Dedup {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
     val sigs = minhashSigTable(t.documents)
-    val cand = bandCandidates(sigs)
+    val cand = bandCandidatesOf(t.documents)
     val hint = BroadcastGate.shingleHint(t.documents)
     val ha = sigs.select($"doc_id".as("doc_a"), $"h".as("ha"))
     val hb = sigs.select($"doc_id".as("doc_b"), $"h".as("hb"))
@@ -1401,7 +1411,7 @@ object Dedup {
     import spark.implicits._
     graft.functions.Registry.ensure(spark)
     val sigs = minhashSigTable(docs)
-    val cand = bandCandidates(sigs)
+    val cand = bandCandidatesOf(docs)
     // b-bit codes packed per DOC (32 pmods once per doc), not per PAIR:
     // the verify join then carries 4 longs instead of the 32-long signature
     // array, and the per-pair estimate is shift/mask arithmetic in codegen.
