@@ -221,6 +221,15 @@ object ScaleSmoke {
           case e: Throwable => Left(e.getClass.getSimpleName)
         }
       System.err.println(s"[smoke] $name -> $outcome")
+      // drain before the next row opens its window: cancelJobGroup returns
+      // immediately, but the cancelled m²-join's tasks hit their interrupt
+      // points irregularly (shuffle writes) and can churn for tens of
+      // seconds — at 280× that churn CEILINGED the row after d22 (d23:
+      // 8.9 s solo, ceiling in-ladder) and inflated every row downwind of
+      // a cancel by 1.5-13×. Bounded wait, outside every timed span.
+      val drainDeadline = System.currentTimeMillis() + 90000
+      while (spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty &&
+             System.currentTimeMillis() < drainDeadline) Thread.sleep(250)
       // row independence: drop this row's lingering cache and checkpoint
       // blocks before the next one starts. localCheckpoint blocks are only
       // freed by the ContextCleaner after their RDDs are GC'd, so 41
