@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Row-per-JVM scale-ladder runner (r12).
+
+At high multipliers the one-JVM ladder's rows inflate 1.5-13x after a
+ceiling cancel: cancelJobGroup interrupts, but a codegen'd m2-join loop
+only reaches an interrupt point at partition end, so zombie tasks churn
+CPU through the following rows' windows (d23 at 280x: 8.9 s solo,
+ceiling in-ladder; invisible to the status tracker, so the in-harness
+drain cannot wait them out). One JVM per row IS the repo's trusted solo
+re-probe protocol, promoted to the whole artifact: every row starts
+process-cold (JIT included, ~2-5 s floor) and no row can poison another.
+
+Usage: ladder-solo.py <mult> <out.json> [baseDir]
+Row list + classification fields are taken from a reference single-JVM
+artifact of the same shape (any level) so the merged JSON matches
+ScaleSmoke's format, with "protocol":"row-per-jvm" appended.
+"""
+import json, os, subprocess, sys
+
+mult = sys.argv[1]
+out_path = sys.argv[2]
+base = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ref = json.load(open(os.path.join(repo, "SCALESMOKE_240x.json")))
+keys = list(ref["queries"].keys())
+
+queries, docs, vecs = {}, None, None
+for k in keys:
+    row_out = f"/tmp/ladder_row_{mult}_{k}.json"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8", SPARK_DRIVER_MEM="32g",
+               SPARK_GRAFT_SMOKE_OUT=row_out)
+    r = subprocess.run([os.path.join(repo, "scripts/run-main.sh"),
+                        "graft.ScaleSmoke", mult, base, k],
+                       env=env, capture_output=True, text=True)
+    try:
+        d = json.load(open(row_out))
+        queries[k] = d["queries"][k]
+        docs, vecs = d["docs"], d["vectors"]
+    except Exception as e:
+        queries[k] = "harness_error"
+        sys.stderr.write(f"[ladder-solo] {k}: {e}\n{r.stderr[-500:]}\n")
+    sys.stderr.write(f"[ladder-solo] {k} -> {queries[k]}\n")
+
+breaches = [k for k, v in queries.items() if not isinstance(v, (int, float))]
+unrouted = [k for k in breaches
+            if k not in ref["routed_baselines"] and k not in ref["diagnostic_arms"]]
+total = sum(v for v in queries.values() if isinstance(v, (int, float)))
+art = {
+    "metric": "scale_smoke", "multiplier": int(mult), "docs": docs,
+    "vectors": vecs, "ceiling_sec": 120.0, "total_sec": round(total, 3),
+    "queries": queries, "breaches": breaches, "unrouted_breaches": unrouted,
+    "routed_baselines": ref["routed_baselines"],
+    "diagnostic_arms": ref["diagnostic_arms"],
+    "excluded_baselines": ref["excluded_baselines"],
+    "output_bound_baselines": ref["output_bound_baselines"],
+    "base": base, "protocol": "row-per-jvm",
+}
+with open(out_path, "w") as f:
+    json.dump(art, f)
+    f.write("\n")
+print(json.dumps({"total_sec": art["total_sec"], "breaches": breaches,
+                  "unrouted_breaches": unrouted}))
