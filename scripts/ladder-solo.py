@@ -25,22 +25,37 @@ repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ref = json.load(open(os.path.join(repo, "SCALESMOKE_240x.json")))
 keys = list(ref["queries"].keys())
 
+CEILING = "120"  # pinned in the child env so the artifact states the truth
+
 queries, docs, vecs = {}, None, None
+first_touch, warm_sec = [], {}
 for k in keys:
     row_out = f"/tmp/ladder_row_{mult}_{k}.json"
+    # ADVICE r12: delete any stale artifact from a previous run at the same
+    # multiplier BEFORE launching — a crashed child (OOM, launch failure)
+    # must read as harness_error, not silently resurrect the old timing
+    try:
+        os.remove(row_out)
+    except FileNotFoundError:
+        pass
     env = dict(os.environ, SPARK_GRAFT_CPUS="8", SPARK_DRIVER_MEM="32g",
-               SPARK_GRAFT_SMOKE_OUT=row_out)
+               SPARK_GRAFT_SMOKE_OUT=row_out, SPARK_GRAFT_CEILING_SEC=CEILING)
     r = subprocess.run([os.path.join(repo, "scripts/run-main.sh"),
                         "graft.ScaleSmoke", mult, base, k],
                        env=env, capture_output=True, text=True)
     try:
+        if r.returncode != 0:
+            raise RuntimeError(f"child exited {r.returncode}")
         d = json.load(open(row_out))
         queries[k] = d["queries"][k]
         docs, vecs = d["docs"], d["vectors"]
+        first_touch += [q for q in d.get("first_touch", []) if q == k]
+        warm_sec.update({q: v for q, v in d.get("warm_sec", {}).items() if q == k})
     except Exception as e:
         queries[k] = "harness_error"
         sys.stderr.write(f"[ladder-solo] {k}: {e}\n{r.stderr[-500:]}\n")
-    sys.stderr.write(f"[ladder-solo] {k} -> {queries[k]}\n")
+    sys.stderr.write(f"[ladder-solo] {k} -> {queries[k]}"
+                     + (f" warm={warm_sec[k]}" if k in warm_sec else "") + "\n")
 
 breaches = [k for k, v in queries.items() if not isinstance(v, (int, float))]
 unrouted = [k for k in breaches
@@ -48,8 +63,9 @@ unrouted = [k for k in breaches
 total = sum(v for v in queries.values() if isinstance(v, (int, float)))
 art = {
     "metric": "scale_smoke", "multiplier": int(mult), "docs": docs,
-    "vectors": vecs, "ceiling_sec": 120.0, "total_sec": round(total, 3),
+    "vectors": vecs, "ceiling_sec": float(CEILING), "total_sec": round(total, 3),
     "queries": queries, "breaches": breaches, "unrouted_breaches": unrouted,
+    "first_touch": first_touch, "warm_sec": warm_sec,
     "routed_baselines": ref["routed_baselines"],
     "diagnostic_arms": ref["diagnostic_arms"],
     "excluded_baselines": ref["excluded_baselines"],

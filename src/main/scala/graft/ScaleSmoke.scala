@@ -43,6 +43,22 @@ object ScaleSmoke {
     * only row group). A real 100 TB corpus is thousands of splittable
     * files; the smoke's layout must be, proportionally, too. */
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String, mult: Int): (Long, Long) = {
+    // Build-once marker (r13): under the row-per-JVM ladder protocol every
+    // row's child JVM calls this — rebuilding a 1.5 M-doc corpus 42 times is
+    // ~30 min of pure harness cost per ladder level. The marker is written
+    // AFTER a successful build (a crashed build leaves no marker → rebuild)
+    // and carries the row counts so reuse doesn't even pay the two counts.
+    // The directory path carries the multiplier, so a marker can only ever
+    // attest the corpus it sits beside (same discipline as ShareBench's
+    // scaledCorpus marker).
+    val marker = java.nio.file.Paths.get(s"$outDir/_GRAFT_READY")
+    if (java.nio.file.Files.exists(marker)) {
+      val parts = new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split(",")
+      // a pre-r13 marker is an empty file (counts not recorded) — rebuild
+      if (parts.length == 2 && parts.forall(_.forall(_.isDigit)))
+        return (parts(0).toLong, parts(1).toLong)
+    }
     val nFiles = math.max(16, mult)
     val reps = spark.range(mult.toLong).toDF("rep")
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
@@ -61,8 +77,11 @@ object ScaleSmoke {
         expr("transform(embedding, x -> float(x + rep * 0.0001d))").as("embedding"),
         col("label"))
     embs.repartition(nFiles).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    (spark.read.parquet(s"$outDir/documents.parquet").count(),
+    val counts = (spark.read.parquet(s"$outDir/documents.parquet").count(),
       spark.read.parquet(s"$outDir/embeddings.parquet").count())
+    java.nio.file.Files.write(marker,
+      s"${counts._1},${counts._2}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
   }
 
   /** Production-path queries over documents/embeddings; linear-ish by design.
@@ -204,23 +223,45 @@ object ScaleSmoke {
     val (nDocs, nVecs) = buildScaled(spark, baseDir, dir, mult)
 
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val results = productionKeys.filter(only).map { name =>
-      val fn = SparkEntry.queries(name)
+    // first-touch decomposition (VERDICT r12 next-3): under the row-per-JVM
+    // protocol every row is process-cold, so a model-training door (IVF/PQ/
+    // DSIR training, replica-mass census) absorbs its one-off memoized cost
+    // into the row wall and its growth is not decomposable from training.
+    // Rows whose run paid a memo miss are tagged first_touch, and re-run
+    // once WARM in the same JVM (models + cached frames live) — warm_sec is
+    // the search-only figure growth predictions should be judged on.
+    val firstTouch = scala.collection.mutable.ListBuffer.empty[String]
+    val warmSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timedRun(name: String, fn: (SparkSession, String) => DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       val fut = Future {
         // job group is thread-local: set it on the thread that submits jobs
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
         fn(spark, dir).write.format("noop").mode("overwrite").save()
       }
-      val outcome =
-        try { Await.result(fut, ceiling.seconds); Right((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case _: TimeoutException =>
-            spark.sparkContext.cancelJobGroup(name)
-            Left("ceiling")
-          case e: Throwable => Left(e.getClass.getSimpleName)
+      try { Await.result(fut, ceiling.seconds); Right((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          Left("ceiling")
+        case e: Throwable => Left(e.getClass.getSimpleName)
+      }
+    }
+    val results = productionKeys.filter(only).map { name =>
+      val fn = SparkEntry.queries(name)
+      val m0 = Memo.misses
+      val outcome = timedRun(name, fn)
+      if (Memo.misses > m0) {
+        firstTouch += name
+        // warm pass only for clean first-touch rows: a ceilinged row may
+        // hold half-trained state, and its zombie tasks would pollute the
+        // warm window anyway
+        outcome.foreach { _ =>
+          timedRun(name, fn).foreach(w => warmSecs(name) = w)
         }
-      System.err.println(s"[smoke] $name -> $outcome")
+      }
+      System.err.println(s"[smoke] $name -> $outcome" +
+        warmSecs.get(name).map(w => f" (first_touch, warm ${w}%.1f s)").getOrElse(""))
       // drain before the next row opens its window: cancelJobGroup returns
       // immediately, but the cancelled m²-join's tasks hit their interrupt
       // points irregularly (shuffle writes) and can churn for tens of
@@ -260,10 +301,14 @@ object ScaleSmoke {
     val excl = excludedBaselines.map("\"" + _ + "\"").mkString(",")
     val outB = outputBoundBaselines.map("\"" + _ + "\"").mkString(",")
     val total = results.collect { case (_, Right(s)) => s }.sum
+    val ft = firstTouch.map("\"" + _ + "\"").mkString(",")
+    val warm = warmSecs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val line =
       s"""{"metric":"scale_smoke","multiplier":$mult,"docs":$nDocs,"vectors":$nVecs,""" +
         s""""ceiling_sec":${fmt(ceiling)},"total_sec":${fmt(total)},"queries":$qs,""" +
         s""""breaches":[$breaches],"unrouted_breaches":[$unrouted],""" +
+        s""""first_touch":[$ft],"warm_sec":$warm,""" +
         s""""routed_baselines":{$routed},"diagnostic_arms":[$diag],""" +
         s""""excluded_baselines":[$excl],""" +
         s""""output_bound_baselines":[$outB],"base":"$baseDir"}"""

@@ -37,11 +37,10 @@ object ShareBench {
     val tag = java.util.Base64.getUrlEncoder.withoutPadding()
       .encodeToString(base.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val dir = s"/tmp/graft-share/x10-$tag"
-    val marker = java.nio.file.Paths.get(s"$dir/_GRAFT_READY")
-    if (!java.nio.file.Files.exists(marker)) {
-      ScaleSmoke.buildScaled(spark, base, dir, 10)
-      java.nio.file.Files.createFile(marker)
-    }
+    // build-once semantics live in buildScaled itself now (its _GRAFT_READY
+    // marker, written after a successful build) — r13 moved them there so
+    // the row-per-JVM ladder children share one corpus build too
+    ScaleSmoke.buildScaled(spark, base, dir, 10)
     dir
   }
 

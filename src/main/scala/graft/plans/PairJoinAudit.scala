@@ -220,6 +220,22 @@ object PairJoinAudit extends Logging {
   // corpus, like the routing plane's mass census
   private val kernelCanons = graft.Memo.lru[String, LogicalPlan](64)
 
+  /** Canonical hashes of door branches THIS audit spliced in (ADVICE r12):
+    * the re-entered rewritten plan trips detect() on the door's own internal
+    * band self-join, and suppressing that by pre-consuming the shared
+    * relation+leaf finding key silenced the advisory for every LATER
+    * genuinely-naive plan over the same relation. Keyed on the door's own
+    * optimized canonical shape instead, so suppression matches exactly the
+    * plans the audit installed. Bounded like the other JVM-wide memos. */
+  private val splicedDoors = graft.Memo.lru[String, java.lang.Boolean](64)
+
+  /** Does `plan` contain a subtree the audit itself spliced in? The spliced
+    * branch is already optimizer-closed (see [[tryRewrite]]), so its
+    * canonical shape is stable through the remaining fixed-point batches. */
+  def containsSplicedDoor(plan: LogicalPlan): Boolean =
+    splicedDoors.size() > 0 && plan.exists(sub =>
+      splicedDoors.get(sub.canonicalized.semanticHash().toString) != null)
+
   private def withBuildGuard[A](body: => A): A = {
     building.set(java.lang.Boolean.TRUE)
     try body finally building.set(java.lang.Boolean.FALSE)
@@ -287,6 +303,8 @@ object PairJoinAudit extends Logging {
               val door = withBuildGuard {
                 kd.door(frame).queryExecution.optimizedPlan
               }
+              splicedDoors.put(door.canonicalized.semanticHash().toString,
+                java.lang.Boolean.TRUE)
               Project(sub.output.zip(door.output).map { case (o, n) =>
                 Alias(n, o.name)(exprId = o.exprId) }, door)
           }
@@ -320,18 +338,12 @@ case class PairJoinAuditRule(session: SparkSession) extends Rule[LogicalPlan] {
         case Some(rewritten) =>
           logInfo(s"[graft-audit] rewrote a naive pair-enumerating kernel to its " +
             "routed door (spark.graft.audit.rewrite=true)")
-          // ADVICE r11: the spliced door is itself a derived-key self-join
-          // over the same leaf (the PPJoin / band index), so the re-entered
-          // rewritten plan would trip detect() and log the m²-hazard
-          // advisory about a plan the audit installed — pre-seed the
-          // advisory-log dedup with the rewritten plan's own finding key
-          PairJoinAudit.detect(rewritten).foreach { rf =>
-            val k = rf.relation + ":" + rf.leaf.canonicalized.semanticHash().toString
-            PairJoinAuditRule.warned.putIfAbsent(k, java.lang.Boolean.TRUE)
-          }
           // not marked seen: the rewritten plan re-enters under a new hash
-          // and settles (silently, per the pre-seed above) through the
-          // warn path below
+          // and settles silently through the warn path below — the spliced
+          // door's shape is recorded in PairJoinAudit.splicedDoors, which
+          // the warn path consults WITHOUT consuming the shared finding key
+          // (ADVICE r12: pre-consuming it silenced the advisory for later
+          // genuinely-naive plans over the same relation)
           return rewritten
         case None => ()
       }
@@ -343,10 +355,16 @@ case class PairJoinAuditRule(session: SparkSession) extends Rule[LogicalPlan] {
       // `seen` guard above cannot stop the 3-5 duplicate warnings one
       // flagged statement used to emit (seen in the r11 ExchangeAudit log)
       val warnKey = f.relation + ":" + f.leaf.canonicalized.semanticHash().toString
-      if (PairJoinAuditRule.warned.putIfAbsent(warnKey, java.lang.Boolean.TRUE) == null)
-        logWarning(s"[graft-audit] pair-enumerating self-join on derived keys over " +
-          s"'${f.relation}' — raw plans of this shape are m2-bound on replica-heavy " +
-          "corpora; see graft.operators.Routing for the routed doors")
+      if (PairJoinAuditRule.warned.get(warnKey) == null) {
+        // a plan containing a door the audit itself spliced stays silent
+        // WITHOUT consuming the finding key, so a later genuinely naive
+        // plan over the same relation still gets its once-per-JVM advisory
+        if (PairJoinAudit.containsSplicedDoor(plan)) ()
+        else if (PairJoinAuditRule.warned.putIfAbsent(warnKey, java.lang.Boolean.TRUE) == null)
+          logWarning(s"[graft-audit] pair-enumerating self-join on derived keys over " +
+            s"'${f.relation}' — raw plans of this shape are m2-bound on replica-heavy " +
+            "corpora; see graft.operators.Routing for the routed doors")
+      }
     }
     PairJoinAuditRule.seen.put(key, java.lang.Boolean.TRUE)
     plan

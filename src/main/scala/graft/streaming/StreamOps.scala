@@ -536,7 +536,14 @@ object StreamOps {
 
   // bkey is the int64 hashed band key (see [[graft.operators.Dedup.bandRows]],
   // r12) — 8 bytes of keyed streaming state per bucket instead of a
-  // 90-170-byte string, the same width cut the batch ownership exchange took
+  // 90-170-byte string, the same width cut the batch ownership exchange took.
+  // CHECKPOINT-FORMAT BREAK (ADVICE r12): the String→Long bkey changes the
+  // flatMapGroupsWithState grouping-key schema, so a [[bandOwnership]] stream
+  // checkpointed on pre-r12 code cannot restart against this code — the state
+  // store fails with a key-schema mismatch. That failure is EXPECTED after
+  // the upgrade: restart the stream from a fresh checkpoint (state is
+  // rebuilt first-come-first-served from the replayed source), don't
+  // diagnose it as a state-store bug.
   final case class BandRow(doc_id: Long, band: Int, bkey: Long)
   final case class OwnRow(doc_id: Long, band: Int, owned: Boolean)
 

@@ -22,6 +22,17 @@ class ScaleSmokeSpec extends SparkSpec {
     // and n_chars is consistent with the perturbed text
     import org.apache.spark.sql.functions._
     assert(docs.filter(length(col("text")).cast("long") =!= col("n_chars")).count() == 0)
+
+    // build-once marker (r13): a successful build writes _GRAFT_READY with
+    // the counts, and a second call attests the same corpus from the marker
+    // instead of rebuilding (the row-per-JVM ladder children rely on this)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/_GRAFT_READY")))
+    assert(ScaleSmoke.buildScaled(spark, "/root/testdata/sf0.001", out, 3) == ((nDocs, nVecs)))
+    // a pre-r13 marker was an empty file — that shape must trigger a rebuild,
+    // not a parse crash
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/_GRAFT_READY"),
+      Array.empty[Byte])
+    assert(ScaleSmoke.buildScaled(spark, "/root/testdata/sf0.001", out, 3) == ((nDocs, nVecs)))
   }
 
   test("breach classification is exhaustive and self-consistent") {

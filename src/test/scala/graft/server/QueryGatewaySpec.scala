@@ -140,58 +140,80 @@ class QueryGatewaySpec extends SparkSpec {
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
       val nClients = 8
-      DeadlineTelemetry.reset()
-      warnCount.set(0L)
       // soft-deadline budget per hinted statement: generous vs the isolated
       // latency, tight enough that real queueing under the 8-client load
       // shows up as a measured miss rate, not a hidden stall
       val deadlineBudgetMs = 3000L
-      val latencies = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
-      val clients = (0 until nClients).map { c =>
-        Future {
-          val (sock, out, in) = connect(gw.boundPort)
-          try {
-            // rotate the statement order per client so windows mix
-            // statements; alternate scheduling-class hints for pool coverage
-            (0 until stmts.size).foreach { k =>
-              val sql = stmts((c + k) % stmts.size)
-              val hint = (c % 3) match {
-                case 0 => "/*+ graft(priority=5) */ "  // urgent pool
-                case 1 => "/*+ graft(priority=-1) */ " // bulk pool
-                case _ => // connection pool, deadline-carrying (EDF + telemetry)
-                  s"/*+ graft(deadlineMs=${System.currentTimeMillis() + deadlineBudgetMs}) */ "
+      // median-of-3 soak (VERDICT r12 next-4): this VM's documented 2-4×
+      // run-to-run noise put one r12 re-run's p95 past the deadline budget
+      // on identical code; a single-run latency artifact is hostage to the
+      // instrument exactly like the bench headline was before r12. Each rep
+      // runs the full 8-client phase with fresh telemetry; the artifact
+      // reports the MEDIAN rep (by p95) plus the p95 spread and the miss
+      // count across all reps, so the doc sentence and the artifact can
+      // only disagree if the code actually changed.
+      case class SoakRep(ls: Array[Long], dTotal: Long, dMissed: Long,
+          dLateMs: Long, warns: Long)
+      def msAt(ls: Array[Long], q: Double): Double = ls(((ls.length - 1) * q).toInt) / 1e6
+      def soakOnce(): SoakRep = {
+        DeadlineTelemetry.reset()
+        warnCount.set(0L)
+        val latencies = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val clients = (0 until nClients).map { c =>
+          Future {
+            val (sock, out, in) = connect(gw.boundPort)
+            try {
+              // rotate the statement order per client so windows mix
+              // statements; alternate scheduling-class hints for pool coverage
+              (0 until stmts.size).foreach { k =>
+                val sql = stmts((c + k) % stmts.size)
+                val hint = (c % 3) match {
+                  case 0 => "/*+ graft(priority=5) */ "  // urgent pool
+                  case 1 => "/*+ graft(priority=-1) */ " // bulk pool
+                  case _ => // connection pool, deadline-carrying (EDF + telemetry)
+                    s"/*+ graft(deadlineMs=${System.currentTimeMillis() + deadlineBudgetMs}) */ "
+                }
+                val t0 = System.nanoTime()
+                out.println(hint + sql)
+                val (head, rows, trailer) = readResponse(in)
+                latencies.add(System.nanoTime() - t0)
+                assert(head == "ok", s"client $c stmt $k: $head")
+                assert(trailer.startsWith("done"), s"client $c stmt $k: $trailer")
+                assert(rows == expected(sql),
+                  s"client $c stmt $k diverged from isolated run: $rows")
               }
-              val t0 = System.nanoTime()
-              out.println(hint + sql)
-              val (head, rows, trailer) = readResponse(in)
-              latencies.add(System.nanoTime() - t0)
-              assert(head == "ok", s"client $c stmt $k: $head")
-              assert(trailer.startsWith("done"), s"client $c stmt $k: $trailer")
-              assert(rows == expected(sql),
-                s"client $c stmt $k diverged from isolated run: $rows")
-            }
-          } finally sock.close()
+            } finally sock.close()
+          }
         }
+        clients.foreach(Await.result(_, 5.minutes))
+        val ls = latencies.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+        assert(ls.length == nClients * stmts.size)
+        // deadline-miss accounting (VERDICT r7 next-7): every c%3==2 client
+        // statement carried a deadline; all completed, so the telemetry's
+        // total must equal the hinted count and misses bound by it
+        val (dTotal, dMissed, dLateMs) = DeadlineTelemetry.snapshot
+        val nHinted = (0 until nClients).count(_ % 3 == 2) * stmts.size
+        assert(dTotal == nHinted, s"deadline telemetry $dTotal != hinted $nHinted")
+        assert(dMissed >= 0 && dMissed <= dTotal)
+        // audit-under-load (VERDICT r10 next-5): every adversarial issue —
+        // one per client under the rotation — fired a warn line, and firing
+        // it (incl. the one cold mass census) broke neither the responses
+        // above nor the deadline accounting
+        val warnsRep = warnCount.get
+        assert(warnsRep == nClients,
+          s"audit warns $warnsRep != adversarial statements $nClients")
+        SoakRep(ls, dTotal, dMissed, dLateMs, warnsRep)
       }
-      clients.foreach(Await.result(_, 5.minutes))
-      val ls = latencies.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
-      assert(ls.length == nClients * stmts.size)
-      def msAt(q: Double): Double = ls(((ls.length - 1) * q).toInt) / 1e6
-      // deadline-miss accounting (VERDICT r7 next-7): every c%3==2 client
-      // statement carried a deadline; all completed, so the telemetry's
-      // total must equal the hinted count and misses bound by it
-      val (dTotal, dMissed, dLateMs) = DeadlineTelemetry.snapshot
-      val nHinted = (0 until nClients).count(_ % 3 == 2) * stmts.size
-      assert(dTotal == nHinted, s"deadline telemetry $dTotal != hinted $nHinted")
-      assert(dMissed >= 0 && dMissed <= dTotal)
-      // audit-under-load (VERDICT r10 next-5): every adversarial issue — one
-      // per client under the rotation — fired a warn line, and firing it
-      // (incl. the one cold mass census) broke neither the responses above
-      // nor the deadline accounting
-      val nAdversarial = nClients // each client issues `adversarial` once
-      val warnsMain = warnCount.get // before the rewrite phase warns too
-      assert(warnsMain == nAdversarial,
-        s"audit warns $warnsMain != adversarial statements $nAdversarial")
+      val soakReps = 3
+      val repRuns = (1 to soakReps).map(_ => soakOnce())
+      val byP95 = repRuns.sortBy(r => msAt(r.ls, 0.95))
+      val med = byP95(soakReps / 2)
+      val p95SpreadMs = msAt(byP95.last.ls, 0.95) - msAt(byP95.head.ls, 0.95)
+      val missesAllReps = repRuns.map(_.dMissed).sum
+      val ls = med.ls
+      val (dTotal, dMissed, dLateMs) = (med.dTotal, med.dMissed, med.dLateMs)
+      val nAdversarial = nClients // each client issues `adversarial` once/rep
+      val warnsMain = med.warns
       // opt-in rewrite under load (VERDICT r11 next-6): a second,
       // non-batched gateway on a REAL extensions session (the rewrite runs
       // in the optimizer, so the session needs the production injection;
@@ -250,9 +272,12 @@ class QueryGatewaySpec extends SparkSpec {
       assert(nRewrites == nRewriteClients,
         s"rewrites applied $nRewrites != opted-in statements $nRewriteClients")
       val line = f"""{"metric":"gateway_soak","clients":$nClients,"statements":${ls.length},""" +
-        f""""p50_ms":${msAt(0.5)}%.1f,"p95_ms":${msAt(0.95)}%.1f,"max_ms":${ls.last / 1e6}%.1f,""" +
+        f""""reps":$soakReps,""" +
+        f""""p50_ms":${msAt(ls, 0.5)}%.1f,"p95_ms":${msAt(ls, 0.95)}%.1f,"max_ms":${ls.last / 1e6}%.1f,""" +
+        f""""p95_spread_ms":$p95SpreadMs%.1f,""" +
         f""""deadline_budget_ms":$deadlineBudgetMs,"deadline_stmts":$dTotal,""" +
-        f""""deadline_misses":$dMissed,"deadline_lateness_ms":$dLateMs,""" +
+        f""""deadline_misses":$dMissed,"deadline_misses_all_reps":$missesAllReps,""" +
+        f""""deadline_lateness_ms":$dLateMs,""" +
         f""""adversarial_stmts":$nAdversarial,"audit_warns":$warnsMain,""" +
         f""""rewrite_clients":$nRewriteClients,"audit_rewrites":$nRewrites}"""
       info(line)
