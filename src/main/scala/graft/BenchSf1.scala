@@ -87,37 +87,69 @@ object BenchSf1 {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same JVM/codegen/scan-stack warmup as Bench (r13): without it the
+    // first rows (q01/q05) absorb C2 compilation + parquet-reader init and
+    // read 2-4x over their steady-state, which poisons round-over-round
+    // comparisons of exactly those headline rows
+    spark.range(2000000).selectExpr("sum(id * 2)").collect()
+    spark.read.parquet(s"$baseDir/region.parquet").count()
+    spark.range(200000)
+      .selectExpr("upper(concat('ab', cast(id AS string))) AS u",
+        "regexp_replace(cast(id AS string), '[02468]', 'x') AS r",
+        "reverse(cast(id AS string)) AS v",
+        "lpad(cast(id AS string), 12, '_') AS p")
+      .write.format("noop").mode("overwrite").save()
 
     val dir = buildSf1(spark, baseDir, s"/tmp/graft-sf1/x$mult", mult)
 
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val results = headlineKeys.map { name =>
-      val fn = SparkEntry.queries(name)
+    def oneRun(name: String, fn: (SparkSession, String) => DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       val fut = Future {
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
         fn(spark, dir).write.format("noop").mode("overwrite").save()
       }
-      val outcome =
-        try { Await.result(fut, ceiling.seconds); Right((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case _: TimeoutException =>
-            spark.sparkContext.cancelJobGroup(name)
-            Left("ceiling")
-          case e: Throwable => Left(e.getClass.getSimpleName)
-        }
+      try { Await.result(fut, ceiling.seconds); Right((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          Left("ceiling")
+        case e: Throwable => Left(e.getClass.getSimpleName)
+      }
+    }
+    // per-row MEDIAN-of-3 above the probe floor (r13): the lane was the last
+    // single-run timing artifact in the repo, and this VM's documented noise
+    // put s01 at 3.6/35.8/49.1 s across three same-code runs (solo re-probe:
+    // 10.2 s cold, 3.3 s warm). Same recipe as Bench: sub-floor rows keep
+    // their single run, spread is recorded per re-run row.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val probeFloor = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_FLOOR_SEC", "1.0").toDouble
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val results = headlineKeys.map { name =>
+      val fn = SparkEntry.queries(name)
+      val first = oneRun(name, fn)
+      val outcome = first match {
+        case Right(t1) if reps > 1 && t1 >= probeFloor =>
+          val runs = t1 +: (2 to reps).map(_ => oneRun(name, fn)).collect { case Right(s) => s }
+          Right((median(runs), runs.max - runs.min))
+        case Right(t1) => Right((t1, 0.0))
+        case Left(why) => Left(why)
+      }
       System.err.println(s"[sf1] $name -> $outcome")
       name -> outcome
     }
     val qs = results.map {
-      case (k, Right(sec)) => "\"" + k + "\":" + fmt(sec)
-      case (k, Left(why))  => "\"" + k + "\":\"" + why + "\""
+      case (k, Right((sec, _))) => "\"" + k + "\":" + fmt(sec)
+      case (k, Left(why))       => "\"" + k + "\":\"" + why + "\""
     }.mkString("{", ",", "}")
+    val spread = results.collect { case (k, Right((_, sp))) if sp > 0 =>
+      "\"" + k + "\":" + fmt(sp) }.mkString("{", ",", "}")
     val breaches = results.collect { case (k, Left(_)) => "\"" + k + "\"" }.mkString(",")
-    val total = results.collect { case (_, Right(s)) => s }.sum
+    val total = results.collect { case (_, Right((s, _))) => s }.sum
     val line =
       s"""{"metric":"bench_sf1","multiplier":$mult,"ceiling_sec":${fmt(ceiling)},""" +
-        s""""total_sec":${fmt(total)},"queries":$qs,"breaches":[$breaches],"base":"$baseDir"}"""
+        s""""total_sec":${fmt(total)},"reps":$reps,"probe_floor_sec":${fmt(probeFloor)},""" +
+        s""""queries":$qs,"spread":$spread,"breaches":[$breaches],"base":"$baseDir"}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
