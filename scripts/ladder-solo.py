@@ -61,9 +61,20 @@ breaches = [k for k, v in queries.items() if not isinstance(v, (int, float))]
 unrouted = [k for k in breaches
             if k not in ref["routed_baselines"] and k not in ref["diagnostic_arms"]]
 total = sum(v for v in queries.values() if isinstance(v, (int, float)))
+# ADVICE r13 #5: total_sec sums COLD per-row timings, so first-touch rows
+# fold one-off training/census cost into the level headline. Emit the
+# warm-adjusted total (warm_sec substituted where measured) and the
+# first-touch overhead separately, so level-over-level comparisons can run
+# on search-only seconds.
+warm_total = sum(warm_sec.get(k, v) for k, v in queries.items()
+                 if isinstance(v, (int, float)))
+ft_overhead = sum(queries[k] - w for k, w in warm_sec.items()
+                  if isinstance(queries.get(k), (int, float)))
 art = {
     "metric": "scale_smoke", "multiplier": int(mult), "docs": docs,
     "vectors": vecs, "ceiling_sec": float(CEILING), "total_sec": round(total, 3),
+    "warm_total_sec": round(warm_total, 3),
+    "first_touch_overhead_sec": round(ft_overhead, 3),
     "queries": queries, "breaches": breaches, "unrouted_breaches": unrouted,
     "first_touch": first_touch, "warm_sec": warm_sec,
     "routed_baselines": ref["routed_baselines"],

@@ -47,19 +47,32 @@ object Bench {
     // the default (shared) is the production posture and the flag's value is
     // recorded in the artifact either way.
     val coldBands = sys.env.get("SPARK_GRAFT_BENCH_COLD_BANDS").exists(_.toBoolean)
-    def onePass(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // beneficiary tagging (VERDICT r13 missing-2, ADVICE r12 #5's second
+    // half): alongside first_touch (who PAID a memoized training/census
+    // job), record per-row memo HITS from pass 1 — who RODE one. A row
+    // whose timing swings between runs of the same code (d30: 1.8 s
+    // committed vs 24.5 s driver re-run, spread 25.0) self-explains when
+    // one artifact shows it first-touch and the other shows it beneficiary:
+    // the difference is execution-order memo state, not plan growth.
+    // Pass 1 only — within-row reps would count the row riding its own
+    // first rep, which is rep mechanics, not cross-row sharing.
+    val memoHits = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def onePass(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        recordHits: Boolean = false): Double = {
       if (coldBands) graft.operators.Dedup.clearBandMemo()
       val t0 = System.nanoTime()
       val m0 = Memo.misses
+      val h0 = Memo.hits
       // noop sink: materializes every output column (count() would let
       // Catalyst prune the query down to the rows that survive)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       if (Memo.misses > m0) firstTouch += name
+      if (recordHits && Memo.hits > h0) memoHits(name) = Memo.hits - h0
       (System.nanoTime() - t0) / 1e9
     }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => only(kv._1))
-    val pass1 = queries.map { case (name, fn) => name -> onePass(name, fn) }
+    val pass1 = queries.map { case (name, fn) => name -> onePass(name, fn, recordHits = true) }
     // De-noised headline (VERDICT r11 wrong-2/next-2): this VM shows
     // documented 2-4× per-row swings between back-to-back identical runs
     // (m01 6.8↔21.2 s in r11), so a single-run total is hostage to the
@@ -100,9 +113,12 @@ object Bench {
     val breaches = results.filter(_._2 > ceiling).map(_._1)
     val spreadJson = spread.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val memoHitsJson = memoHits.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val breachJson =
       s""","ceiling_sec":${fmt(ceiling)},"breaches":[${breaches.map("\"" + _ + "\"").mkString(",")}]""" +
         s""","first_touch":[${firstTouch.distinct.map("\"" + _ + "\"").mkString(",")}]""" +
+        s""","memo_hits":$memoHitsJson""" +
         s""","reps":$reps,"probe_floor_sec":${fmt(probeFloor)},"cold_bands":$coldBands"""
     // the full spread map goes to the file artifact only — the compact
     // stdout line must keep fitting a log-tail capture window

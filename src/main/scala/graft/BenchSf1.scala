@@ -130,8 +130,18 @@ object BenchSf1 {
       val first = oneRun(name, fn)
       val outcome = first match {
         case Right(t1) if reps > 1 && t1 >= probeFloor =>
-          val runs = t1 +: (2 to reps).map(_ => oneRun(name, fn)).collect { case Right(s) => s }
-          Right((median(runs), runs.max - runs.min))
+          // ADVICE r13 #3: a re-run that ceilings or throws must not be
+          // silently dropped — a 2-of-3-ceiling row shipping as a clean
+          // survivor median hides exactly the instability the median
+          // exists to expose. Any failed rep marks the whole row breached,
+          // with the survivor median recorded inside the reason.
+          val reruns = (2 to reps).map(_ => oneRun(name, fn))
+          val fails = reruns.collect { case Left(w) => w }
+          val runs = t1 +: reruns.collect { case Right(s) => s }
+          if (fails.nonEmpty)
+            Left(s"${fails.head} in ${fails.size}/${reps - 1} re-runs" +
+              s" (survivor median ${fmt(median(runs))}s)")
+          else Right((median(runs), runs.max - runs.min))
         case Right(t1) => Right((t1, 0.0))
         case Left(why) => Left(why)
       }

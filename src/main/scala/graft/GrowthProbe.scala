@@ -25,11 +25,20 @@ import org.apache.spark.sql.functions._
   * data ratio: the stage whose ratio exceeds it is the cause; if every
   * stage tracks the ratio and only the total exceeds it, the growth is
   * memory-pressure (GC) rather than plan shape. Output: one JSON line.
+  *
+  * Second arg selects the kernel (VERDICT r13 next-5): `d29` (default, the
+  * stages above) or `p29` — the curation funnel, the ladder's largest real
+  * unrouted row (85.3 s wall / 63.5 s warm at 320×), whose wall composes
+  * quality→exact→near-dedup→decontamination and was previously only
+  * measurable whole. The p29 stages time each CUMULATIVE flag-frame prefix
+  * ([[graft.operators.Pipeline.p29StageFrames]] — the same definitions the
+  * query aggregates), so a level-over-level growth alarm names a stage.
   */
 object GrowthProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft-scale/x200")
+    val kernel = if (args.length > 1) args(1) else "d29"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,6 +58,12 @@ object GrowthProbe {
       // each cumulative stage rebuilds the full prefix it claims to time.
       spark.sharedState.cacheManager.clearCache()
       graft.operators.Dedup.clearBandMemo()
+      // every cumulative prefix pays its routing/gate censuses cold, so a
+      // stage DIFF attributes marginal cost instead of crediting stage N
+      // with the memo stage N-1 happened to fill (the memos are linear
+      // jobs, so they cancel in the diff when every stage pays them)
+      graft.operators.Routing.clearMassMemo()
+      graft.operators.BroadcastGate.clearCountMemo()
       System.gc()
       val t0 = System.nanoTime()
       body
@@ -56,9 +71,9 @@ object GrowthProbe {
     }
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
 
-    import graft.operators.Dedup
+    import graft.operators.{Dedup, Pipeline}
     val nDocs = docs.count()
-    val stages = Seq[(String, () => Unit)](
+    val d29Stages = Seq[(String, () => Unit)](
       "scan" -> (() =>
         docs.agg(sum(length(col("text")))).collect()),
       "sig" -> (() =>
@@ -72,13 +87,41 @@ object GrowthProbe {
       "d29" -> (() =>
         Dedup.d29FrontCollapsePairsDocs(docs, 4200)
           .write.format("noop").mode("overwrite").save()))
+    // p29 mode: each cumulative flag frame collapses through one scalar
+    // aggregate over its flag/token columns only — the funnel's own
+    // conditional-aggregate pass reads exactly those, so Catalyst prunes
+    // `text` out of the join spine the same way in probe and query
+    // (hashing every column was measured 3× the funnel itself at 20×:
+    // it forced full texts through all four joins)
+    def p29t = graft.T(spark, dir)
+    val p29FlagCols =
+      Seq("n_tokens", "q_keep", "e_keep", "n_keep", "contam_bp", "c_keep")
+    val p29Stages: Seq[(String, () => Unit)] =
+      Pipeline.p29StageFrames(p29t).map { case (name, _) =>
+        // rebuild the frame INSIDE the timed body: p29StageFrames' routing
+        // verdict (nearDupKeepers' mass census) must run inside the stage
+        // that claims it, not at stage-list construction
+        name -> (() => {
+          val frame = Pipeline.p29StageFrames(p29t)
+            .find(_._1 == name).get._2
+          val cols = p29FlagCols.filter(frame.columns.contains).map(col)
+          frame.agg(count(lit(1)), sum(hash(cols: _*))).collect()
+          ()
+        })
+      } :+ ("funnel" -> (() =>
+        Pipeline.p29CurationFunnel(p29t)
+          .write.format("noop").mode("overwrite").save(): Unit))
+    val stages = kernel match {
+      case "p29" => p29Stages
+      case _     => d29Stages
+    }
     val times = stages.map { case (name, fn) =>
       val sec = timed(fn())
       System.err.println(s"[growth] $name ${fmt(sec)}s")
       name -> sec
     }
     val qs = times.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
-    println(s"""{"metric":"growth_probe","dir":"$dir","docs":$nDocs,$qs}""")
+    println(s"""{"metric":"growth_probe","dir":"$dir","kernel":"$kernel","docs":$nDocs,$qs}""")
     spark.stop()
   }
 }

@@ -32,6 +32,15 @@ object Memo {
   private val missCounter = new java.util.concurrent.atomic.LongAdder
   def misses: Long = missCounter.sum()
 
+  /** JVM-wide count of memo HITS (computeIfAbsent served an existing
+    * entry). Bench samples it per row to tag band-memo BENEFICIARIES
+    * (VERDICT r13 missing-2): `first_touch` marks the row that PAYS a sig
+    * pass, but per-row timings also depend on which rows ride it — a
+    * d30-style 1.8↔24.5 s swing between two same-code runs self-explains
+    * once the artifact records who hit a memo someone else filled. */
+  private val hitCounter = new java.util.concurrent.atomic.LongAdder
+  def hits: Long = hitCounter.sum()
+
   /** Stable memo key for a file-backed frame: MD5 over tag + the analyzed
     * plan's semanticHash + the sorted leaf-file snapshot. None when the
     * frame reads no files (no stable snapshot to key on — caller computes
@@ -74,7 +83,7 @@ object Memo {
     override def computeIfAbsent(
         key: K, f: java.util.function.Function[_ >: K, _ <: V]): V = {
       val existing = lock.synchronized(inner.get(key))
-      if (existing != null) existing
+      if (existing != null) { hitCounter.increment(); existing }
       else {
         missCounter.increment()
         val computed = f.apply(key) // outside the lock — may run Spark jobs

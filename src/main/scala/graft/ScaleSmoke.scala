@@ -48,16 +48,22 @@ object ScaleSmoke {
     // ~30 min of pure harness cost per ladder level. The marker is written
     // AFTER a successful build (a crashed build leaves no marker → rebuild)
     // and carries the row counts so reuse doesn't even pay the two counts.
-    // The directory path carries the multiplier, so a marker can only ever
-    // attest the corpus it sits beside (same discipline as ShareBench's
-    // scaledCorpus marker).
+    // The directory path carries the multiplier; the marker carries the
+    // BASE dir (ADVICE r13 #2: the dir alone is keyed only by multiplier,
+    // so a run against a different or regenerated base corpus would have
+    // silently reused the stale corpus and attributed timings to the wrong
+    // data) — base mismatch ⇒ rebuild.
+    val baseTag = java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+      baseDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val marker = java.nio.file.Paths.get(s"$outDir/_GRAFT_READY")
     if (java.nio.file.Files.exists(marker)) {
       val parts = new String(java.nio.file.Files.readAllBytes(marker),
         java.nio.charset.StandardCharsets.UTF_8).trim.split(",")
-      // a pre-r13 marker is an empty file (counts not recorded) — rebuild
-      if (parts.length == 2 && parts.forall(_.forall(_.isDigit)))
-        return (parts(0).toLong, parts(1).toLong)
+      // a pre-r14 marker lacks the base tag (or pre-r13: an empty file) —
+      // rebuild rather than trust an unattributed corpus
+      if (parts.length == 3 && parts(0) == baseTag &&
+          parts.tail.forall(_.forall(_.isDigit)))
+        return (parts(1).toLong, parts(2).toLong)
     }
     val nFiles = math.max(16, mult)
     val reps = spark.range(mult.toLong).toDF("rep")
@@ -80,7 +86,7 @@ object ScaleSmoke {
     val counts = (spark.read.parquet(s"$outDir/documents.parquet").count(),
       spark.read.parquet(s"$outDir/embeddings.parquet").count())
     java.nio.file.Files.write(marker,
-      s"${counts._1},${counts._2}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s"$baseTag,${counts._1},${counts._2}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     counts
   }
 

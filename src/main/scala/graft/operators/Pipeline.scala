@@ -1310,7 +1310,13 @@ object Pipeline {
     * chained anti-joins. Scale shape: each stage's machinery runs on its
     * shrinking survivor set — the collapse-before-pairing posture the 30×
     * probe demanded, as a user-facing operator. */
-  def p29CurationFunnel(t: T): DataFrame = {
+  /** The funnel's cumulative flag frames, one per stage — the SAME
+    * definitions [[p29CurationFunnel]] aggregates, exposed so GrowthProbe's
+    * p29 mode (VERDICT r13 next-5) can time each cumulative prefix and
+    * attribute level-over-level growth to a stage instead of the whole-row
+    * wall. Order: quality → exact_dedup → near_dedup → decontaminated;
+    * each frame carries the keep bits computed so far. */
+  private[graft] def p29StageFrames(t: T): Seq[(String, DataFrame)] = {
     import t.spark.implicits._
     graft.functions.Registry.ensure(t.spark)
     // 0) training corpus: src0 is the frozen eval holdout, never trained on
@@ -1347,6 +1353,13 @@ object Pipeline {
       .agg(expr("(SUM(coalesce(hit, 0L)) * 10000) DIV COUNT(1)").as("contam_bp"))
     val flags = withN.join(contam, Seq("doc_id"), "left")
       .withColumn("c_keep", $"n_keep" && (coalesce($"contam_bp", lit(0L)) < lit(2000L)))
+    Seq("quality" -> base, "exact_dedup" -> withE,
+      "near_dedup" -> withN, "decontaminated" -> flags)
+  }
+
+  def p29CurationFunnel(t: T): DataFrame = {
+    import t.spark.implicits._
+    val flags = p29StageFrames(t).last._2
     // one conditional-aggregate pass -> the five funnel rows
     flags.agg(
         count(lit(1)).as("raw_d"), sum($"n_tokens").as("raw_t"),
@@ -1633,8 +1646,15 @@ object Pipeline {
     // must not reuse the full corpus's trained model
     graft.Memo.snapshotKey(docs, "dsir") match {
       case None      => train()
-      case Some(key) => dsirModels.computeIfAbsent(key, _ => train())
+      case Some(key) => dsirModels.computeIfAbsent(key, _ =>
+        graft.ModelRegistry.loadOrTrain1(docs.sparkSession, "dsir-llr", key)(train()))
     }
+  }
+
+  /** Spec/probe hook: forget in-JVM trained DSIR state (see
+    * [[graft.operators.Similarity.clearModelMemo]]). */
+  private[graft] def clearModelMemo(): Unit = {
+    dsirModels.clear(); dsirCutoffs.clear()
   }
 
   /** Ceil(n/4) with k a Long end to end (VERDICT r9 #1: the old `.toInt`
@@ -1723,7 +1743,9 @@ object Pipeline {
     }
     graft.Memo.snapshotKey(docs, "dsir-cut") match {
       case None      => compute()
-      case Some(key) => dsirCutoffs.computeIfAbsent(key, _ => compute())
+      case Some(key) => dsirCutoffs.computeIfAbsent(key, _ =>
+        graft.ModelRegistry.loadOrTrainPair(docs.sparkSession, "dsir-cutoff", key)(
+          compute()))
     }
   }
 

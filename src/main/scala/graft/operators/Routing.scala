@@ -54,6 +54,11 @@ object Routing {
   // bounded LRU (ADVICE r8): corpus rebuilds mint fresh snapshot keys forever
   private val massCache = graft.Memo.lru[String, java.lang.Long](256)
 
+  /** Probe hook: forget memoized mass censuses, so GrowthProbe's cumulative
+    * stage prefixes each pay their routing decision cold (stage-diff
+    * attribution stays honest). */
+  private[graft] def clearMassMemo(): Unit = massCache.clear()
+
   private def memo(df: DataFrame, kind: String)(compute: => Long): Long =
     // plan hash in the key too (via snapshotKey): a frame DERIVED from the
     // same files must not reuse the base table's cached mass

@@ -347,6 +347,12 @@ object Similarity {
   private val ivfModelCache = graft.Memo.lru[String, Array[Array[Long]]](16)
   private val pqModelCache = graft.Memo.lru[String, Array[Array[Array[Long]]]](16)
 
+  /** Spec/probe hook: forget in-JVM trained models, so a test can prove the
+    * persisted registry path serves the next touch (ModelRegistrySpec). */
+  private[graft] def clearModelMemo(): Unit = {
+    ivfModelCache.clear(); pqModelCache.clear()
+  }
+
   /** Content-snapshot cache key: corpus dir + sorted embedding part files. */
   private def corpusKey(t: T): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -361,9 +367,16 @@ object Similarity {
     * Default-parameter trainings memoize per corpus dir (see the cache
     * note above); explicit k/iters bypass the cache. */
   def trainIvfCentroids(t: T, k: Int = IvfK, iters: Int = IvfIters): Array[Array[Long]] =
-    if (k == IvfK && iters == IvfIters)
-      ivfModelCache.computeIfAbsent(corpusKey(t), _ => trainIvfUncached(t, k, iters))
-    else trainIvfUncached(t, k, iters)
+    if (k == IvfK && iters == IvfIters) {
+      val key = corpusKey(t)
+      // registry inside the memo body: a registry hit still counts as this
+      // JVM's memo miss (first_touch tagging keeps its meaning — the row
+      // touched model state), it just pays a file read instead of Lloyd
+      // iterations (VERDICT r13 next-1)
+      ivfModelCache.computeIfAbsent(key, _ =>
+        graft.ModelRegistry.loadOrTrain2(t.spark, "ivf-centroids", key)(
+          trainIvfUncached(t, k, iters)))
+    } else trainIvfUncached(t, k, iters)
 
   private[graft] def trainIvfUncached(t: T, k: Int, iters: Int): Array[Array[Long]] = {
     import t.spark.implicits._
@@ -1170,8 +1183,12 @@ object Similarity {
 
   /** Deterministic integer k-means per block; [block][k][dim] longs.
     * Memoized per corpus dir like [[trainIvfCentroids]]. */
-  def trainPqCodebook(t: T): Array[Array[Array[Long]]] =
-    pqModelCache.computeIfAbsent(corpusKey(t), _ => trainPqUncached(t))
+  def trainPqCodebook(t: T): Array[Array[Array[Long]]] = {
+    val key = corpusKey(t)
+    pqModelCache.computeIfAbsent(key, _ =>
+      graft.ModelRegistry.loadOrTrain(t.spark, "pq-codebook", key)(
+        trainPqUncached(t)))
+  }
 
   private def trainPqUncached(t: T): Array[Array[Array[Long]]] = {
     import t.spark.implicits._

@@ -43,7 +43,10 @@ object PairJoinAudit extends Logging {
   /** A detected pair-enumerating self-join: the shared leaf (one
     * representative, un-canonicalized, for file/schema access) and a short
     * human-readable description of the relation. */
-  final case class Finding(leaf: LogicalPlan, relation: String)
+  /** `join` is the matched pair-enumerating node FROM THE INSPECTED PLAN
+    * INSTANCE (reference identity matters: the warn path asks whether this
+    * specific subtree sits inside a door the audit itself spliced). */
+  final case class Finding(leaf: LogicalPlan, relation: String, join: LogicalPlan)
 
   private def stripTrivial(e: Expression): Expression = e match {
     case a: Alias => stripTrivial(a.child)
@@ -108,7 +111,7 @@ object PairJoinAudit extends Logging {
       case j @ Join(left, right, Inner | Cross | LeftOuter | RightOuter | FullOuter, cond, _)
           if enumeratingSelfJoin(j, left, right, cond) =>
         val shared = sharedLeaf(left, right).get
-        Finding(shared, leafName(shared))
+        Finding(shared, leafName(shared), j)
     }
   }
 
@@ -226,15 +229,26 @@ object PairJoinAudit extends Logging {
     * relation+leaf finding key silenced the advisory for every LATER
     * genuinely-naive plan over the same relation. Keyed on the door's own
     * optimized canonical shape instead, so suppression matches exactly the
-    * plans the audit installed. Bounded like the other JVM-wide memos. */
-  private val splicedDoors = graft.Memo.lru[String, java.lang.Boolean](64)
+    * plans the audit installed. Cap 256 (ADVICE r13 #4 raised it from 64):
+    * eviction here is not just a recompute — an evicted door's internal
+    * band join would resurrect a false advisory about the audit's own
+    * splice, so the cap is sized well past any plausible per-JVM door
+    * population (one entry per distinct spliced kernel×corpus). */
+  private val splicedDoors = graft.Memo.lru[String, java.lang.Boolean](256)
 
-  /** Does `plan` contain a subtree the audit itself spliced in? The spliced
-    * branch is already optimizer-closed (see [[tryRewrite]]), so its
-    * canonical shape is stable through the remaining fixed-point batches. */
-  def containsSplicedDoor(plan: LogicalPlan): Boolean =
+  /** Is the FINDING's matched join inside a subtree the audit itself
+    * spliced in? (ADVICE r13 #4: the old whole-plan containment check
+    * exempted any statement containing a spliced door even when detect's
+    * finding was a different, genuinely naive kernel elsewhere in the same
+    * plan — e.g. a naive all-pairs join UNIONed with a rewritten one.)
+    * The spliced branch is optimizer-closed (see [[tryRewrite]]), so its
+    * canonical shape is stable through the remaining fixed-point batches;
+    * `findingJoin` is a node of `plan` itself, so reference identity
+    * locates it under the door subtree. */
+  def findingInsideSplicedDoor(plan: LogicalPlan, findingJoin: LogicalPlan): Boolean =
     splicedDoors.size() > 0 && plan.exists(sub =>
-      splicedDoors.get(sub.canonicalized.semanticHash().toString) != null)
+      splicedDoors.get(sub.canonicalized.semanticHash().toString) != null &&
+        sub.exists(_ eq findingJoin))
 
   private def withBuildGuard[A](body: => A): A = {
     building.set(java.lang.Boolean.TRUE)
@@ -356,10 +370,12 @@ case class PairJoinAuditRule(session: SparkSession) extends Rule[LogicalPlan] {
       // flagged statement used to emit (seen in the r11 ExchangeAudit log)
       val warnKey = f.relation + ":" + f.leaf.canonicalized.semanticHash().toString
       if (PairJoinAuditRule.warned.get(warnKey) == null) {
-        // a plan containing a door the audit itself spliced stays silent
+        // a finding INSIDE a door the audit itself spliced stays silent
         // WITHOUT consuming the finding key, so a later genuinely naive
         // plan over the same relation still gets its once-per-JVM advisory
-        if (PairJoinAudit.containsSplicedDoor(plan)) ()
+        // — and (ADVICE r13 #4) a genuinely naive kernel that merely shares
+        // a statement with a spliced door is no longer exempt
+        if (PairJoinAudit.findingInsideSplicedDoor(plan, f.join)) ()
         else if (PairJoinAuditRule.warned.putIfAbsent(warnKey, java.lang.Boolean.TRUE) == null)
           logWarning(s"[graft-audit] pair-enumerating self-join on derived keys over " +
             s"'${f.relation}' — raw plans of this shape are m2-bound on replica-heavy " +

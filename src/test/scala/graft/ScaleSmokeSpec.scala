@@ -33,6 +33,19 @@ class ScaleSmokeSpec extends SparkSpec {
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/_GRAFT_READY"),
       Array.empty[Byte])
     assert(ScaleSmoke.buildScaled(spark, "/root/testdata/sf0.001", out, 3) == ((nDocs, nVecs)))
+    // a pre-r14 marker carried counts but no base tag (ADVICE r13 #2): that
+    // shape must also rebuild, not attest a corpus of unknown parentage
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/_GRAFT_READY"),
+      s"$nDocs,$nVecs".getBytes("UTF-8"))
+    assert(ScaleSmoke.buildScaled(spark, "/root/testdata/sf0.001", out, 3) == ((nDocs, nVecs)))
+    // base-corpus mismatch (ADVICE r13 #2): same out dir + multiplier but a
+    // DIFFERENT base must rebuild from the new base, not reuse the old corpus
+    // (sf0.1 — its doc count differs from sf0.001's, so reuse is detectable)
+    val (nDocs2, nVecs2) = ScaleSmoke.buildScaled(spark, "/root/testdata/sf0.1", out, 3)
+    val base2 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").count()
+    val baseV2 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").count()
+    assert(nDocs2 == base2 * 3 && nVecs2 == baseV2 * 3)
+    assert(nDocs2 != nDocs, "mismatched base silently reused the stale corpus")
   }
 
   test("breach classification is exhaustive and self-consistent") {

@@ -112,6 +112,55 @@ class PairJoinAuditSpec extends SparkSpec {
     }
   }
 
+  test("suppression is scoped to the finding's subtree, not the whole plan (ADVICE r13 #4)") {
+    withExtensionsSession { s2 =>
+      Tables.register(s2, sfDir)
+      // the BARE 3-column kernel (as in the rewrite tests above): a 2-column
+      // projection would let pruning narrow the subtree away from the
+      // template and no door would be spliced at all
+      val naiveSql =
+        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  jaccard_bp(a.h, b.h) AS jaccard_bp
+           FROM (SELECT doc_id, shingle_hashes(text, 4, true) AS h FROM documents) a
+           JOIN (SELECT doc_id, shingle_hashes(text, 4, true) AS h FROM documents) b
+             ON a.doc_id < b.doc_id AND jaccard_bp(a.h, b.h) >= 8000"""
+      s2.conf.set(PairJoinAudit.RewriteFlag, "true")
+      try {
+        // splice a door (records its canonical shape in splicedDoors)
+        val r0 = PairJoinAudit.rewritesApplied
+        val door = s2.sql(naiveSql)
+        val doorPlan = door.queryExecution.optimizedPlan
+        assert(PairJoinAudit.rewritesApplied > r0, "precondition: the door must splice")
+        // the door's own internal band join trips detect() — and IS inside
+        // the spliced subtree, so the advisory stays silent for it
+        PairJoinAudit.detect(doorPlan).foreach { f =>
+          assert(PairJoinAudit.findingInsideSplicedDoor(doorPlan, f.join),
+            "the spliced door's internal finding must be suppressed")
+        }
+        // a DIFFERENT, genuinely naive kernel sharing one statement with
+        // the spliced door: the old whole-plan containment check exempted
+        // it; the subtree-scoped check must not
+        s2.conf.unset(PairJoinAudit.RewriteFlag) // keep naive2 naive
+        // same 3-column shape as the door so the union prunes nothing out
+        // of the spliced subtree (a pruned door would no longer hash-match
+        // splicedDoors, and the test would pass vacuously under the old
+        // whole-plan check)
+        val naive2 = s2.sql(
+          """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_chars AS jaccard_bp
+             FROM documents a JOIN documents b
+             ON substring(a.text, 1, 64) = substring(b.text, 1, 64)
+             AND a.doc_id < b.doc_id""")
+        val u = naive2.unionAll(door)
+        val uPlan = u.queryExecution.optimizedPlan
+        val f = PairJoinAudit.detect(uPlan)
+        assert(f.isDefined, "the union's naive branch must still be detected")
+        assert(!PairJoinAudit.findingInsideSplicedDoor(uPlan, f.get.join),
+          "a naive kernel merely sharing a statement with a spliced door " +
+            "must not be exempt from the advisory")
+      } finally s2.conf.unset(PairJoinAudit.RewriteFlag)
+    }
+  }
+
   /** A real extensions session sharing the test SparkContext, restored on
     * exit — the three rewrite cases and the wire test all need the
     * production injection path. */
