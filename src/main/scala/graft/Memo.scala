@@ -62,6 +62,30 @@ object Memo {
     }
   }
 
+  /** Cross-JVM-stable variant of [[snapshotKey]] for PERSISTED registries
+    * (r14): `semanticHash` was measured flapping across identical JVMs on
+    * multi-file relations (three runs of the same probe read 855932171 /
+    * 2119687653 / 855932171 for the same analyzed scan — hashCode-identity
+    * leakage somewhere under the relation), which made a registry keyed on
+    * it retrain per JVM, silently defeating its purpose. The canonicalized
+    * plan STRING is byte-stable across JVMs (exprIds normalized to
+    * ordinals, no addresses) and still distinguishes a derived frame (a
+    * filter, a replication) from its base table — the ADVICE r9 hazard the
+    * plan component exists for. In-JVM memos keep [[snapshotKey]]
+    * (cheaper; process-local, so instability cannot bite). */
+  def stableSnapshotKey(df: org.apache.spark.sql.DataFrame, tag: String): Option[String] = {
+    val files = df.inputFiles
+    if (files.isEmpty) None
+    else {
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(tag.getBytes(utf8))
+      md.update(df.queryExecution.analyzed.canonicalized.toString.getBytes(utf8))
+      files.sorted.foreach(f => md.update(f.getBytes(utf8)))
+      Some(java.util.Base64.getEncoder.encodeToString(md.digest()))
+    }
+  }
+
   private final class LruMap[K, V](max: Int) extends java.util.AbstractMap[K, V] {
     private[this] val inner =
       new java.util.LinkedHashMap[K, V](16, 0.75f, true) {

@@ -1646,8 +1646,13 @@ object Pipeline {
     // must not reuse the full corpus's trained model
     graft.Memo.snapshotKey(docs, "dsir") match {
       case None      => train()
-      case Some(key) => dsirModels.computeIfAbsent(key, _ =>
-        graft.ModelRegistry.loadOrTrain1(docs.sparkSession, "dsir-llr", key)(train()))
+      case Some(key) => dsirModels.computeIfAbsent(key, _ => {
+        // registry key must survive JVM boundaries: semanticHash does not
+        // (measured — see Memo.stableSnapshotKey), the canonical plan
+        // string + file listing does
+        val rkey = graft.Memo.stableSnapshotKey(docs, "dsir").getOrElse(key)
+        graft.ModelRegistry.loadOrTrain1(docs.sparkSession, "dsir-llr", rkey)(train())
+      })
     }
   }
 
@@ -1743,9 +1748,11 @@ object Pipeline {
     }
     graft.Memo.snapshotKey(docs, "dsir-cut") match {
       case None      => compute()
-      case Some(key) => dsirCutoffs.computeIfAbsent(key, _ =>
-        graft.ModelRegistry.loadOrTrainPair(docs.sparkSession, "dsir-cutoff", key)(
-          compute()))
+      case Some(key) => dsirCutoffs.computeIfAbsent(key, _ => {
+        val rkey = graft.Memo.stableSnapshotKey(docs, "dsir-cut").getOrElse(key)
+        graft.ModelRegistry.loadOrTrainPair(docs.sparkSession, "dsir-cutoff", rkey)(
+          compute())
+      })
     }
   }
 
