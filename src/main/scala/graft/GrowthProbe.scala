@@ -111,9 +111,40 @@ object GrowthProbe {
       } :+ ("funnel" -> (() =>
         Pipeline.p29CurationFunnel(p29t)
           .write.format("noop").mode("overwrite").save(): Unit))
+    // p29near mode (r14): the 480× p29 stage probe read a stable +50 s
+    // near_dedup marginal where 320× read ~+1 s — a discrete jump, so an
+    // interior size-gate crossing is the suspect, not smooth growth. These
+    // sub-stages time the near stage's real pieces (the SAME frames the
+    // route runs): the exact-survivor set, the corpus replica-mass census,
+    // the ownership collapse, the kept-set candidate pairs, and the full
+    // keeper election (adds the CC + join residue). Each stage rebuilds its
+    // frames cold (memos cleared in [[timed]]), and constructing eDocs via
+    // p29StageFrames re-pays the same frame-construction censuses in every
+    // stage, so stage DIFFS attribute marginal cost exactly as in p29 mode.
+    // Counts go to stderr: a count jump vs the data ratio names a gate.
+    import graft.operators.Routing
+    def p29EDocs = {
+      val withE = Pipeline.p29StageFrames(p29t).find(_._1 == "exact_dedup").get._2
+      withE.filter(col("e_keep")).select("doc_id", "text", "n_chars")
+    }
+    val p29NearStages: Seq[(String, () => Unit)] = Seq(
+      "edocs" -> (() =>
+        System.err.println(s"[growth]   n_edocs=${p29EDocs.count()}")),
+      "mass_census" -> (() => { Routing.docReplicaMassBp(p29t.documents); () }),
+      "ownership" -> (() =>
+        System.err.println(
+          s"[growth]   n_keepers=${Dedup.ownershipKeepers(p29EDocs).count()}")),
+      "pairs" -> (() => {
+        val (_, pairs) = Routing.nearDupCollapseKeptPairs(p29EDocs)
+        System.err.println(s"[growth]   n_pairs=${pairs.count()}")
+      }),
+      "keepers_full" -> (() =>
+        Routing.nearDupKeepers(p29t.documents, p29EDocs)
+          .write.format("noop").mode("overwrite").save(): Unit))
     val stages = kernel match {
-      case "p29" => p29Stages
-      case _     => d29Stages
+      case "p29"     => p29Stages
+      case "p29near" => p29NearStages
+      case _         => d29Stages
     }
     val times = stages.map { case (name, fn) =>
       val sec = timed(fn())

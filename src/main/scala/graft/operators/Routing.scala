@@ -247,10 +247,29 @@ object Routing {
     if (docReplicaMassBp(corpus) < thresholdBp)
       Dedup.keeperIdsOf(docs, Dedup.lshPairs(docs))
     else {
-      val keepers = Dedup.ownershipKeepers(docs).localCheckpoint()
-      val kept = docs.join(keepers, "doc_id")
-      Dedup.keeperIdsOf(kept, Dedup.prefixJaccardPairs(kept, 8000))
+      val (kept, pairs) = nearDupCollapseKeptPairs(docs)
+      Dedup.keeperIdsOf(kept, pairs)
     }
+  }
+
+  /** The collapse branch's (kept set, candidate pairs) — split out so
+    * GrowthProbe's `p29near` kernel can time the branch's interior stages
+    * against the SAME definitions the route runs (r14: the 480× p29 stage
+    * probe named near_dedup as the superlinear stage; this decomposition
+    * names the interior piece). */
+  private[graft] def nearDupCollapseKeptPairs(docs: DataFrame): (DataFrame, DataFrame) = {
+    val keepers = Dedup.ownershipKeepers(docs).localCheckpoint()
+    // kept is materialized, not left as lineage: it is self-joined by the
+    // prefix-Jaccard pair generation and read again by the keeper election,
+    // so without the checkpoint the full upstream `docs` spine re-evaluates
+    // per use — for p29 that spine is the whole quality→exact-dedup prefix,
+    // and the r14 480× stage probe measured the near stage's marginal at
+    // +50 s (vs ~+1 s at 320×) from exactly those re-evaluations. Safe at
+    // scale: this branch only runs on replica-heavy corpora, where the
+    // post-collapse kept set is small by construction (2.8 k rows at both
+    // 320× and 480× — constant in the multiplier).
+    val kept = docs.join(keepers, "doc_id").localCheckpoint()
+    (kept, Dedup.prefixJaccardPairs(kept, 8000))
   }
 
   /** Collapsed branch: d29's kept set + implementation-independent
