@@ -41,9 +41,18 @@ object Graph {
       .distinct()
       .localCheckpoint() // 5 supersteps reuse blocks, not the pair lineage
     // loop-invariant: every superstep scans edges-with-outdeg, so join it
-    // once and materialize — each round is then one join + one aggregation
+    // once and materialize — each round is then one join + one aggregation.
+    // r14: materialize it HASH-PARTITIONED BY src. The checkpointed frame
+    // keeps its physical partitioning (LogicalRDD carries it), so every
+    // superstep's join sees a co-partitioned edge side and plans ZERO
+    // exchange for it — previously each of the 5 rounds re-shuffled the
+    // edge set (checkpointed blocks with no explicit partitioning read as
+    // unknown), which JobProbe r14 measured as ~3 extra stage jobs per
+    // round (g14: 45 jobs total). Same discipline a cluster needs: edges
+    // partition once, only the rank vector moves per iteration.
     val edgesDeg = edges
       .join(edges.groupBy($"src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition($"src")
       .localCheckpoint()
     var ranks = edgesDeg.select($"src".as("node")).distinct()
       .select($"node", lit(1000000L).as("rank"))

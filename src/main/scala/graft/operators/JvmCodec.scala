@@ -45,6 +45,16 @@ object JvmCodec {
     * as an n x 1 scanline — a real, spec-conformant container that ImageIO
     * decodes natively, written directly (BMP is header + palette + padded
     * rows; routing the encode through ImageIO would only add overhead). */
+  // palette entry i = (i, i, i): index == gray value; constant, so built
+  // once — the video container encodes one BMP per ~16-byte frame, and the
+  // 256-entry put loop per frame was most of its encode work (r14)
+  private val grayPalette: Array[Byte] = {
+    val p = new Array[Byte](256 * 4)
+    var i = 0
+    while (i < 256) { p(i * 4) = i.toByte; p(i * 4 + 1) = i.toByte; p(i * 4 + 2) = i.toByte; i += 1 }
+    p
+  }
+
   def encodeBmp(bytes: Array[Byte]): Array[Byte] = {
     if (bytes.isEmpty) return Array.emptyByteArray
     val n = bytes.length
@@ -57,10 +67,7 @@ object JvmCodec {
       .putShort(0).putShort(0).putInt(dataOffset)
     out.putInt(40).putInt(n).putInt(1).putShort(1).putShort(8)
       .putInt(0).putInt(rowSize).putInt(2835).putInt(2835).putInt(256).putInt(0)
-    var i = 0
-    while (i < 256) { // palette entry i = (i, i, i): index == gray value
-      out.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte); i += 1
-    }
+    out.put(grayPalette)
     out.put(bytes)
     out.array()
   }
@@ -75,6 +82,38 @@ object JvmCodec {
 
     def decode(encoded: Array[Byte]): Array[Byte] = {
       if (encoded.isEmpty) return Array.emptyByteArray
+      // r14 hot path: 8-bit uncompressed BMP scanlines are parsed directly
+      // from the buffer. The ImageIO route paid a MemoryCacheImageInputStream
+      // + reader reset + BufferedImage build + per-pixel getSample PER CALL —
+      // ruinous for the video container, whose frames are ~16-byte images
+      // (one ImageIO round-trip per 16 content bytes). The direct parse
+      // returns the same bytes the raster loop did: for an indexed image
+      // getSample yields the palette INDEX, which is exactly the stored
+      // scanline byte, whatever the palette (ours is identity). Anything not
+      // plain 8-bit BI_RGB BMP still takes the ImageIO readers below.
+      if (encoded.length >= 34 && encoded(0) == 'B'.toByte && encoded(1) == 'M'.toByte) {
+        val bb = java.nio.ByteBuffer.wrap(encoded).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val dataOffset = bb.getInt(10)
+        val w = bb.getInt(18)
+        val hRaw = bb.getInt(22)
+        val bpp = bb.getShort(28)
+        val comp = bb.getInt(30)
+        if (bpp == 8 && comp == 0 && w > 0 && hRaw != 0) {
+          val h = math.abs(hRaw)
+          val bottomUp = hRaw > 0 // positive height = rows stored bottom-up
+          val rowSize = (w + 3) & ~3
+          if (dataOffset.toLong + h.toLong * rowSize <= encoded.length) {
+            val out = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              val srcRow = if (bottomUp) h - 1 - y else y
+              System.arraycopy(encoded, dataOffset + srcRow * rowSize, out, y * w, w)
+              y += 1
+            }
+            return out
+          }
+        }
+      }
       val reader = if (encoded(0) == 'B'.toByte) bmp else png
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(encoded))
       try {

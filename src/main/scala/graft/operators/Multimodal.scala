@@ -113,6 +113,18 @@ object Multimodal {
     }
   }
 
+  /** Materialize a narrow post-codec frame once before a global sort or a
+    * self-join consumes it (r14). The range partitioner behind a final
+    * `orderBy` SAMPLES its child with one full pass before the shuffle
+    * computes it again, and a self-join plans two copies of the subtree —
+    * either way a map-only decode pipeline with no exchange of its own
+    * pays the whole codec chain TWICE (JobProbe r14: m01's wall ≈ 2× m02's
+    * single-decode wall with the extra pass attributed to the sampling
+    * job). The checkpoint holds only the narrow per-asset rows — blobs
+    * never reach it — so its footprint is the OUTPUT size, not the corpus,
+    * at any scale. */
+  private def decodedOnce(df: DataFrame): DataFrame = df.localCheckpoint()
+
   /** ONE definition of the decoded-feature frame — the multimodal family's
     * shared plane, like [[TextAnalysis.docTokens]] for the text family:
     * m01 and m02 both contain this CANONICALLY-EQUAL subtree (real encode →
@@ -130,10 +142,10 @@ object Multimodal {
     * columns cross stage boundaries). */
   def m01MediaFeatures(t: T): DataFrame = {
     import t.spark.implicits._
-    mediaFeatures(t)
+    decodedOnce(mediaFeatures(t)
       .select($"asset_id", $"kind", $"n_bytes", $"checksum",
         round($"mean_byte", 4).as("mean_byte"),
-        $"thumb_w".cast("long").as("thumb_w"), $"thumb_h".cast("long").as("thumb_h"))
+        $"thumb_w".cast("long").as("thumb_w"), $"thumb_h".cast("long").as("thumb_h")))
       .orderBy($"asset_id")
   }
 
@@ -226,7 +238,7 @@ object Multimodal {
     import t.spark.implicits._
     // only video assets are demuxed — encode only them (kind is metadata,
     // so the filter prunes before any codec work)
-    sampleFramesReal(assetsEncoded(t, only = Some("video"))).toDF()
+    decodedOnce(sampleFramesReal(assetsEncoded(t, only = Some("video"))).toDF())
       .orderBy($"asset_id", $"frame_idx")
   }
 
@@ -287,7 +299,7 @@ object Multimodal {
     val decoded = assetsEncoded(t, only = Some("audio")).mapPartitions { it =>
       it.map(a => a.copy(payload = JvmCodec.decodeWav(a.payload)))
     }
-    audioWindows(decoded).toDF()
+    decodedOnce(audioWindows(decoded).toDF())
       .orderBy($"asset_id", $"win_idx")
   }
 
@@ -494,7 +506,7 @@ object Multimodal {
           AudioCorr(a.asset_id, lag.toLong, n.toLong, s)
         }
       }
-    }.toDF().orderBy($"asset_id", $"lag")
+    }.toDF().transform(decodedOnce).orderBy($"asset_id", $"lag")
   }
 
   val m10Oracle: String =
@@ -527,7 +539,7 @@ object Multimodal {
         }
         Decimated(a.asset_id, nOut.toLong, w)
       }
-    }.toDF().orderBy($"asset_id")
+    }.toDF().transform(decodedOnce).orderBy($"asset_id")
   }
 
   /** Same pair arithmetic over the corpus char codes (lossless WAV carrier),
@@ -565,7 +577,7 @@ object Multimodal {
         }
         SceneStats(a.asset_id, frames.length.toLong, total, mx)
       }
-    }.toDF().orderBy($"asset_id")
+    }.toDF().transform(decodedOnce).orderBy($"asset_id")
   }
 
   /** Frames are 16-char chunks of the corpus text (lossless BMP frames);
@@ -612,7 +624,7 @@ object Multimodal {
         while (i < px.length) { val v = px(i) & 0xff; s += v; bins(v >> 6) += 1; i += 1 }
         ImageStats(a.asset_id, px.length.toLong, s, bins(0), bins(1), bins(2), bins(3))
       }
-    }.toDF().orderBy($"asset_id")
+    }.toDF().transform(decodedOnce).orderBy($"asset_id")
   }
 
   /** Oracle: the same arithmetic over the corpus char codes (the PNG is a
@@ -667,7 +679,7 @@ object Multimodal {
         }
         AHashRow(a.asset_id, h)
       }
-    }.toDF()
+    }.toDF().transform(decodedOnce) // self-joined below: decode once, not per join side
     val chunks = hashes.select($"asset_id", $"ahash", explode(expr(
       "transform(sequence(0, 3), c -> struct(c AS chunk, shiftright(ahash, c * 16) & 65535 AS cval))")).as("ck"))
       .select($"asset_id", $"ahash", $"ck.chunk".as("chunk"), $"ck.cval".as("cval"))
@@ -745,7 +757,7 @@ object Multimodal {
           if (n > 0) math.floor(rms * 1e6).toLong else 0L,
           if (rms > 0) math.floor(64.0 * 10000.0 / rms).toLong else 0L)
       }
-    }.toDF().orderBy($"asset_id")
+    }.toDF().transform(decodedOnce).orderBy($"asset_id")
   }
 
   val m14Oracle: String =

@@ -238,8 +238,8 @@ class PlanQualitySpec extends SparkSpec {
 
   test("d09: hashed-gram production variant matches the exact string version") {
     val t = T(spark, sfDir)
-    val exact = snap(Dedup.d09SubstringDupCoverage(t))
-    val hashed = snap(Dedup.substringDupCoverageHashed(t))
+    val exact = snap(Dedup.substringDupCoverageExact(t))
+    val hashed = snap(Dedup.substringDupCoverageHashed(t)) // the declared d09 since r14
     assert(hashed == exact)
     // stride 4: same docs, every gram count divided ~4x, never larger
     val strided = Dedup.substringDupCoverageHashed(t, stride = 4)
