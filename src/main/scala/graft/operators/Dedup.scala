@@ -1453,6 +1453,10 @@ object Dedup {
         expr("jaccard_bp_sorted(ha, hb)").as("jaccard_bp"),
         bbitEstCol.as("bbit_est_bp"))
       .withColumn("err_bp", abs($"jaccard_bp" - $"bbit_est_bp"))
+      // d22 reports EVERY candidate pair (no jaccard floor), so the final
+      // sort's range sampling would re-run the whole per-pair verify;
+      // materialize the narrow scored rows once (r14, the m-family medicine)
+      .localCheckpoint()
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -1466,7 +1470,10 @@ object Dedup {
       spark: SparkSession, docs: DataFrame, pairs: DataFrame): DataFrame = {
     import spark.implicits._
     graft.functions.Registry.ensure(spark)
+    // one materialized sig pass shared by both broadcast sides (r14, as in
+    // [[bbitMinhashOn]])
     val packed = minhashSigTable(docs).select($"doc_id", packBbCol.as("bb"))
+      .localCheckpoint()
     val hint = BroadcastGate.shingleHint(docs)
     pairs
       .join(hint(packed.select($"doc_id".as("doc_a"), $"bb".as("bba"))), "doc_a")
