@@ -15,7 +15,56 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Relation memo (r14, guide §6 file-listing reuse / §5 driver work): a
+  // fresh `spark.read.parquet` costs ~74 ms of driver-side work PER CALL on
+  // this corpus (FloorMicro: file listing + footer schema inference +
+  // relation build), and every one of the 312 bench rows pays it 1-3× per
+  // rep — ~25-40 s of the sf0.1 bench total is relation re-creation, not
+  // query execution. A real deployment registers tables once in a catalog
+  // and reuses the resolved relation; this memo is that catalog discipline
+  // for the T(...) path. METADATA ONLY: the cached object is the unexecuted
+  // logical plan — every action still scans the parquet files from disk, so
+  // bench/oracle runs keep computing from the inputs. Keyed on the session
+  // (relations are session-bound) + the file snapshot (path, mtime, length
+  // of the file, or of every part file for a directory table), so a
+  // rewritten corpus mints a fresh key; unsnapshotable paths (mtime 0) skip
+  // the memo. Bounded LRU; deliberately NOT Memo.lru — Bench samples
+  // Memo.hits/misses to tag first_touch/memo_hits rows, and relation reuse
+  // must not pollute that accounting.
+  private val relCache = new java.util.LinkedHashMap[AnyRef, DataFrame](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[AnyRef, DataFrame]): Boolean =
+      size() > 256
+  }
+
+  private def fileSnapshot(path: String): Option[String] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) None
+    else if (f.isFile) {
+      val m = f.lastModified()
+      if (m == 0L) None else Some(s"$path:$m:${f.length()}")
+    } else {
+      val kids = f.listFiles()
+      if (kids == null) None
+      else Some(kids.sortBy(_.getName).map(k =>
+        s"${k.getName}:${k.lastModified()}:${k.length()}").mkString(s"$path|", ",", ""))
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    fileSnapshot(s"$dir/$name.parquet") match {
+      case None => loadUncached(spark, dir, name)
+      case Some(snap) =>
+        val key = (spark, name, snap)
+        relCache.synchronized {
+          val hit = relCache.get(key)
+          if (hit != null) return hit
+        }
+        val df = loadUncached(spark, dir, name)
+        relCache.synchronized(relCache.put(key, df))
+        df
+    }
+
+  private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // Normalize events.ts to the µs session-TZ TimestampType whatever the
       // generator wrote: older corpora store INT64 TIMESTAMP(NANOS), which
