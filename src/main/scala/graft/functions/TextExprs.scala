@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, Literal, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -261,6 +261,30 @@ object TextHashOps {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Map each token of `h` to its dense dictionary id by binary search over
+    * the value-sorted `toks` array (parallel `bits` array carries the ids),
+    * returning the ids SORTED ascending — exactly what the explode → join →
+    * collect_list → sort_array relabel produced, without shuffling a row per
+    * token (r14, guide §2.3/§2.4: the relabel becomes map-side work; the
+    * only corpus-wide exchange left in the dictionary build is the df census
+    * aggregate). Tokens absent from the dictionary are dropped, mirroring
+    * the inner-join semantics (cannot happen when the dictionary was built
+    * from the same corpus — kept for subset calls). */
+  def relabelSorted(h: ArrayData, toks: Array[Long], bits: Array[Long]): ArrayData = {
+    val n = h.numElements()
+    val out = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val idx = java.util.Arrays.binarySearch(toks, h.getLong(i))
+      if (idx >= 0) { out(m) = bits(idx); m += 1 }
+      i += 1
+    }
+    val trimmed = if (m == n) out else java.util.Arrays.copyOf(out, m)
+    java.util.Arrays.sort(trimmed)
+    new GenericArrayData(trimmed)
   }
 
   /** Exact Jaccard in basis points over two equal-width bitmaps:
@@ -727,6 +751,57 @@ case class BitsToWords(child: Expression, nWords: Int) extends UnaryExpression w
   override def prettyName: String = "bits_to_words"
 }
 
+/** (array<long> h, FOLDABLE array<long> value-sorted dictionary, FOLDABLE
+  * array<long> parallel ids) -> sorted array<long> of the mapped ids. The
+  * dictionary rides the plan as two literals evaluated ONCE and shared with
+  * generated code through codegen reference objects (the
+  * [[BigramBucketScore]] device) — this is the dense-path relabel of the
+  * prefix-Jaccard chain done map-side instead of explode → broadcast join →
+  * groupBy(doc_id) → collect_list → sort_array (r14: that regroup was a
+  * full exploded-corpus exchange per PPJoin call). */
+case class RelabelSorted(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = first.nullable
+
+  private lazy val toksArr: Array[Long] = {
+    require(second.foldable, "relabel_sorted: the dictionary must be foldable")
+    second.eval(null).asInstanceOf[ArrayData].toLongArray()
+  }
+  private lazy val bitsArr: Array[Long] = {
+    require(third.foldable, "relabel_sorted: the id table must be foldable")
+    third.eval(null).asInstanceOf[ArrayData].toLongArray()
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val h = first.eval(input)
+    if (h == null) null
+    else TextHashOps.relabelSorted(h.asInstanceOf[ArrayData], toksArr, bitsArr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val toksRef = ctx.addReferenceObj("relabelToks", toksArr, "long[]")
+    val bitsRef = ctx.addReferenceObj("relabelBits", bitsArr, "long[]")
+    val h = first.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${h.code}
+        boolean ${ev.isNull} = ${h.isNull};
+        ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} =
+            graft.functions.TextHashOps.relabelSorted(${h.value}, $toksRef, $bitsRef);
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): RelabelSorted =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "relabel_sorted"
+}
+
 /** (bitmap, bitmap) -> long Jaccard basis points via word-wise popcount. */
 case class JaccardBpWords(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
@@ -914,6 +989,7 @@ object Registry {
     "l2_sq"          -> (es => L2Sq(es.head, es(1))),
     "poly_hash"      -> (es => PolyHash(es.head)),
     "bits_to_words"  -> (es => BitsToWords(es.head, intLit(es(1)))),
+    "relabel_sorted" -> (es => RelabelSorted(es.head, es(1), es(2))),
     "jaccard_bp_words" -> (es => JaccardBpWords(es.head, es(1))),
     "dot_d"          -> (es => DotD(es.head, es(1))),
     "gopher_masses"  -> (es => GopherMasses(es.head)),

@@ -522,33 +522,55 @@ object Dedup {
     graft.functions.Registry.ensure(spark)
     val tBp = thresholdBp
     val d = 10000 + tBp // denominator of the 2t/(1+t) and t/(1+t) bounds
-    val hs = documents.select($"doc_id", array_sort(expr(shingleHashes)).as("h"))
+    val hs = Par.fanOut(documents)
+      .select($"doc_id", array_sort(expr(shingleHashes)).as("h"))
       .localCheckpoint() // feeds both the dictionary build and the doc relabel
     val toks = hs.select($"doc_id", explode($"h").as("tok"))
     // Global token dictionary, dense ids in (document-frequency, tok) order:
     // the id order IS the rarest-first prefix order, so per-doc prefix = the
     // k smallest ids — no per-doc window needed. The dictionary is the
-    // token VOCABULARY (not the corpus), small by construction; the global
-    // window over it is a deliberate single-partition pass over that small
-    // set (at truly unbounded vocab you'd assign order-preserving ids via
-    // zipWithIndex — the rest of the pipeline is unchanged).
-    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
-      .select($"tok", (row_number().over(Window.orderBy($"df", $"tok")) - 1L).as("bit"))
-      .localCheckpoint()
-    val vocabSize = vocab.count()
-    val nWords = ((vocabSize + 63) / 64).toInt
+    // token VOCABULARY (not the corpus), small by construction.
+    //
     // Dense-dictionary fast path: each doc's token SET as an nWords*64-bit
     // bitmap (exact — ids are a bijective relabel, Jaccard is invariant),
     // verified by word-wise popcount inline in the candidate join. Char-4-gram
     // vocabularies are intrinsically bounded (<= charset^4 observed grams);
     // past ~32k distinct tokens (4 KB/doc) the bitmap payload would dominate
     // the shuffle, so fall back to the sorted id array + merge-pass verify.
-    val dense = nWords <= 512
-    val docs = toks.join(broadcast(vocab), "tok") // map-side relabel, no shuffle of toks
-      .groupBy($"doc_id").agg(sort_array(collect_list($"bit")).as("bits"))
-      .withColumn("n", size($"bits"))
-      .withColumn("payload",
-        if (dense) expr(s"bits_to_words(bits, $nWords)") else $"bits")
+    //
+    // r14 (guide §2.3/§2.4): the dense gate BOUNDS the dictionary at 32768
+    // entries, so collect the census once (limit 32769 proves the bound
+    // before anything is held on the driver — same discipline as the k×dim
+    // centroid collects), assign the (df, tok)-ordered dense ids driver-side
+    // — identical ids to the former global row_number window, minus its
+    // single-partition sort — and relabel each doc MAP-SIDE with the
+    // codegen'd binary-search expression. This removes, per PPJoin call: the
+    // window exchange+sort, the vocab checkpoint + count jobs, the broadcast
+    // relabel join, and the groupBy(doc_id) re-group — the one full
+    // exploded-corpus exchange in the bitmap build. The only corpus-wide
+    // shuffle left in the dictionary build is the df census aggregate
+    // (map-side combined). The sparse fallback keeps the former shape.
+    val censusRows = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+      .limit(32769).collect()
+    val dense = censusRows.length <= 32768
+    val nWords = ((censusRows.length + 63) / 64).toInt
+    val docs = if (dense) {
+      val ordered = censusRows.map(r => (r.getLong(1), r.getLong(0))).sorted // (df, tok)
+      val byTok = ordered.iterator.zipWithIndex
+        .map { case ((_, tok), bit) => (tok, bit.toLong) }.toArray.sortBy(_._1)
+      hs.select($"doc_id",
+          call_function("relabel_sorted", $"h",
+            lit(byTok.map(_._1)), lit(byTok.map(_._2))).as("bits"))
+        .withColumn("n", size($"bits"))
+        .withColumn("payload", expr(s"bits_to_words(bits, $nWords)"))
+    } else {
+      val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+        .select($"tok", (row_number().over(Window.orderBy($"df", $"tok")) - 1L).as("bit"))
+      toks.join(broadcast(vocab), "tok") // map-side relabel, no shuffle of toks
+        .groupBy($"doc_id").agg(sort_array(collect_list($"bit")).as("bits"))
+        .withColumn("n", size($"bits"))
+        .withColumn("payload", $"bits")
+    }
     // ASYMMETRIC prefixes (the full PPJoin scheme): the probing (larger)
     // side needs prefix n - ceil(t n) + 1 (its overlap bound is t|x| given
     // the length filter), but the indexed (not-larger) side only needs
